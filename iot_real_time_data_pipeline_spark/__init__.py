@@ -1,0 +1,24 @@
+"""PySpark-native analytics engine with the query/data-processing
+capabilities of ``iamahmedhisham/IoT-Real-Time-Data-Pipeline``.
+
+The reference is an AWS pipeline (MQTT producer -> Kinesis -> Lambda
+validator -> S3 lake -> Glue ETL -> Redshift star schema -> Power BI).
+This package re-expresses every operator it implements as idiomatic
+PySpark: DataFrame/SQL logical plans optimized by Catalyst, Structured
+Streaming for the event stream, and native Column expressions (zero
+row-wise Python UDFs on the hot path).
+
+Layout
+------
+- ``schemas``     : StructTypes + the per-location sensor-range contract
+- ``session``     : tuned SparkSession builders (AQE, Arrow, shuffle sizing)
+- ``generator``   : seeded IoT fixture generator (mirrors the producer's
+                    fault taxonomy so expected labels are assertable)
+- ``functions/``  : validation, alert, flatten expression builders
+- ``operators/``  : star-schema ETL, dashboard analytics, dedup,
+                    similarity search, text analysis, multimodal plumbing
+- ``sources/``    : batch/streaming readers incl. dead-letter routing
+- ``streaming/``  : Structured Streaming wrap + stateful alert throttle
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,133 @@
+"""Driver-facing query surface: derive an IoT event stream from the
+driver's ``events`` table, run the REAL pipeline operators over it, and
+expose the star schema + dashboard queries.
+
+The driver's testdata has no IoT-domain tables, so we map
+``events(event_id, ts, user_id, event_type, value, props)`` onto the
+reference's raw-event shape with a *deterministic, SQL-expressible*
+derivation (``oracle_iot.py`` emits the same derivation as DuckDB SQL,
+giving an independent second implementation for the correctness gate):
+
+- ``loc_id``: ``user_id % 3`` -> loc_1/2/3, with unknown / missing
+  loc_id injected on ``event_id % 19 / % 23`` rows (exercises V1);
+- 7 sensor channels: arithmetic spreads of ``value`` tuned so each
+  channel crosses its valid range, the ±10% warning buffer, and the
+  sentinel set (V4-V7); nitrogen goes NULL on ``% 41`` rows,
+  humidity gets the 9999 sentinel on ``% 37`` rows;
+- ``sensor_data`` empty on ``% 29`` rows (V3), ``weather_data``
+  absent on ``% 31`` rows (V2);
+- weather temperature drifts up to ±22 from the sensor reading so the
+  cross-check warning (V8) fires on a stable subset.
+
+No rounding anywhere: both engines do the same IEEE-double arithmetic,
+so values are bit-identical and the unusual double-equality dim joins
+(J2/J3) behave exactly as in the reference.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.pipeline import process_events, to_staging
+from .operators.star_schema import incremental_load
+from .schemas import SENSOR_NAMES, WEATHER_FIELDS
+
+# (sensor -> (scale, offset, span)): val = offset + (value * scale) % span
+SENSOR_DERIVATION = {
+    "temperature": (1.13, 8.0, 50.0),
+    "humidity": (1.41, 20.0, 75.0),
+    "water_level": (0.017, 0.1, 3.2),
+    "nitrogen": (1.7, 55.0, 105.0),
+    "phosphorus": (2.3, 22.0, 65.0),
+    "potassium": (2.9, 22.0, 65.0),
+    "ph": (0.71, 5.4, 3.4),
+}
+
+MOD_UNKNOWN_LOC = 19
+MOD_MISSING_LOC = 23
+MOD_EMPTY_SENSORS = 29
+MOD_MISSING_WEATHER = 31
+MOD_HUMIDITY_SENTINEL = 37
+MOD_NITROGEN_NULL = 41
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _sensor_value(sensor: str) -> F.Column:
+    scale, offset, span = SENSOR_DERIVATION[sensor]
+    return F.lit(offset) + (F.col("value") * F.lit(scale)) % F.lit(span)
+
+
+def iot_raw_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events table -> parsed-raw-event shape (sources.events contract)."""
+    ev = read_table(spark, sf_dir, "events")
+    mod = lambda m: (F.col("event_id") % m) == 0  # noqa: E731
+
+    loc_id = (
+        F.when(mod(MOD_MISSING_LOC), F.lit(None).cast("string"))
+        .when(mod(MOD_UNKNOWN_LOC), F.lit("loc_9"))
+        .otherwise(F.concat(F.lit("loc_"), ((F.col("user_id") % 3) + 1).cast("string")))
+    )
+    sensor_entries = []
+    for s in SENSOR_NAMES:
+        val = _sensor_value(s)
+        if s == "humidity":
+            str_val = F.when(mod(MOD_HUMIDITY_SENTINEL), F.lit("9999")).otherwise(
+                val.cast("string")
+            )
+        elif s == "nitrogen":
+            str_val = F.when(mod(MOD_NITROGEN_NULL), F.lit(None).cast("string")).otherwise(
+                val.cast("string")
+            )
+        else:
+            str_val = val.cast("string")
+        sensor_entries.extend([F.lit(s), str_val])
+
+    sensor_map = F.when(mod(MOD_EMPTY_SENSORS), F.create_map().cast("map<string,string>")).otherwise(
+        F.create_map(*sensor_entries)
+    )
+
+    temperature = _sensor_value("temperature")
+    weather_vals = {
+        "temperature_2m": temperature + (F.col("value") * 3.7) % 44.0 - 22.0,
+        "relative_humidity_2m": (F.col("value") * 1.9) % 100.0,
+        "is_day": (F.col("user_id") % 2).cast("double"),
+        "wind_speed_10m": (F.col("value") * 0.9) % 60.0,
+        "wind_direction_10m": (F.col("value") * 7.3) % 360.0,
+        "wind_gusts_10m": ((F.col("value") * 0.9) % 60.0) * 1.5,
+        "rain": (F.col("value") * 0.13) % 8.0,
+        "precipitation": (F.col("value") * 0.13) % 8.0,
+        "surface_pressure": F.lit(990.0) + (F.col("value") * 0.41) % 40.0,
+    }
+    weather_struct = F.struct(*[weather_vals[f].alias(f) for f in WEATHER_FIELDS])
+
+    base = (F.col("user_id") % 3).cast("double")
+    latitude = F.lit(22.0) + base * 4.0
+    longitude = F.lit(28.0) + base * 1.25
+
+    raw = ev.select(
+        F.lit(None).cast("string").alias("raw_json"),
+        F.concat(F.lit("evt_"), F.col("event_id").cast("string")).alias("event_id"),
+        F.date_format(F.col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'").alias("timestamp"),
+        loc_id.alias("loc_id"),
+        F.struct(latitude.alias("latitude"), longitude.alias("longitude")).alias("location"),
+        sensor_map.alias("sensor_data"),
+        F.when(mod(MOD_MISSING_WEATHER), F.lit(None)).otherwise(weather_struct).alias("weather_data"),
+        F.lit(False).alias("json_decode_error"),
+    )
+    return raw
+
+
+def iot_processed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return process_events(iot_raw_events(spark, sf_dir))
+
+
+def iot_staging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return to_staging(iot_processed(spark, sf_dir))
+
+
+def iot_star(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return incremental_load(iot_staging(spark, sf_dir), existing=None, dense_keys=True)

@@ -1,0 +1,82 @@
+"""Raw IoT event ingestion (reference sources S1/S2/S6).
+
+The reference consumes base64-encoded JSON from Kinesis
+(``Lambda/lamda.py:422-428``) and quarantines undecodable payloads to
+``errors/json_decode/`` (lamda.py:488-503). Spark-first equivalent:
+
+- wire format = one JSON text payload per line/row (file source in
+  tests; a Kafka `value` column in production — same parse path);
+- explicit ``raw_event_schema()`` + ``from_json`` replaces the Glue
+  crawler's schema inference (README.md:81);
+- a payload ``from_json`` cannot parse yields a null struct — that IS
+  the dead-letter predicate (S6), no exceptions, no driver round-trip.
+
+Keeping ``raw_json`` alongside the parsed struct costs one string
+column before the first projection and preserves the lexical
+string-vs-number distinction validation needs (see
+``functions.validation``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..schemas import raw_event_schema
+
+RAW_JSON_COL = "raw_json"
+CORRUPT_COL = "_corrupt_record"
+
+
+def parse_raw_payloads(df: DataFrame, payload_col: str = "value") -> DataFrame:
+    """payload text column -> parsed event columns + raw_json +
+    json_decode_error flag. Works identically for batch and streaming
+    inputs (same plan fragment).
+
+    PERMISSIVE mode + a corrupt-record column replaces the reference's
+    ``json.JSONDecodeError`` try/except (lamda.py:488-503): malformed
+    payloads set ``_corrupt_record`` instead of raising, and ``{}`` —
+    valid JSON — correctly proceeds to validation (where it becomes
+    INVALID via missing_loc_id, as in the reference).
+    """
+    schema = raw_event_schema().add(T.StructField(CORRUPT_COL, T.StringType()))
+    payload = F.col(payload_col).cast("string")
+    parsed = df.select(
+        payload.alias(RAW_JSON_COL),
+        F.from_json(
+            payload,
+            schema,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
+        ).alias("_e"),
+    )
+    decode_error = (
+        F.col(RAW_JSON_COL).isNull()
+        | (F.trim(F.col(RAW_JSON_COL)) == "")
+        | F.col("_e").isNull()
+        | F.col(f"_e.{CORRUPT_COL}").isNotNull()
+    )
+    return parsed.select(
+        RAW_JSON_COL,
+        *[F.col(f"_e.{f.name}") for f in raw_event_schema().fields],
+        decode_error.alias("json_decode_error"),
+    )
+
+
+def parse_base64_payloads(df: DataFrame, payload_col: str = "data") -> DataFrame:
+    """Kinesis-shaped input: base64 column -> events (lamda.py:426-428)."""
+    decoded = df.withColumn("_payload", F.unbase64(F.col(payload_col)).cast("string"))
+    return parse_raw_payloads(decoded, "_payload")
+
+
+def read_raw_events_jsonl(spark: SparkSession, path: str) -> DataFrame:
+    """Batch read of the line-delimited raw stream mirror (S4)."""
+    return parse_raw_payloads(spark.read.text(path), "value")
+
+
+def read_raw_events_stream(spark: SparkSession, path: str, max_files_per_trigger: int | None = None) -> DataFrame:
+    """Streaming read of the same wire format (S1/S2 stand-in)."""
+    reader = spark.readStream.format("text")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return parse_raw_payloads(reader.load(path), "value")
