@@ -3,8 +3,14 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+The query surface lives in ``iot_real_time_data_pipeline_spark``:
+- ``driver_queries``: the IoT pipeline / star-schema / dashboard
+  operators (SURVEY.md §2) with DuckDB oracle twins;
+- ``operators.dedup`` / ``operators.similarity`` /
+  ``operators.text_analysis`` / ``operators.multimodal``: the
+  LLM-training-data operators over documents/embeddings.
 """
 
 from __future__ import annotations
@@ -13,26 +19,37 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from iot_real_time_data_pipeline_spark import driver_queries as _iot
+from iot_real_time_data_pipeline_spark.entrypoints import iot_star
+from iot_real_time_data_pipeline_spark.operators import dashboard as _dash
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: full pipeline (derive → validate → star) + the
+    D1 dashboard tile on sf0.001."""
+    star = iot_star(spark, "/root/testdata/sf0.001")
+    return _dash.avg_temperature(star["fact_sensor_readings"])
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    out.update(_iot.iot_queries())
+    try:
+        from iot_real_time_data_pipeline_spark import llm_queries as _llm
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+        out.update(_llm.llm_queries())
+    except ImportError:
+        pass
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out: dict[str, str] = {}
+    out.update(_iot.iot_oracle_sql())
+    try:
+        from iot_real_time_data_pipeline_spark import llm_queries as _llm
+
+        out.update(_llm.llm_oracle_sql())
+    except ImportError:
+        pass
+    return out

@@ -1,0 +1,346 @@
+"""The driver-facing query registry: one entry per operator family from
+SURVEY.md §2, each with a DuckDB oracle twin (``oracle_iot``).
+
+Every Spark callable takes ``(spark, sf_dir)`` and returns a DataFrame;
+the matching oracle SQL runs on the same parquet tables in DuckDB.
+Column names are aliased identically on both sides (the driver sorts
+columns by name before hashing values).
+
+Coverage map (SURVEY §2 row -> query):
+- V1-V9 + P6/P7/F6/F8 -> ``validation_status_counts``
+- P3/P4 + S5 routing  -> ``route_counts``, ``staging``
+- A2/J5/J6/W1/A5/F4   -> ``dim_location/dim_time/dim_soil/dim_weather``
+- J1-J4               -> ``fact``
+- A1/T4               -> ``watermark_max``; P1 -> ``incremental_filter_count``
+- A4                  -> ``batch_summary``
+- R1-R5/J7/F7         -> ``alerts_by_type``; F13 -> ``alert_actions``
+- D1-D10/W2/F5        -> ``d1_*`` .. ``d9_*``
+- S3 (weather enrich) -> ``weather_enriched`` (lookup join + fallback)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import oracle_iot as O
+from .entrypoints import iot_processed, iot_staging, iot_star
+from .operators import dashboard as D
+from .operators.pipeline import exploded_alerts, route
+from .functions.alerts import recommended_action
+
+# P1 literal watermark — splits the events table's Jan-2024 range.
+INCREMENTAL_WATERMARK = "2024-01-15 00:00:00"
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+# ---------------------------------------------------------------------------
+# Spark side
+# ---------------------------------------------------------------------------
+
+
+def q_validation_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        iot_processed(spark, sf_dir)
+        .groupBy("validation_status")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+def q_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lake = route(iot_processed(spark, sf_dir))["lake"]
+    return lake.groupBy("route_prefix").agg(F.count("*").alias("n_events"))
+
+
+def q_staging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return iot_staging(spark, sf_dir)
+
+
+def _star_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return iot_star(spark, sf_dir)[name]
+
+
+def q_dim_location(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _star_table(spark, sf_dir, "dim_location")
+
+
+def q_dim_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _star_table(spark, sf_dir, "dim_time")
+
+
+def q_dim_soil(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _star_table(spark, sf_dir, "dim_soil")
+
+
+def q_dim_weather(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _star_table(spark, sf_dir, "dim_weather")
+
+
+def q_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fact_id is assignment-order-dependent (IDENTITY semantics:
+    # uniqueness only) — excluded from the oracle-hashed projection.
+    return _star_table(spark, sf_dir, "fact_sensor_readings").drop("fact_id")
+
+
+def q_watermark_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return iot_staging(spark, sf_dir).agg(F.max("timestamp").alias("watermark"))
+
+
+def q_incremental_filter_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    filtered = iot_staging(spark, sf_dir).filter(
+        F.col("timestamp") > F.lit(INCREMENTAL_WATERMARK).cast("timestamp")
+    )
+    return filtered.agg(F.count("*").alias("n_rows"))
+
+
+def q_batch_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 — per-batch counters (lamda.py:418-420, 531-542).
+
+    processed = rows handled without exception; errors = dead-lettered
+    rows (decode/processing), NOT INVALID rows; alerts = total alerts
+    generated (sum of per-record alert-list sizes).
+    """
+    proc = iot_processed(spark, sf_dir)
+    is_err = F.col("json_decode_error") | F.col("dead_letter")
+    return proc.agg(
+        F.count(F.when(~is_err, 1)).alias("processed_count"),
+        F.count(F.when(is_err, 1)).alias("error_count"),
+        F.coalesce(
+            F.sum(F.when(~is_err, F.size("alerts"))), F.lit(0).cast("long")
+        ).alias("alert_count"),
+    )
+
+
+def q_alerts_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        exploded_alerts(iot_processed(spark, sf_dir))
+        .groupBy("alert_type", "priority")
+        .agg(F.count("*").alias("n_alerts"))
+    )
+
+
+def q_alert_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13 — alert type -> recommended action lookup."""
+    return (
+        exploded_alerts(iot_processed(spark, sf_dir))
+        .select("alert_type")
+        .distinct()
+        .withColumn("action", recommended_action(F.col("alert_type")))
+    )
+
+
+def _dash(spark: SparkSession, sf_dir: str):
+    return iot_star(spark, sf_dir)
+
+
+def _round6(df: DataFrame, *cols: str) -> DataFrame:
+    """Floating-point sums/avgs are accumulation-order-dependent, and
+    Spark's partition-wise order differs from DuckDB's. Both sides of
+    the oracle compare round to 6 dp — far above the ~1e-11 relative
+    error of reordering at these magnitudes, far below real differences.
+    Counts / count-ratios are exact and stay unrounded."""
+    return df.withColumns({c: F.round(F.col(c), 6) for c in cols})
+
+
+def q_d1(spark, sf_dir):
+    df = D.avg_temperature(_dash(spark, sf_dir)["fact_sensor_readings"])
+    return _round6(df, "avg_temperature")
+
+
+def q_d2(spark, sf_dir):
+    df = D.avg_humidity(_dash(spark, sf_dir)["fact_sensor_readings"])
+    return _round6(df, "avg_humidity")
+
+
+def q_d3(spark, sf_dir):
+    star = _dash(spark, sf_dir)
+    df = D.avg_wind_speed(star["fact_sensor_readings"], star["dim_weather"])
+    return _round6(df, "avg_wind_speed")
+
+
+def q_d4(spark, sf_dir):
+    return D.health_donut(_dash(spark, sf_dir)["fact_sensor_readings"])
+
+
+def q_d5(spark, sf_dir):
+    star = _dash(spark, sf_dir)
+    df = D.temp_humidity_by_hour(star["fact_sensor_readings"], star["dim_time"])
+    return _round6(df, "sum_temperature", "sum_humidity")
+
+
+def q_d6(spark, sf_dir):
+    star = _dash(spark, sf_dir)
+    return D.wind_direction_counts(star["fact_sensor_readings"], star["dim_weather"])
+
+
+def q_d7(spark, sf_dir):
+    star = _dash(spark, sf_dir)
+    df = D.nutrient_levels(star["fact_sensor_readings"], star["dim_soil"])
+    return _round6(df, "total")
+
+
+def q_d8(spark, sf_dir):
+    star = _dash(spark, sf_dir)
+    return D.readings_by_location(star["fact_sensor_readings"], star["dim_location"])
+
+
+def q_d9(spark, sf_dir):
+    star = _dash(spark, sf_dir)
+    df = D.water_level_by_farm(star["fact_sensor_readings"], star["dim_location"])
+    return _round6(df, "total_water_level", "avg_water_level")
+
+
+def iot_queries() -> dict[str, QueryFn]:
+    return {
+        "validation_status_counts": q_validation_status_counts,
+        "route_counts": q_route_counts,
+        "staging": q_staging,
+        "dim_location": q_dim_location,
+        "dim_time": q_dim_time,
+        "dim_soil": q_dim_soil,
+        "dim_weather": q_dim_weather,
+        "fact": q_fact,
+        "watermark_max": q_watermark_max,
+        "incremental_filter_count": q_incremental_filter_count,
+        "batch_summary": q_batch_summary,
+        "alerts_by_type": q_alerts_by_type,
+        "alert_actions": q_alert_actions,
+        "d1_avg_temperature": q_d1,
+        "d2_avg_humidity": q_d2,
+        "d3_avg_wind_speed": q_d3,
+        "d4_health_donut": q_d4,
+        "d5_temp_humidity_by_hour": q_d5,
+        "d6_wind_direction": q_d6,
+        "d7_nutrient_levels": q_d7,
+        "d8_readings_by_location": q_d8,
+        "d9_water_level_by_farm": q_d9,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Oracle side (DuckDB SQL)
+# ---------------------------------------------------------------------------
+
+
+def _action_case() -> str:
+    from .functions.alerts import DEFAULT_ACTION, RECOMMENDED_ACTIONS
+
+    whens = " ".join(
+        f"WHEN '{t}' THEN '{a}'" for t, a in RECOMMENDED_ACTIONS.items()
+    )
+    return f"(CASE alert_type {whens} ELSE '{DEFAULT_ACTION}' END)"
+
+
+def iot_oracle_sql() -> dict[str, str]:
+    wp = O.with_prefix
+    return {
+        "validation_status_counts": wp(
+            "SELECT validation_status, COUNT(*) AS n_events FROM validated GROUP BY 1"
+        ),
+        "route_counts": wp(
+            """SELECT CASE validation_status
+                 WHEN 'VALID' THEN 'valid/'
+                 WHEN 'WARNING' THEN 'valid/warnings/'
+                 ELSE 'invalid/' END AS route_prefix,
+               COUNT(*) AS n_events
+            FROM validated GROUP BY 1"""
+        ),
+        "staging": wp("SELECT * FROM staging"),
+        "dim_location": wp("SELECT * FROM dim_location", star=True),
+        "dim_time": wp("SELECT * FROM dim_time", star=True),
+        "dim_soil": wp("SELECT * FROM dim_soil", star=True),
+        "dim_weather": wp("SELECT * FROM dim_weather", star=True),
+        "fact": wp("SELECT * FROM fact", star=True),
+        "watermark_max": wp("SELECT max(timestamp) AS watermark FROM staging"),
+        "incremental_filter_count": wp(
+            f"SELECT COUNT(*) AS n_rows FROM staging "
+            f"WHERE timestamp > TIMESTAMP '{INCREMENTAL_WATERMARK}'"
+        ),
+        "batch_summary": wp(
+            """SELECT (SELECT COUNT(*) FROM validated) AS processed_count,
+               CAST(0 AS BIGINT) AS error_count,
+               (SELECT COUNT(*) FROM alerts) AS alert_count""",
+            alerts=True,
+        ),
+        "alerts_by_type": wp(
+            "SELECT alert_type, priority, COUNT(*) AS n_alerts FROM alerts GROUP BY 1, 2",
+            alerts=True,
+        ),
+        "alert_actions": wp(
+            f"SELECT DISTINCT alert_type, {_action_case()} AS action FROM alerts",
+            alerts=True,
+        ),
+        "d1_avg_temperature": wp(
+            "SELECT round(avg(soil_temperature), 6) AS avg_temperature FROM fact", star=True
+        ),
+        "d2_avg_humidity": wp(
+            "SELECT round(avg(soil_humidity), 6) AS avg_humidity FROM fact", star=True
+        ),
+        "d3_avg_wind_speed": wp(
+            """SELECT round(avg(w.wind_speed), 6) AS avg_wind_speed
+            FROM fact f JOIN dim_weather w USING (weather_key)""",
+            star=True,
+        ),
+        "d4_health_donut": wp(
+            """SELECT validation_status, COUNT(*) AS readings,
+               COUNT(*) / CAST(SUM(COUNT(*)) OVER () AS DOUBLE) AS share
+            FROM fact GROUP BY 1""",
+            star=True,
+        ),
+        "d5_temp_humidity_by_hour": wp(
+            """SELECT t.hour, round(sum(f.soil_temperature), 6) AS sum_temperature,
+               round(sum(f.soil_humidity), 6) AS sum_humidity
+            FROM fact f JOIN dim_time t USING (full_date) GROUP BY 1""",
+            star=True,
+        ),
+        "d6_wind_direction": wp(
+            """SELECT CASE
+                 WHEN wd IS NULL THEN 'Unknown'
+                 WHEN wd >= 337.5 OR wd < 22.5 THEN 'N'
+                 WHEN wd < 67.5 THEN 'NE'
+                 WHEN wd < 112.5 THEN 'E'
+                 WHEN wd < 157.5 THEN 'SE'
+                 WHEN wd < 202.5 THEN 'S'
+                 WHEN wd < 247.5 THEN 'SW'
+                 WHEN wd < 292.5 THEN 'W'
+                 ELSE 'NW' END AS direction_category,
+               COUNT(*) AS readings
+            FROM (SELECT (w.wind_direction % 360.0) AS wd
+                  FROM fact f JOIN dim_weather w USING (weather_key))
+            GROUP BY 1""",
+            star=True,
+        ),
+        "d7_nutrient_levels": wp(
+            # leading comma: continues with_prefix's WITH-clause CTE list
+            """, sums AS (
+              SELECT round(sum(s.nitrogen), 6) AS n, round(sum(s.phosphorus), 6) AS p,
+                     round(sum(s.potassium), 6) AS k
+              FROM fact f JOIN dim_soil s USING (soil_key)
+            )
+            SELECT 'Nitrogen' AS nutrient, n AS total FROM sums
+            UNION ALL SELECT 'Phosphorus', p FROM sums
+            UNION ALL SELECT 'Potassium', k FROM sums""",
+            star=True,
+        ),
+        "d8_readings_by_location": wp(
+            """SELECT CASE l.loc_id WHEN 'loc_1' THEN 'Toshka'
+                 WHEN 'loc_2' THEN 'Sharq El Owainat'
+                 WHEN 'loc_3' THEN 'Dina Farms' ELSE l.loc_id END AS farm,
+               COUNT(*) AS readings,
+               COUNT(*) / CAST(SUM(COUNT(*)) OVER () AS DOUBLE) AS share
+            FROM fact f JOIN dim_location l USING (location_key) GROUP BY 1""",
+            star=True,
+        ),
+        "d9_water_level_by_farm": wp(
+            """SELECT CASE l.loc_id WHEN 'loc_1' THEN 'Toshka'
+                 WHEN 'loc_2' THEN 'Sharq El Owainat'
+                 WHEN 'loc_3' THEN 'Dina Farms' ELSE l.loc_id END AS farm,
+               round(sum(f.water_level), 6) AS total_water_level,
+               round(avg(f.water_level), 6) AS avg_water_level
+            FROM fact f JOIN dim_location l USING (location_key) GROUP BY 1""",
+            star=True,
+        ),
+    }

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .operators.pipeline import process_events, to_staging
 from .operators.star_schema import incremental_load
@@ -53,7 +54,32 @@ MOD_NITROGEN_NULL = 41
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Parquet scan with the nanos-timestamp compatibility knob.
+
+    The driver's ``events.parquet`` stores ``ts`` as parquet
+    TIMESTAMP(NANOS), which Spark 4 rejects by default
+    (``PARQUET_TYPE_ILLEGAL``). ``nanosAsLong`` is a runtime SQL conf, so
+    set it here — the driver owns the SparkSession and ``session.py``
+    confs may not be present. Columns read as long-nanos are converted
+    back by the caller (see ``iot_raw_events``).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Datetime-part extraction (dim_time) must agree with the DuckDB
+    # oracle, which sees naive (UTC-equivalent) timestamps — pin the
+    # session zone rather than trusting the driver's default.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _nanos_to_ts(df: DataFrame, col: str) -> DataFrame:
+    """long nanos -> timestamp (lossless: integer ``div``, no doubles).
+
+    DuckDB truncates TIMESTAMP(NANOS) to microseconds the same way, so
+    the two engines see bit-identical timestamps.
+    """
+    if isinstance(df.schema[col].dataType, T.LongType):
+        df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    return df
 
 
 def _sensor_value(sensor: str) -> F.Column:
@@ -63,7 +89,7 @@ def _sensor_value(sensor: str) -> F.Column:
 
 def iot_raw_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events table -> parsed-raw-event shape (sources.events contract)."""
-    ev = read_table(spark, sf_dir, "events")
+    ev = _nanos_to_ts(read_table(spark, sf_dir, "events"), "ts")
     mod = lambda m: (F.col("event_id") % m) == 0  # noqa: E731
 
     loc_id = (
@@ -101,6 +127,7 @@ def iot_raw_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rain": (F.col("value") * 0.13) % 8.0,
         "precipitation": (F.col("value") * 0.13) % 8.0,
         "surface_pressure": F.lit(990.0) + (F.col("value") * 0.41) % 40.0,
+        "apparent_temperature": temperature + (F.col("value") * 0.11) % 6.0 - 3.0,
     }
     weather_struct = F.struct(*[weather_vals[f].alias(f) for f in WEATHER_FIELDS])
 

@@ -156,12 +156,17 @@ def build_fact(
     dim_weather: DataFrame,
     dim_soil: DataFrame,
     dim_time: DataFrame,
+    existing_fact: DataFrame | None = None,
 ) -> DataFrame:
     """The 4-way fact join (Transforming Tables.sql:47-102, J1-J4).
 
     dim_location broadcasts (3 rows). The measurement dims join on
     their double-tuple keys — plain shuffled hash joins that AQE can
     re-plan; no driver-side loops, no UDFs.
+
+    ``fact_id`` mirrors the IDENTITY PK (Creating Tables.sql:37):
+    unique across loads — new ids are offset above ``existing_fact``'s
+    max, same pattern as ``_assign_keys``.
     """
     v = staging.alias("v")
     l = dim_location.alias("l")
@@ -190,7 +195,7 @@ def build_fact(
         .join(s, soil_cond, "inner")
         .join(t, F.col("v.timestamp") == F.col("t.full_date"), "inner")
     )
-    return joined.select(
+    fact = joined.select(
         # fact_id INT IDENTITY (Creating Tables.sql:37) — IDENTITY
         # guarantees uniqueness only; fully-parallel assignment.
         (F.monotonically_increasing_id() + 1).alias("fact_id"),
@@ -204,6 +209,16 @@ def build_fact(
         F.col("v.water_level").alias("water_level"),
         F.col("v.validation_status").alias("validation_status"),
     )
+    if existing_fact is not None:
+        base = existing_fact.agg(
+            F.coalesce(F.max("fact_id"), F.lit(0).cast("long")).alias("_m")
+        )
+        fact = (
+            fact.crossJoin(F.broadcast(base))
+            .withColumn("fact_id", F.col("fact_id") + F.col("_m"))
+            .drop("_m")
+        )
+    return fact
 
 
 def watermark_filter(staging: DataFrame, fact: DataFrame | None) -> DataFrame:
@@ -226,6 +241,7 @@ def incremental_load(
     staging_batch: DataFrame,
     existing: dict[str, DataFrame] | None = None,
     dense_keys: bool = True,
+    cache_handle_out: list[DataFrame] | None = None,
 ) -> dict[str, DataFrame]:
     """One incremental load cycle (SURVEY §3.3), batch or foreachBatch.
 
@@ -234,12 +250,20 @@ def incremental_load(
     first load). Dims must be appended before reading them back for the
     fact join; here the returned dims are unioned with existing in-plan
     so the caller gets a consistent view without a write barrier.
+
+    The filtered batch is persisted (it feeds 4 dim builds + the fact
+    join). Long-running callers (foreachBatch loops) should pass
+    ``cache_handle_out`` and ``unpersist()`` the appended handle after
+    materializing the outputs, or cached blocks accumulate in executor
+    storage; one-shot callers can rely on LRU eviction.
     """
     existing = existing or {}
     new_data = watermark_filter(staging_batch, existing.get("fact_sensor_readings"))
     # Reused 4x (dims) + 1x (fact) — cache instead of recomputing the
     # scan+filter five times (the reference recomputes, SURVEY §4).
     new_data = new_data.persist()
+    if cache_handle_out is not None:
+        cache_handle_out.append(new_data)
 
     loc_new = new_dim_location(new_data, existing.get("dim_location"), dense_keys)
     time_new = new_dim_time(new_data, existing.get("dim_time"))
@@ -256,6 +280,7 @@ def incremental_load(
         _full("dim_weather", weather_new),
         _full("dim_soil", soil_new),
         _full("dim_time", time_new),
+        existing_fact=existing.get("fact_sensor_readings"),
     )
     return {
         "dim_location": loc_new,

@@ -37,7 +37,9 @@ def _loc_bound(sensor: str, idx: int) -> str:
 
 def _derived(sensor: str) -> str:
     scale, offset, span = SENSOR_DERIVATION[sensor]
-    return f"({offset!r} + fmod(value * {scale!r}, {span!r}))"
+    # DuckDB note: use the % operator, not fmod() — duckdb fmod is
+    # x-trunc(x/y)*y (inexact), while % matches C/Java fmod bit-exactly.
+    return f"({offset!r} + ((value * {scale!r}) % {span!r}))"
 
 
 def readings_cte() -> str:
@@ -64,12 +66,12 @@ readings AS (
     (event_id % {MOD_EMPTY_SENSORS} = 0) AS sensors_empty,
     (event_id % {MOD_MISSING_WEATHER} = 0) AS weather_missing,
     {", ".join(sensors)},
-    ({temp} + fmod(value * 3.7, 44.0) - 22.0) AS w_temperature_2m,
-    fmod(value * 1.9, 100.0) AS w_relative_humidity_2m,
-    fmod(value * 0.9, 60.0) AS w_wind_speed_10m,
-    fmod(value * 7.3, 360.0) AS w_wind_direction_10m,
-    fmod(value * 0.13, 8.0) AS w_rain,
-    990.0 + fmod(value * 0.41, 40.0) AS w_surface_pressure
+    ({temp} + ((value * 3.7) % 44.0) - 22.0) AS w_temperature_2m,
+    ((value * 1.9) % 100.0) AS w_relative_humidity_2m,
+    ((value * 0.9) % 60.0) AS w_wind_speed_10m,
+    ((value * 7.3) % 360.0) AS w_wind_direction_10m,
+    ((value * 0.13) % 8.0) AS w_rain,
+    990.0 + ((value * 0.41) % 40.0) AS w_surface_pressure
   FROM events
 )"""
 
@@ -209,9 +211,80 @@ fact AS (
 )"""
 
 
-def with_prefix(body: str, star: bool = False) -> str:
+def _extreme_cond(sensor: str) -> str:
+    v = f"s_{sensor}"
+    return f"({v} IS NULL OR {v} IN (0.0, 9999.0, -9999.0))"
+
+
+def _oor_cond(sensor: str) -> str:
+    v = f"s_{sensor}"
+    lo, hi = _loc_bound(sensor, 0), _loc_bound(sensor, 1)
+    buf = f"(({hi} - {lo}) * 0.1)"
+    not_extreme = f"({v} IS NOT NULL AND {v} NOT IN (0.0, 9999.0, -9999.0))"
+    return f"({not_extreme} AND ({v} < {lo} - {buf} OR {v} > {hi} + {buf}))"
+
+
+def alerts_cte() -> str:
+    """The alert rule engine R1-R5 (``Lambda/lamda.py:152-244``) in SQL.
+
+    One row per fired alert, mirroring ``functions.alerts.alerts_column``:
+    R1 fires one CRITICAL 'Sensor Failure' per error *class* present
+    (extreme / out_of_range; the 'missing' class is unreachable because
+    null sensors classify as extreme — reference quirk), R2-R5 are the
+    operational rules over post-conversion numeric values, only for
+    VALID/WARNING rows. Sensor errors are only evaluated when the row
+    got past the loc_id / empty-sensor short-circuits.
+    """
+    any_extreme = " OR ".join(_extreme_cond(s) for s in SENSOR_NAMES)
+    any_oor = " OR ".join(_oor_cond(s) for s in SENSOR_NAMES)
+    eligible = (
+        "(loc_id IS NOT NULL AND loc_id IN ('loc_1','loc_2','loc_3') AND NOT sensors_empty)"
+    )
+    nutrient_rules = "\n  UNION ALL\n".join(
+        f"""  SELECT 'Low Nutrient' AS alert_type, 'MEDIUM' AS priority
+  FROM flagged WHERE operational AND s_{n} < {_loc_bound(n, 0)} * 0.8"""
+        for n in ["nitrogen", "phosphorus", "potassium"]
+    )
+    return f"""
+flagged AS (
+  SELECT *,
+    ({eligible} AND ({any_extreme})) AS has_extreme,
+    ({eligible} AND ({any_oor})) AS has_oor,
+    (validation_status IN ('VALID','WARNING')) AS operational
+  FROM validated
+),
+alerts AS (
+  SELECT 'Sensor Failure' AS alert_type, 'CRITICAL' AS priority
+  FROM flagged WHERE validation_status = 'INVALID' AND has_extreme
+  UNION ALL
+  SELECT 'Sensor Failure' AS alert_type, 'CRITICAL' AS priority
+  FROM flagged WHERE validation_status = 'INVALID' AND has_oor
+  UNION ALL
+  SELECT 'High Temperature' AS alert_type, 'HIGH' AS priority
+  FROM flagged WHERE operational AND s_temperature > 35
+  UNION ALL
+  SELECT 'Low Temperature' AS alert_type, 'HIGH' AS priority
+  FROM flagged WHERE operational AND s_temperature < 5
+  UNION ALL
+  SELECT 'Low Water Level' AS alert_type, 'HIGH' AS priority
+  FROM flagged WHERE operational AND s_water_level < 1.0
+  UNION ALL
+  SELECT 'High Water Level' AS alert_type, 'MEDIUM' AS priority
+  FROM flagged WHERE operational AND s_water_level >= 1.0 AND s_water_level > 2.5
+  UNION ALL
+  SELECT 'Soil pH Warning' AS alert_type,
+         CASE WHEN s_ph < 5.5 OR s_ph > 8.0 THEN 'HIGH' ELSE 'MEDIUM' END AS priority
+  FROM flagged WHERE operational AND (s_ph < 6.0 OR s_ph > 7.5)
+  UNION ALL
+{nutrient_rules}
+)"""
+
+
+def with_prefix(body: str, star: bool = False, alerts: bool = False) -> str:
     """``WITH <derivation CTEs> <body>`` — the standard oracle shape."""
     ctes = [readings_cte(), validated_cte(), staging_cte()]
     if star:
         ctes.append(star_ctes())
+    if alerts:
+        ctes.append(alerts_cte())
     return "WITH " + ",".join(ctes) + "\n" + body
