@@ -1,0 +1,133 @@
+"""Deterministic, cross-engine arithmetic text hashing.
+
+The LLM-data operators (dedup, fingerprinting, MinHash) need a hash
+both Spark and the DuckDB oracle can compute bit-identically. Neither
+engine's native hash family matches the other (xxhash64 vs murmur), so
+we use plain modular arithmetic over character codes:
+
+    token_hash(t)  = fold_chars(acc -> (acc * 131 + ascii(c)) mod P)
+    minhash_i(set) = min over s in set of (a_i * h(s) + b_i) mod P
+
+with P = 2^31 - 1 (Mersenne prime). All intermediates fit in int64:
+acc < P, so acc*131 + 255 < 2^39 and a_i*h + b_i < 2^62.
+
+Everything here is a *narrow map over arrays* — higher-order functions
+(`transform`/`aggregate`) on the token array, zero shuffles, zero UDFs,
+fully pipelined with the scan at any scale.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+HASH_P = 2_147_483_647  # 2^31 - 1
+CHAR_B = 131
+DOC_B = 257
+
+# MinHash permutation constants — fixed seed so Spark and the SQL
+# oracle embed the same (a, b) pairs.
+MINHASH_K = 32
+_rng = random.Random(20240813)
+MINHASH_AB = [(_rng.randrange(1, HASH_P), _rng.randrange(0, HASH_P)) for _ in range(MINHASH_K)]
+LSH_BANDS = 8
+LSH_ROWS = MINHASH_K // LSH_BANDS  # 4
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization of trimmed, lowercased text."""
+    return F.split(F.lower(F.trim(text)), r"\s+")
+
+
+def token_hash(tok: Column) -> Column:
+    """Polynomial rolling hash of a token's characters, mod P."""
+    return F.aggregate(
+        F.split(tok, ""),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * CHAR_B + F.ascii(c)) % HASH_P,
+    )
+
+
+def token_hashes(toks: Column) -> Column:
+    """array<string> -> array<long> of per-token hashes (order kept)."""
+    return F.transform(toks, token_hash)
+
+
+def shingles(toks: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as strings, in document order.
+
+    Docs shorter than ``n`` tokens contribute their full token string
+    as a single shingle so they still participate in dedup.
+    """
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+    make = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + j) for j in range(n)]
+    )
+    return F.transform(idx, make)
+
+
+def shingle_hashes(toks: Column, n: int = 3) -> Column:
+    """Distinct shingle hashes of a document (the MinHash input set)."""
+    return F.array_distinct(F.transform(shingles(toks, n), token_hash))
+
+
+def minhash_signature(hash_set: Column) -> list[Column]:
+    """k min-hash values over a set of element hashes."""
+    return [
+        F.array_min(F.transform(hash_set, lambda h: (F.lit(a) * h + F.lit(b)) % HASH_P))
+        for a, b in MINHASH_AB
+    ]
+
+
+def doc_fingerprint(hashes_in_order: Column) -> Column:
+    """Order-sensitive rolling hash over per-token hashes."""
+    return F.aggregate(
+        hashes_in_order,
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * DOC_B + h) % HASH_P,
+    )
+
+
+# --- SQL (DuckDB) mirrors -------------------------------------------------
+# Emitted as strings so oracle queries embed the same constants.
+
+
+def sql_tokens(text_expr: str) -> str:
+    return f"string_split_regex(lower(trim({text_expr})), '\\s+')"
+
+
+def sql_token_hash(tok_expr: str) -> str:
+    # list_reduce has no init arg -> prepend the 0 seed.
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(string_split({tok_expr}, ''), c -> CAST(ascii(c) AS BIGINT))), "
+        f"(acc, c) -> (acc * {CHAR_B} + c) % {HASH_P})"
+    )
+
+
+def sql_shingles(toks_col: str, n: int = 3) -> str:
+    """Shingle-list expression over an existing list column ``toks_col``
+    (use inside a CTE that has already materialized the token list)."""
+    # concat_ws (not ||): skips the NULLs that out-of-range indexing
+    # yields for docs shorter than n tokens — matching Spark concat_ws.
+    parts = ", ".join(f"{toks_col}[i+{j}]" for j in range(n))
+    return (
+        f"list_transform(range(1, greatest(len({toks_col}) - {n - 1}, 1) + 1), "
+        f"i -> concat_ws(' ', {parts}))"
+    )
+
+
+def sql_minhash(hashes_expr: str, a: int, b: int) -> str:
+    return (
+        f"list_min(list_transform({hashes_expr}, "
+        f"h -> (CAST({a} AS BIGINT) * h + {b}) % {HASH_P}))"
+    )
+
+
+def sql_doc_fingerprint(hashes_expr: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), {hashes_expr}), "
+        f"(acc, h) -> (acc * {DOC_B} + h) % {HASH_P})"
+    )

@@ -1,0 +1,401 @@
+"""Driver-facing LLM-training-data queries over documents/embeddings,
+each with a DuckDB oracle twin.
+
+The oracle SQL mirrors the Spark plans structurally (same postings
+joins, same arithmetic hashes from ``functions.texthash``, same
+left-fold accumulation order for dot products) so values match
+bit-for-bit before the final 6 dp rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .driver_queries import QueryFn
+from .entrypoints import read_table
+from .functions import texthash as TH
+from .operators import dedup as DD
+from .operators import multimodal as MM
+from .operators import similarity as SIM
+from .operators import text_analysis as TA
+
+QUERY_MOD = 50  # vec_id % QUERY_MOD == 0 -> similarity query vector
+JACCARD_THRESHOLD = 0.8
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "embeddings")
+
+
+def _emb_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _emb(spark, sf_dir).filter(F.col("vec_id") % QUERY_MOD == 0)
+
+
+# ---------------------------------------------------------------------------
+# Spark callables
+# ---------------------------------------------------------------------------
+
+
+def q_exact_dedup(spark, sf_dir):
+    return DD.exact_dedup(_docs(spark, sf_dir))
+
+
+def q_shingle_jaccard(spark, sf_dir):
+    return DD.shingle_jaccard_pairs(_docs(spark, sf_dir), threshold=JACCARD_THRESHOLD)
+
+
+def q_minhash_lsh(spark, sf_dir):
+    return DD.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=JACCARD_THRESHOLD)
+
+
+def q_simhash(spark, sf_dir):
+    return DD.simhash_fingerprints(_docs(spark, sf_dir))
+
+
+def q_token_stats(spark, sf_dir):
+    return TA.token_stats(_docs(spark, sf_dir))
+
+
+def q_language_id(spark, sf_dir):
+    return TA.language_id(_docs(spark, sf_dir))
+
+
+def q_quality(spark, sf_dir):
+    return TA.quality_scores(_docs(spark, sf_dir))
+
+
+def q_fingerprints(spark, sf_dir):
+    return TA.doc_fingerprints(_docs(spark, sf_dir))
+
+
+def q_cosine_topk(spark, sf_dir):
+    return SIM.cosine_topk(_emb(spark, sf_dir), _emb_queries(spark, sf_dir), k=5)
+
+
+def q_ivf_topk(spark, sf_dir):
+    return SIM.ivf_topk(_emb(spark, sf_dir), _emb_queries(spark, sf_dir), k=3)
+
+
+def q_label_centroids(spark, sf_dir):
+    return SIM.label_centroids(_emb(spark, sf_dir))
+
+
+def q_multimodal_features(spark, sf_dir):
+    return MM.extract_features(MM.with_binary_payload(_docs(spark, sf_dir)))
+
+
+def llm_queries() -> dict[str, QueryFn]:
+    return {
+        "docs_exact_dedup": q_exact_dedup,
+        "docs_shingle_jaccard_pairs": q_shingle_jaccard,
+        "docs_minhash_lsh_pairs": q_minhash_lsh,
+        "docs_simhash": q_simhash,
+        "docs_token_stats": q_token_stats,
+        "docs_language_id": q_language_id,
+        "docs_quality": q_quality,
+        "docs_fingerprints": q_fingerprints,
+        "emb_cosine_topk": q_cosine_topk,
+        "emb_ivf_topk": q_ivf_topk,
+        "emb_label_centroids": q_label_centroids,
+        "mm_image_features": q_multimodal_features,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Oracle SQL
+# ---------------------------------------------------------------------------
+
+_P = TH.HASH_P
+
+# Shared CTEs: tokenized docs + distinct shingle-hash sets.
+_TOKS_CTE = f"""
+toks AS (
+  SELECT doc_id, lang, text, {TH.sql_tokens('text')} AS t FROM documents
+)"""
+
+_SHINGLE_CTE = f"""
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform({TH.sql_shingles('t')}, s -> {TH.sql_token_hash('s')})) AS shl
+  FROM toks
+)"""
+
+
+def _jaccard_tail(pair_src: str) -> str:
+    """Join sizes + jaccard threshold over a (doc_a, doc_b, n_common) CTE."""
+    return f"""
+sizes AS (SELECT doc_id, len(shl) AS n FROM sh),
+jac AS (
+  SELECT doc_a, doc_b,
+         n_common / CAST(sa.n + sb.n - n_common AS DOUBLE) AS jaccard
+  FROM {pair_src}
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+)
+SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard
+FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}"""
+
+
+def _sql_exact_dedup() -> str:
+    return """
+WITH hashed AS (
+  SELECT doc_id,
+         md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS h
+  FROM documents
+)
+SELECT min(doc_id) AS canonical_doc_id, COUNT(*) AS n_copies
+FROM hashed GROUP BY h"""
+
+
+def _sql_shingle_jaccard() -> str:
+    return f"""
+WITH {_TOKS_CTE}, {_SHINGLE_CTE},
+post AS (SELECT doc_id, unnest(shl) AS h FROM sh),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM post a JOIN post b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+{_jaccard_tail('inter')}"""
+
+
+def _sql_minhash_lsh() -> str:
+    mh_exprs = ",\n         ".join(
+        f"{TH.sql_minhash('shl', a, b)} AS mh{i}"
+        for i, (a, b) in enumerate(TH.MINHASH_AB)
+    )
+    band_keys = ", ".join(
+        "concat_ws(':', '{b}', {cols})".format(
+            b=band,
+            cols=", ".join(
+                f"mh{band * TH.LSH_ROWS + r}" for r in range(TH.LSH_ROWS)
+            ),
+        )
+        for band in range(TH.LSH_BANDS)
+    )
+    return f"""
+WITH {_TOKS_CTE}, {_SHINGLE_CTE},
+sig AS (
+  SELECT doc_id,
+         {mh_exprs}
+  FROM sh
+),
+bands AS (
+  SELECT doc_id, unnest([{band_keys}]) AS band_key FROM sig
+),
+candidates AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN bands y ON x.band_key = y.band_key AND x.doc_id < y.doc_id
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b,
+         len(list_intersect(a.shl, b.shl)) AS n_common
+  FROM candidates c
+  JOIN sh a ON c.doc_a = a.doc_id
+  JOIN sh b ON c.doc_b = b.doc_id
+),
+{_jaccard_tail('inter')}"""
+
+
+def _sql_simhash() -> str:
+    votes = ",\n         ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(DD.SIMHASH_BITS)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN CAST({2**j} AS BIGINT) ELSE 0 END)"
+        for j in range(DD.SIMHASH_BITS)
+    )
+    return f"""
+WITH {_TOKS_CTE},
+th AS (
+  SELECT doc_id, unnest(list_transform(t, tok -> {TH.sql_token_hash('tok')})) AS h
+  FROM toks
+),
+agg AS (
+  SELECT doc_id,
+         {votes}
+  FROM th GROUP BY doc_id
+)
+SELECT doc_id, {fp} AS simhash FROM agg"""
+
+
+def _sql_token_stats() -> str:
+    return f"""
+WITH {_TOKS_CTE}
+SELECT doc_id,
+       len(t) AS n_tokens,
+       len(list_distinct(t)) AS n_unique_tokens,
+       round(len(list_distinct(t)) / CAST(len(t) AS DOUBLE), 6) AS type_token_ratio,
+       round(list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(t, x -> CAST(len(x) AS BIGINT))), (a, x) -> a + x)
+             / CAST(len(t) AS DOUBLE), 6) AS avg_token_len
+FROM toks"""
+
+
+def _sql_language_id() -> str:
+    scores = ",\n         ".join(
+        "len(list_filter(t, x -> x IN ({words}))) AS s_{lang}".format(
+            lang=lang,
+            words=", ".join(f"'{w}'" for w in TA.STOPWORDS[lang]),
+        )
+        for lang in TA.LANGS
+    )
+    best = "greatest({})".format(", ".join(f"s_{lang}" for lang in TA.LANGS))
+    whens = " ".join(
+        f"WHEN s_{lang} = best AND best > 0 THEN '{lang}'" for lang in TA.LANGS
+    )
+    return f"""
+WITH {_TOKS_CTE},
+scored AS (
+  SELECT lang AS labeled_lang,
+         {scores}
+  FROM toks
+),
+withbest AS (SELECT *, {best} AS best FROM scored)
+SELECT labeled_lang,
+       CASE {whens} ELSE 'und' END AS predicted_lang,
+       COUNT(*) AS n_docs
+FROM withbest GROUP BY 1, 2"""
+
+
+def _sql_quality() -> str:
+    en = ", ".join(f"'{w}'" for w in TA.STOPWORDS["en"])
+    return f"""
+WITH {_TOKS_CTE},
+base AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len(t) AS n_tokens,
+         length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) AS digits,
+         len(list_filter(t, x -> x IN ({en}))) AS stop_hits
+  FROM toks
+)
+SELECT doc_id, n_chars, n_tokens,
+       round(punct / CAST(n_chars AS DOUBLE), 6) AS punct_ratio,
+       round(digits / CAST(n_chars AS DOUBLE), 6) AS digit_ratio,
+       round(stop_hits / CAST(n_tokens AS DOUBLE), 6) AS stopword_ratio,
+       CASE WHEN n_tokens >= 10
+             AND punct / CAST(n_chars AS DOUBLE) < 0.2
+             AND digits / CAST(n_chars AS DOUBLE) < 0.5
+            THEN 'keep' ELSE 'review' END AS quality_route
+FROM base"""
+
+
+def _sql_fingerprints() -> str:
+    hashes = f"list_transform(t, tok -> {TH.sql_token_hash('tok')})"
+    return f"""
+WITH {_TOKS_CTE}
+SELECT doc_id, {TH.sql_doc_fingerprint(hashes)} AS fingerprint FROM toks"""
+
+
+_DOT = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(range(1, len(qv) + 1), i -> qv[i] * cv[i])), (a, x) -> a + x)"
+)
+_NORM_Q = (
+    "sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(qv, x -> x * x)), (a, x) -> a + x))"
+)
+_NORM_C = (
+    "sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(cv, x -> x * x)), (a, x) -> a + x))"
+)
+
+_EMB_CTE = """
+e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+)"""
+
+
+def _sql_cosine_topk(k: int = 5) -> str:
+    return f"""
+WITH {_EMB_CTE},
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % {QUERY_MOD} = 0),
+scored AS (
+  SELECT qid AS query_id, e.vec_id AS neighbor_id, e.v AS cv, qv,
+         {_DOT} / ({_NORM_Q} * {_NORM_C}) AS cosine
+  FROM e CROSS JOIN q
+  WHERE e.vec_id <> qid
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, round(cosine, 6) AS cosine
+FROM ranked WHERE rank <= {k}"""
+
+
+def _sql_bucket(col: str) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN {col}[{i + 1}] > 0 THEN {2**i} ELSE 0 END)"
+        for i in range(SIM.IVF_BITS)
+    )
+    return f"({terms})"
+
+
+def _sql_ivf_topk(k: int = 3) -> str:
+    return f"""
+WITH {_EMB_CTE},
+eb AS (SELECT vec_id, v, {_sql_bucket('v')} AS bucket FROM e),
+q AS (SELECT vec_id AS qid, v AS qv, bucket AS q_bucket FROM eb
+      WHERE vec_id % {QUERY_MOD} = 0),
+scored AS (
+  SELECT qid AS query_id, eb.vec_id AS neighbor_id, eb.v AS cv, qv,
+         {_DOT} / ({_NORM_Q} * {_NORM_C}) AS cosine
+  FROM eb JOIN q ON eb.bucket = q.q_bucket
+  WHERE eb.vec_id <> qid
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, round(cosine, 6) AS cosine
+FROM ranked WHERE rank <= {k}"""
+
+
+def _sql_label_centroids() -> str:
+    return """
+SELECT label, i AS dim,
+       round(avg(CAST(embedding[CAST(i AS INT)] AS DOUBLE)), 6) AS centroid
+FROM embeddings
+CROSS JOIN (SELECT unnest(range(1, 65)) AS i)
+GROUP BY 1, 2"""
+
+
+def _sql_multimodal() -> str:
+    return """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       ascii(substr(text, 1, 1)) AS first_byte,
+       CAST(octet_length(encode(text)) // 1024 + 1 AS BIGINT) AS n_frames,
+       'application/octet-stream' AS mime
+FROM documents"""
+
+
+def llm_oracle_sql() -> dict[str, str]:
+    return {
+        "docs_exact_dedup": _sql_exact_dedup(),
+        "docs_shingle_jaccard_pairs": _sql_shingle_jaccard(),
+        "docs_minhash_lsh_pairs": _sql_minhash_lsh(),
+        "docs_simhash": _sql_simhash(),
+        "docs_token_stats": _sql_token_stats(),
+        "docs_language_id": _sql_language_id(),
+        "docs_quality": _sql_quality(),
+        "docs_fingerprints": _sql_fingerprints(),
+        "emb_cosine_topk": _sql_cosine_topk(),
+        "emb_ivf_topk": _sql_ivf_topk(),
+        "emb_label_centroids": _sql_label_centroids(),
+        "mm_image_features": _sql_multimodal(),
+    }

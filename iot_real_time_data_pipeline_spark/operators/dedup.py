@@ -1,0 +1,186 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Four families, each chosen for a different scale/recall tradeoff, all
+expressed as native DataFrame plans (no UDFs, no driver-side loops):
+
+- ``exact_dedup``         : hash-groupBy on normalized text. One shuffle
+                            on a 128-bit digest, not the full text.
+- ``shingle_jaccard_pairs``: *exact* n-gram Jaccard via an inverted-
+                            postings self-join — the candidate join runs
+                            only on shared shingles, never all-pairs.
+- ``minhash_lsh_pairs``   : MinHash signatures + banded LSH. Signature
+                            computation is a narrow map (array fold);
+                            only docs sharing a band bucket are paired,
+                            then verified with exact Jaccard. The 100 TB
+                            path: cost is O(candidates), not O(n²).
+- ``simhash_fingerprints``: 32-bit SimHash per doc (frequency-weighted),
+                            for hamming-distance bucketing.
+
+Cross-engine determinism comes from ``functions.texthash`` (arithmetic
+hashes both Spark and DuckDB compute bit-identically).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import texthash as TH
+
+SIMHASH_BITS = 32
+
+
+def normalized(text: F.Column) -> F.Column:
+    return F.lower(F.trim(F.regexp_replace(text, r"\s+", " ")))
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups over normalized text.
+
+    Groups on ``md5(normalized)`` (both engines ship md5), keeping the
+    minimum id as the canonical representative. At scale the shuffle
+    carries a 32-char digest instead of document bodies; collision risk
+    at 128 bits is negligible (and detectable downstream).
+    """
+    return (
+        docs.select(F.col(id_col), F.md5(normalized(F.col(text_col))).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias("canonical_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+        .select("canonical_doc_id", "n_copies")
+    )
+
+
+def _doc_shingles(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    toks = TH.tokens(F.col(text_col))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        TH.shingle_hashes(toks).alias("sh"),  # distinct shingle hashes
+    )
+
+
+def shingle_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs via postings join.
+
+    |A∩B| is computed by self-joining the exploded (doc, shingle)
+    postings list on the shingle hash — only pairs sharing at least one
+    shingle are ever materialized. Jaccard then needs only the two set
+    sizes. This is the textbook scalable exact-Jaccard plan: shuffle is
+    bounded by postings volume and true-pair count, not n².
+    """
+    sh = _doc_shingles(docs, text_col, id_col)
+    postings = sh.select("doc_id", F.explode("sh").alias("h"))
+    sizes = sh.select("doc_id", F.size("sh").alias("n"))
+
+    a, b = postings.alias("a"), postings.alias("b")
+    inter = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """MinHash + banded LSH near-dup pairs, verified with exact Jaccard.
+
+    Pipeline: (1) k=32 minhashes per doc — an array fold, no shuffle;
+    (2) 8 bands × 4 rows; a band key is the 4 minhash values packed
+    into one string; (3) docs sharing any band bucket become candidate
+    pairs (self-join per band); (4) candidates are verified against the
+    exact shingle-set Jaccard and thresholded.
+
+    At 100 TB: signatures are 32 longs/doc regardless of doc size; the
+    only joins run on band buckets (bounded by collision rate, tunable
+    via bands×rows) and candidate verification reuses the stored
+    shingle arrays via array_intersect — never a full postings join.
+    """
+    sh = _doc_shingles(docs, text_col, id_col).persist()
+    sig = sh.select("doc_id", "sh", *[
+        m.alias(f"mh{i}") for i, m in enumerate(TH.minhash_signature(F.col("sh")))
+    ])
+
+    band_keys = F.array(*[
+        F.concat_ws(
+            ":",
+            F.lit(str(band)),
+            *[F.col(f"mh{band * TH.LSH_ROWS + r}") for r in range(TH.LSH_ROWS)],
+        )
+        for band in range(TH.LSH_BANDS)
+    ])
+    bands = sig.select("doc_id", F.explode(band_keys).alias("band_key"))
+
+    x, y = bands.alias("x"), bands.alias("y")
+    candidates = (
+        x.join(y, (F.col("x.band_key") == F.col("y.band_key"))
+               & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    da = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    db = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    verified = (
+        candidates.join(da, "doc_a")
+        .join(db, "doc_b")
+        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return verified
+
+
+def simhash_fingerprints(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Frequency-weighted 32-bit SimHash fingerprint per document.
+
+    Each token occurrence votes ±1 on each fingerprint bit according to
+    its hash's bit; the fingerprint sets bits with positive vote sums.
+    Explode + groupBy(doc) — partial aggregation compresses the shuffle
+    to one row per (doc, 32 counters).
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(TH.token_hashes(TH.tokens(F.col(text_col)))).alias("h"),
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    agg = toks.groupBy("doc_id").agg(*votes)
+    fingerprint = None
+    for j in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"v{j}") > 0, F.lit(2**j).cast("long")).otherwise(F.lit(0).cast("long"))
+        fingerprint = bit if fingerprint is None else fingerprint + bit
+    return agg.select("doc_id", fingerprint.alias("simhash"))

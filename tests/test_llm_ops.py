@@ -1,0 +1,139 @@
+"""LLM-data-pipeline operators: dedup, similarity, text analysis,
+multimodal plumbing — controlled-input semantics tests."""
+
+from __future__ import annotations
+
+import pytest
+
+from iot_real_time_data_pipeline_spark.operators import dedup as DD
+from iot_real_time_data_pipeline_spark.operators import multimodal as MM
+from iot_real_time_data_pipeline_spark.operators import similarity as SIM
+from iot_real_time_data_pipeline_spark.operators import text_analysis as TA
+
+
+@pytest.fixture
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "en"),
+        (2, "THE  quick brown fox jumps over the lazy dog ", "en"),  # exact dup modulo norm
+        (3, "the quick brown fox jumps over the lazy cat", "en"),    # near dup (1 shingle off)
+        (4, "completely different text about spark engines here", "en"),
+        (5, "der hund und die katze und der vogel sind da", "de"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_exact_dedup_groups_normalized(docs):
+    out = {r.canonical_doc_id: r.n_copies for r in DD.exact_dedup(docs).collect()}
+    assert out[1] == 2          # docs 1+2 collapse after normalization
+    assert out[3] == 1
+    assert sum(out.values()) == 5
+
+
+def test_shingle_jaccard_finds_near_dup(docs):
+    pairs = {(r.doc_a, r.doc_b): r.jaccard
+             for r in DD.shingle_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and 0.5 <= pairs[(1, 3)] < 1.0
+    assert (1, 4) not in pairs
+
+
+def test_minhash_agrees_with_exact_on_high_sim(docs):
+    exact = {(r.doc_a, r.doc_b) for r in
+             DD.shingle_jaccard_pairs(docs, threshold=0.8).collect()}
+    lsh = {(r.doc_a, r.doc_b) for r in
+           DD.minhash_lsh_pairs(docs, threshold=0.8).collect()}
+    # LSH verified against exact jaccard -> no false positives; recall
+    # at j>=0.8 with 8x4 banding is ~1 on identical docs.
+    assert lsh <= exact
+    assert (1, 2) in lsh
+
+
+def test_simhash_identical_docs_same_fingerprint(docs):
+    fp = {r.doc_id: r.simhash for r in DD.simhash_fingerprints(docs).collect()}
+    assert fp[1] == fp[2]
+    assert fp[1] != fp[4]
+    assert all(0 <= v < 2**32 for v in fp.values())
+
+
+def test_token_stats(docs):
+    row = {r.doc_id: r for r in TA.token_stats(docs).collect()}[1]
+    assert row.n_tokens == 9
+    assert row.n_unique_tokens == 8  # 'the' twice
+    assert row.type_token_ratio == pytest.approx(8 / 9, abs=1e-6)
+
+
+def test_language_id(docs):
+    out = {(r.labeled_lang, r.predicted_lang): r.n_docs
+           for r in TA.language_id(docs).collect()}
+    assert out[("en", "en")] >= 3
+    assert ("de", "de") in out
+
+
+def test_quality_routes(spark):
+    rows = [
+        (1, "one two three four five six seven eight nine ten ok", "en"),
+        (2, "short", "en"),
+        (3, "1 2 3 4 5 6 7 8 9 10 11 12 13 14 15 16 17 18 19 20", "en"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r.doc_id: r.quality_route for r in TA.quality_scores(df).collect()}
+    assert out == {1: "keep", 2: "review", 3: "review"}
+
+
+def test_fingerprint_is_order_sensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma", "en"), (2, "gamma beta alpha", "en")],
+        "doc_id long, text string, lang string",
+    )
+    fp = {r.doc_id: r.fingerprint for r in TA.doc_fingerprints(df).collect()}
+    assert fp[1] != fp[2]
+
+
+@pytest.fixture
+def vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [0.9, -0.1, 0.0, 0.0], 0),  # near q0, same sign bucket (0b0001)
+        (2, [0.0, 1.0, 0.0, 0.0], 1),   # bucket 0b0010
+        (3, [-1.0, 0.0, 0.0, 0.0], 1),  # opposite of q0, bucket 0b0000
+        (4, [0.8, -0.2, 0.0, 0.0], 0),  # near q0, same sign bucket
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_cosine_topk_ordering(spark, vectors):
+    queries = vectors.filter("vec_id = 0")
+    out = SIM.cosine_topk(vectors, queries, k=4).collect()
+    ranked = [r.neighbor_id for r in sorted(out, key=lambda r: r.rank)]
+    assert ranked == [1, 4, 2, 3]
+    assert out[0].cosine <= 1.0
+
+
+def test_ivf_probes_only_own_bucket(spark, vectors):
+    queries = vectors.filter("vec_id = 0")
+    out = SIM.ivf_topk(vectors, queries, k=4).collect()
+    ids = {r.neighbor_id for r in out}
+    # vec 3 ([-1,0,0,0]) lands in a different sign bucket -> not probed;
+    # vec 2 ([0,1,...]) also differs in bit 0 -> excluded too.
+    assert 3 not in ids and 2 not in ids
+    assert {1, 4} == ids
+
+
+def test_label_centroids(spark, vectors):
+    out = {(r.label, r.dim): r.centroid for r in SIM.label_centroids(vectors).collect()}
+    assert out[(0, 1)] == pytest.approx((1.0 + 0.9 + 0.8) / 3, abs=1e-6)
+    assert out[(1, 1)] == pytest.approx(-0.5, abs=1e-6)
+
+
+def test_multimodal_feature_plumbing(docs):
+    feats = {r.doc_id: r for r in
+             MM.extract_features(MM.with_binary_payload(docs)).collect()}
+    assert feats[1].byte_len == len("the quick brown fox jumps over the lazy dog")
+    assert feats[1].first_byte == ord("t")
+    assert feats[1].n_frames == 1
+
+
+def test_multimodal_decoder_stub_raises_on_empty():
+    with pytest.raises(NotImplementedError):
+        MM.decode_stub(b"")
