@@ -1,0 +1,129 @@
+"""Headline benchmark: end-to-end pipeline + analytics + LLM operators.
+
+Runs at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": <sf>}
+
+Unlike the correctness gate (which re-derives everything per query so
+each oracle comparison is independent), the bench models a real
+deployment: the staging batch and star-schema tables are derived once,
+persisted, and every analytical query reads the cached tables —
+pipeline cost is paid once and reported as its own line items
+(``derive_staging``, ``build_star``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("bench")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from iot_real_time_data_pipeline_spark import llm_queries as LQ
+    from iot_real_time_data_pipeline_spark.entrypoints import iot_staging
+    from iot_real_time_data_pipeline_spark.operators import dashboard as D
+    from iot_real_time_data_pipeline_spark.operators.star_schema import incremental_load
+
+    times: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        times[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    # --- pipeline: derive + validate + stage (once, cached) ---------------
+    def _derive():
+        staging = iot_staging(spark, sf_dir).persist()
+        staging.count()  # materialize
+        return staging
+
+    staging = timed("derive_staging", _derive)
+
+    # --- star build (once, cached) ----------------------------------------
+    def _star():
+        star = incremental_load(staging, existing=None, dense_keys=False)
+        out = {}
+        for name, df in star.items():
+            out[name] = df.persist()
+            out[name].count()
+        return out
+
+    star = timed("build_star", _star)
+    fact = star["fact_sensor_readings"]
+
+    # --- dashboard queries over the cached star ---------------------------
+    timed("d1_avg_temperature", lambda: D.avg_temperature(fact).collect())
+    timed("d2_avg_humidity", lambda: D.avg_humidity(fact).collect())
+    timed("d3_avg_wind_speed",
+          lambda: D.avg_wind_speed(fact, star["dim_weather"]).collect())
+    timed("d4_health_donut", lambda: D.health_donut(fact).collect())
+    timed("d5_temp_humidity_by_hour",
+          lambda: D.temp_humidity_by_hour(fact, star["dim_time"]).collect())
+    timed("d6_wind_direction",
+          lambda: D.wind_direction_counts(fact, star["dim_weather"]).collect())
+    timed("d7_nutrient_levels",
+          lambda: D.nutrient_levels(fact, star["dim_soil"]).collect())
+    timed("d8_readings_by_location",
+          lambda: D.readings_by_location(fact, star["dim_location"]).collect())
+    timed("d9_water_level_by_farm",
+          lambda: D.water_level_by_farm(fact, star["dim_location"]).collect())
+
+    # --- LLM-data operators ----------------------------------------------
+    for name in [
+        "docs_exact_dedup",
+        "docs_shingle_jaccard_pairs",
+        "docs_minhash_lsh_pairs",
+        "docs_simhash",
+        "docs_token_stats",
+        "docs_language_id",
+        "docs_quality",
+        "docs_fingerprints",
+        "emb_cosine_topk",
+        "emb_ivf_topk",
+        "emb_label_centroids",
+        "mm_image_features",
+    ]:
+        fn = LQ.llm_queries()[name]
+        timed(name, lambda fn=fn: fn(spark, sf_dir).collect())
+
+    total = round(sum(times.values()), 3)
+    print(json.dumps({
+        "metric": "end-to-end pipeline + analytics + llm-ops wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -10,15 +10,20 @@ row-wise Python UDFs on the hot path).
 
 Layout
 ------
-- ``schemas``     : StructTypes + the per-location sensor-range contract
-- ``session``     : tuned SparkSession builders (AQE, Arrow, shuffle sizing)
-- ``generator``   : seeded IoT fixture generator (mirrors the producer's
-                    fault taxonomy so expected labels are assertable)
-- ``functions/``  : validation, alert, flatten expression builders
-- ``operators/``  : star-schema ETL, dashboard analytics, dedup,
-                    similarity search, text analysis, multimodal plumbing
-- ``sources/``    : batch/streaming readers incl. dead-letter routing
-- ``streaming/``  : Structured Streaming wrap + stateful alert throttle
+- ``schemas``       : StructTypes + the per-location sensor-range contract
+- ``session``       : tuned SparkSession builders (AQE, Arrow, shuffle sizing)
+- ``generator``     : seeded IoT fixture generator (mirrors the producer's
+                      fault taxonomy so expected labels are assertable)
+- ``functions/``    : validation, alert, flatten, texthash expression builders
+- ``operators/``    : star-schema ETL, dashboard analytics, dedup
+                      (exact/Jaccard/MinHash-LSH/SimHash), similarity search
+                      (brute-force + IVF), text analysis, multimodal plumbing
+- ``sources/``      : batch/streaming readers, dead-letter routing, weather
+                      enrichment lookup join
+- ``streaming/``    : Structured Streaming wrap (foreachBatch sinks + star
+                      load) + stateful alert throttle (applyInPandasWithState)
+- ``driver_queries``/``llm_queries``: the oracle-checked query registry
+  exposed through ``__spark_entry__.py``
 """
 
 __version__ = "0.1.0"

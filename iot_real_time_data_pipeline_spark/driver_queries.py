@@ -122,6 +122,19 @@ def q_alerts_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_throttled_alert_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 (batch form) — alert throttle: ≤1 send per (loc_id, type) per
+    5-min window, CRITICAL bypass. The exact greedy stateful variant
+    runs in streaming (streaming.throttle); this window-aligned batch
+    form is SQL-expressible and oracle-checked."""
+    from .streaming.throttle import throttle_batch_window
+
+    sent = throttle_batch_window(exploded_alerts(iot_processed(spark, sf_dir)))
+    return sent.groupBy("alert_type", "priority").agg(
+        F.count("*").alias("n_sent")
+    )
+
+
 def q_alert_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F13 — alert type -> recommended action lookup."""
     return (
@@ -129,6 +142,37 @@ def q_alert_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("alert_type")
         .distinct()
         .withColumn("action", recommended_action(F.col("alert_type")))
+    )
+
+
+# S3 weather-enrichment demo lookup: a cached "API snapshot" covering
+# loc_1/loc_2 only, so loc_3 exercises the fallback path.
+ENRICH_LOOKUP_TEMPS = {"loc_1": 21.5, "loc_2": 24.25}
+
+
+def q_weather_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 — lookup-join weather enrichment with fallback (broadcast)."""
+    from .entrypoints import iot_raw_events
+    from .sources.weather import FALLBACK_WEATHER, enrich_weather
+    from .schemas import WEATHER_FIELDS
+
+    raw = iot_raw_events(spark, sf_dir)
+    stripped = raw.filter(
+        F.col("weather_data").isNull()
+        & F.col("loc_id").isin("loc_1", "loc_2", "loc_3")
+    ).drop("weather_data")
+    rows = [
+        tuple([loc] + [t if f == "temperature_2m" else float(i)
+                       for i, f in enumerate(WEATHER_FIELDS)])
+        for loc, t in ENRICH_LOOKUP_TEMPS.items()
+    ]
+    lookup = spark.createDataFrame(
+        rows, ["loc_id"] + list(WEATHER_FIELDS)
+    )
+    enriched = enrich_weather(stripped, lookup)
+    return enriched.groupBy("loc_id").agg(
+        F.count("*").alias("n_events"),
+        F.avg(F.col("weather_data.temperature_2m")).alias("avg_weather_temp"),
     )
 
 
@@ -208,6 +252,8 @@ def iot_queries() -> dict[str, QueryFn]:
         "batch_summary": q_batch_summary,
         "alerts_by_type": q_alerts_by_type,
         "alert_actions": q_alert_actions,
+        "throttled_alert_counts": q_throttled_alert_counts,
+        "weather_enriched": q_weather_enriched,
         "d1_avg_temperature": q_d1,
         "d2_avg_humidity": q_d2,
         "d3_avg_wind_speed": q_d3,
@@ -272,6 +318,31 @@ def iot_oracle_sql() -> dict[str, str]:
         "alert_actions": wp(
             f"SELECT DISTINCT alert_type, {_action_case()} AS action FROM alerts",
             alerts=True,
+        ),
+        # time_bucket's 2000-01-01 origin is 5-min aligned with Spark's
+        # epoch-aligned tumbling window, so the buckets coincide.
+        "throttled_alert_counts": wp(
+            """SELECT alert_type, priority, COUNT(*) AS n_sent FROM (
+                 SELECT alert_type, priority FROM alerts WHERE priority = 'CRITICAL'
+                 UNION ALL
+                 SELECT alert_type, priority FROM (
+                   SELECT alert_type, priority, row_number() OVER (
+                     PARTITION BY loc_id, alert_type,
+                       time_bucket(INTERVAL '5 minutes', timestamp)
+                     ORDER BY timestamp, event_id) AS rn
+                   FROM alerts WHERE priority <> 'CRITICAL')
+                 WHERE rn = 1
+               ) GROUP BY 1, 2""",
+            alerts=True,
+        ),
+        # lookup temps are dyadic rationals, so avg-of-constant is exact.
+        "weather_enriched": wp(
+            """SELECT loc_id, COUNT(*) AS n_events,
+               CAST(CASE loc_id WHEN 'loc_1' THEN 21.5 WHEN 'loc_2' THEN 24.25
+                    ELSE 27.5 END AS DOUBLE) AS avg_weather_temp
+            FROM readings
+            WHERE weather_missing AND loc_id IN ('loc_1','loc_2','loc_3')
+            GROUP BY loc_id"""
         ),
         "d1_avg_temperature": wp(
             "SELECT round(avg(soil_temperature), 6) AS avg_temperature FROM fact", star=True

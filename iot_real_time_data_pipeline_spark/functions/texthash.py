@@ -1,18 +1,21 @@
-"""Deterministic, cross-engine arithmetic text hashing.
+"""Deterministic, cross-engine text hashing.
 
 The LLM-data operators (dedup, fingerprinting, MinHash) need a hash
 both Spark and the DuckDB oracle can compute bit-identically. Neither
-engine's native hash family matches the other (xxhash64 vs murmur), so
-we use plain modular arithmetic over character codes:
+engine's native hash family matches the other (xxhash64 vs murmur) —
+but both ship md5 over UTF-8 strings, so:
 
-    token_hash(t)  = fold_chars(acc -> (acc * 131 + ascii(c)) mod P)
+    token_hash(t)  = int(first 8 hex chars of md5(t)) mod P
     minhash_i(set) = min over s in set of (a_i * h(s) + b_i) mod P
 
 with P = 2^31 - 1 (Mersenne prime). All intermediates fit in int64:
-acc < P, so acc*131 + 255 < 2^39 and a_i*h + b_i < 2^62.
+h < P, so a_i*h + b_i < 2^62. md5 runs JVM-side in Spark (native,
+codegen-friendly); an earlier per-character polynomial fold was
+bit-identical too but *nested* higher-order functions evaluate
+interpreted per-element and cost ~10 ms/doc — 50× slower.
 
-Everything here is a *narrow map over arrays* — higher-order functions
-(`transform`/`aggregate`) on the token array, zero shuffles, zero UDFs,
+Everything here is a *narrow map over arrays* — single-level
+`transform`/`aggregate` on the token array, zero shuffles, zero UDFs,
 fully pipelined with the scan at any scale.
 """
 
@@ -42,12 +45,8 @@ def tokens(text: Column) -> Column:
 
 
 def token_hash(tok: Column) -> Column:
-    """Polynomial rolling hash of a token's characters, mod P."""
-    return F.aggregate(
-        F.split(tok, ""),
-        F.lit(0).cast("long"),
-        lambda acc, c: (acc * CHAR_B + F.ascii(c)) % HASH_P,
-    )
+    """md5-derived 31-bit hash of a token (cross-engine deterministic)."""
+    return F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long") % HASH_P
 
 
 def token_hashes(toks: Column) -> Column:
@@ -68,9 +67,36 @@ def shingles(toks: Column, n: int = 3) -> Column:
     return F.transform(idx, make)
 
 
+def shingle_hashes_from(th: Column, n: int = 3) -> Column:
+    """Distinct shingle hashes from a *materialized* token-hash array.
+
+    CRITICAL: ``th`` must be a plain column reference (a stored
+    array<long>), NOT a live ``transform(...)`` expression — each
+    ``element_at`` re-evaluates its argument expression, so passing the
+    lazy token-hash transform makes every shingle re-hash the whole
+    document (measured 15x slow-down). Materialize via a projection
+    boundary first (see ``dedup._doc_shingles``).
+    """
+    idx = F.sequence(F.lit(1), F.greatest(F.size(th) - (n - 1), F.lit(1)))
+
+    def combine(i: Column) -> Column:
+        acc = F.coalesce(F.element_at(th, i), F.lit(0))
+        for j in range(1, n):
+            nxt = F.coalesce(F.element_at(th, i + j), F.lit(0))
+            acc = (acc * DOC_B + nxt) % HASH_P
+        return acc
+
+    return F.array_distinct(F.transform(idx, combine))
+
+
 def shingle_hashes(toks: Column, n: int = 3) -> Column:
-    """Distinct shingle hashes of a document (the MinHash input set)."""
-    return F.array_distinct(F.transform(shingles(toks, n), token_hash))
+    """Distinct shingle hashes of a document (the MinHash input set).
+
+    Convenience composition for small inputs/tests; hot paths should
+    stage ``token_hashes`` into a column and call ``shingle_hashes_from``
+    (see that function's warning).
+    """
+    return shingle_hashes_from(token_hashes(toks), n)
 
 
 def minhash_signature(hash_set: Column) -> list[Column]:
@@ -99,11 +125,8 @@ def sql_tokens(text_expr: str) -> str:
 
 
 def sql_token_hash(tok_expr: str) -> str:
-    # list_reduce has no init arg -> prepend the 0 seed.
     return (
-        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
-        f"list_transform(string_split({tok_expr}, ''), c -> CAST(ascii(c) AS BIGINT))), "
-        f"(acc, c) -> (acc * {CHAR_B} + c) % {HASH_P})"
+        f"(CAST(('0x' || substr(md5({tok_expr}), 1, 8)) AS BIGINT) % {HASH_P})"
     )
 
 
@@ -116,6 +139,20 @@ def sql_shingles(toks_col: str, n: int = 3) -> str:
     return (
         f"list_transform(range(1, greatest(len({toks_col}) - {n - 1}, 1) + 1), "
         f"i -> concat_ws(' ', {parts}))"
+    )
+
+
+def sql_shingle_hashes(token_hashes_col: str, n: int = 3) -> str:
+    """Mirror of ``shingle_hashes``: combine per-token hashes over an
+    existing ``array<bigint>`` column (hash each char exactly once)."""
+    acc = f"coalesce({token_hashes_col}[i], 0)"
+    for j in range(1, n):
+        nxt = f"coalesce({token_hashes_col}[i+{j}], 0)"
+        acc = f"(({acc}) * {DOC_B} + {nxt}) % {HASH_P}"
+    return (
+        f"list_distinct(list_transform("
+        f"range(1, greatest(len({token_hashes_col}) - {n - 1}, 1) + 1), "
+        f"i -> {acc}))"
     )
 
 

@@ -64,6 +64,17 @@ def range_max(loc: Column, sensor: str) -> Column:
     return _per_location(loc, sensor, 1)
 
 
+def _key_present(raw_json: Column | None, col: Column, key: str) -> Column:
+    """Reference semantics: required-key errors fire on key *absence*
+    (``key not in data``, lamda.py:84), not on explicit JSON null. The
+    lexical check on the raw payload preserves that distinction; for
+    synthesized (non-JSON) plans a non-null column implies presence.
+    """
+    if raw_json is None:
+        return col.isNotNull()
+    return F.coalesce(raw_json.rlike(f'"{key}"\\s*:'), F.lit(False)) | col.isNotNull()
+
+
 def _was_quoted(raw_json: Column | None, sensor: str) -> Column:
     """True when the sensor value appeared as a quoted JSON string.
 
@@ -160,7 +171,10 @@ def validation_columns(
         "location": location,
     }
     required_key_errors = [
-        F.when(key_cols[k].isNull(), F.lit(f"missing_top_level_key:{k}"))
+        F.when(
+            ~_key_present(raw_json, key_cols[k], k),
+            F.lit(f"missing_top_level_key:{k}"),
+        )
         for k in REQUIRED_TOP_LEVEL_KEYS
     ]
 
@@ -179,10 +193,18 @@ def validation_columns(
         & weather.isNotNull()
         & weather_temp.isNotNull()
     )
-    # lamda.py:129-137: abs(sensor - weather) > 15 => warning; a string
-    # temperature at this point raises TypeError in the reference.
-    dead_letter = (
-        ~loc_missing & ~loc_invalid & ~sensors_empty & crosscheck_applies & ~temp.numeric_after_loop
+    # lamda.py:129-137: abs(sensor - weather) > 15 => warning. Two paths
+    # raise TypeError in the reference and dead-letter instead of getting
+    # a status: (a) a string/None temperature reaching the subtraction;
+    # (b) an explicit-null weather_data — the key IS in data, so the
+    # cross-check runs `"temperature_2m" in None` and crashes.
+    eligible = ~loc_missing & ~loc_invalid & ~sensors_empty
+    weather_explicit_null = (
+        _key_present(raw_json, weather, "weather_data") & weather.isNull()
+    )
+    dead_letter = eligible & (
+        (crosscheck_applies & ~temp.numeric_after_loop)
+        | (F.map_contains_key(sensors, "temperature") & weather_explicit_null)
     )
     mismatch = crosscheck_applies & temp.numeric_after_loop & (
         F.abs(temp.value - weather_temp) > 15

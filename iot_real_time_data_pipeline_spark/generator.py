@@ -101,6 +101,7 @@ def generate_events(
         ("missing_loc_id", INVALID),
         ("garbage_payload", DEAD_LETTER_JSON),
         ("temp_string_crash", DEAD_LETTER_PROCESSING),
+        ("weather_null_crash", DEAD_LETTER_PROCESSING),
     ]
 
     for i in range(n):
@@ -179,6 +180,11 @@ def generate_events(
             del record["loc_id"]
         elif scenario == "temp_string_crash":
             sensors["temperature"] = rng.choice(["NULL", "NaN"])
+        elif scenario == "weather_null_crash":
+            # explicit JSON null: key present -> no missing_top_level_key,
+            # but the cross-check does `"temperature_2m" in None` ->
+            # TypeError -> dead letter (lamda.py:84, 129-137).
+            record["weather_data"] = None
 
         if scenario == "garbage_payload":
             raw = rng.choice(["<<not json>>", "{truncated", "plain text payload", ""])

@@ -119,10 +119,13 @@ toks AS (
 )"""
 
 _SHINGLE_CTE = f"""
-sh AS (
-  SELECT doc_id,
-         list_distinct(list_transform({TH.sql_shingles('t')}, s -> {TH.sql_token_hash('s')})) AS shl
+th AS (
+  SELECT doc_id, list_transform(t, tok -> {TH.sql_token_hash('tok')}) AS thl
   FROM toks
+),
+sh AS (
+  SELECT doc_id, {TH.sql_shingle_hashes('thl')} AS shl
+  FROM th
 )"""
 
 
@@ -153,12 +156,16 @@ FROM hashed GROUP BY h"""
 
 
 def _sql_shingle_jaccard() -> str:
+    # Same length-ratio prune as the Spark plan (semantics-preserving).
+    t = JACCARD_THRESHOLD
     return f"""
 WITH {_TOKS_CTE}, {_SHINGLE_CTE},
-post AS (SELECT doc_id, unnest(shl) AS h FROM sh),
+post AS (SELECT doc_id, len(shl) AS n, unnest(shl) AS h FROM sh),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-  FROM post a JOIN post b ON a.h = b.h AND a.doc_id < b.doc_id
+  FROM post a JOIN post b
+    ON a.h = b.h AND a.doc_id < b.doc_id
+   AND b.n >= a.n * {t} AND a.n >= b.n * {t}
   GROUP BY 1, 2
 ),
 {_jaccard_tail('inter')}"""

@@ -54,10 +54,17 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 
 
 def _doc_shingles(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    toks = TH.tokens(F.col(text_col))
-    return docs.select(
+    # Two projections on purpose: the token-hash array must be a stored
+    # column before the sliding-window combine indexes into it, or each
+    # element_at re-runs the whole token-hash transform (see
+    # texthash.shingle_hashes_from).
+    th = docs.select(
         F.col(id_col).alias("doc_id"),
-        TH.shingle_hashes(toks).alias("sh"),  # distinct shingle hashes
+        TH.token_hashes(TH.tokens(F.col(text_col))).alias("_th"),
+    )
+    return th.select(
+        "doc_id",
+        TH.shingle_hashes_from(F.col("_th")).alias("sh"),
     )
 
 
@@ -75,16 +82,29 @@ def shingle_jaccard_pairs(
     sizes. This is the textbook scalable exact-Jaccard plan: shuffle is
     bounded by postings volume and true-pair count, not n².
     """
-    sh = _doc_shingles(docs, text_col, id_col)
-    postings = sh.select("doc_id", F.explode("sh").alias("h"))
-    sizes = sh.select("doc_id", F.size("sh").alias("n"))
+    # Persist: postings, sizes, and both ends of the size join all read
+    # the shingle sets; without caching the (HOF-interpreted) hashing
+    # would be recomputed four times.
+    sh = _doc_shingles(docs, text_col, id_col).persist()
+    postings = sh.select("doc_id", F.size("sh").alias("n"), F.explode("sh").alias("h"))
 
+    # Length-ratio prune inside the join: J(A,B) <= min(|A|,|B|)/max(|A|,|B|),
+    # so any pair violating the size ratio can never reach the threshold.
+    # Exact-semantics-preserving, and it cuts the pair blowup on corpora
+    # where a few shingles are near-universal.
     a, b = postings.alias("a"), postings.alias("b")
     inter = (
-        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("b.n") >= F.col("a.n") * threshold)
+            & (F.col("a.n") >= F.col("b.n") * threshold),
+        )
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count("*").alias("n_common"))
     )
+    sizes = sh.select("doc_id", F.size("sh").alias("n"))
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
     return (

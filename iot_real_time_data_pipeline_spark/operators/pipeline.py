@@ -114,7 +114,11 @@ def flat_lake_row(processed: DataFrame) -> DataFrame:
     """Flattened lake projection (lamda.py:333-348 + :361-362 metadata).
 
     Arrays (validation_errors/warnings, alerts) are JSON-stringified
-    exactly as ``flatten_record`` does for lists.
+    exactly as ``flatten_record`` does for lists. Sensor values are the
+    post-conversion ones: the reference's validator converts quoted
+    numerics *in place* (lamda.py:112-113), so the lake row shows the
+    float (55.3), not the ingest string ("55.30") — values the validator
+    never converted keep their raw lexical form.
     """
     base = processed
     sel = [
@@ -124,7 +128,17 @@ def flat_lake_row(processed: DataFrame) -> DataFrame:
         F.col("location.latitude").alias("location_latitude"),
         F.col("location.longitude").alias("location_longitude"),
     ]
-    sel += [F.col("sensor_data").getItem(s).alias(f"sensor_data_{s}") for s in SENSOR_NAMES]
+    from ..functions.validation import _was_quoted
+
+    sel += [
+        F.when(
+            _was_quoted(F.col(RAW_JSON_COL), s) & F.col(f"sensor_{s}").isNotNull(),
+            F.col(f"sensor_{s}").cast("string"),
+        )
+        .otherwise(F.col("sensor_data").getItem(s))
+        .alias(f"sensor_data_{s}")
+        for s in SENSOR_NAMES
+    ]
     sel += [
         F.col(f"weather_data.{f}").alias(f"weather_data_{f}")
         for f in processed.schema["weather_data"].dataType.fieldNames()

@@ -240,8 +240,9 @@ def alerts_cte() -> str:
     eligible = (
         "(loc_id IS NOT NULL AND loc_id IN ('loc_1','loc_2','loc_3') AND NOT sensors_empty)"
     )
+    carry = "loc_id, event_id, timestamp"
     nutrient_rules = "\n  UNION ALL\n".join(
-        f"""  SELECT 'Low Nutrient' AS alert_type, 'MEDIUM' AS priority
+        f"""  SELECT 'Low Nutrient' AS alert_type, 'MEDIUM' AS priority, {carry}
   FROM flagged WHERE operational AND s_{n} < {_loc_bound(n, 0)} * 0.8"""
         for n in ["nitrogen", "phosphorus", "potassium"]
     )
@@ -254,26 +255,26 @@ flagged AS (
   FROM validated
 ),
 alerts AS (
-  SELECT 'Sensor Failure' AS alert_type, 'CRITICAL' AS priority
+  SELECT 'Sensor Failure' AS alert_type, 'CRITICAL' AS priority, {carry}
   FROM flagged WHERE validation_status = 'INVALID' AND has_extreme
   UNION ALL
-  SELECT 'Sensor Failure' AS alert_type, 'CRITICAL' AS priority
+  SELECT 'Sensor Failure' AS alert_type, 'CRITICAL' AS priority, {carry}
   FROM flagged WHERE validation_status = 'INVALID' AND has_oor
   UNION ALL
-  SELECT 'High Temperature' AS alert_type, 'HIGH' AS priority
+  SELECT 'High Temperature' AS alert_type, 'HIGH' AS priority, {carry}
   FROM flagged WHERE operational AND s_temperature > 35
   UNION ALL
-  SELECT 'Low Temperature' AS alert_type, 'HIGH' AS priority
+  SELECT 'Low Temperature' AS alert_type, 'HIGH' AS priority, {carry}
   FROM flagged WHERE operational AND s_temperature < 5
   UNION ALL
-  SELECT 'Low Water Level' AS alert_type, 'HIGH' AS priority
+  SELECT 'Low Water Level' AS alert_type, 'HIGH' AS priority, {carry}
   FROM flagged WHERE operational AND s_water_level < 1.0
   UNION ALL
-  SELECT 'High Water Level' AS alert_type, 'MEDIUM' AS priority
+  SELECT 'High Water Level' AS alert_type, 'MEDIUM' AS priority, {carry}
   FROM flagged WHERE operational AND s_water_level >= 1.0 AND s_water_level > 2.5
   UNION ALL
   SELECT 'Soil pH Warning' AS alert_type,
-         CASE WHEN s_ph < 5.5 OR s_ph > 8.0 THEN 'HIGH' ELSE 'MEDIUM' END AS priority
+         CASE WHEN s_ph < 5.5 OR s_ph > 8.0 THEN 'HIGH' ELSE 'MEDIUM' END AS priority, {carry}
   FROM flagged WHERE operational AND (s_ph < 6.0 OR s_ph > 7.5)
   UNION ALL
 {nutrient_rules}

@@ -1,0 +1,4 @@
+"""Structured Streaming wrap: micro-batch pipeline + stateful throttle."""
+
+from .throttle import throttle_alerts_stateful, throttle_batch_window  # noqa: F401
+from .pipeline import run_stream, foreach_batch_loader  # noqa: F401

@@ -1,0 +1,153 @@
+"""Stateful alert throttle (reference T2/T3, ``Lambda/lamda.py:246-283``).
+
+Semantics, per key ``(loc_id, alert_type)``:
+
+- CRITICAL alerts always send (bypass, lamda.py:257-261);
+- otherwise an alert is suppressed if one was sent for the same key less
+  than ALERT_INTERVAL (5 min) earlier (lamda.py:264-269);
+- a consecutive-hit counter gates the first send; the reference ships
+  CONSECUTIVE_RECORDS_THRESHOLD = 1 (lamda.py:21), making the counter
+  vestigial — the throttle is purely time-based. We keep the counter so
+  the threshold is configurable, defaulting to the reference's 1.
+- state TTL: the reference purges entries older than 1 h with
+  probability 0.1 per invocation (lamda.py:402-416); the state-store
+  timeout makes that deterministic, which is strictly better.
+
+The clock is the *event* timestamp column, not wall clock, so tests and
+replays are deterministic (SURVEY §7.3 "throttle exactness").
+
+Two implementations:
+
+- ``throttle_alerts_stateful``: exact greedy semantics via
+  ``applyInPandasWithState`` on a streaming DataFrame. Shuffles by key
+  once; state is one (timestamp, int) pair per key — trivially sized
+  even with millions of keys.
+- ``throttle_batch_window``  : batch approximation — first alert per
+  (key, 5-min tumbling window) sends. Same guarantee ("≤1 send per key
+  per 5 min") but window-aligned instead of greedy; documented fallback
+  for batch backfills.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+ALERT_INTERVAL_SECONDS = 300.0  # lamda.py:20
+CONSECUTIVE_THRESHOLD = 1  # lamda.py:21
+STATE_TTL_SECONDS = 3600.0  # lamda.py:408
+
+THROTTLE_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("loc_id", T.StringType()),
+        T.StructField("alert_type", T.StringType()),
+        T.StructField("event_id", T.StringType()),
+        T.StructField("priority", T.StringType()),
+        T.StructField("description", T.StringType()),
+        T.StructField("sent_timestamp", T.TimestampType()),
+    ]
+)
+
+THROTTLE_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("last_sent_epoch", T.DoubleType()),
+        T.StructField("consecutive", T.IntegerType()),
+    ]
+)
+
+
+def _throttle_group(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    loc_id, alert_type = key
+    if state.hasTimedOut:
+        state.remove()
+        return
+
+    last_sent, consecutive = (
+        state.get if state.exists else (None, 0)
+    )
+
+    rows: list[dict[str, Any]] = []
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    batch = batch.sort_values("timestamp", kind="stable")
+    for rec in batch.itertuples(index=False):
+        now = rec.timestamp.timestamp()
+        send = False
+        if rec.priority == "CRITICAL":
+            # bypass: sends + refreshes last_sent, but does NOT touch the
+            # consecutive counter (lamda.py:257-261).
+            send = True
+            last_sent = now
+        elif last_sent is not None and now - last_sent < ALERT_INTERVAL_SECONDS:
+            send = False  # suppressed; counter untouched (lamda.py:264-269)
+        else:
+            consecutive += 1
+            if consecutive >= CONSECUTIVE_THRESHOLD:
+                send = True
+                last_sent = now
+                consecutive = 0
+        if send:
+            rows.append(
+                {
+                    "loc_id": loc_id,
+                    "alert_type": alert_type,
+                    "event_id": rec.event_id,
+                    "priority": rec.priority,
+                    "description": rec.description,
+                    "sent_timestamp": rec.timestamp,
+                }
+            )
+
+    state.update((last_sent, consecutive))
+    # Deterministic TTL replacing the reference's probabilistic purge.
+    state.setTimeoutDuration(int(STATE_TTL_SECONDS * 1000))
+    if rows:
+        yield pd.DataFrame(rows, columns=[f.name for f in THROTTLE_OUTPUT_SCHEMA.fields])
+
+
+def throttle_alerts_stateful(exploded_alerts: DataFrame) -> DataFrame:
+    """Exact stateful throttle over a *streaming* exploded-alerts frame.
+
+    Input contract: columns (event_id, loc_id, timestamp, alert_type,
+    priority, description) — ``operators.pipeline.exploded_alerts``.
+    """
+    return exploded_alerts.groupBy("loc_id", "alert_type").applyInPandasWithState(
+        _throttle_group,
+        outputStructType=THROTTLE_OUTPUT_SCHEMA,
+        stateStructType=THROTTLE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+def throttle_batch_window(exploded_alerts: DataFrame) -> DataFrame:
+    """Batch approximation: first alert per (key, 5-min tumbling window).
+
+    CRITICAL alerts bypass entirely. Equivalent rate guarantee to the
+    greedy throttle, aligned to window boundaries instead of the last
+    send time.
+    """
+    from pyspark.sql import Window
+
+    critical = exploded_alerts.filter(F.col("priority") == "CRITICAL")
+    rest = exploded_alerts.filter(F.col("priority") != "CRITICAL")
+    w = Window.partitionBy(
+        "loc_id", "alert_type", F.window("timestamp", "5 minutes")
+    ).orderBy("timestamp", "event_id")
+    first = (
+        rest.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    out_cols = ["loc_id", "alert_type", "event_id", "priority", "description",
+                F.col("timestamp").alias("sent_timestamp")]
+    return critical.select(*out_cols).unionByName(first.select(*out_cols))

@@ -1,0 +1,133 @@
+"""Streaming: stateful throttle (T2/T3), batch-window fallback, and the
+end-to-end micro-batch pipeline with all sinks (T1/T5, S5/S6/S7/S10)."""
+
+from __future__ import annotations
+
+import datetime
+import json
+
+import pyspark.sql.functions as F
+import pytest
+
+from .conftest import event_json
+
+ALERT_SCHEMA = (
+    "event_id string, loc_id string, timestamp timestamp, "
+    "alert_type string, priority string, description string"
+)
+
+
+def ts(minute: int, second: int = 0):
+    return datetime.datetime(2024, 3, 1, 6, minute, second)
+
+
+ALERT_ROWS = [
+    # key (loc_1, High Temperature): t=0 sent, +60s suppressed, +400s sent
+    ("e1", "loc_1", ts(0), "High Temperature", "HIGH", "d1"),
+    ("e2", "loc_1", ts(1), "High Temperature", "HIGH", "d2"),
+    ("e3", "loc_1", ts(6, 40), "High Temperature", "HIGH", "d3"),
+    # CRITICAL bypasses throttling entirely (two in 1 min, both sent)
+    ("e4", "loc_1", ts(0), "Sensor Failure", "CRITICAL", "d4"),
+    ("e5", "loc_1", ts(1), "Sensor Failure", "CRITICAL", "d5"),
+    # different key unaffected
+    ("e6", "loc_2", ts(1), "High Temperature", "HIGH", "d6"),
+]
+
+
+def test_throttle_batch_window(spark):
+    from iot_real_time_data_pipeline_spark.streaming import throttle_batch_window
+
+    df = spark.createDataFrame(ALERT_ROWS, ALERT_SCHEMA)
+    sent = {r.event_id for r in throttle_batch_window(df).collect()}
+    # window-aligned: e1 first in [06:00,06:05), e2 suppressed, e3 first
+    # in [06:05,06:10); criticals always pass; e6 own key.
+    assert sent == {"e1", "e3", "e4", "e5", "e6"}
+
+
+def test_throttle_stateful_greedy(spark, tmp_path):
+    from iot_real_time_data_pipeline_spark.streaming import throttle_alerts_stateful
+
+    src = tmp_path / "alerts_src"
+    src.mkdir()
+    # one file per micro-batch, ordered -> exercises cross-batch state
+    batches = [ALERT_ROWS[:2], ALERT_ROWS[2:4], ALERT_ROWS[4:]]
+    for i, rows in enumerate(batches):
+        with open(src / f"b{i}.jsonl", "w") as fh:
+            for r in rows:
+                fh.write(json.dumps({
+                    "event_id": r[0], "loc_id": r[1],
+                    "timestamp": r[2].isoformat(),
+                    "alert_type": r[3], "priority": r[4], "description": r[5],
+                }) + "\n")
+
+    stream = (
+        spark.readStream.schema(ALERT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        throttle_alerts_stateful(stream)
+        .writeStream.format("memory")
+        .queryName("throttled")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    sent = {r.event_id for r in spark.sql("select * from throttled").collect()}
+    # exact greedy: e1 sent (t0), e2 suppressed (60s < 5min), e3 sent
+    # (400s), criticals e4/e5 always, e6 own key.
+    assert sent == {"e1", "e3", "e4", "e5", "e6"}
+
+
+@pytest.mark.slow
+def test_stream_end_to_end(spark, tmp_path):
+    from iot_real_time_data_pipeline_spark.streaming import run_stream
+
+    src = tmp_path / "events_src"
+    src.mkdir()
+    wh = str(tmp_path / "wh")
+    base = datetime.datetime(2024, 3, 1, 6, 0, 0)
+
+    def payload(i, minute, **kw):
+        return event_json(
+            event_id=f"evt_{i:03d}",
+            timestamp=base.replace(minute=minute).isoformat() + "Z",
+            **kw,
+        )
+
+    # batch 1: 2 valid; batch 2: 1 warning + 1 invalid + garbage;
+    # batch 3: replay of evt_001 (must dedup) + 1 new valid
+    files = [
+        [payload(1, 1), payload(2, 2)],
+        [payload(3, 3, sensors={"humidity": 93.0}),
+         payload(4, 4, loc_id="loc_9"), "<<garbage>>"],
+        [payload(1, 1), payload(5, 5)],
+    ]
+    for i, lines in enumerate(files):
+        (src / f"f{i}.jsonl").write_text("\n".join(lines) + "\n")
+
+    q = run_stream(
+        spark, str(src), wh, str(tmp_path / "ckpt"), max_files_per_trigger=1
+    )
+    q.awaitTermination(240)
+
+    fact = spark.read.parquet(f"{wh}/star/fact_sensor_readings")
+    facts = {r.evt_id for r in fact.collect()}
+    # VALID + WARNING reach the fact table; INVALID & garbage don't;
+    # the replayed evt_001 loads exactly once.
+    assert facts == {"evt_001", "evt_002", "evt_003", "evt_005"}
+    assert fact.count() == 4
+    ids = [r.fact_id for r in fact.collect()]
+    assert len(ids) == len(set(ids))
+
+    lake = spark.read.parquet(f"{wh}/lake")
+    assert set(r.validation_status for r in lake.collect()) == {
+        "VALID", "WARNING", "INVALID"
+    }
+    dead = spark.read.parquet(f"{wh}/dead_letter")
+    assert dead.count() == 1 and dead.collect()[0].error_type == "json_decode_error"
+
+    dim_loc = spark.read.parquet(f"{wh}/star/dim_location")
+    assert dim_loc.count() == 1  # loc_1 appended once across batches

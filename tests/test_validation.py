@@ -131,6 +131,24 @@ def test_v9_all_clean_is_valid(parse_payloads):
     assert r.validation_warnings == []
 
 
+def test_explicit_null_weather_dead_letters(parse_payloads):
+    # `"weather_data": null` -> key present (no missing_top_level_key),
+    # cross-check crashes in the reference -> dead letter, not INVALID.
+    payload = event_json().replace(
+        '"weather_data": {', '"weather_data": null, "ignored": {'
+    )
+    r = one(parse_payloads, payload)
+    assert r.dead_letter is True
+    assert "missing_top_level_key:weather_data" not in r.validation_errors
+
+
+def test_absent_weather_without_temperature_not_dead_letter(parse_payloads):
+    # absent key (not explicit null) -> missing_top_level_key -> INVALID
+    r = one(parse_payloads, event_json(drop_keys=("weather_data",)))
+    assert r.dead_letter is False
+    assert r.validation_status == "INVALID"
+
+
 def test_dead_letter_string_temp_at_crosscheck(parse_payloads):
     # A sentinel-string temperature reaches the weather cross-check and
     # raises TypeError in the reference (lamda.py:129-137) -> routed to
