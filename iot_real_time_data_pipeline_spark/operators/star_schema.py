@@ -55,10 +55,13 @@ def _assign_keys(
 ) -> DataFrame:
     """Surrogate keys for a batch of new dim rows.
 
-    ``dense_keys=True``: contiguous ints continuing from the existing
-    max (test-friendly, single-partition window — dims per *batch* are
-    small). ``dense_keys=False``: monotonically_increasing_id offset
-    above the existing max (fully parallel, non-contiguous).
+    Default ``dense_keys=False``: ``monotonically_increasing_id`` offset
+    above the existing max — fully parallel, non-contiguous, the 100 TB
+    path (IDENTITY guarantees uniqueness only, so this is
+    contract-preserving). ``dense_keys=True`` switches to contiguous ints
+    via a single-partition row_number window; it exists ONLY for the
+    DuckDB oracle gate, where surrogate key VALUES must reproduce
+    deterministically (entrypoints.iot_star passes it explicitly).
     """
     order_cols = [c for c in new_rows.columns]
     if existing is not None:
@@ -79,7 +82,7 @@ def _assign_keys(
 
 
 def new_dim_location(staging: DataFrame, existing: DataFrame | None = None,
-                     dense_keys: bool = True) -> DataFrame:
+                     dense_keys: bool = False) -> DataFrame:
     """s3-to-redshift.py:80-86 — DISTINCT + ``loc_id NOT IN (dim)``.
 
     Note the reference's anti-join key is *loc_id alone*, not the full
@@ -120,7 +123,7 @@ def new_dim_time(staging: DataFrame, existing: DataFrame | None = None) -> DataF
 
 
 def new_dim_soil(staging: DataFrame, existing: DataFrame | None = None,
-                 dense_keys: bool = True) -> DataFrame:
+                 dense_keys: bool = False) -> DataFrame:
     """s3-to-redshift.py:104-120 — DISTINCT 4-double tuple + NOT EXISTS."""
     cond = None
     for c in DIM_SOIL_KEY_COLS:
@@ -133,7 +136,7 @@ def new_dim_soil(staging: DataFrame, existing: DataFrame | None = None,
 
 
 def new_dim_weather(staging: DataFrame, existing: DataFrame | None = None,
-                    dense_keys: bool = True) -> DataFrame:
+                    dense_keys: bool = False) -> DataFrame:
     """s3-to-redshift.py:123-148 — DISTINCT 6-double tuple + NOT EXISTS.
 
     NULL guard is on weather_temperature_2m only (sql:45) — exact.
@@ -240,7 +243,7 @@ def watermark_filter(staging: DataFrame, fact: DataFrame | None) -> DataFrame:
 def incremental_load(
     staging_batch: DataFrame,
     existing: dict[str, DataFrame] | None = None,
-    dense_keys: bool = True,
+    dense_keys: bool = False,
     cache_handle_out: list[DataFrame] | None = None,
 ) -> dict[str, DataFrame]:
     """One incremental load cycle (SURVEY §3.3), batch or foreachBatch.

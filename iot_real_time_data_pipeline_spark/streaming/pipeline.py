@@ -51,12 +51,21 @@ def _read_or_none(spark: SparkSession, path: str) -> DataFrame | None:
         return None
 
 
-def foreach_batch_loader(warehouse_dir: str):
+def foreach_batch_loader(warehouse_dir: str, jsonl_mirror: bool = False):
     """Returns the foreachBatch callback wiring all sinks under
-    ``warehouse_dir``: lake/, dead_letter/, alerts/, star/<table>/."""
+    ``warehouse_dir``: lake/, dead_letter/, alerts/, star/<table>/.
+
+    ``jsonl_mirror=True`` additionally appends the flat lake rows as
+    line-delimited JSON under lake_jsonl/ — the reference producer's
+    local debug mirror (S4, producer.py:446-447).
+    """
 
     def _load(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        # P5 — empty-input short-circuit (s3-to-redshift.py:55-57):
+        # empty micro-batches skip every sink write.
+        if batch_df.isEmpty():
+            return
         processed = process_events(batch_df).persist()
         try:
             routed = route(processed)
@@ -74,11 +83,13 @@ def foreach_batch_loader(warehouse_dir: str):
             lake = lake.persist()
 
             # S5 — routed lake (flat row format, lamda.py:333-348).
-            _append_parquet(
-                flat_lake_row(lake).withColumn("loc_id_part", F.coalesce("loc_id", F.lit("unknown"))),
-                f"{warehouse_dir}/lake",
-                ["validation_status", "loc_id_part"],
+            flat = flat_lake_row(lake).withColumn(
+                "loc_id_part", F.coalesce("loc_id", F.lit("unknown"))
             )
+            _append_parquet(flat, f"{warehouse_dir}/lake",
+                            ["validation_status", "loc_id_part"])
+            if jsonl_mirror:  # S4 — debug JSONL mirror of the stream
+                flat.write.mode("append").json(f"{warehouse_dir}/lake_jsonl")
             # S6 — dead letters.
             _append_parquet(routed["dead_letter"], f"{warehouse_dir}/dead_letter")
 
@@ -121,11 +132,14 @@ def run_stream(
     checkpoint_dir: str,
     max_files_per_trigger: int | None = 1,
     available_now: bool = True,
+    jsonl_mirror: bool = False,
 ):
     """Wire the full streaming pipeline; returns the StreamingQuery."""
     raw = read_raw_events_stream(spark, source_path, max_files_per_trigger)
     writer = (
-        raw.writeStream.foreachBatch(foreach_batch_loader(warehouse_dir))
+        raw.writeStream.foreachBatch(
+            foreach_batch_loader(warehouse_dir, jsonl_mirror=jsonl_mirror)
+        )
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("update")
     )

@@ -131,3 +131,41 @@ def test_stream_end_to_end(spark, tmp_path):
 
     dim_loc = spark.read.parquet(f"{wh}/star/dim_location")
     assert dim_loc.count() == 1  # loc_1 appended once across batches
+
+
+def test_windowed_health_streaming(spark, tmp_path):
+    """T6 — tumbling event-time window + watermark on the live stream."""
+    import json as _json
+
+    from iot_real_time_data_pipeline_spark.sources.events import (
+        read_raw_events_stream,
+    )
+    from iot_real_time_data_pipeline_spark.operators.pipeline import process_events
+    from iot_real_time_data_pipeline_spark.streaming.windows import windowed_health
+
+    src = tmp_path / "win_src"
+    src.mkdir()
+    base = datetime.datetime(2024, 3, 1, 6, 0, 0)
+    lines = [
+        event_json(event_id=f"evt_{i}", timestamp=(base + datetime.timedelta(minutes=m)).isoformat() + "Z")
+        for i, m in enumerate([0, 1, 2, 6, 7])
+    ]
+    (src / "a.jsonl").write_text("\n".join(lines) + "\n")
+
+    stream = read_raw_events_stream(spark, str(src))
+    agg = windowed_health(process_events(stream))
+    # complete mode: append would emit a window only after the watermark
+    # passes its end, which a single availableNow batch never reaches.
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_health")
+        .option("checkpointLocation", str(tmp_path / "ckpt_win"))
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r.window_start.minute: r for r in spark.sql("select * from win_health").collect()}
+    assert rows[0].n_events == 3 and rows[5].n_events == 2
+    assert rows[0].n_invalid == 0
+    assert rows[0].avg_temperature == pytest.approx(25.0)
