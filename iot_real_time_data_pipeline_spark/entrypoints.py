@@ -68,6 +68,13 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # oracle, which sees naive (UTC-equivalent) timestamps — pin the
     # session zone rather than trusting the driver's default.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # The layered validation plan (~100 aliased boolean columns across
+    # stacked projections) makes InferFiltersFromConstraints explode
+    # combinatorially when a Filter sits above it — minutes of driver
+    # CPU at plan time. Constraint propagation buys nothing for this
+    # query surface (no inferred-IsNotNull join pruning opportunities),
+    # so turn it off for the session.
+    spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -11,10 +11,13 @@ exactly, including its quirks:
   (so ``0.0`` is extreme) while quoted JSON strings compare literally
   (so ``"0.0"`` is NOT extreme — it type-converts with a warning and
   then fails the range check).
-- A record whose ``temperature`` value is a *string* that survives to
-  the weather cross-check (lamda.py:129-137) raises ``TypeError`` in
-  the reference and lands in the ``errors/processing/`` dead letter
-  (lamda.py:506-530) — it never receives a validation_status. We flag
+- Required-key errors fire on key *absence* (``key not in data``,
+  lamda.py:84), not on explicit JSON null — presence is detected
+  lexically from the raw payload.
+- Two paths raise TypeError in the reference and dead-letter instead of
+  getting a status: a string/None ``temperature`` reaching the weather
+  cross-check subtraction, and an explicit-null ``weather_data`` (the
+  key IS present, so ``"temperature_2m" in None`` crashes). We flag
   such rows ``dead_letter = true`` instead of crashing.
 - Short-circuits: missing/unknown ``loc_id`` and missing/empty
   ``sensor_data`` return INVALID immediately with only their own
@@ -25,10 +28,15 @@ columns; optionally a ``raw_json`` string column holding the original
 event JSON, used to distinguish quoted from numeric sensor values
 (without it, every value is assumed to have been numeric JSON).
 
-All rules compile to ``when/otherwise`` chains over 3 locations x 7
-sensors = 21 literal ranges — constant-folded by Catalyst, no lookup
-join, no UDF. At 100 TB scale this is a pure map stage: no shuffle,
-fully pipelined with the parquet/json scan.
+Physical shape: the rules evaluate in *layers* of ``withColumns`` —
+raw probes / quoted flags, casts and bounds, per-sensor predicate
+flags, then the error/warning arrays, then status. Each non-cheap
+subexpression (regex probe, try_cast, range predicates) lands in its
+own column, so it is computed once per row and downstream layers
+reference attributes. Catalyst keeps these projections separate
+(non-cheap multi-referenced expressions don't inline), which keeps the
+generated code per stage small. The whole engine remains a pure narrow
+map — no shuffle, no UDFs, pipelined with the scan at any scale.
 """
 
 from __future__ import annotations
@@ -89,137 +97,120 @@ def _was_quoted(raw_json: Column | None, sensor: str) -> Column:
     return F.coalesce(raw_json.rlike(f'"{sensor}"\\s*:\\s*"'), F.lit(False))
 
 
-class _SensorChecks:
-    """Per-sensor derived expressions, computed once and reused."""
+def validate_events(df: DataFrame, raw_json_col: str | None = None) -> DataFrame:
+    """Append validation outcome columns to a raw-event DataFrame.
 
-    def __init__(self, loc: Column, sensors: Column, raw_json: Column | None, sensor: str):
-        self.name = sensor
-        raw = sensors.getItem(sensor)
-        self.raw = raw
-        quoted = _was_quoted(raw_json, sensor)
+    Adds ``validation_status`` / ``validation_errors`` /
+    ``validation_warnings`` / ``dead_letter`` plus one ``sensor_<name>``
+    double column per sensor (the validated-cast value — the
+    reference's in-place conversion, lamda.py:109-117).
+    """
+    raw_json = F.col(raw_json_col) if raw_json_col else None
+    loc = F.col("loc_id")
+    sensors = F.col("sensor_data")
+    weather = F.col("weather_data")
+
+    # --- L1: probes + lexical flags ------------------------------------
+    key_cols = {
+        "event_id": F.col("event_id"),
+        "timestamp": F.col("timestamp"),
+        "sensor_data": sensors,
+        "weather_data": weather,
+        "location": F.col("location"),
+    }
+    l1: dict[str, Column] = {}
+    for s in SENSOR_NAMES:
+        l1[f"_raw_{s}"] = sensors.getItem(s)
+        l1[f"_q_{s}"] = _was_quoted(raw_json, s)
+    for k in REQUIRED_TOP_LEVEL_KEYS:
+        l1[f"_key_{k}"] = _key_present(raw_json, key_cols[k], k)
+    l1["_loc_missing"] = loc.isNull() | (loc == "")
+    l1["_sensors_empty"] = sensors.isNull() | (F.size(F.map_keys(sensors)) == 0)
+    l1["_has_temp_key"] = F.coalesce(F.map_contains_key(sensors, "temperature"), F.lit(False))
+    df = df.withColumns(l1)
+
+    # --- L2: casts + per-location bounds -------------------------------
+    l2: dict[str, Column] = {}
+    for s in SENSOR_NAMES:
         # try_cast: null on failure — the reference's try/except float()
         # (lamda.py:111-116) under Spark 4's default ANSI mode.
-        casted = raw.try_cast("double")
-        lo = range_min(loc, sensor)
-        hi = range_max(loc, sensor)
+        l2[f"_cast_{s}"] = F.col(f"_raw_{s}").try_cast("double")
+        l2[f"_lo_{s}"] = range_min(loc, s)
+        l2[f"_hi_{s}"] = range_max(loc, s)
+    l2["_loc_invalid"] = ~F.col("_loc_missing") & ~loc.isin(KNOWN_LOC_IDS)
+    df = df.withColumns(l2)
 
+    # --- L3: per-sensor predicate flags --------------------------------
+    l3: dict[str, Column] = {}
+    for s in SENSOR_NAMES:
+        raw, quoted, casted = F.col(f"_raw_{s}"), F.col(f"_q_{s}"), F.col(f"_cast_{s}")
+        lo, hi = F.col(f"_lo_{s}"), F.col(f"_hi_{s}")
         string_sentinel = raw.isin(EXTREME_STRING_SENTINELS)
         numeric_sentinel = casted.isin(EXTREME_NUMERIC_SENTINELS)
         # lamda.py:97-101 — null (absent or JSON-null) is itself a sentinel.
-        self.extreme = raw.isNull() | F.when(quoted, string_sentinel).otherwise(
+        extreme = raw.isNull() | F.when(quoted, string_sentinel).otherwise(
             string_sentinel | numeric_sentinel
         )
+        l3[f"_ext_{s}"] = extreme
         # lamda.py:109-117 — only quoted strings take the convert path.
-        self.invalid_type = ~self.extreme & quoted & casted.isNull()
-        self.type_converted = ~self.extreme & quoted & casted.isNotNull()
-        # Value as seen by the range check after in-place conversion.
-        self.value = casted
+        l3[f"_invtype_{s}"] = ~extreme & quoted & casted.isNull()
+        l3[f"_conv_{s}"] = ~extreme & quoted & casted.isNotNull()
         in_range = casted.between(lo, hi)
         buffer = (hi - lo) * F.lit(0.1)
         in_buffer = casted.between(lo - buffer, hi + buffer)
-        checkable = ~self.extreme & ~self.invalid_type
-        self.out_of_range = checkable & ~in_range & ~in_buffer
-        self.near_threshold = checkable & ~in_range & in_buffer
-        # Numeric (post-conversion) at the time of the weather cross-check:
-        # originally-numeric JSON stays numeric; a quoted string is numeric
-        # only if the convert branch actually ran (i.e. it was not a
-        # sentinel — sentinels `continue` before conversion, lamda.py:98-101).
-        self.numeric_after_loop = raw.isNotNull() & (
-            ~quoted | (~self.extreme & casted.isNotNull())
-        )
-        # Lexical rendering Python would produce in the f-string at
-        # lamda.py:137 (ints keep no '.0'; converted strings render as float).
-        self.py_repr = F.when(quoted, casted.cast("string")).otherwise(raw)
+        checkable = ~extreme & ~l3[f"_invtype_{s}"]
+        l3[f"_oor_{s}"] = checkable & ~in_range & ~in_buffer
+        l3[f"_near_{s}"] = checkable & ~in_range & in_buffer
+    # Temperature extras for the weather cross-check: numeric-after-loop
+    # (originally-numeric stays numeric; quoted is numeric only if the
+    # convert branch ran — sentinels `continue` first, lamda.py:98-101)
+    # and the lexical rendering Python's f-string would produce.
+    t_raw, t_q, t_cast = F.col("_raw_temperature"), F.col("_q_temperature"), F.col("_cast_temperature")
+    l3["_t_num"] = t_raw.isNotNull() & (~t_q | (~l3["_ext_temperature"] & t_cast.isNotNull()))
+    df = df.withColumns(l3)
 
-        self.error = (
-            F.when(self.extreme, F.lit(f"sensor_data:{sensor}_extreme_value"))
-            .when(self.invalid_type, F.lit(f"sensor_data:{sensor}_invalid_type"))
-            .when(self.out_of_range, F.lit(f"sensor_data:{sensor}_out_of_range"))
-        )
-        self.warning_converted = F.when(
-            self.type_converted, F.lit(f"sensor_data:{sensor}_type_converted")
-        )
-        self.warning_near = F.when(self.near_threshold, F.lit(f"sensor_data:{sensor}_near_threshold"))
-
-
-def validation_columns(
-    loc: Column,
-    event_id: Column,
-    timestamp: Column,
-    location: Column,
-    sensors: Column,
-    weather: Column,
-    raw_json: Column | None = None,
-) -> dict[str, Column]:
-    """Build the full validation outcome as a dict of named Columns.
-
-    Returns ``validation_status`` / ``validation_errors`` /
-    ``validation_warnings`` / ``dead_letter`` plus one
-    ``sensor_<name>`` double column per sensor (the validated-cast
-    value, lamda.py:109-117's in-place conversion).
-    """
-    loc_missing = loc.isNull() | (loc == "")
-    loc_invalid = ~loc_missing & ~loc.isin(KNOWN_LOC_IDS)
-    sensors_empty = sensors.isNull() | (F.size(F.map_keys(sensors)) == 0)
-
-    # lamda.py:82-86 — required-key errors, in declaration order.
-    key_cols = {
-        "event_id": event_id,
-        "timestamp": timestamp,
-        "sensor_data": sensors,
-        "weather_data": weather,
-        "location": location,
-    }
+    # --- L4: arrays + outputs ------------------------------------------
     required_key_errors = [
-        F.when(
-            ~_key_present(raw_json, key_cols[k], k),
-            F.lit(f"missing_top_level_key:{k}"),
-        )
+        F.when(~F.col(f"_key_{k}"), F.lit(f"missing_top_level_key:{k}"))
         for k in REQUIRED_TOP_LEVEL_KEYS
     ]
-
-    checks = [_SensorChecks(loc, sensors, raw_json, s) for s in SENSOR_NAMES]
-    sensor_errors = [c.error for c in checks]
+    sensor_errors = [
+        F.when(F.col(f"_ext_{s}"), F.lit(f"sensor_data:{s}_extreme_value"))
+        .when(F.col(f"_invtype_{s}"), F.lit(f"sensor_data:{s}_invalid_type"))
+        .when(F.col(f"_oor_{s}"), F.lit(f"sensor_data:{s}_out_of_range"))
+        for s in SENSOR_NAMES
+    ]
     sensor_warnings: list[Column] = []
-    for c in checks:
-        sensor_warnings.append(c.warning_converted)
-        sensor_warnings.append(c.warning_near)
+    for s in SENSOR_NAMES:
+        sensor_warnings.append(
+            F.when(F.col(f"_conv_{s}"), F.lit(f"sensor_data:{s}_type_converted"))
+        )
+        sensor_warnings.append(
+            F.when(F.col(f"_near_{s}"), F.lit(f"sensor_data:{s}_near_threshold"))
+        )
 
-    temp = next(c for c in checks if c.name == "temperature")
     weather_temp = weather.getField("temperature_2m")
     crosscheck_applies = (
-        ~sensors_empty
-        & F.map_contains_key(sensors, "temperature")
+        ~F.col("_sensors_empty")
+        & F.col("_has_temp_key")
         & weather.isNotNull()
         & weather_temp.isNotNull()
     )
-    # lamda.py:129-137: abs(sensor - weather) > 15 => warning. Two paths
-    # raise TypeError in the reference and dead-letter instead of getting
-    # a status: (a) a string/None temperature reaching the subtraction;
-    # (b) an explicit-null weather_data — the key IS in data, so the
-    # cross-check runs `"temperature_2m" in None` and crashes.
-    eligible = ~loc_missing & ~loc_invalid & ~sensors_empty
-    weather_explicit_null = (
-        _key_present(raw_json, weather, "weather_data") & weather.isNull()
+    # lamda.py:129-137: abs(sensor - weather) > 15 => warning.
+    mismatch = crosscheck_applies & F.col("_t_num") & (
+        F.abs(t_cast - weather_temp) > 15
     )
-    dead_letter = eligible & (
-        (crosscheck_applies & ~temp.numeric_after_loop)
-        | (F.map_contains_key(sensors, "temperature") & weather_explicit_null)
-    )
-    mismatch = crosscheck_applies & temp.numeric_after_loop & (
-        F.abs(temp.value - weather_temp) > 15
-    )
-    # f"temperature_mismatch:{sensor}vs{weather}" — repr of the floats.
+    t_repr = F.when(t_q, t_cast.cast("string")).otherwise(t_raw)
     mismatch_warning = F.when(
         mismatch,
         F.concat(
-            F.lit("temperature_mismatch:"),
-            temp.py_repr,
-            F.lit("vs"),
+            F.lit("temperature_mismatch:"), t_repr, F.lit("vs"),
             weather_temp.cast("string"),
         ),
     )
 
+    loc_missing, loc_invalid = F.col("_loc_missing"), F.col("_loc_invalid")
+    sensors_empty = F.col("_sensors_empty")
     errors = (
         F.when(loc_missing, F.array(F.lit("missing_loc_id")))
         .when(loc_invalid, F.array(F.concat(F.lit("invalid_loc_id:"), loc)))
@@ -233,38 +224,31 @@ def validation_columns(
         F.when(loc_missing | loc_invalid | sensors_empty, F.array().cast("array<string>"))
         .otherwise(F.array_compact(F.array(*sensor_warnings, mismatch_warning)))
     )
-    status = (
-        F.when(F.size(errors) > 0, F.lit("INVALID"))
-        .when(F.size(warnings) > 0, F.lit("WARNING"))
-        .otherwise(F.lit("VALID"))
+    eligible = ~loc_missing & ~loc_invalid & ~sensors_empty
+    weather_explicit_null = F.col("_key_weather_data") & weather.isNull()
+    dead_letter = eligible & (
+        (crosscheck_applies & ~F.col("_t_num"))
+        | (F.col("_has_temp_key") & weather_explicit_null)
     )
 
-    out: dict[str, Column] = {
+    l4: dict[str, Column] = {
         "validation_errors": errors,
         "validation_warnings": warnings,
-        "validation_status": status,
         "dead_letter": dead_letter,
     }
-    for c in checks:
+    for s in SENSOR_NAMES:
         # Validated double — null for sentinel / unconvertible values.
-        out[f"sensor_{c.name}"] = F.when(~c.extreme & ~c.invalid_type, c.value)
-    return out
+        l4[f"sensor_{s}"] = F.when(
+            ~F.col(f"_ext_{s}") & ~F.col(f"_invtype_{s}"), F.col(f"_cast_{s}")
+        )
+    df = df.withColumns(l4)
 
-
-def validate_events(df: DataFrame, raw_json_col: str | None = None) -> DataFrame:
-    """Append validation outcome columns to a raw-event DataFrame.
-
-    One narrow map stage — no shuffle; safe to run inline with the
-    ingest scan at any scale.
-    """
-    raw_json = F.col(raw_json_col) if raw_json_col else None
-    cols = validation_columns(
-        loc=F.col("loc_id"),
-        event_id=F.col("event_id"),
-        timestamp=F.col("timestamp"),
-        location=F.col("location"),
-        sensors=F.col("sensor_data"),
-        weather=F.col("weather_data"),
-        raw_json=raw_json,
+    # --- L5: status fold + cleanup -------------------------------------
+    df = df.withColumn(
+        "validation_status",
+        F.when(F.size("validation_errors") > 0, F.lit("INVALID"))
+        .when(F.size("validation_warnings") > 0, F.lit("WARNING"))
+        .otherwise(F.lit("VALID")),
     )
-    return df.withColumns(cols)
+    temp_cols = [c for c in df.columns if c.startswith("_")]
+    return df.drop(*temp_cols)

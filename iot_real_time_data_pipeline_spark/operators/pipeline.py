@@ -156,9 +156,15 @@ def flat_lake_row(processed: DataFrame) -> DataFrame:
 
 
 def exploded_alerts(processed: DataFrame) -> DataFrame:
-    """One row per fired alert — the SNS-sink feed (S7)."""
+    """One row per fired alert — the SNS-sink feed (S7).
+
+    No ``size(alerts) > 0`` pre-filter: ``explode`` (non-outer) already
+    drops empty-array rows, and a Filter over the layered validation
+    projections triggers Catalyst's exponential constraint-propagation
+    blowup (see ``entrypoints.read_table``).
+    """
     return (
-        processed.filter(F.size("alerts") > 0)
+        processed
         .select(
             "event_id",
             "loc_id",

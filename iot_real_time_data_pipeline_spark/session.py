@@ -44,6 +44,10 @@ def build_session(
         # 10 MB default is conservative; dims here are tiny and the
         # documents/embeddings side tables comfortably broadcast.
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # Filters over the layered validation projections trigger
+        # exponential InferFiltersFromConstraints planning cost; the
+        # rule buys nothing for this engine's plans (see PERF.md).
+        .config("spark.sql.constraintPropagation.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")

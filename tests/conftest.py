@@ -13,6 +13,7 @@ def spark():
         .appName("engine-tests")
         .config("spark.sql.shuffle.partitions", "4")
         .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.constraintPropagation.enabled", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()
@@ -82,3 +83,8 @@ def event_json(
     for k in drop_keys:
         rec.pop(k, None)
     return json.dumps(rec)
+
+
+# Keep test sessions aligned with production session tuning (see
+# session.py): constraint propagation off — Filters over the layered
+# validation projections otherwise cost exponential plan time.
