@@ -81,6 +81,13 @@ def q_ivf_topk(spark, sf_dir):
     return SIM.ivf_topk(_emb(spark, sf_dir), _emb_queries(spark, sf_dir), k=3)
 
 
+COSINE_DUP_THRESHOLD = 0.45
+
+
+def q_cosine_dup_pairs(spark, sf_dir):
+    return SIM.cosine_dup_pairs(_emb(spark, sf_dir), threshold=COSINE_DUP_THRESHOLD)
+
+
 def q_label_centroids(spark, sf_dir):
     return SIM.label_centroids(_emb(spark, sf_dir))
 
@@ -101,6 +108,7 @@ def llm_queries() -> dict[str, QueryFn]:
         "docs_fingerprints": q_fingerprints,
         "emb_cosine_topk": q_cosine_topk,
         "emb_ivf_topk": q_ivf_topk,
+        "emb_cosine_dup_pairs": q_cosine_dup_pairs,
         "emb_label_centroids": q_label_centroids,
         "mm_image_features": q_multimodal_features,
     }
@@ -372,6 +380,21 @@ SELECT query_id, rank, neighbor_id, round(cosine, 6) AS cosine
 FROM ranked WHERE rank <= {k}"""
 
 
+def _sql_cosine_dup_pairs() -> str:
+    return f"""
+WITH {_EMB_CTE},
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.v AS qv, b.v AS cv
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT vec_a, vec_b, {_DOT} / ({_NORM_Q} * {_NORM_C}) AS cosine
+  FROM pairs
+)
+SELECT vec_a, vec_b, round(cosine, 6) AS cosine
+FROM scored WHERE cosine >= {COSINE_DUP_THRESHOLD}"""
+
+
 def _sql_label_centroids() -> str:
     return """
 SELECT label, i AS dim,
@@ -403,6 +426,7 @@ def llm_oracle_sql() -> dict[str, str]:
         "docs_fingerprints": _sql_fingerprints(),
         "emb_cosine_topk": _sql_cosine_topk(),
         "emb_ivf_topk": _sql_ivf_topk(),
+        "emb_cosine_dup_pairs": _sql_cosine_dup_pairs(),
         "emb_label_centroids": _sql_label_centroids(),
         "mm_image_features": _sql_multimodal(),
     }

@@ -125,6 +125,32 @@ def ivf_topk(
     return _topk(_scored_pairs(qb, eb, join_on="bucket"), k)
 
 
+def cosine_dup_pairs(embeddings: DataFrame, threshold: float = 0.45) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact, upper triangle).
+
+    The correctness baseline: scores every i<j pair. O(n²/2) by
+    definition — run it on candidate sets, not corpora. The scale path
+    is the same scoring after LSH/IVF candidate generation
+    (``ivf_topk``'s bucket join), trading recall for the quadratic;
+    exact cosine thresholding admits no lossless prefilter.
+    """
+    e = embeddings.select(
+        F.col("vec_id"), as_double(F.col("embedding")).alias("v")
+    )
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("qe"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("ce"))
+    return (
+        b.crossJoin(F.broadcast(a))
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn(
+            "cosine",
+            dot(F.col("qe"), F.col("ce")) / (norm(F.col("qe")) * norm(F.col("ce"))),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
 def label_centroids(embeddings: DataFrame) -> DataFrame:
     """Per-label mean embedding, long form (label, pos, centroid).
 
