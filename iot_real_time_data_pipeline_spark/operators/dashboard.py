@@ -34,6 +34,36 @@ def farm_name(loc_col) -> F.Column:
     return expr.otherwise(loc_col)
 
 
+def with_slicers(
+    fact: DataFrame,
+    dim_location: DataFrame | None = None,
+    date_from=None,
+    date_to=None,
+    farms: list[str] | None = None,
+) -> DataFrame:
+    """The dashboard's two global slicers (date range + farm,
+    Dashboard.jpg right edge) as pre-filters for any visual.
+
+    Date bounds prune on ``full_date``; the farm slicer resolves display
+    names through dim_location (broadcast) and semi-joins the fact.
+    Applied before any visual, Catalyst pushes the date predicate into
+    the fact scan (parquet row-group pruning at scale).
+    """
+    out = fact
+    if date_from is not None:
+        out = out.filter(F.col("full_date") >= F.lit(date_from).cast("timestamp"))
+    if date_to is not None:
+        out = out.filter(F.col("full_date") < F.lit(date_to).cast("timestamp"))
+    if farms:
+        if dim_location is None:
+            raise ValueError("farm slicer needs dim_location")
+        keys = dim_location.filter(
+            farm_name(F.col("loc_id")).isin(farms)
+        ).select("location_key")
+        out = out.join(F.broadcast(keys), "location_key", "left_semi")
+    return out
+
+
 def avg_temperature(fact: DataFrame) -> DataFrame:
     """D1 — 'Average Temperature' tile."""
     return fact.agg(F.avg("soil_temperature").alias("avg_temperature"))

@@ -89,3 +89,35 @@ def test_d8_d9_farm_names(star):
     water = {r.farm: r.total_water_level for r in
              D.water_level_by_farm(star["fact"], star["dim_location"]).collect()}
     assert water == {"Toshka": 3.0, "Sharq El Owainat": 3.0}
+
+
+def test_slicers_filter_date_and_farm(star):
+    import datetime
+
+    got = D.avg_temperature(
+        D.with_slicers(
+            star["fact"],
+            star["dim_location"],
+            date_from=datetime.datetime(2024, 3, 1, 6, 30),
+            farms=["Sharq El Owainat"],
+        )
+    ).collect()[0]
+    assert got.avg_temperature == 40.0  # only e3 survives both slicers
+
+
+def test_slicer_date_pushes_to_scan(star, spark, tmp_path):
+    # the date predicate must reach the parquet scan as a pushed filter
+    p = str(tmp_path / "fact_pq")
+    star["fact"].write.parquet(p)
+    fact = spark.read.parquet(p)
+    import datetime
+
+    plan = (
+        D.with_slicers(fact, date_from=datetime.datetime(2024, 3, 1, 6, 30))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # note: no inferred IsNotNull — constraint propagation is disabled
+    # session-wide (see session.py); the range predicate itself reaches
+    # the parquet scan for row-group pruning.
+    assert "DataFilters: [(full_date" in plan
+    assert "GreaterThanOrEqual(full_date" in plan or "full_date" in plan.split("PushedFilters")[-1][:120]
