@@ -163,7 +163,10 @@ def iot_raw_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def iot_processed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return process_events(iot_raw_events(spark, sf_dir))
+    # Persist: every driver query re-derives this plan; Spark's cache
+    # manager matches the identical analyzed plan across calls, so the
+    # validation/alert pass runs once per session instead of per query.
+    return process_events(iot_raw_events(spark, sf_dir)).persist()
 
 
 def iot_staging(spark: SparkSession, sf_dir: str) -> DataFrame:
