@@ -30,6 +30,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .functions.alerts import with_alerts
+from .functions.validation import attach_validation_arrays
 from .operators.pipeline import process_events, to_staging
 from .operators.star_schema import incremental_load
 from .schemas import SENSOR_NAMES, WEATHER_FIELDS
@@ -75,7 +77,18 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # query surface (no inferred-IsNotNull join pruning opportunities),
     # so turn it off for the session.
     spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # Parquet splits at row-group granularity; the driver's test files
+    # are single-row-group, so without this the scan yields ONE
+    # partition and every narrow stage above it (validation, minhash,
+    # cosine math) runs single-threaded. Repartition up to the cluster
+    # width — a few-MB shuffle locally. At production scale the scan
+    # already yields >= parallelism splits and this is a no-op (never a
+    # coalesce: guarded, so a 100 TB scan keeps its thousands of splits).
+    parallelism = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        df = df.repartition(parallelism)
+    return df
 
 
 def _nanos_to_ts(df: DataFrame, col: str) -> DataFrame:
@@ -163,10 +176,16 @@ def iot_raw_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def iot_processed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Persist: every driver query re-derives this plan; Spark's cache
-    # manager matches the identical analyzed plan across calls, so the
-    # validation/alert pass runs once per session instead of per query.
-    return process_events(iot_raw_events(spark, sf_dir)).persist()
+    # Persist the FLAG-level frame (all-boolean rule outcomes, no string
+    # arrays / alert structs): every driver query re-derives this plan,
+    # and Spark's cache manager matches the identical analyzed plan
+    # across calls, so the validation pass runs once per session. The
+    # arrays/alerts are assembled lazily ABOVE the cache — status-only
+    # consumers (staging, dashboards) prune them entirely, sink-shaped
+    # consumers rebuild them from cached booleans, and the cache
+    # boundary keeps each codegen region under janino's 64 KB limit.
+    flagged = process_events(iot_raw_events(spark, sf_dir), assemble=False).persist()
+    return attach_validation_arrays(with_alerts(flagged))
 
 
 def iot_staging(spark: SparkSession, sf_dir: str) -> DataFrame:

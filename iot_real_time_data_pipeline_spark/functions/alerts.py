@@ -40,9 +40,9 @@ RECOMMENDED_ACTIONS = {
 DEFAULT_ACTION = "Investigate the issue and contact technical support"
 
 
-def _alert(cond: Column, type_: str, priority: Column | str, description: Column) -> Column:
+def _alert(cond: Column, type_: str, priority: Column | str, description: Column) -> tuple[Column, Column]:
     prio = F.lit(priority) if isinstance(priority, str) else priority
-    return F.when(
+    return (
         cond,
         F.struct(
             F.lit(type_).alias("type"),
@@ -70,17 +70,27 @@ def alerts_column(
     nitrogen: Column,
     phosphorus: Column,
     potassium: Column,
+    error_class_flags: dict[str, Column] | None = None,
 ) -> Column:
     """``array<struct<type,priority,description>>`` of fired alerts.
 
     Numeric inputs must be the validated-cast doubles
     (``validation.validation_columns``'s ``sensor_<name>`` outputs) so
     the "is numeric" guards of the reference hold (null => rule skipped).
+
+    ``error_class_flags`` maps ``extreme_value`` / ``missing`` /
+    ``out_of_range`` to precomputed booleans (``validate_events``'s
+    ``_errcls_*``). When given, R1 uses them instead of scanning the
+    error array with ``exists()`` — a lambda HOF that evaluates
+    interpreted per row *and* forces the array to materialize, defeating
+    column pruning for consumers that never project it.
     """
     invalid = status == "INVALID"
     operational = status.isin("VALID", "WARNING")
 
     def has_sensor_error(fragment: str) -> Column:
+        if error_class_flags is not None:
+            return error_class_flags[fragment]
         return F.exists(
             errors,
             lambda e: e.startswith("sensor_data") & e.contains(fragment),
@@ -153,12 +163,27 @@ def alerts_column(
     ]
 
     all_alerts = critical + [high_temp, low_temp, low_water, high_water, ph_alert] + nutrient_alerts
-    return F.array_compact(F.array(*all_alerts))
+    # concat of conditional singletons, not array_compact(array(...)):
+    # array_compact rewrites to a lambda filter() HOF (interpreted);
+    # Concat/CaseWhen/CreateArray stay in whole-stage codegen.
+    empty = F.array().cast(f"array<{ALERT_STRUCT_DDL}>")
+    return F.concat(*[F.when(c, F.array(v)).otherwise(empty) for c, v in all_alerts])
 
 
 def with_alerts(df: DataFrame) -> DataFrame:
-    """Append the ``alerts`` column to a validated-event DataFrame."""
-    return df.withColumn(
+    """Append the ``alerts`` column to a validated-event DataFrame.
+
+    Consumes (and drops) the ``_errcls_*`` flag columns when
+    ``validate_events(..., error_class_cols=True)`` produced them.
+    """
+    flags = None
+    if "_errcls_extreme" in df.columns:
+        flags = {
+            "extreme_value": F.col("_errcls_extreme"),
+            "missing": F.col("_errcls_missing"),
+            "out_of_range": F.col("_errcls_oor"),
+        }
+    out = df.withColumn(
         "alerts",
         alerts_column(
             status=F.col("validation_status"),
@@ -170,8 +195,10 @@ def with_alerts(df: DataFrame) -> DataFrame:
             nitrogen=F.col("sensor_nitrogen"),
             phosphorus=F.col("sensor_phosphorus"),
             potassium=F.col("sensor_potassium"),
+            error_class_flags=flags,
         ),
     )
+    return out.drop("_errcls_extreme", "_errcls_missing", "_errcls_oor")
 
 
 def recommended_action(alert_type: Column) -> Column:

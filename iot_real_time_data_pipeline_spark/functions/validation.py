@@ -97,13 +97,55 @@ def _was_quoted(raw_json: Column | None, sensor: str) -> Column:
     return F.coalesce(raw_json.rlike(f'"{sensor}"\\s*:\\s*"'), F.lit(False))
 
 
-def validate_events(df: DataFrame, raw_json_col: str | None = None) -> DataFrame:
-    """Append validation outcome columns to a raw-event DataFrame.
+def _conditional_array(pairs: list[tuple[Column, Column]], elem_ddl: str = "string") -> Column:
+    """``concat`` of per-condition single-element arrays.
 
-    Adds ``validation_status`` / ``validation_errors`` /
-    ``validation_warnings`` / ``dead_letter`` plus one ``sensor_<name>``
-    double column per sensor (the validated-cast value — the
-    reference's in-place conversion, lamda.py:109-117).
+    Equivalent to ``array_compact(array(when(c1,v1), when(c2,v2), …))``
+    but whole-stage-codegen friendly: ``array_compact`` is runtime-
+    replaced by a lambda ``filter()`` higher-order function, which
+    evaluates interpreted per row; ``Concat``/``CaseWhen``/
+    ``CreateArray`` all generate Java. Order of fired elements is
+    preserved.
+    """
+    empty = F.array().cast(f"array<{elem_ddl}>")
+    return F.concat(*[F.when(c, F.array(v)).otherwise(empty) for c, v in pairs])
+
+
+def _any(flags: list[Column]) -> Column:
+    out = flags[0]
+    for f in flags[1:]:
+        out = out | f
+    return out
+
+
+def validate_flags(
+    df: DataFrame,
+    raw_json_col: str | None = None,
+    error_class_cols: bool = False,
+) -> DataFrame:
+    """Rule evaluation WITHOUT the string-array assembly.
+
+    Appends ``validation_status`` / ``dead_letter`` / ``sensor_<name>``
+    doubles plus the internal ``_*`` boolean rule flags that
+    ``attach_validation_arrays`` later folds into the
+    ``validation_errors`` / ``validation_warnings`` arrays.
+
+    The two-phase split exists for the execution model, not the
+    semantics: the flag frame is what a long-lived deployment should
+    ``persist()`` — all-boolean columns, cheap to cache — while the
+    arrays are assembled lazily *above* the cache boundary, only for
+    the sinks that actually emit them (lake rows, alert feeds).
+    Status-only consumers (staging, dashboards, routing) prune the
+    assembly away entirely. The cache boundary also keeps each
+    whole-stage-codegen region small enough to compile (the fully fused
+    scan→flags→arrays→sink plan exceeds janino's 64 KB method limit
+    and would silently fall back to interpreted evaluation).
+
+    With ``error_class_cols=True``, three ``_errcls_*`` booleans (did
+    any sensor fire extreme / missing / out-of-range) are added for the
+    alert engine's R1 class checks (lamda.py:163-182), replacing an
+    interpreted ``exists()`` scan over the error array; the caller is
+    expected to drop them (``with_alerts`` does).
     """
     raw_json = F.col(raw_json_col) if raw_json_col else None
     loc = F.col("loc_id")
@@ -169,26 +211,7 @@ def validate_events(df: DataFrame, raw_json_col: str | None = None) -> DataFrame
     l3["_t_num"] = t_raw.isNotNull() & (~t_q | (~l3["_ext_temperature"] & t_cast.isNotNull()))
     df = df.withColumns(l3)
 
-    # --- L4: arrays + outputs ------------------------------------------
-    required_key_errors = [
-        F.when(~F.col(f"_key_{k}"), F.lit(f"missing_top_level_key:{k}"))
-        for k in REQUIRED_TOP_LEVEL_KEYS
-    ]
-    sensor_errors = [
-        F.when(F.col(f"_ext_{s}"), F.lit(f"sensor_data:{s}_extreme_value"))
-        .when(F.col(f"_invtype_{s}"), F.lit(f"sensor_data:{s}_invalid_type"))
-        .when(F.col(f"_oor_{s}"), F.lit(f"sensor_data:{s}_out_of_range"))
-        for s in SENSOR_NAMES
-    ]
-    sensor_warnings: list[Column] = []
-    for s in SENSOR_NAMES:
-        sensor_warnings.append(
-            F.when(F.col(f"_conv_{s}"), F.lit(f"sensor_data:{s}_type_converted"))
-        )
-        sensor_warnings.append(
-            F.when(F.col(f"_near_{s}"), F.lit(f"sensor_data:{s}_near_threshold"))
-        )
-
+    # --- L4: row-level outcome flags (no array assembly) ---------------
     weather_temp = weather.getField("temperature_2m")
     crosscheck_applies = (
         ~F.col("_sensors_empty")
@@ -200,13 +223,105 @@ def validate_events(df: DataFrame, raw_json_col: str | None = None) -> DataFrame
     mismatch = crosscheck_applies & F.col("_t_num") & (
         F.abs(t_cast - weather_temp) > 15
     )
-    t_repr = F.when(t_q, t_cast.cast("string")).otherwise(t_raw)
-    mismatch_warning = F.when(
-        mismatch,
-        F.concat(
-            F.lit("temperature_mismatch:"), t_repr, F.lit("vs"),
-            weather_temp.cast("string"),
+    loc_missing, loc_invalid = F.col("_loc_missing"), F.col("_loc_invalid")
+    sensors_empty = F.col("_sensors_empty")
+    eligible = ~loc_missing & ~loc_invalid & ~sensors_empty
+    weather_explicit_null = F.col("_key_weather_data") & weather.isNull()
+    dead_letter = eligible & (
+        (crosscheck_applies & ~F.col("_t_num"))
+        | (F.col("_has_temp_key") & weather_explicit_null)
+    )
+
+    # Boolean fold of "would the arrays be non-empty" — bypasses the
+    # arrays so status-only consumers prune their assembly. The
+    # `sensors_empty` branch always errors (missing_sensor_data), the
+    # loc branches likewise; warnings only matter for eligible rows
+    # (ineligible rows already classified INVALID).
+    any_error = (
+        loc_missing
+        | loc_invalid
+        | sensors_empty
+        | _any([~F.col(f"_key_{k}") for k in REQUIRED_TOP_LEVEL_KEYS])
+        | _any(
+            [F.col(f"_{kind}_{s}") for s in SENSOR_NAMES for kind in ("ext", "invtype", "oor")]
+        )
+    )
+    any_warning = (
+        _any([F.col(f"_{kind}_{s}") for s in SENSOR_NAMES for kind in ("conv", "near")])
+        | mismatch
+    )
+
+    l4: dict[str, Column] = {
+        "_mismatch": mismatch,
+        "dead_letter": dead_letter,
+        "validation_status": (
+            F.when(any_error, F.lit("INVALID"))
+            .when(any_warning, F.lit("WARNING"))
+            .otherwise(F.lit("VALID"))
         ),
+    }
+    if error_class_cols:
+        # R1's `exists(errors, e -> startswith('sensor_data') & contains(cls))`
+        # as plain booleans. "missing" never matches: per-sensor missing
+        # classifies as extreme_value (None is a sentinel, lamda.py:97),
+        # and no other sensor_data:* error string contains "missing".
+        l4["_errcls_extreme"] = eligible & _any([F.col(f"_ext_{s}") for s in SENSOR_NAMES])
+        l4["_errcls_missing"] = F.lit(False)
+        l4["_errcls_oor"] = eligible & _any([F.col(f"_oor_{s}") for s in SENSOR_NAMES])
+    for s in SENSOR_NAMES:
+        # Validated double — null for sentinel / unconvertible values.
+        l4[f"sensor_{s}"] = F.when(
+            ~F.col(f"_ext_{s}") & ~F.col(f"_invtype_{s}"), F.col(f"_cast_{s}")
+        )
+    df = df.withColumns(l4)
+
+    # Shed the L1/L2 intermediates nothing downstream reads — the flag
+    # frame is built to be persisted, and every retired column is cache
+    # build + storage saved. Temperature's raw/quoted/cast survive for
+    # the mismatch-warning text (lamda.py:135 renders both operands).
+    drop = ["_t_num", "_has_temp_key"]
+    for s in SENSOR_NAMES:
+        drop += [f"_lo_{s}", f"_hi_{s}"]
+        if s != "temperature":
+            drop += [f"_raw_{s}", f"_q_{s}", f"_cast_{s}"]
+    return df.drop(*drop)
+
+
+def attach_validation_arrays(df: DataFrame) -> DataFrame:
+    """Fold the ``_*`` rule flags into the ``validation_errors`` /
+    ``validation_warnings`` string arrays, then drop the flags
+    (``_errcls_*`` excepted — ``with_alerts`` owns those).
+
+    Pure function of ``validate_flags``'s output; membership and order
+    match the reference's append order exactly (lamda.py:60-150). The
+    three per-sensor error flags are mutually exclusive by construction
+    (L3), so flattening the original per-sensor when-chain into
+    per-flag slots preserves both.
+    """
+    loc = F.col("loc_id")
+    weather = F.col("weather_data")
+    required_key_errors = [
+        (~F.col(f"_key_{k}"), F.lit(f"missing_top_level_key:{k}"))
+        for k in REQUIRED_TOP_LEVEL_KEYS
+    ]
+    sensor_errors: list[tuple[Column, Column]] = []
+    sensor_warnings: list[tuple[Column, Column]] = []
+    for s in SENSOR_NAMES:
+        sensor_errors += [
+            (F.col(f"_ext_{s}"), F.lit(f"sensor_data:{s}_extreme_value")),
+            (F.col(f"_invtype_{s}"), F.lit(f"sensor_data:{s}_invalid_type")),
+            (F.col(f"_oor_{s}"), F.lit(f"sensor_data:{s}_out_of_range")),
+        ]
+        sensor_warnings += [
+            (F.col(f"_conv_{s}"), F.lit(f"sensor_data:{s}_type_converted")),
+            (F.col(f"_near_{s}"), F.lit(f"sensor_data:{s}_near_threshold")),
+        ]
+
+    t_raw, t_q, t_cast = F.col("_raw_temperature"), F.col("_q_temperature"), F.col("_cast_temperature")
+    t_repr = F.when(t_q, t_cast.cast("string")).otherwise(t_raw)
+    mismatch_warning = F.concat(
+        F.lit("temperature_mismatch:"), t_repr, F.lit("vs"),
+        weather.getField("temperature_2m").cast("string"),
     )
 
     loc_missing, loc_invalid = F.col("_loc_missing"), F.col("_loc_invalid")
@@ -216,39 +331,41 @@ def validate_events(df: DataFrame, raw_json_col: str | None = None) -> DataFrame
         .when(loc_invalid, F.array(F.concat(F.lit("invalid_loc_id:"), loc)))
         .when(
             sensors_empty,
-            F.array_compact(F.array(*required_key_errors, F.lit("missing_sensor_data"))),
+            F.concat(
+                _conditional_array(required_key_errors),
+                F.array(F.lit("missing_sensor_data")),
+            ),
         )
-        .otherwise(F.array_compact(F.array(*required_key_errors, *sensor_errors)))
+        .otherwise(_conditional_array(required_key_errors + sensor_errors))
     )
     warnings = (
         F.when(loc_missing | loc_invalid | sensors_empty, F.array().cast("array<string>"))
-        .otherwise(F.array_compact(F.array(*sensor_warnings, mismatch_warning)))
-    )
-    eligible = ~loc_missing & ~loc_invalid & ~sensors_empty
-    weather_explicit_null = F.col("_key_weather_data") & weather.isNull()
-    dead_letter = eligible & (
-        (crosscheck_applies & ~F.col("_t_num"))
-        | (F.col("_has_temp_key") & weather_explicit_null)
-    )
-
-    l4: dict[str, Column] = {
-        "validation_errors": errors,
-        "validation_warnings": warnings,
-        "dead_letter": dead_letter,
-    }
-    for s in SENSOR_NAMES:
-        # Validated double — null for sentinel / unconvertible values.
-        l4[f"sensor_{s}"] = F.when(
-            ~F.col(f"_ext_{s}") & ~F.col(f"_invtype_{s}"), F.col(f"_cast_{s}")
+        .otherwise(
+            _conditional_array(sensor_warnings + [(F.col("_mismatch"), mismatch_warning)])
         )
-    df = df.withColumns(l4)
-
-    # --- L5: status fold + cleanup -------------------------------------
-    df = df.withColumn(
-        "validation_status",
-        F.when(F.size("validation_errors") > 0, F.lit("INVALID"))
-        .when(F.size("validation_warnings") > 0, F.lit("WARNING"))
-        .otherwise(F.lit("VALID")),
     )
-    temp_cols = [c for c in df.columns if c.startswith("_")]
-    return df.drop(*temp_cols)
+    df = df.withColumns({"validation_errors": errors, "validation_warnings": warnings})
+    keep = {"_errcls_extreme", "_errcls_missing", "_errcls_oor"}
+    return df.drop(*[c for c in df.columns if c.startswith("_") and c not in keep])
+
+
+def validate_events(
+    df: DataFrame,
+    raw_json_col: str | None = None,
+    error_class_cols: bool = False,
+) -> DataFrame:
+    """Append validation outcome columns to a raw-event DataFrame.
+
+    Adds ``validation_status`` / ``validation_errors`` /
+    ``validation_warnings`` / ``dead_letter`` plus one ``sensor_<name>``
+    double column per sensor (the validated-cast value — the
+    reference's in-place conversion, lamda.py:109-117).
+
+    One-shot composition of ``validate_flags`` +
+    ``attach_validation_arrays``; long-lived deployments that want the
+    cache boundary between the two phases call them separately (see
+    ``entrypoints.iot_processed``).
+    """
+    return attach_validation_arrays(
+        validate_flags(df, raw_json_col=raw_json_col, error_class_cols=error_class_cols)
+    )

@@ -16,7 +16,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.alerts import with_alerts
-from ..functions.validation import validate_events
+from ..functions.validation import attach_validation_arrays, validate_flags
 from ..schemas import SENSOR_NAMES, STAGING_COLUMNS
 from ..sources.events import RAW_JSON_COL
 
@@ -33,17 +33,27 @@ def event_time(col: Column) -> Column:
     )
 
 
-def process_events(parsed: DataFrame, clock: Column | None = None) -> DataFrame:
+def process_events(
+    parsed: DataFrame, clock: Column | None = None, assemble: bool = True
+) -> DataFrame:
     """Validate + alert a parsed raw-event DataFrame (one map stage).
 
     ``clock`` stands in for the reference's ``datetime.utcnow()``
     (lamda.py:441) — injectable so tests and oracles are deterministic.
+
+    ``assemble=False`` returns the flag-level frame (boolean rule flags
+    instead of the error/warning string arrays) for callers that want
+    to ``persist()`` it and attach the arrays lazily above the cache —
+    see ``validation.validate_flags`` for why. Finish with
+    ``attach_validation_arrays(with_alerts(flagged))``.
     """
     clock = clock if clock is not None else F.current_timestamp()
-    validated = validate_events(parsed, raw_json_col=RAW_JSON_COL)
-    validated = validated.withColumn("validation_timestamp", clock)
-    withalerts = with_alerts(validated)
-    return withalerts.withColumn("event_ts", event_time(F.col("timestamp")))
+    flagged = validate_flags(parsed, raw_json_col=RAW_JSON_COL, error_class_cols=True)
+    flagged = flagged.withColumn("validation_timestamp", clock)
+    flagged = flagged.withColumn("event_ts", event_time(F.col("timestamp")))
+    if not assemble:
+        return flagged
+    return attach_validation_arrays(with_alerts(flagged))
 
 
 def route(processed: DataFrame) -> dict[str, DataFrame]:
