@@ -53,11 +53,11 @@ def _alert(cond: Column, type_: str, priority: Column | str, description: Column
 
 
 def _nutrient_min(loc: Column, nutrient: str) -> Column:
-    expr = None
+    # Foldable literal-map lookup — see validation._per_location.
+    entries = []
     for loc_id, ranges in EXPECTED_RANGES_PER_LOCATION.items():
-        bound = F.lit(float(ranges[nutrient][0]))
-        expr = F.when(loc == loc_id, bound) if expr is None else expr.when(loc == loc_id, bound)
-    return expr
+        entries += [F.lit(loc_id), F.lit(float(ranges[nutrient][0]))]
+    return F.element_at(F.create_map(*entries), loc)
 
 
 def alerts_column(

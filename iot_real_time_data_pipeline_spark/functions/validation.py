@@ -56,12 +56,19 @@ REQUIRED_TOP_LEVEL_KEYS = ["event_id", "timestamp", "sensor_data", "weather_data
 
 
 def _per_location(loc: Column, sensor: str, idx: int) -> Column:
-    """Literal (min or max) of the sensor range keyed by loc_id."""
-    expr = None
+    """Literal (min or max) of the sensor range keyed by loc_id.
+
+    ``element_at`` on an all-literal map: CreateMap of literals is
+    foldable, so ConstantFolding turns it into one map Literal and the
+    lookup generates a few lines of Java — versus a 3-branch string
+    when-chain × 12 bound columns, which bloats the generated class
+    (janino compile time and the 64 KB method ceiling both care).
+    Unknown/null loc_id yields null, like the when-chain fallthrough.
+    """
+    entries = []
     for loc_id, ranges in EXPECTED_RANGES_PER_LOCATION.items():
-        bound = F.lit(float(ranges[sensor][idx]))
-        expr = F.when(loc == loc_id, bound) if expr is None else expr.when(loc == loc_id, bound)
-    return expr
+        entries += [F.lit(loc_id), F.lit(float(ranges[sensor][idx]))]
+    return F.element_at(F.create_map(*entries), loc)
 
 
 def range_min(loc: Column, sensor: str) -> Column:
