@@ -29,6 +29,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.alerts import with_alerts
+from ..functions.validation import attach_validation_arrays
 from ..operators.pipeline import exploded_alerts, flat_lake_row, process_events, route
 from ..operators.star_schema import incremental_load
 from ..sources.events import read_raw_events_stream
@@ -66,7 +68,12 @@ def foreach_batch_loader(warehouse_dir: str, jsonl_mirror: bool = False):
         # empty micro-batches skip every sink write.
         if batch_df.isEmpty():
             return
-        processed = process_events(batch_df).persist()
+        # Two-phase: persist the boolean flag frame, assemble the
+        # error/warning arrays + alerts lazily above the cache (see
+        # validation.validate_flags — cheaper cache, compilable codegen
+        # regions, and status-only consumers prune the array assembly).
+        flagged = process_events(batch_df, assemble=False).persist()
+        processed = attach_validation_arrays(with_alerts(flagged))
         try:
             routed = route(processed)
 
@@ -120,7 +127,7 @@ def foreach_batch_loader(warehouse_dir: str, jsonl_mirror: bool = False):
                 h.unpersist()
             lake.unpersist()
         finally:
-            processed.unpersist()
+            flagged.unpersist()
 
     return _load
 
