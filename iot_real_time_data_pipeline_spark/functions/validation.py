@@ -28,15 +28,19 @@ columns; optionally a ``raw_json`` string column holding the original
 event JSON, used to distinguish quoted from numeric sensor values
 (without it, every value is assumed to have been numeric JSON).
 
-Physical shape: the rules evaluate in *layers* of ``withColumns`` —
-raw probes / quoted flags, casts and bounds, per-sensor predicate
-flags, then the error/warning arrays, then status. Each non-cheap
-subexpression (regex probe, try_cast, range predicates) lands in its
-own column, so it is computed once per row and downstream layers
-reference attributes. Catalyst keeps these projections separate
-(non-cheap multi-referenced expressions don't inline), which keeps the
-generated code per stage small. The whole engine remains a pure narrow
-map — no shuffle, no UDFs, pipelined with the scan at any scale.
+Physical shape: two phases. ``validate_flags`` evaluates the rules in
+*layers* of ``withColumns`` — raw probes / quoted flags, casts and
+bounds, per-sensor predicate flags, then status/dead-letter folded
+directly from the booleans. ``attach_validation_arrays`` turns the
+flags into the ``validation_errors``/``validation_warnings`` string
+arrays. The split lets deployments ``persist()`` the cheap all-boolean
+frame and assemble arrays only at sinks that emit them; because status
+never references the arrays, status-only consumers prune the assembly
+from the plan entirely. Everything is codegen-friendly (no lambda
+higher-order functions — see ``_conditional_array``), each non-cheap
+subexpression lands in its own column so it is computed once per row,
+and the whole engine remains a pure narrow map — no shuffle, no UDFs,
+pipelined with the scan at any scale.
 """
 
 from __future__ import annotations
