@@ -123,6 +123,7 @@ def main() -> None:
         "docs_language_id",
         "docs_quality",
         "docs_fingerprints",
+        "docs_tfidf_top_terms",
         "emb_cosine_topk",
         "emb_ivf_topk",
         "emb_label_centroids",

@@ -73,6 +73,10 @@ def q_fingerprints(spark, sf_dir):
     return TA.doc_fingerprints(_docs(spark, sf_dir))
 
 
+def q_tfidf(spark, sf_dir):
+    return TA.tfidf_top_terms(_docs(spark, sf_dir))
+
+
 def q_cosine_topk(spark, sf_dir):
     return SIM.cosine_topk(_emb(spark, sf_dir), _emb_queries(spark, sf_dir), k=5)
 
@@ -106,6 +110,7 @@ def llm_queries() -> dict[str, QueryFn]:
         "docs_language_id": q_language_id,
         "docs_quality": q_quality,
         "docs_fingerprints": q_fingerprints,
+        "docs_tfidf_top_terms": q_tfidf,
         "emb_cosine_topk": q_cosine_topk,
         "emb_ivf_topk": q_ivf_topk,
         "emb_cosine_dup_pairs": q_cosine_dup_pairs,
@@ -251,6 +256,27 @@ SELECT doc_id,
                list_transform(t, x -> CAST(len(x) AS BIGINT))), (a, x) -> a + x)
              / CAST(len(t) AS DOUBLE), 6) AS avg_token_len
 FROM toks"""
+
+
+def _sql_tfidf(k: int = 5) -> str:
+    # Ranking is (tf DESC, df ASC, term ASC) — integer/string only, so
+    # row selection can't be flipped by a 1-ulp ln() difference between
+    # engines; the double tf-idf is a rounded value column.
+    return f"""
+WITH {_TOKS_CTE},
+term_rows AS (SELECT doc_id, unnest(t) AS term FROM toks),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM term_rows GROUP BY doc_id, term),
+df_t AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df_t.df,
+         round(tf.tf * (ln((1.0 + n.n_docs) / (1.0 + df_t.df)) + 1.0), 6) AS tfidf,
+         row_number() OVER (
+           PARTITION BY tf.doc_id ORDER BY tf.tf DESC, df_t.df ASC, tf.term ASC
+         ) AS rank
+  FROM tf JOIN df_t USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, tfidf, rank FROM scored WHERE rank <= {k}"""
 
 
 def _sql_language_id() -> str:
@@ -424,6 +450,7 @@ def llm_oracle_sql() -> dict[str, str]:
         "docs_language_id": _sql_language_id(),
         "docs_quality": _sql_quality(),
         "docs_fingerprints": _sql_fingerprints(),
+        "docs_tfidf_top_terms": _sql_tfidf(),
         "emb_cosine_topk": _sql_cosine_topk(),
         "emb_ivf_topk": _sql_ivf_topk(),
         "emb_cosine_dup_pairs": _sql_cosine_dup_pairs(),

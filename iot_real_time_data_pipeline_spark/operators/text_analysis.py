@@ -6,6 +6,8 @@ token array) — no shuffles except the final small aggregations, no UDFs:
 - ``token_stats``      : per-document token counting (whitespace +
                          regex tokenizer), unique counts, type-token
                          ratio.
+- ``tfidf_top_terms``  : per-document top-k terms by smoothed tf-idf
+                         (deterministic integer ranking).
 - ``language_id``      : n-gram/stopword-profile language heuristic —
                          scores each candidate language's stopword hits
                          and takes the argmax (deterministic tie-break).
@@ -103,6 +105,58 @@ def quality_scores(docs: DataFrame, text_col: str = "text", id_col: str = "doc_i
         F.round(digits / n_chars.cast("double"), 6).alias("digit_ratio"),
         F.round(stop_ratio, 6).alias("stopword_ratio"),
         F.when(keep, F.lit("keep")).otherwise(F.lit("review")).alias("quality_route"),
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame, k: int = 5, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document top-``k`` terms with smoothed tf-idf scores.
+
+    Classic corpus statistics for LLM-data curation (term importance,
+    boilerplate detection). Plan shape at scale: explode -> partial-agg
+    ``groupBy(doc, term)`` (shuffle ∝ tokens, map-side combined), a
+    term-level ``groupBy`` for document frequency (shuffle ∝ distinct
+    terms), corpus size joined in as a broadcast scalar, and a per-doc
+    ``row_number`` window (shuffle on doc_id — bounded, one partition
+    per hash bucket of docs, never global).
+
+    idf uses the sklearn-style smooth form ``ln((1+N)/(1+df)) + 1``.
+    Ranking is by ``(tf DESC, df ASC, term ASC)`` — integers and
+    strings only, so the selected rows and their order are
+    deterministic across engines; ranking by the double tf-idf value
+    itself would let a 1-ulp ``ln`` difference flip near-ties between
+    Spark and the DuckDB oracle. The rounded score is reported as a
+    value column.
+    """
+    from pyspark.sql import Window
+
+    term_rows = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(TH.tokens(F.col(text_col))).alias("term"),
+    )
+    tf = term_rows.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df_t, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (F.log((1.0 + F.col("n_docs")) / (1.0 + F.col("df"))) + 1.0),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rank")
     )
 
 

@@ -63,6 +63,28 @@ def test_token_stats(docs):
     assert row.type_token_ratio == pytest.approx(8 / 9, abs=1e-6)
 
 
+def test_tfidf_top_terms(docs):
+    import math
+
+    out = TA.tfidf_top_terms(docs, k=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # k caps the per-doc term count; ranks are 1..k dense.
+    assert all(len(v) <= 3 for v in by_doc.values())
+    assert [r.rank for r in by_doc[1]] == [1, 2, 3]
+    # doc 1: 'the' has tf=2 (every other term tf=1) -> rank 1.
+    top = by_doc[1][0]
+    assert top.term == "the" and top.tf == 2
+    # 'the' appears in docs 1,2,3 -> df=3; smooth idf over N=5 docs.
+    assert top.df == 3
+    assert top.tfidf == pytest.approx(2 * (math.log(6.0 / 4.0) + 1.0), abs=1e-6)
+    # Deterministic ordering: (tf DESC, df ASC, term ASC).
+    key = lambda r: (-r.tf, r.df, r.term)  # noqa: E731
+    r2, r3 = by_doc[1][1], by_doc[1][2]
+    assert key(r2) <= key(r3)
+
+
 def test_language_id(docs):
     out = {(r.labeled_lang, r.predicted_lang): r.n_docs
            for r in TA.language_id(docs).collect()}
