@@ -259,9 +259,10 @@ FROM toks"""
 
 
 def _sql_tfidf(k: int = 5) -> str:
-    # Ranking is (tf DESC, df ASC, term ASC) — integer/string only, so
-    # row selection can't be flipped by a 1-ulp ln() difference between
-    # engines; the double tf-idf is a rounded value column.
+    # Ranking is by the integer-quantized tf-idf score (round(tfidf*1e6)
+    # as BIGINT) — true tf-idf order, immune to 1-ulp ln() differences
+    # between engines — with (tf, df, term) as the tiebreak; tfidf is
+    # the quantized score divided back so it sorts like the rank.
     return f"""
 WITH {_TOKS_CTE},
 term_rows AS (SELECT doc_id, unnest(t) AS term FROM toks),
@@ -270,13 +271,20 @@ df_t AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
 n AS (SELECT count(*) AS n_docs FROM documents),
 scored AS (
   SELECT tf.doc_id, tf.term, tf.tf, df_t.df,
-         round(tf.tf * (ln((1.0 + n.n_docs) / (1.0 + df_t.df)) + 1.0), 6) AS tfidf,
-         row_number() OVER (
-           PARTITION BY tf.doc_id ORDER BY tf.tf DESC, df_t.df ASC, tf.term ASC
-         ) AS rank
+         CAST(round(tf.tf * (ln((1.0 + n.n_docs) / (1.0 + df_t.df)) + 1.0) * 1e6)
+              AS BIGINT) AS score_q
   FROM tf JOIN df_t USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, term, tf, df,
+         CAST(score_q AS DOUBLE) / 1e6 AS tfidf,
+         row_number() OVER (
+           PARTITION BY doc_id
+           ORDER BY score_q DESC, tf DESC, df ASC, term ASC
+         ) AS rank
+  FROM scored
 )
-SELECT doc_id, term, tf, df, tfidf, rank FROM scored WHERE rank <= {k}"""
+SELECT doc_id, term, tf, df, tfidf, rank FROM ranked WHERE rank <= {k}"""
 
 
 def _sql_language_id() -> str:

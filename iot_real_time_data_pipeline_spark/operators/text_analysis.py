@@ -122,12 +122,16 @@ def tfidf_top_terms(
     per hash bucket of docs, never global).
 
     idf uses the sklearn-style smooth form ``ln((1+N)/(1+df)) + 1``.
-    Ranking is by ``(tf DESC, df ASC, term ASC)`` — integers and
-    strings only, so the selected rows and their order are
-    deterministic across engines; ranking by the double tf-idf value
-    itself would let a 1-ulp ``ln`` difference flip near-ties between
-    Spark and the DuckDB oracle. The rounded score is reported as a
-    value column.
+    Ranking is by the tf-idf score *quantized to an integer 1e-6 grid*
+    (``CAST(round(tfidf*1e6) AS BIGINT) DESC``) with ``(tf DESC, df
+    ASC, term ASC)`` as the tiebreak — true tf-idf order, yet still
+    deterministic across engines: ranking by the raw double would let
+    a 1-ulp ``ln`` difference flip near-ties between Spark and the
+    DuckDB oracle, whereas flipping the quantized key needs the
+    pre-rounded values to straddle a grid line within 1 ulp
+    (negligible). The reported ``tfidf`` column is the quantized score
+    divided back (``score_q / 1e6``) so the displayed value sorts
+    identically to the rank on both engines.
     """
     from pyspark.sql import Window
 
@@ -142,16 +146,20 @@ def tfidf_top_terms(
         tf.join(df_t, "term")
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
-            "tfidf",
+            "score_q",
             F.round(
                 F.col("tf")
-                * (F.log((1.0 + F.col("n_docs")) / (1.0 + F.col("df"))) + 1.0),
-                6,
-            ),
+                * (F.log((1.0 + F.col("n_docs")) / (1.0 + F.col("df"))) + 1.0)
+                * 1e6
+            ).cast("long"),
         )
+        .withColumn("tfidf", F.col("score_q").cast("double") / F.lit(1e6))
     )
     w = Window.partitionBy("doc_id").orderBy(
-        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
+        F.col("score_q").desc(),
+        F.col("tf").desc(),
+        F.col("df").asc(),
+        F.col("term").asc(),
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -85,6 +85,20 @@ def test_tfidf_top_terms(docs):
     assert key(r2) <= key(r3)
 
 
+def test_tfidf_rank_is_tfidf_not_tf(spark):
+    # doc 1: 'aa' tf=2 but df=5 (tfidf = 2.0 exactly), 'bb' tf=1 but
+    # df=1 (tfidf = ln(3)+1 ≈ 2.0986) — tf-order and tfidf-order
+    # disagree, the true tf-idf winner must rank first.
+    rows = [(1, "aa aa bb", "en")] + [(i, "aa", "en") for i in range(2, 6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = sorted(
+        TA.tfidf_top_terms(df, k=2).filter("doc_id = 1").collect(),
+        key=lambda r: r.rank,
+    )
+    assert [r.term for r in out] == ["bb", "aa"]
+    assert out[0].tfidf > out[1].tfidf
+
+
 def test_language_id(docs):
     out = {(r.labeled_lang, r.predicted_lang): r.n_docs
            for r in TA.language_id(docs).collect()}
