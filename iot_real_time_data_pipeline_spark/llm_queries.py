@@ -393,10 +393,13 @@ def _sql_bucket(col: str) -> str:
 
 
 def _sql_ivf_topk(k: int = 3) -> str:
+    masks = ", ".join(
+        f"xor(bucket, {m})" for m in SIM.probe_masks(SIM.IVF_BITS, 1)
+    )
     return f"""
 WITH {_EMB_CTE},
 eb AS (SELECT vec_id, v, {_sql_bucket('v')} AS bucket FROM e),
-q AS (SELECT vec_id AS qid, v AS qv, bucket AS q_bucket FROM eb
+q AS (SELECT vec_id AS qid, v AS qv, unnest([{masks}]) AS q_bucket FROM eb
       WHERE vec_id % {QUERY_MOD} = 0),
 scored AS (
   SELECT qid AS query_id, eb.vec_id AS neighbor_id, eb.v AS cv, qv,
@@ -414,12 +417,47 @@ SELECT query_id, rank, neighbor_id, round(cosine, 6) AS cosine
 FROM ranked WHERE rank <= {k}"""
 
 
+def _sql_rh_bit(i: int) -> str:
+    """Sign bit of dot(v, hyperplane_i): same left fold + same double
+    constants as the Spark side -> bit-identical."""
+    plane = ", ".join(repr(x) for x in SIM.RH_PLANES[i])
+    return (
+        f"CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, {SIM.EMB_DIM} + 1), i -> v[i] * ([{plane}])[i])), "
+        f"(a, x) -> a + x) > 0 THEN 1 ELSE 0 END"
+    )
+
+
 def _sql_cosine_dup_pairs() -> str:
+    # Mirrors cosine_dup_pairs: banded random-hyperplane LSH candidates
+    # + exact-cosine verify (same planes, same band keys).
+    rows = SIM.rh_rows_for(COSINE_DUP_THRESHOLD)
+    nbits = SIM.RH_BANDS * rows
+    bit_exprs = ",\n         ".join(f"{_sql_rh_bit(i)} AS b{i}" for i in range(nbits))
+    band_keys = ", ".join(
+        "concat_ws(':', '{band}', {cols})".format(
+            band=band,
+            cols=", ".join(f"b{band * rows + r}" for r in range(rows)),
+        )
+        for band in range(SIM.RH_BANDS)
+    )
     return f"""
 WITH {_EMB_CTE},
+sig AS (
+  SELECT vec_id,
+         {bit_exprs}
+  FROM e
+),
+bands AS (
+  SELECT vec_id, unnest([{band_keys}]) AS band_key FROM sig
+),
+cand AS (
+  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+  FROM bands x JOIN bands y ON x.band_key = y.band_key AND x.vec_id < y.vec_id
+),
 pairs AS (
-  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.v AS qv, b.v AS cv
-  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  SELECT vec_a, vec_b, a.v AS qv, b.v AS cv
+  FROM cand JOIN e a ON vec_a = a.vec_id JOIN e b ON vec_b = b.vec_id
 ),
 scored AS (
   SELECT vec_a, vec_b, {_DOT} / ({_NORM_Q} * {_NORM_C}) AS cosine

@@ -15,6 +15,11 @@ Two paths, as a real 100 TB pipeline would ship them:
 - ``label_centroids``: per-label mean vector via positional explode —
                       the bulk "embedding aggregation" primitive
                       (cluster centroids, class prototypes).
+- ``cosine_dup_pairs``: near-dup pair enumeration via random-hyperplane
+                      LSH candidate generation + exact-cosine verify —
+                      O(candidates), not O(n²). The all-pairs form
+                      survives as ``cosine_dup_pairs_exact``, the
+                      small-input recall baseline.
 
 Dot products use ``zip_with`` + a left-to-right ``aggregate`` fold so the
 accumulation order is deterministic and matches the DuckDB oracle
@@ -23,10 +28,42 @@ accumulation order is deterministic and matches the DuckDB oracle
 
 from __future__ import annotations
 
+import random
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 IVF_BITS = 4  # 16 coarse buckets
+
+# Random-hyperplane LSH constants for near-dup candidate generation.
+# Fixed seed so Spark and the DuckDB oracle embed the SAME hyperplanes;
+# sign(dot(v, h)) matches bit-for-bit because both engines evaluate the
+# identical left-to-right fold over the identical double constants.
+EMB_DIM = 64
+RH_BANDS = 8
+RH_MAX_BITS = 48
+_rh_rng = random.Random(20250813)
+RH_PLANES = [
+    [_rh_rng.uniform(-1.0, 1.0) for _ in range(EMB_DIM)]
+    for _ in range(RH_MAX_BITS)
+]
+
+
+def rh_rows_for(threshold: float) -> int:
+    """Bits per LSH band, tiered by threshold.
+
+    sign-LSH collision probability is p = 1 - acos(cos)/pi; the
+    recall/pruning tradeoff of ``b`` bands x ``r`` bits is
+    ``1 - (1 - p^r)^b``. High thresholds afford more bits per band
+    (sharper pruning); low thresholds are intrinsically near-unprunable
+    (p1 approaches the random-pair p=0.5) and need shallow bands to
+    keep recall.
+    """
+    if threshold >= 0.8:
+        return 6
+    if threshold >= 0.6:
+        return 4
+    return 2
 
 
 def _fold_sum(arr: F.Column) -> F.Column:
@@ -111,28 +148,127 @@ def cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5) -> DataFr
     return _topk(_scored_pairs(queries, embeddings), k)
 
 
-def ivf_topk(
-    embeddings: DataFrame, queries: DataFrame, k: int = 3, bits: int = IVF_BITS
-) -> DataFrame:
-    """IVF-bucketed approximate top-k: probe only the query's bucket.
+def probe_masks(bits: int, radius: int) -> list[int]:
+    """XOR masks for all buckets within Hamming ``radius`` (radius<=1)."""
+    masks = [0]
+    if radius >= 1:
+        masks += [1 << i for i in range(bits)]
+    return masks
 
-    The bucket id is a pure map-side expression, so the corpus join is a
-    hash join on a tiny int key; within-bucket scoring is identical to
-    the exact path. Recall < 1 by design — this is the scale path.
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    bits: int = IVF_BITS,
+    probe_radius: int = 1,
+) -> DataFrame:
+    """IVF-bucketed approximate top-k with multi-probe.
+
+    The bucket id is a pure map-side expression, so the corpus join is
+    a hash join on a tiny int key; within-bucket scoring is identical
+    to the exact path. Multi-probe explodes the *query* side (tiny) to
+    every bucket within Hamming ``probe_radius`` of its own — radius 1
+    scans (1+bits)/2^bits of the corpus instead of 1/2^bits and
+    measurably recovers recall the coarse sign quantizer loses (see
+    PERF.md); the corpus side is never replicated. Each corpus vector
+    lives in exactly one bucket and probe masks are distinct, so no
+    (query, neighbor) pair is scored twice.
     """
     eb = embeddings.withColumn("bucket", coarse_bucket(as_double(F.col("embedding")), bits))
-    qb = queries.withColumn("bucket", coarse_bucket(as_double(F.col("embedding")), bits))
+    qb = queries.withColumn(
+        "bucket",
+        F.explode(
+            F.array(*[
+                coarse_bucket(as_double(F.col("embedding")), bits).bitwiseXOR(F.lit(m))
+                for m in probe_masks(bits, probe_radius)
+            ])
+        ),
+    )
     return _topk(_scored_pairs(qb, eb, join_on="bucket"), k)
 
 
-def cosine_dup_pairs(embeddings: DataFrame, threshold: float = 0.45) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (exact, upper triangle).
+def _verified_pairs(e: DataFrame, candidates: DataFrame, threshold: float) -> DataFrame:
+    """Exact-cosine verify + threshold over a (vec_a, vec_b) candidate set."""
+    da = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("qe"))
+    db = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("ce"))
+    return (
+        candidates.join(da, "vec_a")
+        .join(db, "vec_b")
+        .withColumn(
+            "cosine",
+            dot(F.col("qe"), F.col("ce")) / (norm(F.col("qe")) * norm(F.col("ce"))),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
+    )
 
-    The correctness baseline: scores every i<j pair. O(n²/2) by
-    definition — run it on candidate sets, not corpora. The scale path
-    is the same scoring after LSH/IVF candidate generation
-    (``ivf_topk``'s bucket join), trading recall for the quadratic;
-    exact cosine thresholding admits no lossless prefilter.
+
+def rh_candidate_pairs(
+    embeddings: DataFrame, bands: int = RH_BANDS, rows: int = 2
+) -> DataFrame:
+    """LSH candidate pairs from banded random-hyperplane sign bits.
+
+    Each vector gets ``bands*rows`` sign bits (one aggregate fold per
+    hyperplane — a narrow map); a band key packs ``rows`` bits; vectors
+    sharing any band bucket become a candidate pair. The only joins run
+    on band-bucket keys — O(candidates), never all-pairs — exactly the
+    ``minhash_lsh_pairs`` plan shape with hyperplane signs instead of
+    minhashes.
+    """
+    assert bands * rows <= RH_MAX_BITS
+    v = as_double(F.col("embedding"))
+    bits = [
+        (dot(v, F.array(*[F.lit(x) for x in RH_PLANES[i]])) > 0).cast("int").alias(f"b{i}")
+        for i in range(bands * rows)
+    ]
+    sig = embeddings.select(F.col("vec_id"), *bits)
+    band_keys = F.array(*[
+        F.concat_ws(
+            ":",
+            F.lit(str(band)),
+            *[F.col(f"b{band * rows + r}") for r in range(rows)],
+        )
+        for band in range(bands)
+    ])
+    bands_df = sig.select("vec_id", F.explode(band_keys).alias("band_key"))
+    x, y = bands_df.alias("x"), bands_df.alias("y")
+    return (
+        x.join(y, (F.col("x.band_key") == F.col("y.band_key"))
+               & (F.col("x.vec_id") < F.col("y.vec_id")))
+        .select(F.col("x.vec_id").alias("vec_a"), F.col("y.vec_id").alias("vec_b"))
+        .distinct()
+    )
+
+
+def cosine_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.45,
+    bands: int = RH_BANDS,
+    rows: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the 100 TB scale path.
+
+    Random-hyperplane LSH generates candidates (band-bucket join, cost
+    O(candidates)); exact cosine verifies and thresholds them, so there
+    are never false positives — recall (< 1 by LSH design) is the only
+    approximation, tunable via ``bands``/``rows`` and measured against
+    ``cosine_dup_pairs_exact`` in tests/PERF.md. Low thresholds near
+    the random-pair cosine are intrinsically hard to prune (see
+    ``rh_rows_for``); production embedding dedup at ~0.9 gets both
+    recall and sharp pruning from the same machinery.
+    """
+    rows = rows if rows is not None else rh_rows_for(threshold)
+    e = embeddings.select(F.col("vec_id"), as_double(F.col("embedding")).alias("v"))
+    return _verified_pairs(e, rh_candidate_pairs(embeddings, bands, rows), threshold)
+
+
+def cosine_dup_pairs_exact(embeddings: DataFrame, threshold: float = 0.45) -> DataFrame:
+    """All-pairs exact near-dup pairs — the small-input recall oracle.
+
+    Scores every i<j pair: O(n²/2) by definition, so this is the test
+    baseline ``cosine_dup_pairs``'s recall is measured against, never
+    the corpus-scale path.
     """
     e = embeddings.select(
         F.col("vec_id"), as_double(F.col("embedding")).alias("v")
