@@ -237,6 +237,28 @@ def q_d9(spark, sf_dir):
     return _round6(df, "total_water_level", "avg_water_level")
 
 
+# D-slicers — fixed literals that split the events table's Jan-2024
+# range and drop one of the three farms, so both slicers provably bite.
+SLICER_DATE_FROM = "2024-01-05"
+SLICER_DATE_TO = "2024-01-20"
+SLICER_FARMS = ["Toshka", "Dina Farms"]
+
+
+def q_d10_sliced(spark, sf_dir):
+    """D-slicers — a visual (D9 water level) under the dashboard's two
+    global slicers (date range + farm, Dashboard.jpg right edge)."""
+    star = _dash(spark, sf_dir)
+    sliced = D.with_slicers(
+        star["fact_sensor_readings"],
+        star["dim_location"],
+        date_from=SLICER_DATE_FROM,
+        date_to=SLICER_DATE_TO,
+        farms=SLICER_FARMS,
+    )
+    df = D.water_level_by_farm(sliced, star["dim_location"])
+    return _round6(df, "total_water_level", "avg_water_level")
+
+
 def iot_queries() -> dict[str, QueryFn]:
     return {
         "validation_status_counts": q_validation_status_counts,
@@ -263,6 +285,7 @@ def iot_queries() -> dict[str, QueryFn]:
         "d7_nutrient_levels": q_d7,
         "d8_readings_by_location": q_d8,
         "d9_water_level_by_farm": q_d9,
+        "d10_sliced": q_d10_sliced,
     }
 
 
@@ -412,6 +435,23 @@ def iot_oracle_sql() -> dict[str, str]:
                round(sum(f.water_level), 6) AS total_water_level,
                round(avg(f.water_level), 6) AS avg_water_level
             FROM fact f JOIN dim_location l USING (location_key) GROUP BY 1""",
+            star=True,
+        ),
+        "d10_sliced": wp(
+            f"""SELECT farm,
+               round(sum(water_level), 6) AS total_water_level,
+               round(avg(water_level), 6) AS avg_water_level
+            FROM (
+              SELECT CASE l.loc_id WHEN 'loc_1' THEN 'Toshka'
+                       WHEN 'loc_2' THEN 'Sharq El Owainat'
+                       WHEN 'loc_3' THEN 'Dina Farms' ELSE l.loc_id END AS farm,
+                     f.water_level
+              FROM fact f JOIN dim_location l USING (location_key)
+              WHERE f.full_date >= TIMESTAMP '{SLICER_DATE_FROM}'
+                AND f.full_date < TIMESTAMP '{SLICER_DATE_TO}'
+            )
+            WHERE farm IN ({", ".join(repr(x) for x in SLICER_FARMS)})
+            GROUP BY farm""",
             star=True,
         ),
     }
