@@ -83,15 +83,34 @@ def range_max(loc: Column, sensor: str) -> Column:
     return _per_location(loc, sensor, 1)
 
 
+def _top_level_keys(raw_json: Column) -> Column:
+    """Top-level key set of the raw payload, as a map<string,string>.
+
+    ``from_json`` with a map schema keeps exactly the depth-1 keys
+    (nested objects collapse into string *values*), so membership
+    reproduces Python's ``key in data`` — unlike a lexical regex over
+    the whole payload, which a key name nested deeper or inside a
+    string value would fool. Explicit JSON null values stay present as
+    map keys (null-valued), which is precisely the reference's
+    absence≠null distinction. One JVM-side parse; Spark's codegen
+    subexpression elimination shares it across the per-key probes in
+    the same projection.
+    """
+    return F.from_json(raw_json, "map<string,string>")
+
+
 def _key_present(raw_json: Column | None, col: Column, key: str) -> Column:
     """Reference semantics: required-key errors fire on key *absence*
-    (``key not in data``, lamda.py:84), not on explicit JSON null. The
-    lexical check on the raw payload preserves that distinction; for
-    synthesized (non-JSON) plans a non-null column implies presence.
+    (``key not in data``, lamda.py:84), not on explicit JSON null —
+    detected from the raw payload's top-level key set; for synthesized
+    (non-JSON) plans a non-null column implies presence.
     """
     if raw_json is None:
         return col.isNotNull()
-    return F.coalesce(raw_json.rlike(f'"{key}"\\s*:'), F.lit(False)) | col.isNotNull()
+    return (
+        F.coalesce(F.map_contains_key(_top_level_keys(raw_json), key), F.lit(False))
+        | col.isNotNull()
+    )
 
 
 def _was_quoted(raw_json: Column | None, sensor: str) -> Column:

@@ -48,6 +48,18 @@ def test_v2_missing_weather_key(parse_payloads):
     assert "missing_top_level_key:weather_data" in r.validation_errors
 
 
+def test_v2_key_presence_is_top_level_only(parse_payloads):
+    # The dropped key's NAME appearing nested inside a string value must
+    # not suppress the missing-key error (reference checks `key not in
+    # data` on the top-level dict only, lamda.py:84).
+    import json
+
+    rec = json.loads(event_json(drop_keys=("weather_data",)))
+    rec["note"] = 'contains "weather_data": not a real key'
+    r = one(parse_payloads, json.dumps(rec))
+    assert "missing_top_level_key:weather_data" in r.validation_errors
+
+
 def test_v3_empty_sensor_data(parse_payloads):
     r = one(parse_payloads, event_json(sensors={"__replace__": True}))
     assert r.validation_status == "INVALID"
