@@ -250,6 +250,7 @@ def _sql_token_stats() -> str:
 WITH {_TOKS_CTE}
 SELECT doc_id,
        len(t) AS n_tokens,
+       len(regexp_extract_all(text, '{TA.BPE_SPLIT_PATTERN}')) AS n_tokens_bpe,
        len(list_distinct(t)) AS n_unique_tokens,
        round(len(list_distinct(t)) / CAST(len(t) AS DOUBLE), 6) AS type_token_ratio,
        round(list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -477,13 +478,25 @@ GROUP BY 1, 2"""
 
 
 def _sql_multimodal() -> str:
+    # first_byte is the first UTF-8 *byte* (hex of the encoded blob),
+    # not ascii()'s Unicode code point — 0xC3=195 for 'é', matching the
+    # Spark side's payload[0]. Empty text mirrors decode_stub's
+    # deterministic sentinel row.
     return """
+WITH enc AS (
+  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS blen,
+         hex(encode(text)) AS bhex
+  FROM documents
+)
 SELECT doc_id,
-       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-       ascii(substr(text, 1, 1)) AS first_byte,
-       CAST(octet_length(encode(text)) // 1024 + 1 AS BIGINT) AS n_frames,
-       'application/octet-stream' AS mime
-FROM documents"""
+       blen AS byte_len,
+       CASE WHEN blen = 0 THEN -1
+            ELSE CAST(('0x' || substr(bhex, 1, 2)) AS INT) END AS first_byte,
+       CASE WHEN blen = 0 THEN CAST(0 AS BIGINT)
+            ELSE blen // 1024 + 1 END AS n_frames,
+       CASE WHEN blen = 0 THEN 'application/x-empty'
+            ELSE 'application/octet-stream' END AS mime
+FROM enc"""
 
 
 def llm_oracle_sql() -> dict[str, str]:

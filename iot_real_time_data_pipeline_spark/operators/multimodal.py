@@ -45,14 +45,25 @@ def with_binary_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+EMPTY_SENTINEL = {
+    "byte_len": 0,
+    "first_byte": -1,
+    "n_frames": 0,
+    "mime": "application/x-empty",
+}
+
+
 def decode_stub(payload: bytes) -> dict:
     """Deterministic fake decoder.
 
     Replace with a real codec (PIL.Image.open, soundfile.read, ...) in
-    production. Raises on empty payloads the way a real decoder would.
+    production. Empty/missing payloads yield a deterministic sentinel
+    row instead of raising, so one empty document can't fail a whole
+    corpus scan (a real decoder would dead-letter these; the sentinel
+    keeps the stub total and the mime column makes them filterable).
     """
     if payload is None or len(payload) == 0:
-        raise NotImplementedError("real decoder required for empty/exotic payloads")
+        return dict(EMPTY_SENTINEL)
     return {
         "byte_len": len(payload),
         "first_byte": payload[0],

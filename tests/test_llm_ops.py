@@ -59,8 +59,19 @@ def test_simhash_identical_docs_same_fingerprint(docs):
 def test_token_stats(docs):
     row = {r.doc_id: r for r in TA.token_stats(docs).collect()}[1]
     assert row.n_tokens == 9
+    assert row.n_tokens_bpe == 9  # pure word runs: BPE splits = words
     assert row.n_unique_tokens == 8  # 'the' twice
     assert row.type_token_ratio == pytest.approx(8 / 9, abs=1e-6)
+
+
+def test_bpe_token_count_splits_punct_and_digits(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello, world! It's 2024.", "en")],
+        "doc_id long, text string, lang string",
+    )
+    row = TA.token_stats(df).collect()[0]
+    # [Hello][,][ world][!][ It]['][s][ 2024][.] = 9 BPE pieces, 4 words
+    assert row.n_tokens == 4 and row.n_tokens_bpe == 9
 
 
 def test_tfidf_top_terms(docs):
@@ -222,6 +233,16 @@ def test_multimodal_feature_plumbing(docs):
     assert feats[1].n_frames == 1
 
 
-def test_multimodal_decoder_stub_raises_on_empty():
-    with pytest.raises(NotImplementedError):
-        MM.decode_stub(b"")
+def test_multimodal_decoder_stub_empty_sentinel():
+    assert MM.decode_stub(b"") == MM.EMPTY_SENTINEL
+    assert MM.decode_stub(None) == MM.EMPTY_SENTINEL
+
+
+def test_multimodal_first_byte_is_utf8_byte(spark):
+    # 'é' encodes as 0xC3 0xA9 — first *byte* is 195, not code point 233.
+    df = spark.createDataFrame([(1, "éx", "fr"), (2, "", "en")],
+                               "doc_id long, text string, lang string")
+    feats = {r.doc_id: r for r in
+             MM.extract_features(MM.with_binary_payload(df)).collect()}
+    assert feats[1].first_byte == 0xC3
+    assert feats[2].mime == "application/x-empty" and feats[2].first_byte == -1
