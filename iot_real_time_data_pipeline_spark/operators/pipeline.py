@@ -72,10 +72,47 @@ def route(processed: DataFrame) -> dict[str, DataFrame]:
         .when(F.col("validation_status") == "WARNING", F.lit("valid/warnings/"))
         .otherwise(F.lit("invalid/")),
     )
+    # Error-message fidelity (lamda.py:488-530 stores str(e) with every
+    # dead letter): the reference's three failure classes each raise a
+    # distinct exception, reconstructed here deterministically from the
+    # row — JSONDecodeError for undecodable payloads; the weather
+    # cross-check TypeError text Python would produce, which depends on
+    # whether sensor temperature was None or an unconvertible string
+    # ('NoneType'/'str' operand); and the explicit-null weather_data
+    # membership TypeError.
+    t_raw = F.col("sensor_data").getItem("temperature")
+    crosscheck_operand = F.when(t_raw.isNull(), F.lit("NoneType")).otherwise(F.lit("str"))
+    error_message = (
+        F.when(
+            F.col("json_decode_error"),
+            F.lit("json.decoder.JSONDecodeError: payload is not valid JSON"),
+        )
+        .when(
+            F.col("weather_data").isNull(),
+            F.lit("TypeError: argument of type 'NoneType' is not iterable"),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("TypeError: unsupported operand type(s) for -: '"),
+                crosscheck_operand,
+                F.lit("' and 'float'"),
+            )
+        )
+    )
+    # Source-sequence fidelity (lamda.py:509): present when the source
+    # provides it (sources.events.parse_raw_payloads); driver-side
+    # synthesized events have no wire position, so null.
+    seq = (
+        F.col("source_seq")
+        if "source_seq" in processed.columns
+        else F.lit(None).cast("string")
+    )
     dead = processed.filter(F.col("json_decode_error") | F.col("dead_letter")).select(
         F.when(F.col("json_decode_error"), F.lit("json_decode_error"))
         .otherwise(F.lit("processing_error"))
         .alias("error_type"),
+        error_message.alias("error_message"),
+        seq.alias("source_seq"),
         F.col(RAW_JSON_COL).alias("raw_payload"),
         F.col("event_id"),
         F.col("loc_id"),
@@ -153,12 +190,23 @@ def flat_lake_row(processed: DataFrame) -> DataFrame:
         F.col(f"weather_data.{f}").alias(f"weather_data_{f}")
         for f in processed.schema["weather_data"].dataType.fieldNames()
     ]
+    # alerts_sent write-back (lamda.py:465-471): the reference appends
+    # [{type, priority, sent_timestamp}] for the alerts that actually
+    # cleared the throttle; callers attach an ``alerts_sent`` array
+    # (see streaming.pipeline's throttle join) — absent column or empty
+    # array -> null, matching the reference's absent key.
+    alerts_sent = (
+        F.to_json(F.col("alerts_sent"))
+        if "alerts_sent" in processed.columns
+        else F.lit(None).cast("string")
+    )
     sel += [
         F.col("validation_status"),
         F.to_json(F.col("validation_errors")).alias("validation_errors"),
         F.to_json(F.col("validation_warnings")).alias("validation_warnings"),
         F.col("validation_timestamp"),
         F.to_json(F.col("alerts")).alias("alerts"),
+        alerts_sent.alias("alerts_sent"),
         F.current_timestamp().alias("processing_timestamp"),
         F.lit(PROCESSOR_VERSION).alias("processor_version"),
     ]

@@ -6,10 +6,14 @@ which the reference lacks) -> per-micro-batch:
 
 - event_id dedup within the batch + against already-loaded facts (T5:
   at-least-once delivery + idempotent load, README.md:52);
-- routed lake write, ``partitionBy(validation_status, loc_id)`` Parquet
-  (S5: the reference's valid/ / valid/warnings/ / invalid/ prefixes
-  become partition values -> static partition pruning for readers);
-- dead-letter parquet sink (S6);
+- routed lake write, ``partitionBy(validation_status, loc_id, date)``
+  Parquet (S5: the reference's valid/ / valid/warnings/ / invalid/
+  prefixes become partition values -> static partition pruning for
+  readers; the date key is SURVEY §4's fix for the reference's
+  unprunable layout), with ``alerts_sent`` written back onto lake rows
+  from the throttle output (lamda.py:465-471);
+- dead-letter parquet sink (S6), partitioned by error class, carrying
+  the error message + source sequence (lamda.py:488-530);
 - throttled alert sink (S7) — appended to an alerts table;
 - incremental star-schema load (S10/T4) appending dims + fact.
 
@@ -68,6 +72,17 @@ def foreach_batch_loader(warehouse_dir: str, jsonl_mirror: bool = False):
         # empty micro-batches skip every sink write.
         if batch_df.isEmpty():
             return
+        # Fill the source sequence the stream-level parse couldn't
+        # assign (monotonically_increasing_id is batch-only); sources
+        # that carry a real sequence (Kafka offset) arrive non-null.
+        if "source_seq" in batch_df.columns:
+            batch_df = batch_df.withColumn(
+                "source_seq",
+                F.coalesce(
+                    F.col("source_seq"),
+                    F.monotonically_increasing_id().cast("string"),
+                ),
+            )
         # Two-phase: persist the boolean flag frame, assemble the
         # error/warning arrays + alerts lazily above the cache (see
         # validation.validate_flags — cheaper cache, compilable codegen
@@ -89,22 +104,55 @@ def foreach_batch_loader(warehouse_dir: str, jsonl_mirror: bool = False):
                 )
             lake = lake.persist()
 
-            # S5 — routed lake (flat row format, lamda.py:333-348).
-            flat = flat_lake_row(lake).withColumn(
-                "loc_id_part", F.coalesce("loc_id", F.lit("unknown"))
-            )
-            _append_parquet(flat, f"{warehouse_dir}/lake",
-                            ["validation_status", "loc_id_part"])
-            if jsonl_mirror:  # S4 — debug JSONL mirror of the stream
-                flat.write.mode("append").json(f"{warehouse_dir}/lake_jsonl")
-            # S6 — dead letters.
-            _append_parquet(routed["dead_letter"], f"{warehouse_dir}/dead_letter")
-
             # S7 — throttled alerts (batch-window approximation inside
             # foreachBatch; the exact stateful variant runs stream-level,
-            # see throttle_alerts_stateful).
-            alerts = throttle_batch_window(exploded_alerts(lake))
+            # see throttle_alerts_stateful). Computed before the lake
+            # write so sent alerts can be joined back onto lake rows.
+            alerts = throttle_batch_window(exploded_alerts(lake)).persist()
             _append_parquet(alerts, f"{warehouse_dir}/alerts")
+
+            # alerts_sent write-back (lamda.py:465-471): each lake row
+            # learns which of its alerts actually cleared the throttle.
+            # array_sort makes the array order deterministic.
+            sent = alerts.groupBy(F.col("event_id")).agg(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("alert_type").alias("type"),
+                            F.col("priority"),
+                            F.col("sent_timestamp"),
+                        )
+                    )
+                ).alias("alerts_sent")
+            )
+            # S5 — routed lake (flat row format, lamda.py:333-348),
+            # partitioned by (status, loc, DATE): the date key is
+            # SURVEY §4's fix for the reference's unprunable S3 layout
+            # (lamda.py:365-367 comments the date path out) — at scale
+            # every time-bounded read prunes statically.
+            from ..operators.pipeline import event_time
+
+            flat = (
+                flat_lake_row(lake.join(sent, "event_id", "left"))
+                .withColumn("loc_id_part", F.coalesce("loc_id", F.lit("unknown")))
+                .withColumn(
+                    "date",
+                    F.coalesce(
+                        F.to_date(event_time(F.col("timestamp"))),
+                        F.lit("1970-01-01").cast("date"),
+                    ),
+                )
+            )
+            _append_parquet(flat, f"{warehouse_dir}/lake",
+                            ["validation_status", "loc_id_part", "date"])
+            if jsonl_mirror:  # S4 — debug JSONL mirror of the stream
+                flat.write.mode("append").json(f"{warehouse_dir}/lake_jsonl")
+            # S6 — dead letters, partitioned by error class like the
+            # reference's errors/json_decode/ vs errors/processing/
+            # prefixes (lamda.py:488-530).
+            _append_parquet(routed["dead_letter"], f"{warehouse_dir}/dead_letter",
+                            ["error_type"])
+            alerts.unpersist()
 
             # S10/T4 — star-schema incremental append.
             from ..operators.pipeline import to_staging

@@ -62,66 +62,86 @@ THROTTLE_STATE_SCHEMA = T.StructType(
 )
 
 
-def _throttle_group(
-    key: tuple,
-    pdfs: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    loc_id, alert_type = key
-    if state.hasTimedOut:
-        state.remove()
-        return
+def _make_throttle_group(consecutive_threshold: int):
+    def _throttle_group(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        loc_id, alert_type = key
+        if state.hasTimedOut:
+            state.remove()
+            return
 
-    last_sent, consecutive = (
-        state.get if state.exists else (None, 0)
-    )
+        last_sent, consecutive = (
+            state.get if state.exists else (None, 0)
+        )
 
-    rows: list[dict[str, Any]] = []
-    batch = pd.concat(list(pdfs), ignore_index=True)
-    batch = batch.sort_values("timestamp", kind="stable")
-    for rec in batch.itertuples(index=False):
-        now = rec.timestamp.timestamp()
-        send = False
-        if rec.priority == "CRITICAL":
-            # bypass: sends + refreshes last_sent, but does NOT touch the
-            # consecutive counter (lamda.py:257-261).
-            send = True
-            last_sent = now
-        elif last_sent is not None and now - last_sent < ALERT_INTERVAL_SECONDS:
-            send = False  # suppressed; counter untouched (lamda.py:264-269)
-        else:
-            consecutive += 1
-            if consecutive >= CONSECUTIVE_THRESHOLD:
+        rows: list[dict[str, Any]] = []
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        # event_id tie-break: same-timestamp alerts must throttle in a
+        # replay-stable order, not shuffle arrival order.
+        batch = batch.sort_values(["timestamp", "event_id"], kind="stable")
+        for rec in batch.itertuples(index=False):
+            now = rec.timestamp.timestamp()
+            send = False
+            if rec.priority == "CRITICAL":
+                # bypass: sends + refreshes last_sent, but does NOT touch
+                # the consecutive counter (lamda.py:257-261).
                 send = True
                 last_sent = now
-                consecutive = 0
-        if send:
-            rows.append(
-                {
-                    "loc_id": loc_id,
-                    "alert_type": alert_type,
-                    "event_id": rec.event_id,
-                    "priority": rec.priority,
-                    "description": rec.description,
-                    "sent_timestamp": rec.timestamp,
-                }
+            elif last_sent is not None and now - last_sent < ALERT_INTERVAL_SECONDS:
+                send = False  # suppressed; counter untouched (lamda.py:264-269)
+            else:
+                consecutive += 1
+                if consecutive >= consecutive_threshold:
+                    send = True
+                    last_sent = now
+                    consecutive = 0
+            if send:
+                rows.append(
+                    {
+                        "loc_id": loc_id,
+                        "alert_type": alert_type,
+                        "event_id": rec.event_id,
+                        "priority": rec.priority,
+                        "description": rec.description,
+                        "sent_timestamp": rec.timestamp,
+                    }
+                )
+
+        state.update((last_sent, consecutive))
+        # Deterministic TTL replacing the reference's probabilistic purge.
+        state.setTimeoutDuration(int(STATE_TTL_SECONDS * 1000))
+        if rows:
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in THROTTLE_OUTPUT_SCHEMA.fields]
             )
 
-    state.update((last_sent, consecutive))
-    # Deterministic TTL replacing the reference's probabilistic purge.
-    state.setTimeoutDuration(int(STATE_TTL_SECONDS * 1000))
-    if rows:
-        yield pd.DataFrame(rows, columns=[f.name for f in THROTTLE_OUTPUT_SCHEMA.fields])
+    return _throttle_group
 
 
-def throttle_alerts_stateful(exploded_alerts: DataFrame) -> DataFrame:
+def throttle_alerts_stateful(
+    exploded_alerts: DataFrame,
+    consecutive_threshold: int = CONSECUTIVE_THRESHOLD,
+) -> DataFrame:
     """Exact stateful throttle over a *streaming* exploded-alerts frame.
 
     Input contract: columns (event_id, loc_id, timestamp, alert_type,
     priority, description) — ``operators.pipeline.exploded_alerts``.
+
+    State TTL caveat: the throttle clock is *event* time but the state
+    timeout is ProcessingTimeTimeout — 1 h of wall-clock idleness per
+    key, matching the reference's wall-clock purge (lamda.py:402-416).
+    On replays/backfills that compresses wall time, so state can expire
+    *later* (relative to event time) than live — which only ever
+    retains suppression state longer, never drops it early mid-stream.
+    EventTimeTimeout would pin eviction to the watermark instead but
+    requires one on the alerts stream; deployments that replay with
+    watermarks should switch to it.
     """
     return exploded_alerts.groupBy("loc_id", "alert_type").applyInPandasWithState(
-        _throttle_group,
+        _make_throttle_group(consecutive_threshold),
         outputStructType=THROTTLE_OUTPUT_SCHEMA,
         stateStructType=THROTTLE_STATE_SCHEMA,
         outputMode="append",

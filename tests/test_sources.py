@@ -37,6 +37,25 @@ def test_base64_kinesis_path(spark):
     assert r.event_id == "evt_000000000001"
 
 
+def test_kafka_shaped_records_parse_with_offset_seq(spark):
+    """S1 production form minus the broker: the Kafka source contract
+    frame (value/partition/offset) runs the shared parse path and the
+    partition-offset pair lands in source_seq."""
+    from iot_real_time_data_pipeline_spark.sources.events import parse_kafka_records
+
+    rows = [
+        (None, event_json().encode(), "iot-events", 0, 42),
+        (None, b"<<garbage>>", "iot-events", 3, 7),
+    ]
+    df = spark.createDataFrame(
+        rows, "key binary, value binary, topic string, partition int, offset long"
+    )
+    parsed = {r.source_seq: r for r in parse_kafka_records(df).collect()}
+    assert parsed["0-42"].event_id == "evt_000000000001"
+    assert parsed["0-42"].json_decode_error is False
+    assert parsed["3-7"].json_decode_error is True
+
+
 def test_route_splits_lake_and_dead_letter(parse_payloads):
     proc = process_events(
         parse_payloads(
@@ -57,3 +76,9 @@ def test_route_splits_lake_and_dead_letter(parse_payloads):
     # raw payload preserved for forensics (lamda.py:497, 516)
     raws = [r.raw_payload for r in routed["dead_letter"].collect()]
     assert "<<garbage>>" in raws
+    # ... and the per-class error message + batch position (lamda.py:488-530)
+    msgs = {r.error_type: r.error_message for r in routed["dead_letter"].collect()}
+    assert "JSONDecodeError" in msgs["json_decode_error"]
+    # "NULL" temperature is a quoted string reaching the subtraction.
+    assert "'str' and 'float'" in msgs["processing_error"]
+    assert all(r.source_seq is not None for r in routed["dead_letter"].collect())

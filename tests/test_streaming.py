@@ -81,6 +81,48 @@ def test_throttle_stateful_greedy(spark, tmp_path):
     assert sent == {"e1", "e3", "e4", "e5", "e6"}
 
 
+def test_throttle_stateful_consecutive_threshold_2(spark, tmp_path):
+    """The counter path the reference ships disabled (threshold=1,
+    lamda.py:21): at threshold 2 a first hit only arms the counter, the
+    second sends and resets it, suppression leaves it untouched."""
+    from iot_real_time_data_pipeline_spark.streaming import throttle_alerts_stateful
+
+    rows = [
+        ("e1", "loc_1", ts(0), "High Temperature", "HIGH", "d1"),   # arms (1)
+        ("e2", "loc_1", ts(1), "High Temperature", "HIGH", "d2"),   # 2 -> send, reset
+        ("e3", "loc_1", ts(2), "High Temperature", "HIGH", "d3"),   # suppressed (<5min)
+        ("e4", "loc_1", ts(7), "High Temperature", "HIGH", "d4"),   # arms (1)
+        ("e5", "loc_1", ts(13), "High Temperature", "HIGH", "d5"),  # 2 -> send
+    ]
+    src = tmp_path / "thr2_src"
+    src.mkdir()
+    batches = [rows[:2], rows[2:4], rows[4:]]  # cross-batch state
+    for i, batch in enumerate(batches):
+        with open(src / f"b{i}.jsonl", "w") as fh:
+            for r in batch:
+                fh.write(json.dumps({
+                    "event_id": r[0], "loc_id": r[1], "timestamp": r[2].isoformat(),
+                    "alert_type": r[3], "priority": r[4], "description": r[5],
+                }) + "\n")
+    stream = (
+        spark.readStream.schema(ALERT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        throttle_alerts_stateful(stream, consecutive_threshold=2)
+        .writeStream.format("memory")
+        .queryName("throttled2")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    sent = {r.event_id for r in spark.sql("select * from throttled2").collect()}
+    assert sent == {"e2", "e5"}
+
+
 @pytest.mark.slow
 def test_stream_end_to_end(spark, tmp_path):
     from iot_real_time_data_pipeline_spark.streaming import run_stream
@@ -126,8 +168,40 @@ def test_stream_end_to_end(spark, tmp_path):
     assert set(r.validation_status for r in lake.collect()) == {
         "VALID", "WARNING", "INVALID"
     }
+
+    # S5 layout: the lake partitions by (status, loc, DATE) — SURVEY §4's
+    # fix for the reference's unprunable S3 keys (lamda.py:365-367).
+    import glob
+
+    assert glob.glob(f"{wh}/lake/validation_status=VALID/loc_id_part=loc_1/date=2024-03-01")
+    # ... and a date-bounded read prunes statically (partition filter,
+    # not a post-scan filter).
+    pruned = lake.filter(F.col("date") == "2024-03-01")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "date" in plan.split("PartitionFilters")[1][:200]
+
+    # alerts_sent write-back: every lake row of an event whose alert
+    # cleared the throttle records [{type, priority, sent_timestamp}];
+    # rows with no sent alerts stay null (the reference's absent key).
+    alerts = spark.read.parquet(f"{wh}/alerts")
+    sent_ids = {r.event_id for r in alerts.collect()}
+    by_event = {r.event_id: r.alerts_sent for r in lake.collect()}
+    for eid in sent_ids:
+        assert by_event[eid] is not None and '"type":' in by_event[eid]
+    for eid, sent in by_event.items():
+        if eid not in sent_ids:
+            assert sent is None
+
+    # S6 dead letters: error-class partition dirs (errors/json_decode/ ↔
+    # errors/processing/), plus the error message and source sequence
+    # the reference stores with each record (lamda.py:488-530).
     dead = spark.read.parquet(f"{wh}/dead_letter")
-    assert dead.count() == 1 and dead.collect()[0].error_type == "json_decode_error"
+    assert dead.count() == 1
+    dl = dead.collect()[0]
+    assert dl.error_type == "json_decode_error"
+    assert "JSONDecodeError" in dl.error_message
+    assert dl.source_seq is not None
+    assert glob.glob(f"{wh}/dead_letter/error_type=json_decode_error")
 
     dim_loc = spark.read.parquet(f"{wh}/star/dim_location")
     assert dim_loc.count() == 1  # loc_1 appended once across batches
