@@ -94,17 +94,25 @@ def coarse_bucket(emb: F.Column, bits: int = IVF_BITS) -> F.Column:
 
 
 def _scored_pairs(queries: DataFrame, corpus: DataFrame, join_on=None) -> DataFrame:
-    """Broadcast the query set against the corpus and score cosine."""
+    """Broadcast the query set against the corpus and score cosine.
+
+    Norms are computed once per *vector* (a projection before the
+    join), not once per pair — ``norm(v)`` is a pure function of the
+    array, so the value is bit-identical to the per-pair form the
+    DuckDB oracle uses, but the fold runs O(n+q) times instead of
+    O(pairs) (the fold is an interpreted higher-order function, the
+    dominant per-pair cost; measured ~2x on the top-k bench items).
+    """
     q = queries.select(
         F.col("vec_id").alias("query_id"),
         as_double(F.col("embedding")).alias("qe"),
         *([F.col("bucket").alias("q_bucket")] if join_on == "bucket" else []),
-    )
+    ).withColumn("qn", norm(F.col("qe")))
     c = corpus.select(
         F.col("vec_id").alias("neighbor_id"),
         as_double(F.col("embedding")).alias("ce"),
         *([F.col("bucket")] if join_on == "bucket" else []),
-    )
+    ).withColumn("cn", norm(F.col("ce")))
     if join_on == "bucket":
         joined = c.join(F.broadcast(q), F.col("q_bucket") == F.col("bucket"), "inner")
     else:
@@ -113,7 +121,7 @@ def _scored_pairs(queries: DataFrame, corpus: DataFrame, join_on=None) -> DataFr
         joined.filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "cosine",
-            dot(F.col("qe"), F.col("ce")) / (norm(F.col("qe")) * norm(F.col("ce"))),
+            dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn")),
         )
         .select("query_id", "neighbor_id", "cosine")
     )
@@ -189,15 +197,22 @@ def ivf_topk(
 
 
 def _verified_pairs(e: DataFrame, candidates: DataFrame, threshold: float) -> DataFrame:
-    """Exact-cosine verify + threshold over a (vec_a, vec_b) candidate set."""
-    da = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("qe"))
-    db = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("ce"))
+    """Exact-cosine verify + threshold over a (vec_a, vec_b) candidate set.
+
+    Norms come precomputed per vector (see ``_scored_pairs`` — same
+    bits as the oracle's per-pair form, 3x fewer interpreted folds).
+    """
+    en = e.withColumn("nrm", norm(F.col("v")))
+    da = en.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("qe"),
+                   F.col("nrm").alias("qn"))
+    db = en.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("ce"),
+                   F.col("nrm").alias("cn"))
     return (
         candidates.join(da, "vec_a")
         .join(db, "vec_b")
         .withColumn(
             "cosine",
-            dot(F.col("qe"), F.col("ce")) / (norm(F.col("qe")) * norm(F.col("ce"))),
+            dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn")),
         )
         .filter(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
@@ -272,15 +287,17 @@ def cosine_dup_pairs_exact(embeddings: DataFrame, threshold: float = 0.45) -> Da
     """
     e = embeddings.select(
         F.col("vec_id"), as_double(F.col("embedding")).alias("v")
-    )
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("qe"))
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("ce"))
+    ).withColumn("nrm", norm(F.col("v")))
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("qe"),
+                 F.col("nrm").alias("qn"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("ce"),
+                 F.col("nrm").alias("cn"))
     return (
         b.crossJoin(F.broadcast(a))
         .filter(F.col("vec_a") < F.col("vec_b"))
         .withColumn(
             "cosine",
-            dot(F.col("qe"), F.col("ce")) / (norm(F.col("qe")) * norm(F.col("ce"))),
+            dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn")),
         )
         .filter(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
