@@ -68,6 +68,33 @@ def main() -> None:
 
     staging = timed("derive_staging", _derive)
 
+    # Diagnostic: the same validate+stage computation re-run WARM — a
+    # plan-differentiated copy (the no-op filter defeats cache-manager
+    # plan matching above the raw-events cache, so flags/arrays/staging
+    # genuinely recompute) after JIT/janino/session warmup has been
+    # paid. The cold-vs-warm split separates one-time startup cost from
+    # per-row cost; reported as its own line item, EXCLUDED from the
+    # headline total (it re-does work the deployment does once).
+    def _derive_warm():
+        from pyspark.sql import functions as F
+
+        from iot_real_time_data_pipeline_spark.entrypoints import iot_raw_events
+        from iot_real_time_data_pipeline_spark.functions.alerts import with_alerts
+        from iot_real_time_data_pipeline_spark.functions.validation import (
+            attach_validation_arrays,
+        )
+        from iot_real_time_data_pipeline_spark.operators.pipeline import (
+            process_events,
+            to_staging,
+        )
+
+        raw = iot_raw_events(spark, sf_dir).filter(F.lit(True))
+        flagged = process_events(raw, assemble=False)
+        to_staging(attach_validation_arrays(with_alerts(flagged))).count()
+
+    timed("derive_staging_warm", _derive_warm)
+    DIAGNOSTIC_ITEMS = {"derive_staging_warm"}
+
     # --- star build (once, cached) ----------------------------------------
     def _star():
         star = incremental_load(staging, existing=None, dense_keys=False)
@@ -126,13 +153,16 @@ def main() -> None:
         "docs_tfidf_top_terms",
         "emb_cosine_topk",
         "emb_ivf_topk",
+        "emb_cosine_dup_pairs",
         "emb_label_centroids",
         "mm_image_features",
     ]:
         fn = LQ.llm_queries()[name]
         timed(name, lambda fn=fn: fn(spark, sf_dir).collect())
 
-    total = round(sum(times.values()), 3)
+    total = round(
+        sum(v for k, v in times.items() if k not in DIAGNOSTIC_ITEMS), 3
+    )
     print(json.dumps({
         "metric": "end-to-end pipeline + analytics + llm-ops wall time",
         "value": total,
