@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from .driver_queries import QueryFn
 from .entrypoints import read_table
 from .functions import texthash as TH
+from .operators import curation as CUR
 from .operators import dedup as DD
 from .operators import multimodal as MM
 from .operators import similarity as SIM
@@ -55,6 +56,26 @@ def q_minhash_lsh(spark, sf_dir):
 
 def q_simhash(spark, sf_dir):
     return DD.simhash_fingerprints(_docs(spark, sf_dir))
+
+
+def q_simhash_dup_pairs(spark, sf_dir):
+    return DD.simhash_dup_pairs(_docs(spark, sf_dir))
+
+
+def q_dup_clusters(spark, sf_dir):
+    return DD.dup_clusters(_docs(spark, sf_dir), threshold=JACCARD_THRESHOLD)
+
+
+def q_stratified_sample(spark, sf_dir):
+    return CUR.stratified_sample(_docs(spark, sf_dir))
+
+
+def q_pii_scrub(spark, sf_dir):
+    return CUR.pii_scrub(_docs(spark, sf_dir))
+
+
+def q_curation(spark, sf_dir):
+    return CUR.curation_pipeline(_docs(spark, sf_dir))
 
 
 def q_token_stats(spark, sf_dir):
@@ -106,6 +127,11 @@ def llm_queries() -> dict[str, QueryFn]:
         "docs_shingle_jaccard_pairs": q_shingle_jaccard,
         "docs_minhash_lsh_pairs": q_minhash_lsh,
         "docs_simhash": q_simhash,
+        "docs_simhash_dup_pairs": q_simhash_dup_pairs,
+        "docs_dup_clusters": q_dup_clusters,
+        "docs_stratified_sample": q_stratified_sample,
+        "docs_pii_scrub": q_pii_scrub,
+        "docs_curation": q_curation,
         "docs_token_stats": q_token_stats,
         "docs_language_id": q_language_id,
         "docs_quality": q_quality,
@@ -142,8 +168,8 @@ sh AS (
 )"""
 
 
-def _jaccard_tail(pair_src: str) -> str:
-    """Join sizes + jaccard threshold over a (doc_a, doc_b, n_common) CTE."""
+def _jaccard_ctes(pair_src: str) -> str:
+    """sizes + jac CTEs over a (doc_a, doc_b, n_common) CTE."""
     return f"""
 sizes AS (SELECT doc_id, len(shl) AS n FROM sh),
 jac AS (
@@ -152,7 +178,12 @@ jac AS (
   FROM {pair_src}
   JOIN sizes sa ON doc_a = sa.doc_id
   JOIN sizes sb ON doc_b = sb.doc_id
-)
+)"""
+
+
+def _jaccard_tail(pair_src: str) -> str:
+    """Join sizes + jaccard threshold over a (doc_a, doc_b, n_common) CTE."""
+    return f"""{_jaccard_ctes(pair_src)}
 SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard
 FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}"""
 
@@ -184,7 +215,9 @@ inter AS (
 {_jaccard_tail('inter')}"""
 
 
-def _sql_minhash_lsh() -> str:
+def _minhash_inter_ctes() -> str:
+    """CTE chain from documents through `inter` (candidate pairs with
+    exact intersection sizes) — shared by the pair and cluster oracles."""
     mh_exprs = ",\n         ".join(
         f"{TH.sql_minhash('shl', a, b)} AS mh{i}"
         for i, (a, b) in enumerate(TH.MINHASH_AB)
@@ -198,8 +231,7 @@ def _sql_minhash_lsh() -> str:
         )
         for band in range(TH.LSH_BANDS)
     )
-    return f"""
-WITH {_TOKS_CTE}, {_SHINGLE_CTE},
+    return f"""{_TOKS_CTE}, {_SHINGLE_CTE},
 sig AS (
   SELECT doc_id,
          {mh_exprs}
@@ -218,11 +250,40 @@ inter AS (
   FROM candidates c
   JOIN sh a ON c.doc_a = a.doc_id
   JOIN sh b ON c.doc_b = b.doc_id
-),
+)"""
+
+
+def _sql_minhash_lsh() -> str:
+    return f"""
+WITH {_minhash_inter_ctes()},
 {_jaccard_tail('inter')}"""
 
 
-def _sql_simhash() -> str:
+def _sql_dup_clusters() -> str:
+    # Transitive closure of the minhash near-dup graph: min reachable
+    # doc_id per doc via a recursive CTE (UNION dedups the frontier),
+    # mirroring the Spark side's min-label propagation fixpoint.
+    return f"""
+WITH RECURSIVE {_minhash_inter_ctes()},
+{_jaccard_ctes('inter')},
+pairs AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION ALL
+  SELECT doc_b AS s, doc_a AS d FROM pairs
+),
+reach(doc_id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.doc_id
+)
+SELECT doc_id, min(r) AS cluster_id, (doc_id = min(r)) AS is_canonical
+FROM reach GROUP BY doc_id"""
+
+
+def _simhash_fp_ctes() -> str:
+    """CTE chain from documents through `fp` (doc_id, simhash) — shared
+    by the fingerprint and Hamming-pair oracles."""
     votes = ",\n         ".join(
         f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
         for j in range(DD.SIMHASH_BITS)
@@ -231,8 +292,7 @@ def _sql_simhash() -> str:
         f"(CASE WHEN v{j} > 0 THEN CAST({2**j} AS BIGINT) ELSE 0 END)"
         for j in range(DD.SIMHASH_BITS)
     )
-    return f"""
-WITH {_TOKS_CTE},
+    return f"""{_TOKS_CTE},
 th AS (
   SELECT doc_id, unnest(list_transform(t, tok -> {TH.sql_token_hash('tok')})) AS h
   FROM toks
@@ -241,8 +301,41 @@ agg AS (
   SELECT doc_id,
          {votes}
   FROM th GROUP BY doc_id
+),
+fp AS (
+  SELECT doc_id, {fp} AS simhash FROM agg
+)"""
+
+
+def _sql_simhash() -> str:
+    return f"""
+WITH {_simhash_fp_ctes()}
+SELECT doc_id, simhash FROM fp"""
+
+
+def _sql_simhash_dup_pairs() -> str:
+    # Mirrors simhash_dup_pairs: byte-wide Hamming bands -> candidate
+    # pairs -> exact bit_count(xor) verify (exhaustive for ham <= 3).
+    mask = (1 << DD.SIMHASH_BAND_BITS) - 1
+    band_exprs = ", ".join(
+        f"({band << DD.SIMHASH_BAND_BITS} + ((simhash >> {band * DD.SIMHASH_BAND_BITS}) & {mask}))"
+        for band in range(DD.SIMHASH_BANDS)
+    )
+    return f"""
+WITH {_simhash_fp_ctes()},
+bands AS (
+  SELECT doc_id, unnest([{band_exprs}]) AS band_key FROM fp
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN bands y ON x.band_key = y.band_key AND x.doc_id < y.doc_id
 )
-SELECT doc_id, {fp} AS simhash FROM agg"""
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM cand
+JOIN fp a ON doc_a = a.doc_id
+JOIN fp b ON doc_b = b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {DD.SIMHASH_BANDS - 1}"""
 
 
 def _sql_token_stats() -> str:
@@ -499,12 +592,92 @@ SELECT doc_id,
 FROM enc"""
 
 
+def _sql_stratified_sample() -> str:
+    h = TH.sql_token_hash("concat('s:', CAST(doc_id AS VARCHAR))")
+    rates = " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in sorted(CUR.STRATUM_PERMILLE.items())
+    )
+    return f"""
+WITH s AS (
+  SELECT doc_id, lang, {h} % {CUR.SAMPLE_MOD} AS sample_bucket FROM documents
+)
+SELECT doc_id, lang AS stratum, sample_bucket
+FROM s
+WHERE sample_bucket < (CASE lang {rates} ELSE 0 END)"""
+
+
+def _sql_pii_scrub() -> str:
+    e, p = CUR.EMAIL_PATTERN, CUR.PHONE_PATTERN
+    return f"""
+WITH scrub AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{e}')) AS n_emails,
+         regexp_replace(text, '{e}', '[EMAIL]', 'g') AS no_email
+  FROM documents
+)
+SELECT doc_id, n_emails,
+       len(regexp_extract_all(no_email, '{p}')) AS n_phones,
+       regexp_replace(no_email, '{p}', '[PHONE]', 'g') AS scrubbed_text
+FROM scrub"""
+
+
+def _sql_curation() -> str:
+    h = TH.sql_token_hash("concat('s:', CAST(doc_id AS VARCHAR))")
+    scores = ",\n         ".join(
+        "len(list_filter(t, x -> x IN ({words}))) AS s_{lang}".format(
+            lang=lang,
+            words=", ".join(f"'{w}'" for w in TA.STOPWORDS[lang]),
+        )
+        for lang in TA.LANGS
+    )
+    best = "greatest({})".format(", ".join(f"s_{lang}" for lang in TA.LANGS))
+    whens = " ".join(
+        f"WHEN s_{lang} = best AND best > 0 THEN '{lang}'" for lang in TA.LANGS
+    )
+    rates = " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in sorted(CUR.STRATUM_PERMILLE.items())
+    )
+    return f"""
+WITH {_TOKS_CTE},
+base AS (
+  SELECT doc_id,
+         len(t) AS n_tokens,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) AS digits,
+         md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS text_hash,
+         {h} % {CUR.SAMPLE_MOD} AS sample_bucket,
+         {scores}
+  FROM toks
+),
+withbest AS (SELECT *, {best} AS best FROM base),
+labeled AS (
+  SELECT *, CASE {whens} ELSE 'und' END AS predicted_lang FROM withbest
+),
+canon AS (
+  SELECT *, min(doc_id) OVER (PARTITION BY text_hash) AS canonical_id
+  FROM labeled
+)
+SELECT doc_id, predicted_lang, n_tokens
+FROM canon
+WHERE n_tokens >= 10
+  AND punct / CAST(n_chars AS DOUBLE) < 0.2
+  AND digits / CAST(n_chars AS DOUBLE) < 0.5
+  AND doc_id = canonical_id
+  AND sample_bucket < (CASE predicted_lang {rates} ELSE 0 END)"""
+
+
 def llm_oracle_sql() -> dict[str, str]:
     return {
         "docs_exact_dedup": _sql_exact_dedup(),
         "docs_shingle_jaccard_pairs": _sql_shingle_jaccard(),
         "docs_minhash_lsh_pairs": _sql_minhash_lsh(),
         "docs_simhash": _sql_simhash(),
+        "docs_simhash_dup_pairs": _sql_simhash_dup_pairs(),
+        "docs_dup_clusters": _sql_dup_clusters(),
+        "docs_stratified_sample": _sql_stratified_sample(),
+        "docs_pii_scrub": _sql_pii_scrub(),
+        "docs_curation": _sql_curation(),
         "docs_token_stats": _sql_token_stats(),
         "docs_language_id": _sql_language_id(),
         "docs_quality": _sql_quality(),

@@ -1,0 +1,159 @@
+"""Corpus-curation operators for LLM training-data pipelines.
+
+The operators a training-data team runs *after* analysis/dedup to cut
+an actual training corpus, all expressed as narrow map-side plans (the
+only shuffle in the composed pipeline is the exact-dup window):
+
+- ``stratified_sample`` : deterministic hash-based sampling with a
+                          per-stratum keep rate (rebalance languages /
+                          sources without randomness — the same doc is
+                          kept or dropped on every run and every
+                          engine).
+- ``pii_scrub``         : regex redaction of email addresses and phone
+                          numbers with match counts (the audit trail).
+- ``curation_pipeline`` : the composed cut — language ID, quality
+                          gating, exact-dup canonicalization, and
+                          stratified sampling in one plan.
+
+Determinism notes: sampling decisions come from the md5-derived
+arithmetic hash in ``functions.texthash`` (bit-identical in Spark and
+DuckDB); regex patterns are restricted to the syntax subset Java regex
+and RE2 interpret identically (character classes and bounded
+quantifiers — no backreferences, no lookaround).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import texthash as TH
+from . import dedup as DD
+from . import text_analysis as TA
+
+# Per-stratum keep rates in 1/SAMPLE_MOD units. The default rebalances
+# the synthetic corpus: English is ~2x over-represented, so it keeps
+# 20% while the rest keep 50%; undetermined-language docs are dropped.
+SAMPLE_MOD = 1000
+STRATUM_PERMILLE = {"de": 500, "en": 200, "es": 500, "fr": 500, "zh": 500}
+
+# RE2-safe (and Java-regex-identical) PII patterns.
+EMAIL_PATTERN = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+PHONE_PATTERN = "[+]?[0-9][0-9 ()./-]{7,}[0-9]"
+
+
+def sample_hash(id_col: str = "doc_id") -> F.Column:
+    """31-bit deterministic sampling hash of a document id.
+
+    Salted with a fixed prefix so the sampling decision is independent
+    of any other hash of the same id used elsewhere in the pipeline.
+    """
+    return TH.token_hash(F.concat(F.lit("s:"), F.col(id_col).cast("string")))
+
+
+def _rate_for(stratum: F.Column) -> F.Column:
+    """Per-stratum keep rate via a constant-folded literal map; strata
+    without an entry keep nothing."""
+    pairs: list[F.Column] = []
+    for k in sorted(STRATUM_PERMILLE):
+        pairs += [F.lit(k), F.lit(STRATUM_PERMILLE[k])]
+    return F.coalesce(F.element_at(F.create_map(*pairs), stratum), F.lit(0))
+
+
+def stratified_sample(
+    docs: DataFrame, stratum_col: str = "lang", id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic per-stratum sample: keep a doc iff its sampling
+    hash falls under the stratum's keep rate.
+
+    A pure map — no shuffle, no RNG state, no driver coordination —
+    so it runs at any scale and reproduces exactly across engines and
+    reruns. (A quota-exact variant would rank within each stratum; that
+    windows on a handful of stratum keys and does not scale, which is
+    why rate-based is the default.)
+    """
+    keep = (sample_hash(id_col) % SAMPLE_MOD) < _rate_for(F.col(stratum_col))
+    return docs.filter(keep).select(
+        F.col(id_col).alias("doc_id"),
+        F.col(stratum_col).alias("stratum"),
+        (sample_hash(id_col) % SAMPLE_MOD).alias("sample_bucket"),
+    )
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Redact emails/phone numbers; report per-doc match counts.
+
+    Emails are scrubbed before phones so digit runs inside an address
+    can't double-count. Narrow map over the text column — the scrubbed
+    corpus streams through without any shuffle.
+    """
+    text = F.col(text_col)
+    no_email = F.regexp_replace(text, EMAIL_PATTERN, "[EMAIL]")
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.expr(f"regexp_extract_all({text_col}, '{EMAIL_PATTERN}', 0)")).alias(
+            "n_emails"
+        ),
+        F.size(
+            F.expr(
+                f"regexp_extract_all(regexp_replace({text_col}, "
+                f"'{EMAIL_PATTERN}', '[EMAIL]'), '{PHONE_PATTERN}', 0)"
+            )
+        ).alias("n_phones"),
+        F.regexp_replace(no_email, PHONE_PATTERN, "[PHONE]").alias("scrubbed_text"),
+    )
+
+
+def curation_pipeline(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The composed training-corpus cut.
+
+    Stages (one plan, evaluated lazily end-to-end):
+
+    1. per-doc signals — predicted language (stopword argmax), token
+       count, punctuation/digit densities, normalized-text digest, and
+       the sampling hash: all map-side expressions over one scan;
+    2. exact-dup canonicalization — ``min(doc_id)`` over docs sharing a
+       text digest (the one shuffle, on a 128-bit key, carrying a
+       handful of small columns — never document bodies);
+    3. quality gate — the ``quality_scores`` keep rule;
+    4. stratified sample by *predicted* language (deterministic hash
+       rates, 'und' dropped).
+
+    Output is the curated corpus manifest: ``(doc_id, predicted_lang,
+    n_tokens)``.
+    """
+    text = F.col(text_col)
+    toks = TH.tokens(text)
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).alias("n_tokens"),
+        F.length(text).alias("n_chars"),
+        F.length(F.regexp_replace(text, r"[^.,;:!?]", "")).alias("punct"),
+        F.length(F.regexp_replace(text, r"[^0-9]", "")).alias("digits"),
+        F.md5(DD.normalized(text)).alias("text_hash"),
+        (sample_hash(id_col) % SAMPLE_MOD).alias("sample_bucket"),
+        *[TA._lang_score(toks, lang).alias(f"s_{lang}") for lang in TA.LANGS],
+    )
+    best = F.greatest(*[F.col(f"s_{lang}") for lang in TA.LANGS])
+    chain = None
+    for lang in TA.LANGS:
+        cond = (F.col(f"s_{lang}") == best) & (best > 0)
+        chain = F.when(cond, F.lit(lang)) if chain is None else chain.when(cond, F.lit(lang))
+    labeled = base.withColumn("predicted_lang", chain.otherwise(F.lit("und")))
+
+    canon = labeled.withColumn(
+        "canonical_id", F.min("doc_id").over(Window.partitionBy("text_hash"))
+    )
+    quality_keep = (
+        (F.col("n_tokens") >= 10)
+        & (F.col("punct") / F.col("n_chars").cast("double") < 0.2)
+        & (F.col("digits") / F.col("n_chars").cast("double") < 0.5)
+    )
+    sampled = (
+        quality_keep
+        & (F.col("doc_id") == F.col("canonical_id"))
+        & (F.col("sample_bucket") < _rate_for(F.col("predicted_lang")))
+    )
+    return canon.filter(sampled).select("doc_id", "predicted_lang", "n_tokens")

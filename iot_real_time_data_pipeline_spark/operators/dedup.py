@@ -15,6 +15,14 @@ expressed as native DataFrame plans (no UDFs, no driver-side loops):
                             path: cost is O(candidates), not O(n²).
 - ``simhash_fingerprints``: 32-bit SimHash per doc (frequency-weighted),
                             for hamming-distance bucketing.
+- ``simhash_dup_pairs``   : Hamming-banded SimHash near-dup pairs. With
+                            ``max_hamming <= SIMHASH_BANDS - 1`` the band
+                            candidates are *exhaustive* (pigeonhole), so
+                            the operator is exact, not approximate.
+- ``dup_clusters``        : connected components over the MinHash
+                            near-dup graph (iterative min-label
+                            propagation), yielding a cluster id and a
+                            canonical-representative flag per document.
 
 Cross-engine determinism comes from ``functions.texthash`` (arithmetic
 hashes both Spark and DuckDB compute bit-identically).
@@ -28,6 +36,8 @@ from pyspark.sql import functions as F
 from ..functions import texthash as TH
 
 SIMHASH_BITS = 32
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS  # 8
 
 
 def normalized(text: F.Column) -> F.Column:
@@ -204,3 +214,124 @@ def simhash_fingerprints(
         bit = F.when(F.col(f"v{j}") > 0, F.lit(2**j).cast("long")).otherwise(F.lit(0).cast("long"))
         fingerprint = bit if fingerprint is None else fingerprint + bit
     return agg.select("doc_id", fingerprint.alias("simhash"))
+
+
+def simhash_dup_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = SIMHASH_BANDS - 1,
+) -> DataFrame:
+    """SimHash near-dup pairs via Hamming-banded candidates.
+
+    The 32-bit fingerprint splits into ``SIMHASH_BANDS`` = 4 byte-wide
+    bands; documents sharing any band byte become candidates, then
+    candidates are verified with the exact Hamming distance
+    (``bit_count(a XOR b)``). Pigeonhole guarantee: a pair differing in
+    at most ``SIMHASH_BANDS - 1`` bits must agree on at least one whole
+    band, so for the default ``max_hamming = 3`` the candidate set is
+    *exhaustive* and the result is exact — banding only prunes, never
+    misses.
+
+    Scale: fingerprints are one long per doc; the only join runs on a
+    10-bit band key (band index x byte value), and verification is two
+    integer ops per candidate. Production tuning widens the fingerprint
+    (64-bit, 16-bit bands — the classic web-scale SimHash layout) to
+    keep band-bucket occupancy low; the plan shape is unchanged.
+    """
+    fp = simhash_fingerprints(docs, text_col, id_col).persist()
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    band_keys = F.array(*[
+        (
+            F.lit(band << SIMHASH_BAND_BITS)
+            + F.shiftright(F.col("simhash"), band * SIMHASH_BAND_BITS).bitwiseAND(F.lit(mask))
+        ).cast("long")
+        for band in range(SIMHASH_BANDS)
+    ])
+    bands = fp.select("doc_id", F.explode(band_keys).alias("band_key"))
+    x, y = bands.alias("x"), bands.alias("y")
+    candidates = (
+        x.join(y, (F.col("x.band_key") == F.col("y.band_key"))
+               & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    fa = fp.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
+    fb = fp.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
+    return (
+        candidates.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def dup_clusters(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over the MinHash near-dup pair graph.
+
+    Near-dup *pairs* are not a dedup decision: a-b and b-c dups must
+    collapse to ONE surviving document, which requires the transitive
+    closure. This computes it with iterative min-label propagation —
+    each round every doc adopts the smallest cluster id among itself
+    and its graph neighbors; a fixpoint is reached after ``diameter``
+    rounds (near-dup clusters are shallow, so typically 2-3).
+
+    Every iteration is a distributed ``join`` + ``groupBy(min)`` on the
+    edge list (shuffle proportional to edges, never n^2); the driver
+    only checks a changed-row *count* per round, and
+    ``localCheckpoint`` truncates the growing lineage. For adversarial
+    long-chain graphs at 100 TB the drop-in upgrade is the
+    large-star/small-star algorithm (Kiveris et al., "Connected
+    Components in MapReduce and Beyond") which converges in
+    O(log n) rounds with the same join-shaped iterations.
+
+    Returns one row per document: ``(doc_id, cluster_id,
+    is_canonical)`` — singletons cluster with themselves, and the
+    minimum doc_id in each component is the canonical survivor
+    (``is_canonical`` selects the deduplicated corpus).
+    """
+    pairs = minhash_lsh_pairs(docs, text_col, id_col, threshold)
+    fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    rev = pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    edges = fwd.union(rev).persist()
+
+    labels = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(id_col).cast("long").alias("cluster_id"),
+    ).localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels.withColumnRenamed("doc_id", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        merged = (
+            labels.join(nbr_min, labels["doc_id"] == nbr_min["src"], "left")
+            .select(
+                labels["doc_id"],
+                labels["cluster_id"].alias("old_cluster"),
+                F.least(
+                    labels["cluster_id"],
+                    F.coalesce(F.col("nbr_min"), labels["cluster_id"]),
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = merged.filter(F.col("cluster_id") < F.col("old_cluster")).count()
+        labels = merged.select("doc_id", "cluster_id")
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+    )

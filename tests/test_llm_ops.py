@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import pytest
 
+from iot_real_time_data_pipeline_spark.operators import curation as CUR
 from iot_real_time_data_pipeline_spark.operators import dedup as DD
 from iot_real_time_data_pipeline_spark.operators import multimodal as MM
 from iot_real_time_data_pipeline_spark.operators import similarity as SIM
@@ -236,6 +237,90 @@ def test_multimodal_feature_plumbing(docs):
 def test_multimodal_decoder_stub_empty_sentinel():
     assert MM.decode_stub(b"") == MM.EMPTY_SENTINEL
     assert MM.decode_stub(None) == MM.EMPTY_SENTINEL
+
+
+def test_simhash_dup_pairs_exhaustive_at_ham3(docs):
+    # Pigeonhole: 4 byte-bands over 32 bits guarantee every pair with
+    # Hamming <= 3 collides in at least one band, so the banded result
+    # must equal the brute-force enumeration exactly.
+    fp = {r.doc_id: r.simhash for r in DD.simhash_fingerprints(docs).collect()}
+    expect = {
+        (a, b): bin(fp[a] ^ fp[b]).count("1")
+        for a in fp
+        for b in fp
+        if a < b and bin(fp[a] ^ fp[b]).count("1") <= 3
+    }
+    got = {(r.doc_a, r.doc_b): r.hamming for r in DD.simhash_dup_pairs(docs).collect()}
+    assert got == expect
+    assert got[(1, 2)] == 0  # identical-modulo-whitespace docs
+
+
+def test_dup_clusters_transitive_closure(spark):
+    # 1~2 and 2~3 are near dups but 1~3 is below threshold: only the
+    # transitive closure collapses all three into one cluster.
+    rows = [
+        (1, "a b c d e f g h i j", "en"),
+        (2, "a b c d e f g h i k", "en"),
+        (3, "z b c d e f g h i k", "en"),
+        (4, "totally different words entirely unrelated content here now", "en"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    direct = {(r.doc_a, r.doc_b)
+              for r in DD.minhash_lsh_pairs(df, threshold=0.7).collect()}
+    assert (1, 2) in direct and (2, 3) in direct and (1, 3) not in direct
+    out = {r.doc_id: r for r in DD.dup_clusters(df, threshold=0.7).collect()}
+    assert [out[i].cluster_id for i in (1, 2, 3, 4)] == [1, 1, 1, 4]
+    assert [out[i].is_canonical for i in (1, 2, 3, 4)] == [True, False, False, True]
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    rows = [(i, f"doc {i}", ["en", "de", "xx"][i % 3]) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out1 = sorted(map(tuple, CUR.stratified_sample(df).collect()))
+    out2 = sorted(map(tuple, CUR.stratified_sample(df).collect()))
+    assert out1 == out2  # hash-based: no RNG, identical on rerun
+    rows1 = CUR.stratified_sample(df).collect()
+    assert all(r.sample_bucket < CUR.STRATUM_PERMILLE[r.stratum] for r in rows1)
+    assert "xx" not in {r.stratum for r in rows1}  # unknown stratum drops
+    n_en = sum(1 for r in rows1 if r.stratum == "en")
+    n_de = sum(1 for r in rows1 if r.stratum == "de")
+    assert 0 < n_en < 20 and 0 < n_de < 20
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@example.co.uk or call +1 (212) 555-0199 now", "en"),
+            (2, "no pii here", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = {r.doc_id: r for r in CUR.pii_scrub(df).collect()}
+    assert out[1].n_emails == 1 and out[1].n_phones == 1
+    assert "[EMAIL]" in out[1].scrubbed_text and "[PHONE]" in out[1].scrubbed_text
+    assert "example" not in out[1].scrubbed_text and "555" not in out[1].scrubbed_text
+    assert out[2].scrubbed_text == "no pii here"
+    assert out[2].n_emails == 0 and out[2].n_phones == 0
+
+
+def test_curation_pipeline_gates_compose(monkeypatch, spark):
+    # Rate 1000 for every known language isolates the other gates from
+    # the sampling hash; 'und' still keeps nothing.
+    monkeypatch.setattr(
+        CUR, "STRATUM_PERMILLE", {k: 1000 for k in CUR.STRATUM_PERMILLE}
+    )
+    rows = [
+        (1, "the and of to in is it for the and", "en"),
+        (2, "the and of to in is it for the and", "en"),  # exact dup -> dropped
+        (3, "short", "en"),                               # quality reject
+        (4, "der und die das ist nicht ein mit der und", "de"),
+        (5, "qqq www eee rrr ttt yyy uuu iii ooo ppp", "en"),  # no stopwords -> und
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r.doc_id: r for r in CUR.curation_pipeline(df).collect()}
+    assert set(out) == {1, 4}
+    assert out[1].predicted_lang == "en" and out[4].predicted_lang == "de"
+    assert out[1].n_tokens == 10
 
 
 def test_multimodal_first_byte_is_utf8_byte(spark):
