@@ -141,11 +141,28 @@ def main() -> None:
 
     timed("load_corpus_tables", _load_corpus)
 
+    # Line items absent from BENCH_r02's query list (added in round 3):
+    # excluded from the r2-comparable subtotal, counted in the total.
+    ROUND3_ITEMS = {
+        "docs_simhash_dup_pairs",
+        "docs_dup_clusters",
+        "docs_stratified_sample",
+        "docs_pii_scrub",
+        "docs_curation",
+        "docs_unigram_logprob",
+        "emb_cosine_dup_pairs",
+    }
+
     for name in [
         "docs_exact_dedup",
         "docs_shingle_jaccard_pairs",
         "docs_minhash_lsh_pairs",
         "docs_simhash",
+        "docs_simhash_dup_pairs",
+        "docs_dup_clusters",
+        "docs_stratified_sample",
+        "docs_pii_scrub",
+        "docs_curation",
         "docs_token_stats",
         "docs_language_id",
         "docs_quality",
@@ -163,11 +180,20 @@ def main() -> None:
     total = round(
         sum(v for k, v in times.items() if k not in DIAGNOSTIC_ITEMS), 3
     )
+    comparable_r2 = round(
+        sum(
+            v
+            for k, v in times.items()
+            if k not in DIAGNOSTIC_ITEMS and k not in ROUND3_ITEMS
+        ),
+        3,
+    )
     print(json.dumps({
         "metric": "end-to-end pipeline + analytics + llm-ops wall time",
         "value": total,
         "unit": "sec",
         "queries": times,
+        "comparable_r2_subtotal": comparable_r2,
         "sf": sf,
     }))
 

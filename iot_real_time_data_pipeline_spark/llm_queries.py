@@ -94,6 +94,10 @@ def q_fingerprints(spark, sf_dir):
     return TA.doc_fingerprints(_docs(spark, sf_dir))
 
 
+def q_unigram_logprob(spark, sf_dir):
+    return TA.unigram_logprob(_docs(spark, sf_dir))
+
+
 def q_tfidf(spark, sf_dir):
     return TA.tfidf_top_terms(_docs(spark, sf_dir))
 
@@ -136,6 +140,7 @@ def llm_queries() -> dict[str, QueryFn]:
         "docs_language_id": q_language_id,
         "docs_quality": q_quality,
         "docs_fingerprints": q_fingerprints,
+        "docs_unigram_logprob": q_unigram_logprob,
         "docs_tfidf_top_terms": q_tfidf,
         "emb_cosine_topk": q_cosine_topk,
         "emb_ivf_topk": q_ivf_topk,
@@ -438,6 +443,18 @@ WITH {_TOKS_CTE}
 SELECT doc_id, {TH.sql_doc_fingerprint(hashes)} AS fingerprint FROM toks"""
 
 
+def _sql_unigram_logprob() -> str:
+    return f"""
+WITH {_TOKS_CTE},
+term_rows AS (SELECT doc_id, unnest(t) AS term FROM toks),
+ctf AS (SELECT term, count(*) AS ctf FROM term_rows GROUP BY term),
+tot AS (SELECT count(*) AS total_tokens FROM term_rows)
+SELECT doc_id, count(*) AS n_tokens,
+       round(avg(ln(ctf / CAST(total_tokens AS DOUBLE))), 6) AS avg_unigram_logprob
+FROM term_rows JOIN ctf USING (term) CROSS JOIN tot
+GROUP BY doc_id"""
+
+
 _DOT = (
     "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
     "list_transform(range(1, len(qv) + 1), i -> qv[i] * cv[i])), (a, x) -> a + x)"
@@ -682,6 +699,7 @@ def llm_oracle_sql() -> dict[str, str]:
         "docs_language_id": _sql_language_id(),
         "docs_quality": _sql_quality(),
         "docs_fingerprints": _sql_fingerprints(),
+        "docs_unigram_logprob": _sql_unigram_logprob(),
         "docs_tfidf_top_terms": _sql_tfidf(),
         "emb_cosine_topk": _sql_cosine_topk(),
         "emb_ivf_topk": _sql_ivf_topk(),

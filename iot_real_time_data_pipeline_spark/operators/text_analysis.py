@@ -190,3 +190,39 @@ def doc_fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "doc
         F.col(id_col).alias("doc_id"),
         TH.doc_fingerprint(TH.token_hashes(toks)).alias("fingerprint"),
     )
+
+
+def unigram_logprob(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document average unigram log-likelihood under the corpus'
+    own unigram model — the classic cheap fluency/gibberish filter for
+    training-data curation (documents full of corpus-rare tokens score
+    far more negative than documents of common ones).
+
+    Plan shape at scale: explode -> partial-agged ``groupBy(term)`` for
+    corpus term frequencies (shuffle ∝ distinct terms), the corpus
+    total joined in as a broadcast scalar, then one ``groupBy(doc_id)``
+    averaging the per-token log-probabilities (shuffle ∝ tokens,
+    map-side combined). No UDFs, no windows, no driver loops.
+
+    The 6-dp rounding on the average follows the engine-wide rule for
+    accumulation-order-dependent double aggregates (see PERF.md).
+    """
+    term_rows = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(TH.tokens(F.col(text_col))).alias("term"),
+    )
+    ctf = term_rows.groupBy("term").agg(F.count("*").alias("ctf"))
+    total = term_rows.agg(F.count("*").alias("total_tokens"))
+    return (
+        term_rows.join(ctf, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(
+                F.avg(F.log(F.col("ctf") / F.col("total_tokens"))), 6
+            ).alias("avg_unigram_logprob"),
+        )
+    )

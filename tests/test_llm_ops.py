@@ -239,6 +239,25 @@ def test_multimodal_decoder_stub_empty_sentinel():
     assert MM.decode_stub(None) == MM.EMPTY_SENTINEL
 
 
+def test_unigram_logprob_flags_rare_token_docs(spark):
+    import math
+
+    # corpus: 'common' appears 8x, each rare token once -> the doc made
+    # of rare tokens must score strictly more negative.
+    rows = [
+        (1, "common common common common", "en"),
+        (2, "common common common common", "en"),
+        (3, "rare1 rare2 rare3 rare4", "en"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r.doc_id: r for r in TA.unigram_logprob(df).collect()}
+    assert out[1].n_tokens == 4
+    # 12 tokens total: p(common)=8/12, p(rare_i)=1/12.
+    assert out[1].avg_unigram_logprob == pytest.approx(math.log(8 / 12), abs=1e-6)
+    assert out[3].avg_unigram_logprob == pytest.approx(math.log(1 / 12), abs=1e-6)
+    assert out[3].avg_unigram_logprob < out[1].avg_unigram_logprob
+
+
 def test_simhash_dup_pairs_exhaustive_at_ham3(docs):
     # Pigeonhole: 4 byte-bands over 32 bits guarantee every pair with
     # Hamming <= 3 collides in at least one band, so the banded result
