@@ -78,6 +78,10 @@ def q_curation(spark, sf_dir):
     return CUR.curation_pipeline(_docs(spark, sf_dir))
 
 
+def q_source_mix(spark, sf_dir):
+    return CUR.source_mix(_docs(spark, sf_dir))
+
+
 def q_token_stats(spark, sf_dir):
     return TA.token_stats(_docs(spark, sf_dir))
 
@@ -136,6 +140,7 @@ def llm_queries() -> dict[str, QueryFn]:
         "docs_stratified_sample": q_stratified_sample,
         "docs_pii_scrub": q_pii_scrub,
         "docs_curation": q_curation,
+        "docs_source_mix": q_source_mix,
         "docs_token_stats": q_token_stats,
         "docs_language_id": q_language_id,
         "docs_quality": q_quality,
@@ -638,6 +643,22 @@ SELECT doc_id, n_emails,
 FROM scrub"""
 
 
+def _sql_source_mix() -> str:
+    toks = TH.sql_tokens("text")
+    return f"""
+WITH per_source AS (
+  SELECT source, count(*) AS n_docs,
+         sum(len({toks})) AS n_tokens
+  FROM documents GROUP BY source
+),
+tot AS (SELECT sum(n_tokens) AS total_tokens, count(*) AS n_sources FROM per_source)
+SELECT source, n_docs, n_tokens,
+       round(n_tokens / CAST(total_tokens AS DOUBLE), 6) AS token_share,
+       round(least(1.0, (total_tokens / CAST(n_sources AS DOUBLE)) / n_tokens), 6)
+         AS rebalance_weight
+FROM per_source CROSS JOIN tot"""
+
+
 def _sql_curation() -> str:
     h = TH.sql_token_hash("concat('s:', CAST(doc_id AS VARCHAR))")
     scores = ",\n         ".join(
@@ -695,6 +716,7 @@ def llm_oracle_sql() -> dict[str, str]:
         "docs_stratified_sample": _sql_stratified_sample(),
         "docs_pii_scrub": _sql_pii_scrub(),
         "docs_curation": _sql_curation(),
+        "docs_source_mix": _sql_source_mix(),
         "docs_token_stats": _sql_token_stats(),
         "docs_language_id": _sql_language_id(),
         "docs_quality": _sql_quality(),

@@ -104,6 +104,48 @@ def pii_scrub(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def source_mix(docs: DataFrame, text_col: str = "text", source_col: str = "source") -> DataFrame:
+    """Per-source corpus composition + rebalancing weights.
+
+    Training mixes are budgeted in *tokens per source*; this computes
+    each source's document count, token count, token share, and the
+    deterministic sampling weight that would equalize token budgets
+    across sources (``min(1, fair_share / actual_tokens)``) — feed the
+    weight into ``stratified_sample``-style hash thresholds to cut the
+    rebalanced corpus.
+
+    Plan: one scan -> partial-agged ``groupBy(source)`` (shuffle is one
+    row per source) -> corpus totals joined back as a broadcast scalar.
+    """
+    per_source = docs.groupBy(F.col(source_col).alias("source")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(TH.tokens(F.col(text_col)))).alias("n_tokens"),
+    )
+    totals = per_source.agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.count("*").alias("n_sources"),
+    )
+    return (
+        per_source.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_tokens") / F.col("total_tokens").cast("double"), 6).alias(
+                "token_share"
+            ),
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    (F.col("total_tokens") / F.col("n_sources").cast("double"))
+                    / F.col("n_tokens"),
+                ),
+                6,
+            ).alias("rebalance_weight"),
+        )
+    )
+
+
 def curation_pipeline(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

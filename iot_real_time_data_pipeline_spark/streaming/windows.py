@@ -16,6 +16,44 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def session_activity(
+    processed: DataFrame,
+    gap: str = "5 minutes",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Per-location event-time *session* windows (gap-based).
+
+    A session groups consecutive events separated by less than ``gap``
+    and closes when the gap elapses — the operational question "how
+    long did this sensor burst last, and what happened during it",
+    which no tumbling window answers. Native ``session_window``:
+    Spark's state store merges overlapping candidate sessions and the
+    watermark evicts closed ones; batch frames run the same plan with
+    the watermark a no-op (one code path, twice usable).
+    """
+    src = processed
+    if processed.isStreaming:
+        src = processed.withWatermark("event_ts", watermark_delay)
+    return (
+        src.groupBy(F.session_window("event_ts", gap).alias("w"), F.col("loc_id"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("event_ts").alias("first_event"),
+            F.max("event_ts").alias("last_event"),
+            F.avg("sensor_temperature").alias("avg_temperature"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "loc_id",
+            "n_events",
+            "first_event",
+            "last_event",
+            "avg_temperature",
+        )
+    )
+
+
 def windowed_health(
     processed: DataFrame,
     window: str = "5 minutes",

@@ -322,6 +322,20 @@ def test_pii_scrub_redacts_and_counts(spark):
     assert out[2].n_emails == 0 and out[2].n_phones == 0
 
 
+def test_source_mix_rebalance_weights(spark):
+    rows = [
+        (1, "a b c d", "s1"),
+        (2, "a b c d", "s1"),  # s1: 8 tokens
+        (3, "a b c d", "s2"),  # s2: 4 tokens; total 12, fair share 6
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.source: r for r in CUR.source_mix(df).collect()}
+    assert out["s1"].n_docs == 2 and out["s1"].n_tokens == 8
+    assert out["s1"].token_share == pytest.approx(8 / 12, abs=1e-6)
+    assert out["s1"].rebalance_weight == pytest.approx(0.75, abs=1e-6)
+    assert out["s2"].rebalance_weight == 1.0  # under-represented: keep all
+
+
 def test_curation_pipeline_gates_compose(monkeypatch, spark):
     # Rate 1000 for every known language isolates the other gates from
     # the sampling hash; 'und' still keeps nothing.

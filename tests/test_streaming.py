@@ -207,6 +207,49 @@ def test_stream_end_to_end(spark, tmp_path):
     assert dim_loc.count() == 1  # loc_1 appended once across batches
 
 
+def test_session_window_streaming(spark, tmp_path):
+    """T6 extension — gap-based event-time session windows."""
+    from iot_real_time_data_pipeline_spark.operators.pipeline import process_events
+    from iot_real_time_data_pipeline_spark.sources.events import (
+        read_raw_events_stream,
+    )
+    from iot_real_time_data_pipeline_spark.streaming.windows import session_activity
+
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    base = datetime.datetime(2024, 3, 1, 6, 0, 0)
+    lines = [
+        event_json(
+            event_id=f"evt_{i}",
+            timestamp=(base + datetime.timedelta(minutes=m)).isoformat() + "Z",
+        )
+        for i, m in enumerate([0, 1, 2, 20])
+    ]
+    (src / "a.jsonl").write_text("\n".join(lines) + "\n")
+
+    stream = read_raw_events_stream(spark, str(src))
+    agg = session_activity(process_events(stream), gap="5 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sess_act")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = sorted(
+        spark.sql("select * from sess_act").collect(),
+        key=lambda r: r.session_start,
+    )
+    # 06:00/06:01/06:02 merge into one session ending 06:02+gap; the
+    # 06:20 event is its own session.
+    assert len(rows) == 2
+    assert rows[0].n_events == 3 and rows[0].session_start.minute == 0
+    assert rows[0].session_end.minute == 7  # last event 06:02 + 5 min gap
+    assert rows[1].n_events == 1 and rows[1].session_start.minute == 20
+
+
 def test_windowed_health_streaming(spark, tmp_path):
     """T6 — tumbling event-time window + watermark on the live stream."""
     import json as _json
