@@ -121,6 +121,10 @@ def q_cosine_dup_pairs(spark, sf_dir):
     return SIM.cosine_dup_pairs(_emb(spark, sf_dir), threshold=COSINE_DUP_THRESHOLD)
 
 
+def q_emb_dup_clusters(spark, sf_dir):
+    return SIM.emb_dup_clusters(_emb(spark, sf_dir), threshold=COSINE_DUP_THRESHOLD)
+
+
 def q_label_centroids(spark, sf_dir):
     return SIM.label_centroids(_emb(spark, sf_dir))
 
@@ -150,6 +154,7 @@ def llm_queries() -> dict[str, QueryFn]:
         "emb_cosine_topk": q_cosine_topk,
         "emb_ivf_topk": q_ivf_topk,
         "emb_cosine_dup_pairs": q_cosine_dup_pairs,
+        "emb_dup_clusters": q_emb_dup_clusters,
         "emb_label_centroids": q_label_centroids,
         "mm_image_features": q_multimodal_features,
     }
@@ -544,9 +549,11 @@ def _sql_rh_bit(i: int) -> str:
     )
 
 
-def _sql_cosine_dup_pairs() -> str:
-    # Mirrors cosine_dup_pairs: banded random-hyperplane LSH candidates
-    # + exact-cosine verify (same planes, same band keys).
+def _cosine_pair_ctes() -> str:
+    """CTE chain from embeddings through `scored` (LSH candidates with
+    exact cosine) — shared by the pair and cluster oracles. Mirrors
+    cosine_dup_pairs: banded random-hyperplane LSH candidates +
+    exact-cosine verify (same planes, same band keys)."""
     rows = SIM.rh_rows_for(COSINE_DUP_THRESHOLD)
     nbits = SIM.RH_BANDS * rows
     bit_exprs = ",\n         ".join(f"{_sql_rh_bit(i)} AS b{i}" for i in range(nbits))
@@ -557,8 +564,7 @@ def _sql_cosine_dup_pairs() -> str:
         )
         for band in range(SIM.RH_BANDS)
     )
-    return f"""
-WITH {_EMB_CTE},
+    return f"""{_EMB_CTE},
 sig AS (
   SELECT vec_id,
          {bit_exprs}
@@ -578,9 +584,34 @@ pairs AS (
 scored AS (
   SELECT vec_a, vec_b, {_DOT} / ({_NORM_Q} * {_NORM_C}) AS cosine
   FROM pairs
-)
+)"""
+
+
+def _sql_cosine_dup_pairs() -> str:
+    return f"""
+WITH {_cosine_pair_ctes()}
 SELECT vec_a, vec_b, round(cosine, 6) AS cosine
 FROM scored WHERE cosine >= {COSINE_DUP_THRESHOLD}"""
+
+
+def _sql_emb_dup_clusters() -> str:
+    # Transitive closure of the cosine near-dup graph (min reachable
+    # vec_id), mirroring emb_dup_clusters' label-propagation fixpoint.
+    return f"""
+WITH RECURSIVE {_cosine_pair_ctes()},
+dup AS (SELECT vec_a, vec_b FROM scored WHERE cosine >= {COSINE_DUP_THRESHOLD}),
+edges AS (
+  SELECT vec_a AS s, vec_b AS d FROM dup
+  UNION ALL
+  SELECT vec_b AS s, vec_a AS d FROM dup
+),
+reach(vec_id, r) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT e2.s, reach.r FROM edges e2 JOIN reach ON e2.d = reach.vec_id
+)
+SELECT vec_id, min(r) AS cluster_id, (vec_id = min(r)) AS is_canonical
+FROM reach GROUP BY vec_id"""
 
 
 def _sql_label_centroids() -> str:
@@ -726,6 +757,7 @@ def llm_oracle_sql() -> dict[str, str]:
         "emb_cosine_topk": _sql_cosine_topk(),
         "emb_ivf_topk": _sql_ivf_topk(),
         "emb_cosine_dup_pairs": _sql_cosine_dup_pairs(),
+        "emb_dup_clusters": _sql_emb_dup_clusters(),
         "emb_label_centroids": _sql_label_centroids(),
         "mm_image_features": _sql_multimodal(),
     }

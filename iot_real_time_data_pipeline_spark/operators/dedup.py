@@ -267,6 +267,72 @@ def simhash_dup_pairs(
     )
 
 
+def connected_components(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    a_col: str,
+    b_col: str,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components of an undirected pair graph by iterative
+    min-label propagation.
+
+    Each round every node adopts the smallest cluster id among itself
+    and its neighbors; a fixpoint is reached after ``diameter`` rounds
+    (near-dup clusters are shallow, so typically 2-3). Every iteration
+    is a distributed ``join`` + ``groupBy(min)`` on the edge list
+    (shuffle proportional to edges, never n^2); the driver only checks
+    a changed-row *count* per round, and ``localCheckpoint`` truncates
+    the growing lineage. For adversarial long-chain graphs at 100 TB
+    the drop-in upgrade is the large-star/small-star algorithm
+    (Kiveris et al., "Connected Components in MapReduce and Beyond")
+    which converges in O(log n) rounds with the same join-shaped
+    iterations.
+
+    Returns one row per node: ``(<id_col>, cluster_id, is_canonical)``
+    — singletons cluster with themselves, and the minimum id in each
+    component is the canonical survivor.
+    """
+    fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    rev = pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    edges = fwd.union(rev).persist()
+
+    labels = nodes.select(
+        F.col(id_col).alias("_nid"),
+        F.col(id_col).cast("long").alias("cluster_id"),
+    ).localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels.withColumnRenamed("_nid", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        merged = (
+            labels.join(nbr_min, labels["_nid"] == nbr_min["src"], "left")
+            .select(
+                labels["_nid"],
+                labels["cluster_id"].alias("old_cluster"),
+                F.least(
+                    labels["cluster_id"],
+                    F.coalesce(F.col("nbr_min"), labels["cluster_id"]),
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = merged.filter(F.col("cluster_id") < F.col("old_cluster")).count()
+        labels = merged.select("_nid", "cluster_id")
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("_nid").alias(id_col),
+        "cluster_id",
+        (F.col("_nid") == F.col("cluster_id")).alias("is_canonical"),
+    )
+
+
 def dup_clusters(
     docs: DataFrame,
     text_col: str = "text",
@@ -278,60 +344,10 @@ def dup_clusters(
 
     Near-dup *pairs* are not a dedup decision: a-b and b-c dups must
     collapse to ONE surviving document, which requires the transitive
-    closure. This computes it with iterative min-label propagation —
-    each round every doc adopts the smallest cluster id among itself
-    and its graph neighbors; a fixpoint is reached after ``diameter``
-    rounds (near-dup clusters are shallow, so typically 2-3).
-
-    Every iteration is a distributed ``join`` + ``groupBy(min)`` on the
-    edge list (shuffle proportional to edges, never n^2); the driver
-    only checks a changed-row *count* per round, and
-    ``localCheckpoint`` truncates the growing lineage. For adversarial
-    long-chain graphs at 100 TB the drop-in upgrade is the
-    large-star/small-star algorithm (Kiveris et al., "Connected
-    Components in MapReduce and Beyond") which converges in
-    O(log n) rounds with the same join-shaped iterations.
-
-    Returns one row per document: ``(doc_id, cluster_id,
-    is_canonical)`` — singletons cluster with themselves, and the
-    minimum doc_id in each component is the canonical survivor
-    (``is_canonical`` selects the deduplicated corpus).
+    closure — see ``connected_components`` for the propagation plan.
+    ``is_canonical`` selects the deduplicated corpus.
     """
     pairs = minhash_lsh_pairs(docs, text_col, id_col, threshold)
-    fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    rev = pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-    edges = fwd.union(rev).persist()
-
-    labels = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.col(id_col).cast("long").alias("cluster_id"),
-    ).localCheckpoint(eager=True)
-
-    for _ in range(max_iter):
-        nbr_min = (
-            edges.join(labels.withColumnRenamed("doc_id", "dst"), "dst")
-            .groupBy("src")
-            .agg(F.min("cluster_id").alias("nbr_min"))
-        )
-        merged = (
-            labels.join(nbr_min, labels["doc_id"] == nbr_min["src"], "left")
-            .select(
-                labels["doc_id"],
-                labels["cluster_id"].alias("old_cluster"),
-                F.least(
-                    labels["cluster_id"],
-                    F.coalesce(F.col("nbr_min"), labels["cluster_id"]),
-                ).alias("cluster_id"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        changed = merged.filter(F.col("cluster_id") < F.col("old_cluster")).count()
-        labels = merged.select("doc_id", "cluster_id")
-        if changed == 0:
-            break
-    edges.unpersist()
-    return labels.select(
-        "doc_id",
-        "cluster_id",
-        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+    return connected_components(
+        docs, pairs, id_col=id_col, a_col="doc_a", b_col="doc_b", max_iter=max_iter
     )

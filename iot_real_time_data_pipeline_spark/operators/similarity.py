@@ -278,6 +278,24 @@ def cosine_dup_pairs(
     return _verified_pairs(e, rh_candidate_pairs(embeddings, bands, rows), threshold)
 
 
+def emb_dup_clusters(
+    embeddings: DataFrame, threshold: float = 0.45, max_iter: int = 25
+) -> DataFrame:
+    """Embedding-level dedup decision: connected components over the
+    LSH-verified cosine near-dup pair graph (transitive closure — the
+    same a-b / b-c collapse argument as ``dedup.dup_clusters``).
+    ``is_canonical`` (minimum vec_id per component) selects the
+    deduplicated embedding set.
+    """
+    from .dedup import connected_components
+
+    pairs = cosine_dup_pairs(embeddings, threshold)
+    return connected_components(
+        embeddings, pairs, id_col="vec_id", a_col="vec_a", b_col="vec_b",
+        max_iter=max_iter,
+    )
+
+
 def cosine_dup_pairs_exact(embeddings: DataFrame, threshold: float = 0.45) -> DataFrame:
     """All-pairs exact near-dup pairs — the small-input recall oracle.
 

@@ -220,6 +220,23 @@ def test_rh_banding_prunes_monotonically(spark):
     emb.unpersist()
 
 
+def test_emb_dup_clusters_cocluster_all_pairs(spark):
+    from iot_real_time_data_pipeline_spark.entrypoints import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings").persist()
+    pairs = SIM.cosine_dup_pairs(emb).collect()
+    assert pairs, "need near-dup pairs for the clustering to be meaningful"
+    out = {r.vec_id: r for r in SIM.emb_dup_clusters(emb).collect()}
+    assert len(out) == emb.count()  # every vector labeled, singletons too
+    for p in pairs:  # both ends of every dup pair share a cluster
+        assert out[p.vec_a].cluster_id == out[p.vec_b].cluster_id
+    # the canonical member is the cluster id itself, exactly once per cluster
+    canon = {r.cluster_id for r in out.values() if r.is_canonical}
+    assert canon == {r.cluster_id for r in out.values()}
+    assert all(out[c].cluster_id == c for c in canon)
+    emb.unpersist()
+
+
 def test_label_centroids(spark, vectors):
     out = {(r.label, r.dim): r.centroid for r in SIM.label_centroids(vectors).collect()}
     assert out[(0, 1)] == pytest.approx((1.0 + 0.9 + 0.8) / 3, abs=1e-6)
