@@ -149,8 +149,10 @@ def main() -> None:
         "docs_stratified_sample",
         "docs_pii_scrub",
         "docs_curation",
+        "docs_source_mix",
         "docs_unigram_logprob",
         "emb_cosine_dup_pairs",
+        "emb_dup_clusters",
     }
 
     for name in [
@@ -163,6 +165,8 @@ def main() -> None:
         "docs_stratified_sample",
         "docs_pii_scrub",
         "docs_curation",
+        "docs_source_mix",
+        "docs_unigram_logprob",
         "docs_token_stats",
         "docs_language_id",
         "docs_quality",
@@ -171,6 +175,7 @@ def main() -> None:
         "emb_cosine_topk",
         "emb_ivf_topk",
         "emb_cosine_dup_pairs",
+        "emb_dup_clusters",
         "emb_label_centroids",
         "mm_image_features",
     ]:

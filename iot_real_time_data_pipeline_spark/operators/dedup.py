@@ -293,15 +293,25 @@ def connected_components(
     Returns one row per node: ``(<id_col>, cluster_id, is_canonical)``
     — singletons cluster with themselves, and the minimum id in each
     component is the canonical survivor.
+
+    Only nodes that appear in ``pairs`` ride through the iterations:
+    in a near-dup graph the overwhelming majority of a corpus is
+    singleton, so propagating over the pair graph alone keeps the
+    per-round joins proportional to *duplicates*, not corpus size —
+    singletons join back in once at the end as their own cluster.
     """
     fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     rev = pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
     edges = fwd.union(rev).persist()
 
-    labels = nodes.select(
-        F.col(id_col).alias("_nid"),
-        F.col(id_col).cast("long").alias("cluster_id"),
-    ).localCheckpoint(eager=True)
+    # Both edge directions exist, so `src` alone covers every node of
+    # the pair graph.
+    labels = (
+        edges.select(F.col("src").alias("_nid"))
+        .distinct()
+        .select("_nid", F.col("_nid").cast("long").alias("cluster_id"))
+        .localCheckpoint(eager=True)
+    )
 
     for _ in range(max_iter):
         nbr_min = (
@@ -326,10 +336,19 @@ def connected_components(
         if changed == 0:
             break
     edges.unpersist()
-    return labels.select(
-        F.col("_nid").alias(id_col),
-        "cluster_id",
-        (F.col("_nid") == F.col("cluster_id")).alias("is_canonical"),
+    return (
+        nodes.select(F.col(id_col))
+        .join(labels.withColumnRenamed("_nid", id_col), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("cluster_id"), F.col(id_col).cast("long")).alias(
+                "cluster_id"
+            ),
+            (
+                F.coalesce(F.col("cluster_id"), F.col(id_col).cast("long"))
+                == F.col(id_col).cast("long")
+            ).alias("is_canonical"),
+        )
     )
 
 
