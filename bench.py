@@ -150,6 +150,7 @@ def main() -> None:
         "docs_pii_scrub",
         "docs_curation",
         "docs_source_mix",
+        "docs_rebalanced_sample",
         "docs_unigram_logprob",
         "emb_cosine_dup_pairs",
         "emb_dup_clusters",
@@ -166,6 +167,7 @@ def main() -> None:
         "docs_pii_scrub",
         "docs_curation",
         "docs_source_mix",
+        "docs_rebalanced_sample",
         "docs_unigram_logprob",
         "docs_token_stats",
         "docs_language_id",

@@ -82,6 +82,10 @@ def q_source_mix(spark, sf_dir):
     return CUR.source_mix(_docs(spark, sf_dir))
 
 
+def q_rebalanced_sample(spark, sf_dir):
+    return CUR.rebalanced_sample(_docs(spark, sf_dir))
+
+
 def q_token_stats(spark, sf_dir):
     return TA.token_stats(_docs(spark, sf_dir))
 
@@ -145,6 +149,7 @@ def llm_queries() -> dict[str, QueryFn]:
         "docs_pii_scrub": q_pii_scrub,
         "docs_curation": q_curation,
         "docs_source_mix": q_source_mix,
+        "docs_rebalanced_sample": q_rebalanced_sample,
         "docs_token_stats": q_token_stats,
         "docs_language_id": q_language_id,
         "docs_quality": q_quality,
@@ -674,20 +679,38 @@ SELECT doc_id, n_emails,
 FROM scrub"""
 
 
-def _sql_source_mix() -> str:
+def _source_weight_ctes() -> str:
+    """CTE chain through `mix` (source, rebalance_weight) — shared by
+    the source-mix and rebalanced-sample oracles."""
     toks = TH.sql_tokens("text")
-    return f"""
-WITH per_source AS (
+    return f"""per_source AS (
   SELECT source, count(*) AS n_docs,
          sum(len({toks})) AS n_tokens
   FROM documents GROUP BY source
 ),
-tot AS (SELECT sum(n_tokens) AS total_tokens, count(*) AS n_sources FROM per_source)
-SELECT source, n_docs, n_tokens,
-       round(n_tokens / CAST(total_tokens AS DOUBLE), 6) AS token_share,
-       round(least(1.0, (total_tokens / CAST(n_sources AS DOUBLE)) / n_tokens), 6)
-         AS rebalance_weight
-FROM per_source CROSS JOIN tot"""
+tot AS (SELECT sum(n_tokens) AS total_tokens, count(*) AS n_sources FROM per_source),
+mix AS (
+  SELECT source, n_docs, n_tokens,
+         round(n_tokens / CAST(total_tokens AS DOUBLE), 6) AS token_share,
+         round(least(1.0, (total_tokens / CAST(n_sources AS DOUBLE)) / n_tokens), 6)
+           AS rebalance_weight
+  FROM per_source CROSS JOIN tot
+)"""
+
+
+def _sql_source_mix() -> str:
+    return f"""
+WITH {_source_weight_ctes()}
+SELECT source, n_docs, n_tokens, token_share, rebalance_weight FROM mix"""
+
+
+def _sql_rebalanced_sample() -> str:
+    h = TH.sql_token_hash("concat('s:', CAST(doc_id AS VARCHAR))")
+    return f"""
+WITH {_source_weight_ctes()}
+SELECT d.doc_id, d.source, {h} % {CUR.SAMPLE_MOD} AS sample_bucket
+FROM documents d JOIN mix ON d.source = mix.source
+WHERE CAST({h} % {CUR.SAMPLE_MOD} AS DOUBLE) < mix.rebalance_weight * {CUR.SAMPLE_MOD}"""
 
 
 def _sql_curation() -> str:
@@ -748,6 +771,7 @@ def llm_oracle_sql() -> dict[str, str]:
         "docs_pii_scrub": _sql_pii_scrub(),
         "docs_curation": _sql_curation(),
         "docs_source_mix": _sql_source_mix(),
+        "docs_rebalanced_sample": _sql_rebalanced_sample(),
         "docs_token_stats": _sql_token_stats(),
         "docs_language_id": _sql_language_id(),
         "docs_quality": _sql_quality(),

@@ -146,6 +146,38 @@ def source_mix(docs: DataFrame, text_col: str = "text", source_col: str = "sourc
     )
 
 
+def rebalanced_sample(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Apply ``source_mix``'s rebalancing weights as a deterministic
+    hash-threshold sample — the full mixing loop (measure composition
+    -> cut the corpus) in one plan.
+
+    A document survives iff ``hash(doc_id) mod SAMPLE_MOD`` falls under
+    its source's ``rebalance_weight * SAMPLE_MOD``, so over-represented
+    sources are thinned toward the equal-token budget and
+    under-represented sources (weight 1) keep everything. The weight
+    table is one row per source — a broadcast join — and the decision
+    itself is the same pure map as ``stratified_sample``.
+    """
+    weights = source_mix(docs, text_col, source_col).select(
+        F.col("source").alias("_mix_source"), "rebalance_weight"
+    )
+    bucket = sample_hash(id_col) % SAMPLE_MOD
+    return (
+        docs.join(F.broadcast(weights), F.col(source_col) == F.col("_mix_source"))
+        .filter(bucket.cast("double") < F.col("rebalance_weight") * SAMPLE_MOD)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.col(source_col).alias("source"),
+            bucket.alias("sample_bucket"),
+        )
+    )
+
+
 def curation_pipeline(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -353,6 +353,27 @@ def test_source_mix_rebalance_weights(spark):
     assert out["s2"].rebalance_weight == 1.0  # under-represented: keep all
 
 
+def test_rebalanced_sample_thins_overrepresented(spark):
+    rows = [(i, "a b c d", "s1") for i in range(1, 5)] + [(5, "a b c d", "s2")]
+    # s1: 16 tokens, s2: 4; total 20, fair share 10 -> w_s1=0.625, w_s2=1.
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.doc_id: r for r in CUR.rebalanced_sample(df).collect()}
+    assert 5 in out  # weight-1 source keeps everything
+    for r in out.values():
+        if r.source == "s1":
+            assert r.sample_bucket < 625
+    # decision is pure hash-vs-weight: every s1 doc under the threshold
+    # is in, every one over it is out
+    buckets = {
+        r.doc_id: r.sample_bucket
+        for r in df.select(
+            "doc_id", (CUR.sample_hash() % CUR.SAMPLE_MOD).alias("sample_bucket")
+        ).collect()
+    }
+    expect = {i for i in range(1, 5) if buckets[i] < 625} | {5}
+    assert set(out) == expect
+
+
 def test_curation_pipeline_gates_compose(monkeypatch, spark):
     # Rate 1000 for every known language isolates the other gates from
     # the sampling hash; 'und' still keeps nothing.
