@@ -104,6 +104,26 @@ def pii_scrub(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def write_corpus(
+    docs: DataFrame,
+    path: str,
+    partition_cols: tuple[str, ...] = ("lang",),
+    mode: str = "overwrite",
+) -> None:
+    """Write a (curated) corpus as parquet partitioned by its routing
+    columns — the documents-domain twin of the event lake's
+    status/loc/date layout.
+
+    Training jobs consume corpora sliced by language/source; making the
+    slice a partition *value* gives every downstream reader static
+    partition pruning for free (a `lang='en'` read never opens other
+    languages' files). At 100 TB, partition columns must be
+    low-cardinality routing keys (language, source family, date) —
+    never document ids.
+    """
+    docs.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
 def source_mix(docs: DataFrame, text_col: str = "text", source_col: str = "source") -> DataFrame:
     """Per-source corpus composition + rebalancing weights.
 

@@ -374,6 +374,25 @@ def test_rebalanced_sample_thins_overrepresented(spark):
     assert set(out) == expect
 
 
+def test_write_corpus_partitions_prune(spark, tmp_path, docs):
+    import glob
+    import io
+    from contextlib import redirect_stdout
+
+    out = str(tmp_path / "corpus")
+    CUR.write_corpus(docs, out)
+    assert glob.glob(f"{out}/lang=en") and glob.glob(f"{out}/lang=de")
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    # a language slice must prune at the source: only the en partition
+    # appears in the scan's partition filters
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        back.filter("lang = 'en'").explain()
+    assert "PartitionFilters" in buf.getvalue()
+    assert back.filter("lang = 'en'").count() == 4
+
+
 def test_curation_pipeline_gates_compose(monkeypatch, spark):
     # Rate 1000 for every known language isolates the other gates from
     # the sampling hash; 'und' still keeps nothing.
