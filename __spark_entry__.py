@@ -9,8 +9,9 @@ The query surface lives in ``iot_real_time_data_pipeline_spark``:
 - ``driver_queries``: the IoT pipeline / star-schema / dashboard
   operators (SURVEY.md §2) with DuckDB oracle twins;
 - ``operators.dedup`` / ``operators.similarity`` /
-  ``operators.text_analysis`` / ``operators.multimodal``: the
-  LLM-training-data operators over documents/embeddings.
+  ``operators.text_analysis`` / ``operators.curation`` /
+  ``operators.multimodal``: the LLM-training-data operators over
+  documents/embeddings.
 """
 
 from __future__ import annotations
