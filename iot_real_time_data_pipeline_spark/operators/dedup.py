@@ -161,7 +161,9 @@ def minhash_lsh_pairs(
         )
         for band in range(TH.LSH_BANDS)
     ])
-    bands = sig.select("doc_id", F.explode(band_keys).alias("band_key"))
+    # Persist: the self-join reads the band frame from both sides; the
+    # cache boundary keeps the 32 minhash folds at once per doc.
+    bands = sig.select("doc_id", F.explode(band_keys).alias("band_key")).persist()
 
     x, y = bands.alias("x"), bands.alias("y")
     candidates = (

@@ -246,7 +246,10 @@ def rh_candidate_pairs(
         )
         for band in range(bands)
     ])
-    bands_df = sig.select("vec_id", F.explode(band_keys).alias("band_key"))
+    # Persist: the self-join references the band frame from BOTH sides,
+    # so without a cache boundary the bands*rows hyperplane folds run
+    # twice per vector (the dup_clusters edge-list lesson).
+    bands_df = sig.select("vec_id", F.explode(band_keys).alias("band_key")).persist()
     x, y = bands_df.alias("x"), bands_df.alias("y")
     return (
         x.join(y, (F.col("x.band_key") == F.col("y.band_key"))
