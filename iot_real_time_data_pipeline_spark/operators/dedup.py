@@ -359,6 +359,103 @@ def connected_components(
     )
 
 
+def connected_components_star(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    a_col: str,
+    b_col: str,
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    rounds (Kiveris et al., "Connected Components in MapReduce and
+    Beyond" — the published O(log n)-round algorithm).
+
+    Same output contract as ``connected_components``; use this variant
+    when the pair graph may contain *long chains* (diameter ~ n), where
+    min-label propagation needs diameter rounds but star contraction
+    needs logarithmically many:
+
+    - large-star: every node links its larger neighbors to the minimum
+      of its closed neighborhood;
+    - small-star: every node links its smaller neighbors (and itself)
+      to that minimum.
+
+    Each half-round is one ``groupBy(min)`` + one join on the edge
+    list + ``distinct`` — the same shuffle shape as propagation, just
+    contracting the graph geometrically instead of walking it. The
+    fixpoint test (`exceptAll` both ways) is exact; at the fixpoint the
+    edge set is a star forest pointing every node at its component
+    minimum.
+    """
+    fwd = pairs.select(
+        F.col(a_col).cast("long").alias("u"), F.col(b_col).cast("long").alias("v")
+    ).persist()
+
+    def _mins(e: DataFrame) -> DataFrame:
+        return (
+            e.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least(F.col("u"), F.col("mv")).alias("m"))
+        )
+
+    edges = (
+        fwd.union(fwd.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # large-star: (v, m(u)) for v in Γ(u), v > u
+        m1 = _mins(edges)
+        large = (
+            edges.filter(F.col("v") > F.col("u"))
+            .join(m1, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: (v, m(u)) for v in Γ(u), v <= u, plus (u, m(u))
+        m2 = _mins(large)
+        small = (
+            large.join(m2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(m2.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        sym = small.union(
+            small.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).distinct().localCheckpoint(eager=True)
+        changed = (
+            sym.exceptAll(edges).count() + edges.exceptAll(sym).count()
+        )
+        edges = sym
+        if changed == 0:
+            break
+    # Star forest: every non-root points at its component minimum.
+    labels = edges.filter(F.col("v") < F.col("u")).groupBy("u").agg(
+        F.min("v").alias("cluster_id")
+    )
+    fwd.unpersist()
+    return (
+        nodes.select(F.col(id_col))
+        .join(
+            labels.select(F.col("u").alias(id_col), "cluster_id"), id_col, "left"
+        )
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("cluster_id"), F.col(id_col).cast("long")).alias(
+                "cluster_id"
+            ),
+            (
+                F.coalesce(F.col("cluster_id"), F.col(id_col).cast("long"))
+                == F.col(id_col).cast("long")
+            ).alias("is_canonical"),
+        )
+    )
+
+
 def dup_clusters(
     docs: DataFrame,
     text_col: str = "text",

@@ -309,6 +309,56 @@ def test_dup_clusters_transitive_closure(spark):
     assert [out[i].is_canonical for i in (1, 2, 3, 4)] == [True, False, False, True]
 
 
+def test_star_cc_matches_propagation_on_long_chain(spark):
+    # A 40-node path graph: worst case for min-label propagation
+    # (diameter rounds); large/small-star must produce the identical
+    # labeling in logarithmically many rounds.
+    n = 40
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    star = {
+        r.doc_id: (r.cluster_id, r.is_canonical)
+        for r in DD.connected_components_star(
+            nodes, pairs, "doc_id", "doc_a", "doc_b"
+        ).collect()
+    }
+    assert all(star[i] == (0, i == 0) for i in range(n))
+    prop = {
+        r.doc_id: (r.cluster_id, r.is_canonical)
+        for r in DD.connected_components(
+            nodes, pairs, "doc_id", "doc_a", "doc_b", max_iter=n
+        ).collect()
+    }
+    assert star == prop
+
+
+def test_star_cc_matches_propagation_on_near_dups(spark):
+    rows = [
+        (1, "a b c d e f g h i j", "en"),
+        (2, "a b c d e f g h i k", "en"),
+        (3, "z b c d e f g h i k", "en"),
+        (4, "totally different words entirely unrelated content here now", "en"),
+        (7, "another island of text with its own vocabulary right here ok", "en"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    pairs = DD.minhash_lsh_pairs(df, threshold=0.7)
+    star = {
+        (r.doc_id, r.cluster_id, r.is_canonical)
+        for r in DD.connected_components_star(
+            df, pairs, "doc_id", "doc_a", "doc_b"
+        ).collect()
+    }
+    prop = {
+        (r.doc_id, r.cluster_id, r.is_canonical)
+        for r in DD.connected_components(
+            df, pairs, "doc_id", "doc_a", "doc_b"
+        ).collect()
+    }
+    assert star == prop
+
+
 def test_stratified_sample_rates_and_determinism(spark):
     rows = [(i, f"doc {i}", ["en", "de", "xx"][i % 3]) for i in range(60)]
     df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
