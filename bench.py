@@ -145,6 +145,7 @@ def main() -> None:
     # excluded from the r2-comparable subtotal, counted in the total.
     ROUND3_ITEMS = {
         "docs_simhash_dup_pairs",
+        "docs_decontaminate",
         "docs_dup_clusters",
         "docs_stratified_sample",
         "docs_pii_scrub",
@@ -162,6 +163,7 @@ def main() -> None:
         "docs_minhash_lsh_pairs",
         "docs_simhash",
         "docs_simhash_dup_pairs",
+        "docs_decontaminate",
         "docs_dup_clusters",
         "docs_stratified_sample",
         "docs_pii_scrub",

@@ -62,6 +62,17 @@ def q_simhash_dup_pairs(spark, sf_dir):
     return DD.simhash_dup_pairs(_docs(spark, sf_dir))
 
 
+EVAL_MOD = 50  # doc_id % EVAL_MOD == 0 -> stand-in eval/benchmark set
+
+
+def q_decontaminate(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return DD.decontaminate(
+        docs.filter(F.col("doc_id") % EVAL_MOD != 0),
+        docs.filter(F.col("doc_id") % EVAL_MOD == 0),
+    )
+
+
 def q_dup_clusters(spark, sf_dir):
     return DD.dup_clusters(_docs(spark, sf_dir), threshold=JACCARD_THRESHOLD)
 
@@ -144,6 +155,7 @@ def llm_queries() -> dict[str, QueryFn]:
         "docs_minhash_lsh_pairs": q_minhash_lsh,
         "docs_simhash": q_simhash,
         "docs_simhash_dup_pairs": q_simhash_dup_pairs,
+        "docs_decontaminate": q_decontaminate,
         "docs_dup_clusters": q_dup_clusters,
         "docs_stratified_sample": q_stratified_sample,
         "docs_pii_scrub": q_pii_scrub,
@@ -277,6 +289,23 @@ def _sql_minhash_lsh() -> str:
     return f"""
 WITH {_minhash_inter_ctes()},
 {_jaccard_tail('inter')}"""
+
+
+def _sql_decontaminate(min_common: int = 2) -> str:
+    return f"""
+WITH {_TOKS_CTE}, {_SHINGLE_CTE},
+tp AS (
+  SELECT doc_id, unnest(shl) AS h FROM sh WHERE doc_id % {EVAL_MOD} != 0
+),
+ep AS (
+  SELECT doc_id AS eval_doc_id, unnest(shl) AS h FROM sh
+  WHERE doc_id % {EVAL_MOD} = 0
+)
+SELECT tp.doc_id, ep.eval_doc_id, count(*) AS n_common
+FROM tp JOIN ep USING (h)
+WHERE tp.doc_id != ep.eval_doc_id
+GROUP BY 1, 2
+HAVING count(*) >= {min_common}"""
 
 
 def _sql_dup_clusters() -> str:
@@ -766,6 +795,7 @@ def llm_oracle_sql() -> dict[str, str]:
         "docs_minhash_lsh_pairs": _sql_minhash_lsh(),
         "docs_simhash": _sql_simhash(),
         "docs_simhash_dup_pairs": _sql_simhash_dup_pairs(),
+        "docs_decontaminate": _sql_decontaminate(),
         "docs_dup_clusters": _sql_dup_clusters(),
         "docs_stratified_sample": _sql_stratified_sample(),
         "docs_pii_scrub": _sql_pii_scrub(),

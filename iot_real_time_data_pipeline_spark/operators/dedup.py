@@ -190,6 +190,42 @@ def minhash_lsh_pairs(
     return verified
 
 
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_common: int = 2,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing at
+    least ``min_common`` word-3-gram shingles with any eval-set
+    document.
+
+    The canonical pre-training hygiene step — eval answers leaking into
+    the training corpus inflate benchmark scores — expressed as the
+    shingle postings join: training postings join eval postings on the
+    shingle hash, so only (train, eval) pairs that actually share an
+    n-gram are ever materialized. The eval set is small by nature, so
+    at 100 TB the join broadcasts the eval postings and the corpus
+    streams through without shuffling.
+
+    Returns ``(doc_id, eval_doc_id, n_common)`` — every contaminated
+    (train, eval) pair with its shared-shingle count; anti-join the
+    distinct doc_ids against the corpus to cut the clean set.
+    """
+    train = _doc_shingles(docs, text_col, id_col)
+    ev = _doc_shingles(eval_docs, text_col, id_col)
+    tp = train.select("doc_id", F.explode("sh").alias("h"))
+    ep = ev.select(F.col("doc_id").alias("eval_doc_id"), F.explode("sh").alias("h"))
+    return (
+        tp.join(F.broadcast(ep), "h")
+        .filter(F.col("doc_id") != F.col("eval_doc_id"))
+        .groupBy("doc_id", "eval_doc_id")
+        .agg(F.count("*").alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )
+
+
 def simhash_fingerprints(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -275,6 +275,24 @@ def test_unigram_logprob_flags_rare_token_docs(spark):
     assert out[3].avg_unigram_logprob < out[1].avg_unigram_logprob
 
 
+def test_decontaminate_flags_shared_ngrams(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "intro text then the quick brown fox jumps away", "en"),
+            (2, "completely unrelated content about nothing at all", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    eval_docs = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog", "en")],
+        "doc_id long, text string, lang string",
+    )
+    out = {(r.doc_id, r.eval_doc_id): r.n_common
+           for r in DD.decontaminate(train, eval_docs).collect()}
+    # doc 1 shares 3 word-3-grams with the eval doc; doc 2 shares none.
+    assert out == {(1, 100): 3}
+
+
 def test_simhash_dup_pairs_exhaustive_at_ham3(docs):
     # Pigeonhole: 4 byte-bands over 32 bits guarantee every pair with
     # Hamming <= 3 collides in at least one band, so the banded result
