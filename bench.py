@@ -144,6 +144,7 @@ def main() -> None:
     # Line items absent from BENCH_r02's query list (added in round 3):
     # excluded from the r2-comparable subtotal, counted in the total.
     ROUND3_ITEMS = {
+        "docs_containment_pairs",
         "docs_simhash_dup_pairs",
         "docs_decontaminate",
         "docs_dup_clusters",
@@ -161,6 +162,7 @@ def main() -> None:
         "docs_exact_dedup",
         "docs_shingle_jaccard_pairs",
         "docs_minhash_lsh_pairs",
+        "docs_containment_pairs",
         "docs_simhash",
         "docs_simhash_dup_pairs",
         "docs_decontaminate",

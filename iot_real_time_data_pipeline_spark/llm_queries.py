@@ -54,6 +54,15 @@ def q_minhash_lsh(spark, sf_dir):
     return DD.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=JACCARD_THRESHOLD)
 
 
+CONTAINMENT_THRESHOLD = 0.9
+
+
+def q_containment(spark, sf_dir):
+    return DD.shingle_containment_pairs(
+        _docs(spark, sf_dir), threshold=CONTAINMENT_THRESHOLD
+    )
+
+
 def q_simhash(spark, sf_dir):
     return DD.simhash_fingerprints(_docs(spark, sf_dir))
 
@@ -153,6 +162,7 @@ def llm_queries() -> dict[str, QueryFn]:
         "docs_exact_dedup": q_exact_dedup,
         "docs_shingle_jaccard_pairs": q_shingle_jaccard,
         "docs_minhash_lsh_pairs": q_minhash_lsh,
+        "docs_containment_pairs": q_containment,
         "docs_simhash": q_simhash,
         "docs_simhash_dup_pairs": q_simhash_dup_pairs,
         "docs_decontaminate": q_decontaminate,
@@ -245,6 +255,24 @@ inter AS (
   GROUP BY 1, 2
 ),
 {_jaccard_tail('inter')}"""
+
+
+def _sql_containment() -> str:
+    t = CONTAINMENT_THRESHOLD
+    return f"""
+WITH {_TOKS_CTE}, {_SHINGLE_CTE},
+post AS (SELECT doc_id, len(shl) AS n, unnest(shl) AS h FROM sh),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM post a JOIN post b
+    ON a.h = b.h AND a.doc_id != b.doc_id AND b.n >= a.n * {t}
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id AS doc_a, len(shl) AS n_a FROM sh)
+SELECT doc_a, doc_b,
+       round(n_common / CAST(n_a AS DOUBLE), 6) AS containment
+FROM inter JOIN sizes USING (doc_a)
+WHERE n_common / CAST(n_a AS DOUBLE) >= {t}"""
 
 
 def _minhash_inter_ctes() -> str:
@@ -793,6 +821,7 @@ def llm_oracle_sql() -> dict[str, str]:
         "docs_exact_dedup": _sql_exact_dedup(),
         "docs_shingle_jaccard_pairs": _sql_shingle_jaccard(),
         "docs_minhash_lsh_pairs": _sql_minhash_lsh(),
+        "docs_containment_pairs": _sql_containment(),
         "docs_simhash": _sql_simhash(),
         "docs_simhash_dup_pairs": _sql_simhash_dup_pairs(),
         "docs_decontaminate": _sql_decontaminate(),

@@ -129,6 +129,48 @@ def shingle_jaccard_pairs(
     )
 
 
+def shingle_containment_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Asymmetric shingle containment: |A∩B| / |A| >= ``threshold``.
+
+    Jaccard misses excerpts — a paragraph quoted inside a much longer
+    document has low Jaccard but containment ~1 — and excerpt-level
+    duplication is exactly what inflates a training corpus. Directional
+    by construction: ``(doc_a, doc_b)`` means A's shingles are mostly
+    inside B (identical docs appear in both directions).
+
+    Same inverted-postings self-join as the Jaccard path, with the
+    one-sided prune ``|B| >= threshold * |A|`` (B cannot contain
+    ``threshold*|A|`` of A's shingles with fewer than that many of its
+    own) — semantics-preserving, and it kills the long-tail of
+    tiny-B candidates.
+    """
+    sh = _doc_shingles(docs, text_col, id_col).persist()
+    postings = sh.select("doc_id", F.size("sh").alias("n"), F.explode("sh").alias("h"))
+    a, b = postings.alias("a"), postings.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") != F.col("b.doc_id"))
+            & (F.col("b.n") >= F.col("a.n") * threshold),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sizes = sh.select(F.col("doc_id").alias("doc_a"), F.size("sh").alias("n_a"))
+    return (
+        inter.join(sizes, "doc_a")
+        .withColumn("containment", F.col("n_common") / F.col("n_a"))
+        .filter(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", F.round("containment", 6).alias("containment"))
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     text_col: str = "text",

@@ -39,6 +39,26 @@ def test_shingle_jaccard_finds_near_dup(docs):
     assert (1, 4) not in pairs
 
 
+def test_containment_catches_excerpt_jaccard_misses(spark):
+    # doc 1 is an excerpt of doc 2: containment(1 in 2) = 1.0 while
+    # Jaccard is far below any dedup threshold.
+    rows = [
+        (1, "the quick brown fox jumps over", "en"),
+        (2, "once upon a time the quick brown fox jumps over the lazy dog "
+            "and keeps running through the quiet forest all night long", "en"),
+        (3, "entirely different words in this one here", "en"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    cont = {(r.doc_a, r.doc_b): r.containment
+            for r in DD.shingle_containment_pairs(df, threshold=0.9).collect()}
+    assert cont[(1, 2)] == 1.0
+    assert (2, 1) not in cont  # the long doc is not contained in the excerpt
+    assert (1, 3) not in cont and (3, 1) not in cont
+    jac = {(r.doc_a, r.doc_b)
+           for r in DD.shingle_jaccard_pairs(df, threshold=0.5).collect()}
+    assert (1, 2) not in jac  # symmetric Jaccard misses the excerpt
+
+
 def test_minhash_agrees_with_exact_on_high_sim(docs):
     exact = {(r.doc_a, r.doc_b) for r in
              DD.shingle_jaccard_pairs(docs, threshold=0.8).collect()}
