@@ -263,6 +263,70 @@ def test_label_centroids(spark, vectors):
     assert out[(1, 1)] == pytest.approx(-0.5, abs=1e-6)
 
 
+def test_property_lsh_subset_of_exact(spark):
+    """Property: LSH near-dup pairs are verified with exact Jaccard, so
+    for ANY corpus they are a subset of the exact-Jaccard pairs at the
+    same threshold (zero false positives, by construction)."""
+    from hypothesis import given, settings, strategies as st
+
+    words = st.sampled_from(["alpha", "beta", "gamma", "delta", "eps", "zeta"])
+    doc = st.lists(words, min_size=3, max_size=12).map(" ".join)
+
+    @settings(max_examples=5, deadline=None)
+    @given(st.lists(doc, min_size=2, max_size=8))
+    def check(texts):
+        df = spark.createDataFrame(
+            [(i, t, "en") for i, t in enumerate(texts)],
+            "doc_id long, text string, lang string",
+        )
+        exact = {(r.doc_a, r.doc_b)
+                 for r in DD.shingle_jaccard_pairs(df, threshold=0.8).collect()}
+        lsh = {(r.doc_a, r.doc_b)
+               for r in DD.minhash_lsh_pairs(df, threshold=0.8).collect()}
+        assert lsh <= exact
+
+    check()
+
+
+def test_property_cc_matches_union_find(spark):
+    """Property: for ANY edge set, connected_components agrees with a
+    driver-side union-find on every cluster assignment."""
+    from hypothesis import given, settings, strategies as st
+
+    n = 12
+    edge = st.tuples(st.integers(0, n - 1), st.integers(0, n - 1)).filter(
+        lambda e: e[0] < e[1]
+    )
+
+    @settings(max_examples=5, deadline=None)
+    @given(st.lists(edge, max_size=14, unique=True))
+    def check(edges):
+        nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+        pairs = spark.createDataFrame(
+            edges or [], "doc_a long, doc_b long"
+        ) if edges else spark.createDataFrame([], "doc_a long, doc_b long")
+        got = {r.doc_id: r.cluster_id
+               for r in DD.connected_components(
+                   nodes, pairs, "doc_id", "doc_a", "doc_b", max_iter=n
+               ).collect()}
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {i: min(j for j in range(n) if find(j) == find(i)) for i in range(n)}
+        assert got == want
+
+    check()
+
+
 def test_multimodal_feature_plumbing(docs):
     feats = {r.doc_id: r for r in
              MM.extract_features(MM.with_binary_payload(docs)).collect()}
