@@ -154,6 +154,7 @@ def main() -> None:
         "docs_source_mix",
         "docs_rebalanced_sample",
         "docs_unigram_logprob",
+        "docs_bpe_merge_candidates",
         "emb_cosine_dup_pairs",
         "emb_dup_clusters",
     }
@@ -173,6 +174,7 @@ def main() -> None:
         "docs_source_mix",
         "docs_rebalanced_sample",
         "docs_unigram_logprob",
+        "docs_bpe_merge_candidates",
         "docs_token_stats",
         "docs_language_id",
         "docs_quality",

@@ -126,6 +126,10 @@ def q_unigram_logprob(spark, sf_dir):
     return TA.unigram_logprob(_docs(spark, sf_dir))
 
 
+def q_bpe_merges(spark, sf_dir):
+    return TA.bpe_merge_candidates(_docs(spark, sf_dir), k=50)
+
+
 def q_tfidf(spark, sf_dir):
     return TA.tfidf_top_terms(_docs(spark, sf_dir))
 
@@ -177,6 +181,7 @@ def llm_queries() -> dict[str, QueryFn]:
         "docs_quality": q_quality,
         "docs_fingerprints": q_fingerprints,
         "docs_unigram_logprob": q_unigram_logprob,
+        "docs_bpe_merge_candidates": q_bpe_merges,
         "docs_tfidf_top_terms": q_tfidf,
         "emb_cosine_topk": q_cosine_topk,
         "emb_ivf_topk": q_ivf_topk,
@@ -515,6 +520,22 @@ WITH {_TOKS_CTE}
 SELECT doc_id, {TH.sql_doc_fingerprint(hashes)} AS fingerprint FROM toks"""
 
 
+def _sql_bpe_merges(k: int = 50) -> str:
+    return f"""
+WITH {_TOKS_CTE},
+tok_rows AS (SELECT unnest(t) AS tok FROM toks),
+ch AS (SELECT regexp_extract_all(tok, '.') AS c FROM tok_rows),
+pairs AS (
+  SELECT unnest(list_transform(range(1, len(c)), i -> c[i] || c[i+1])) AS pair
+  FROM ch WHERE len(c) >= 2
+),
+counts AS (SELECT pair, count(*) AS n FROM pairs GROUP BY pair)
+SELECT pair, n, rank FROM (
+  SELECT pair, n, row_number() OVER (ORDER BY n DESC, pair ASC) AS rank
+  FROM counts
+) WHERE rank <= {k}"""
+
+
 def _sql_unigram_logprob() -> str:
     return f"""
 WITH {_TOKS_CTE},
@@ -836,6 +857,7 @@ def llm_oracle_sql() -> dict[str, str]:
         "docs_quality": _sql_quality(),
         "docs_fingerprints": _sql_fingerprints(),
         "docs_unigram_logprob": _sql_unigram_logprob(),
+        "docs_bpe_merge_candidates": _sql_bpe_merges(),
         "docs_tfidf_top_terms": _sql_tfidf(),
         "emb_cosine_topk": _sql_cosine_topk(),
         "emb_ivf_topk": _sql_ivf_topk(),

@@ -192,6 +192,47 @@ def doc_fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "doc
     )
 
 
+def bpe_merge_candidates(
+    docs: DataFrame, k: int = 50, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Top-``k`` adjacent character-pair frequencies over the corpus'
+    token stream — the merge-selection statistic of BPE tokenizer
+    training (each BPE round merges the most frequent adjacent pair;
+    this computes round 1's candidate table at corpus scale).
+
+    Unicode-safe: characters come from ``regexp_extract_all(tok, '.')``
+    (one codepoint per element in both Spark and the DuckDB oracle —
+    byte-splitting would shred multibyte characters). The char array is
+    staged through a projection boundary before ``element_at`` indexing
+    (the ``texthash.shingle_hashes_from`` rule). Plan: explode ->
+    partial-agged ``groupBy(pair)`` (shuffle is one row per distinct
+    pair — bounded by the squared alphabet, tiny), and the final
+    ordering window runs over that bounded table, so the single
+    partition it implies is safe at any corpus size.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(F.explode(TH.tokens(F.col(text_col))).alias("tok"))
+    chars = toks.select(F.expr("regexp_extract_all(tok, '.', 0)").alias("ch")).filter(
+        F.size("ch") >= 2
+    )
+    pairs = chars.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ch") - 1),
+                lambda i: F.concat(F.element_at(F.col("ch"), i), F.element_at(F.col("ch"), i + 1)),
+            )
+        ).alias("pair")
+    )
+    counts = pairs.groupBy("pair").agg(F.count("*").alias("n"))
+    w = Window.orderBy(F.col("n").desc(), F.col("pair").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("pair", "n", "rank")
+    )
+
+
 def unigram_logprob(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

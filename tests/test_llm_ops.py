@@ -377,6 +377,19 @@ def test_decontaminate_flags_shared_ngrams(spark):
     assert out == {(1, 100): 3}
 
 
+def test_bpe_merge_candidates_counts_unicode_pairs(spark):
+    df = spark.createDataFrame(
+        [(1, "aba ab", "en"), (2, "éé", "fr")],
+        "doc_id long, text string, lang string",
+    )
+    out = {r.pair: (r.n, r.rank) for r in TA.bpe_merge_candidates(df, k=10).collect()}
+    # 'aba' -> ab, ba; 'ab' -> ab; 'éé' -> éé (codepoint pair, not bytes)
+    assert out["ab"] == (2, 1)
+    assert out["ba"][0] == 1 and out["éé"][0] == 1
+    # deterministic tiebreak: count DESC then pair ASC
+    assert out["ba"][1] < out["éé"][1]
+
+
 def test_simhash_dup_pairs_exhaustive_at_ham3(docs):
     # Pigeonhole: 4 byte-bands over 32 bits guarantee every pair with
     # Hamming <= 3 collides in at least one band, so the banded result
