@@ -758,8 +758,12 @@ FROM scrub"""
 
 
 def _source_weight_ctes() -> str:
-    """CTE chain through `mix` (source, rebalance_weight) — shared by
-    the source-mix and rebalanced-sample oracles."""
+    """CTE chain through `mix` (per-source token totals + corpus totals,
+    all integers) — shared by the source-mix and rebalanced-sample
+    oracles. Shares/weights are integer ppm via multiply-then-integral-
+    divide, mirroring the Spark side's BIGINT `div` arithmetic exactly
+    (rounded doubles are NOT cross-engine stable — this query is where
+    the driver gate proved it)."""
     toks = TH.sql_tokens("text")
     return f"""per_source AS (
   SELECT source, count(*) AS n_docs,
@@ -768,10 +772,10 @@ def _source_weight_ctes() -> str:
 ),
 tot AS (SELECT sum(n_tokens) AS total_tokens, count(*) AS n_sources FROM per_source),
 mix AS (
-  SELECT source, n_docs, n_tokens,
-         round(n_tokens / CAST(total_tokens AS DOUBLE), 6) AS token_share,
-         round(least(1.0, (total_tokens / CAST(n_sources AS DOUBLE)) / n_tokens), 6)
-           AS rebalance_weight
+  SELECT source, n_docs, n_tokens, n_sources, total_tokens,
+         CAST((n_tokens * 1000000) // total_tokens AS BIGINT) AS token_share_ppm,
+         CAST(least(1000000, (total_tokens * 1000000) // (n_sources * n_tokens))
+              AS BIGINT) AS rebalance_weight_ppm
   FROM per_source CROSS JOIN tot
 )"""
 
@@ -779,16 +783,19 @@ mix AS (
 def _sql_source_mix() -> str:
     return f"""
 WITH {_source_weight_ctes()}
-SELECT source, n_docs, n_tokens, token_share, rebalance_weight FROM mix"""
+SELECT source, n_docs, n_tokens, token_share_ppm, rebalance_weight_ppm FROM mix"""
 
 
 def _sql_rebalanced_sample() -> str:
+    # Exact-integer keep test (bucket * n_sources * n_tokens <
+    # SAMPLE_MOD * total) — same algebra as curation.rebalanced_sample.
     h = TH.sql_token_hash("concat('s:', CAST(doc_id AS VARCHAR))")
     return f"""
 WITH {_source_weight_ctes()}
 SELECT d.doc_id, d.source, {h} % {CUR.SAMPLE_MOD} AS sample_bucket
 FROM documents d JOIN mix ON d.source = mix.source
-WHERE CAST({h} % {CUR.SAMPLE_MOD} AS DOUBLE) < mix.rebalance_weight * {CUR.SAMPLE_MOD}"""
+WHERE ({h} % {CUR.SAMPLE_MOD}) * mix.n_sources * mix.n_tokens
+      < mix.total_tokens * {CUR.SAMPLE_MOD}"""
 
 
 def _sql_curation() -> str:

@@ -124,15 +124,11 @@ def write_corpus(
     docs.write.mode(mode).partitionBy(*partition_cols).parquet(path)
 
 
-def source_mix(docs: DataFrame, text_col: str = "text", source_col: str = "source") -> DataFrame:
-    """Per-source corpus composition + rebalancing weights.
-
-    Training mixes are budgeted in *tokens per source*; this computes
-    each source's document count, token count, token share, and the
-    deterministic sampling weight that would equalize token budgets
-    across sources (``min(1, fair_share / actual_tokens)``) — feed the
-    weight into ``stratified_sample``-style hash thresholds to cut the
-    rebalanced corpus.
+def _source_weights(
+    docs: DataFrame, text_col: str = "text", source_col: str = "source"
+) -> DataFrame:
+    """Per-source token totals joined with the corpus totals — the
+    shared integer base of ``source_mix`` and ``rebalanced_sample``.
 
     Plan: one scan -> partial-agged ``groupBy(source)`` (shuffle is one
     row per source) -> corpus totals joined back as a broadcast scalar.
@@ -145,24 +141,41 @@ def source_mix(docs: DataFrame, text_col: str = "text", source_col: str = "sourc
         F.sum("n_tokens").alias("total_tokens"),
         F.count("*").alias("n_sources"),
     )
-    return (
-        per_source.crossJoin(F.broadcast(totals))
-        .select(
-            "source",
-            "n_docs",
-            "n_tokens",
-            F.round(F.col("n_tokens") / F.col("total_tokens").cast("double"), 6).alias(
-                "token_share"
+    return per_source.crossJoin(F.broadcast(totals))
+
+
+def source_mix(docs: DataFrame, text_col: str = "text", source_col: str = "source") -> DataFrame:
+    """Per-source corpus composition + rebalancing weights.
+
+    Training mixes are budgeted in *tokens per source*; this computes
+    each source's document count, token count, token share, and the
+    deterministic sampling weight that would equalize token budgets
+    across sources (``min(1, fair_share / actual_tokens)``) — feed the
+    weight into ``stratified_sample``-style hash thresholds to cut the
+    rebalanced corpus.
+
+    Shares and weights are emitted as integer parts-per-million
+    (``token_share_ppm``, ``rebalance_weight_ppm``) computed with pure
+    BIGINT arithmetic (multiply then integral ``div``) — never as
+    rounded doubles, whose half-grid ties Spark (BigDecimal HALF_UP on
+    the exact decimal expansion) and other engines (scaled binary
+    rounding) resolve differently. Exact for sources up to ~9.2e12
+    tokens (int64 / 1e6); beyond that, widen to decimal128.
+    """
+    million = F.lit(1_000_000).cast("long")
+    return _source_weights(docs, text_col, source_col).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.expr("(n_tokens * CAST(1000000 AS BIGINT)) div total_tokens").alias(
+            "token_share_ppm"
+        ),
+        F.least(
+            million,
+            F.expr(
+                "(total_tokens * CAST(1000000 AS BIGINT)) div (n_sources * n_tokens)"
             ),
-            F.round(
-                F.least(
-                    F.lit(1.0),
-                    (F.col("total_tokens") / F.col("n_sources").cast("double"))
-                    / F.col("n_tokens"),
-                ),
-                6,
-            ).alias("rebalance_weight"),
-        )
+        ).alias("rebalance_weight_ppm"),
     )
 
 
@@ -182,14 +195,28 @@ def rebalanced_sample(
     under-represented sources (weight 1) keep everything. The weight
     table is one row per source — a broadcast join — and the decision
     itself is the same pure map as ``stratified_sample``.
+
+    The keep test is *exact integer arithmetic*: ``bucket < SAMPLE_MOD
+    * min(1, total / (n_sources * n_tokens))`` is algebraically
+    ``bucket * n_sources * n_tokens < SAMPLE_MOD * total_tokens`` (the
+    ``min(1, .)`` clamp is implied, since ``bucket < SAMPLE_MOD``
+    already), so corpus membership never depends on a rounded double —
+    a weight landing near a 1/SAMPLE_MOD grid line cannot flip a
+    document in or out between engines.
     """
-    weights = source_mix(docs, text_col, source_col).select(
-        F.col("source").alias("_mix_source"), "rebalance_weight"
+    weights = _source_weights(docs, text_col, source_col).select(
+        F.col("source").alias("_mix_source"),
+        F.col("n_tokens").alias("_mix_tokens"),
+        F.col("n_sources").alias("_mix_nsrc"),
+        F.col("total_tokens").alias("_mix_total"),
     )
     bucket = sample_hash(id_col) % SAMPLE_MOD
+    keep = (bucket * F.col("_mix_nsrc") * F.col("_mix_tokens")) < (
+        F.col("_mix_total") * F.lit(SAMPLE_MOD).cast("long")
+    )
     return (
         docs.join(F.broadcast(weights), F.col(source_col) == F.col("_mix_source"))
-        .filter(bucket.cast("double") < F.col("rebalance_weight") * SAMPLE_MOD)
+        .filter(keep)
         .select(
             F.col(id_col).alias("doc_id"),
             F.col(source_col).alias("source"),

@@ -513,9 +513,9 @@ def test_source_mix_rebalance_weights(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string, source string")
     out = {r.source: r for r in CUR.source_mix(df).collect()}
     assert out["s1"].n_docs == 2 and out["s1"].n_tokens == 8
-    assert out["s1"].token_share == pytest.approx(8 / 12, abs=1e-6)
-    assert out["s1"].rebalance_weight == pytest.approx(0.75, abs=1e-6)
-    assert out["s2"].rebalance_weight == 1.0  # under-represented: keep all
+    assert out["s1"].token_share_ppm == 666666  # floor(8e6 / 12)
+    assert out["s1"].rebalance_weight_ppm == 750000  # (12/2)/8 = 0.75
+    assert out["s2"].rebalance_weight_ppm == 1000000  # under-represented: keep all
 
 
 def test_rebalanced_sample_thins_overrepresented(spark):
