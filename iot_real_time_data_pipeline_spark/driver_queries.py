@@ -30,6 +30,7 @@ from .entrypoints import iot_processed, iot_staging, iot_star
 from .operators import dashboard as D
 from .operators.pipeline import exploded_alerts, route
 from .functions.alerts import recommended_action
+from .functions import texthash as TH
 
 # P1 literal watermark — splits the events table's Jan-2024 range.
 INCREMENTAL_WATERMARK = "2024-01-15 00:00:00"
@@ -183,10 +184,12 @@ def _dash(spark: SparkSession, sf_dir: str):
 def _round6(df: DataFrame, *cols: str) -> DataFrame:
     """Floating-point sums/avgs are accumulation-order-dependent, and
     Spark's partition-wise order differs from DuckDB's. Both sides of
-    the oracle compare round to 6 dp — far above the ~1e-11 relative
-    error of reordering at these magnitudes, far below real differences.
-    Counts / count-ratios are exact and stay unrounded."""
-    return df.withColumns({c: F.round(F.col(c), 6) for c in cols})
+    the oracle compare snap to the integer 1e-6 grid
+    (``texthash.quantized6`` — NOT ``round(x, 6)``, whose half-grid
+    ties the engines resolve differently) — far above the ~1e-11
+    relative error of reordering at these magnitudes, far below real
+    differences. Counts / count-ratios are exact and stay unrounded."""
+    return df.withColumns({c: TH.quantized6(F.col(c)) for c in cols})
 
 
 def q_d1(spark, sf_dir):
@@ -368,13 +371,15 @@ def iot_oracle_sql() -> dict[str, str]:
             GROUP BY loc_id"""
         ),
         "d1_avg_temperature": wp(
-            "SELECT round(avg(soil_temperature), 6) AS avg_temperature FROM fact", star=True
+            f"SELECT {TH.sql_quantized6('avg(soil_temperature)')} AS avg_temperature FROM fact",
+            star=True,
         ),
         "d2_avg_humidity": wp(
-            "SELECT round(avg(soil_humidity), 6) AS avg_humidity FROM fact", star=True
+            f"SELECT {TH.sql_quantized6('avg(soil_humidity)')} AS avg_humidity FROM fact",
+            star=True,
         ),
         "d3_avg_wind_speed": wp(
-            """SELECT round(avg(w.wind_speed), 6) AS avg_wind_speed
+            f"""SELECT {TH.sql_quantized6('avg(w.wind_speed)')} AS avg_wind_speed
             FROM fact f JOIN dim_weather w USING (weather_key)""",
             star=True,
         ),
@@ -385,8 +390,9 @@ def iot_oracle_sql() -> dict[str, str]:
             star=True,
         ),
         "d5_temp_humidity_by_hour": wp(
-            """SELECT t.hour, round(sum(f.soil_temperature), 6) AS sum_temperature,
-               round(sum(f.soil_humidity), 6) AS sum_humidity
+            f"""SELECT t.hour,
+               {TH.sql_quantized6('sum(f.soil_temperature)')} AS sum_temperature,
+               {TH.sql_quantized6('sum(f.soil_humidity)')} AS sum_humidity
             FROM fact f JOIN dim_time t USING (full_date) GROUP BY 1""",
             star=True,
         ),
@@ -409,9 +415,10 @@ def iot_oracle_sql() -> dict[str, str]:
         ),
         "d7_nutrient_levels": wp(
             # leading comma: continues with_prefix's WITH-clause CTE list
-            """, sums AS (
-              SELECT round(sum(s.nitrogen), 6) AS n, round(sum(s.phosphorus), 6) AS p,
-                     round(sum(s.potassium), 6) AS k
+            f""", sums AS (
+              SELECT {TH.sql_quantized6('sum(s.nitrogen)')} AS n,
+                     {TH.sql_quantized6('sum(s.phosphorus)')} AS p,
+                     {TH.sql_quantized6('sum(s.potassium)')} AS k
               FROM fact f JOIN dim_soil s USING (soil_key)
             )
             SELECT 'Nitrogen' AS nutrient, n AS total FROM sums
@@ -429,18 +436,18 @@ def iot_oracle_sql() -> dict[str, str]:
             star=True,
         ),
         "d9_water_level_by_farm": wp(
-            """SELECT CASE l.loc_id WHEN 'loc_1' THEN 'Toshka'
+            f"""SELECT CASE l.loc_id WHEN 'loc_1' THEN 'Toshka'
                  WHEN 'loc_2' THEN 'Sharq El Owainat'
                  WHEN 'loc_3' THEN 'Dina Farms' ELSE l.loc_id END AS farm,
-               round(sum(f.water_level), 6) AS total_water_level,
-               round(avg(f.water_level), 6) AS avg_water_level
+               {TH.sql_quantized6('sum(f.water_level)')} AS total_water_level,
+               {TH.sql_quantized6('avg(f.water_level)')} AS avg_water_level
             FROM fact f JOIN dim_location l USING (location_key) GROUP BY 1""",
             star=True,
         ),
         "d10_sliced": wp(
             f"""SELECT farm,
-               round(sum(water_level), 6) AS total_water_level,
-               round(avg(water_level), 6) AS avg_water_level
+               {TH.sql_quantized6('sum(water_level)')} AS total_water_level,
+               {TH.sql_quantized6('avg(water_level)')} AS avg_water_level
             FROM (
               SELECT CASE l.loc_id WHEN 'loc_1' THEN 'Toshka'
                        WHEN 'loc_2' THEN 'Sharq El Owainat'

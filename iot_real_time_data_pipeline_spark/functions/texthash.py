@@ -39,6 +39,30 @@ LSH_BANDS = 8
 LSH_ROWS = MINHASH_K // LSH_BANDS  # 4
 
 
+def quantized6(col: Column) -> Column:
+    """Cross-engine-stable 6-dp double: round to the integer 1e-6 grid,
+    then divide back.
+
+    ``round(x, 6)`` is NOT bit-stable across engines — Spark rounds the
+    exact decimal expansion of the double (BigDecimal HALF_UP) while
+    DuckDB rounds scaled binary, and the two disagree whenever the
+    expansion lands on/near a 6th-digit half-grid point (the
+    ``docs_source_mix`` driver failure). ``round(x * 1e6)`` to an
+    *integer* is algorithmically identical on both engines (both round
+    the exact value of the same IEEE product, ties away from zero —
+    probed in round 4), and dividing the same integer by 1e6 is one
+    IEEE division — bit-identical. Pair with :func:`sql_quantized6`.
+    """
+    return F.round(col * F.lit(1e6)).cast("long") / F.lit(1e6)
+
+
+def sql_quantized6(expr: str) -> str:
+    """DuckDB mirror of :func:`quantized6` (1e6 literals are DOUBLE in
+    scientific notation; ``1000000.0`` would parse as DECIMAL and change
+    the division)."""
+    return f"(CAST(round(({expr}) * 1e6) AS BIGINT) / 1e6)"
+
+
 def tokens(text: Column) -> Column:
     """Whitespace tokenization of trimmed, lowercased text."""
     return F.split(F.lower(F.trim(text)), r"\s+")

@@ -231,7 +231,7 @@ jac AS (
 def _jaccard_tail(pair_src: str) -> str:
     """Join sizes + jaccard threshold over a (doc_a, doc_b, n_common) CTE."""
     return f"""{_jaccard_ctes(pair_src)}
-SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard
+SELECT doc_a, doc_b, {TH.sql_quantized6('jaccard')} AS jaccard
 FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}"""
 
 
@@ -275,7 +275,7 @@ inter AS (
 ),
 sizes AS (SELECT doc_id AS doc_a, len(shl) AS n_a FROM sh)
 SELECT doc_a, doc_b,
-       round(n_common / CAST(n_a AS DOUBLE), 6) AS containment
+       {TH.sql_quantized6('n_common / CAST(n_a AS DOUBLE)')} AS containment
 FROM inter JOIN sizes USING (doc_a)
 WHERE n_common / CAST(n_a AS DOUBLE) >= {t}"""
 
@@ -427,10 +427,11 @@ SELECT doc_id,
        len(t) AS n_tokens,
        len(regexp_extract_all(text, '{TA.BPE_SPLIT_PATTERN}')) AS n_tokens_bpe,
        len(list_distinct(t)) AS n_unique_tokens,
-       round(len(list_distinct(t)) / CAST(len(t) AS DOUBLE), 6) AS type_token_ratio,
-       round(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       {TH.sql_quantized6('len(list_distinct(t)) / CAST(len(t) AS DOUBLE)')}
+         AS type_token_ratio,
+       {TH.sql_quantized6('''list_reduce(list_prepend(CAST(0 AS BIGINT),
                list_transform(t, x -> CAST(len(x) AS BIGINT))), (a, x) -> a + x)
-             / CAST(len(t) AS DOUBLE), 6) AS avg_token_len
+             / CAST(len(t) AS DOUBLE)''')} AS avg_token_len
 FROM toks"""
 
 
@@ -503,9 +504,9 @@ base AS (
   FROM toks
 )
 SELECT doc_id, n_chars, n_tokens,
-       round(punct / CAST(n_chars AS DOUBLE), 6) AS punct_ratio,
-       round(digits / CAST(n_chars AS DOUBLE), 6) AS digit_ratio,
-       round(stop_hits / CAST(n_tokens AS DOUBLE), 6) AS stopword_ratio,
+       {TH.sql_quantized6('punct / CAST(n_chars AS DOUBLE)')} AS punct_ratio,
+       {TH.sql_quantized6('digits / CAST(n_chars AS DOUBLE)')} AS digit_ratio,
+       {TH.sql_quantized6('stop_hits / CAST(n_tokens AS DOUBLE)')} AS stopword_ratio,
        CASE WHEN n_tokens >= 10
              AND punct / CAST(n_chars AS DOUBLE) < 0.2
              AND digits / CAST(n_chars AS DOUBLE) < 0.5
@@ -543,7 +544,8 @@ term_rows AS (SELECT doc_id, unnest(t) AS term FROM toks),
 ctf AS (SELECT term, count(*) AS ctf FROM term_rows GROUP BY term),
 tot AS (SELECT count(*) AS total_tokens FROM term_rows)
 SELECT doc_id, count(*) AS n_tokens,
-       round(avg(ln(ctf / CAST(total_tokens AS DOUBLE))), 6) AS avg_unigram_logprob
+       {TH.sql_quantized6('avg(ln(ctf / CAST(total_tokens AS DOUBLE)))')}
+         AS avg_unigram_logprob
 FROM term_rows JOIN ctf USING (term) CROSS JOIN tot
 GROUP BY doc_id"""
 
@@ -584,7 +586,7 @@ ranked AS (
                             ORDER BY cosine DESC, neighbor_id) AS rank
   FROM scored
 )
-SELECT query_id, rank, neighbor_id, round(cosine, 6) AS cosine
+SELECT query_id, rank, neighbor_id, {TH.sql_quantized6('cosine')} AS cosine
 FROM ranked WHERE rank <= {k}"""
 
 
@@ -617,7 +619,7 @@ ranked AS (
                             ORDER BY cosine DESC, neighbor_id) AS rank
   FROM scored
 )
-SELECT query_id, rank, neighbor_id, round(cosine, 6) AS cosine
+SELECT query_id, rank, neighbor_id, {TH.sql_quantized6('cosine')} AS cosine
 FROM ranked WHERE rank <= {k}"""
 
 
@@ -673,7 +675,7 @@ scored AS (
 def _sql_cosine_dup_pairs() -> str:
     return f"""
 WITH {_cosine_pair_ctes()}
-SELECT vec_a, vec_b, round(cosine, 6) AS cosine
+SELECT vec_a, vec_b, {TH.sql_quantized6('cosine')} AS cosine
 FROM scored WHERE cosine >= {COSINE_DUP_THRESHOLD}"""
 
 
@@ -698,9 +700,9 @@ FROM reach GROUP BY vec_id"""
 
 
 def _sql_label_centroids() -> str:
-    return """
+    return f"""
 SELECT label, i AS dim,
-       round(avg(CAST(embedding[CAST(i AS INT)] AS DOUBLE)), 6) AS centroid
+       {TH.sql_quantized6('avg(CAST(embedding[CAST(i AS INT)] AS DOUBLE))')} AS centroid
 FROM embeddings
 CROSS JOIN (SELECT unnest(range(1, 65)) AS i)
 GROUP BY 1, 2"""

@@ -125,7 +125,7 @@ def shingle_jaccard_pairs(
             F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
         )
         .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+        .select("doc_a", "doc_b", TH.quantized6(F.col("jaccard")).alias("jaccard"))
     )
 
 
@@ -167,7 +167,7 @@ def shingle_containment_pairs(
         inter.join(sizes, "doc_a")
         .withColumn("containment", F.col("n_common") / F.col("n_a"))
         .filter(F.col("containment") >= threshold)
-        .select("doc_a", "doc_b", F.round("containment", 6).alias("containment"))
+        .select("doc_a", "doc_b", TH.quantized6(F.col("containment")).alias("containment"))
     )
 
 
@@ -227,7 +227,7 @@ def minhash_lsh_pairs(
             / (F.size("sh_a") + F.size("sh_b") - F.col("n_common")),
         )
         .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+        .select("doc_a", "doc_b", TH.quantized6(F.col("jaccard")).alias("jaccard"))
     )
     return verified
 

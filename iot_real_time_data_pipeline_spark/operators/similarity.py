@@ -33,6 +33,8 @@ import random
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions import texthash as TH
+
 IVF_BITS = 4  # 16 coarse buckets
 
 # Random-hyperplane LSH constants for near-dup candidate generation.
@@ -140,7 +142,7 @@ def _topk(scored: DataFrame, k: int) -> DataFrame:
             "query_id",
             "rank",
             "neighbor_id",
-            F.round("cosine", 6).alias("cosine"),
+            TH.quantized6(F.col("cosine")).alias("cosine"),
         )
     )
 
@@ -215,7 +217,7 @@ def _verified_pairs(e: DataFrame, candidates: DataFrame, threshold: float) -> Da
             dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn")),
         )
         .filter(F.col("cosine") >= threshold)
-        .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
+        .select("vec_a", "vec_b", TH.quantized6(F.col("cosine")).alias("cosine"))
     )
 
 
@@ -321,7 +323,7 @@ def cosine_dup_pairs_exact(embeddings: DataFrame, threshold: float = 0.45) -> Da
             dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn")),
         )
         .filter(F.col("cosine") >= threshold)
-        .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
+        .select("vec_a", "vec_b", TH.quantized6(F.col("cosine")).alias("cosine"))
     )
 
 
@@ -337,5 +339,5 @@ def label_centroids(embeddings: DataFrame) -> DataFrame:
     )
     return (
         exploded.groupBy("label", (F.col("pos") + 1).cast("long").alias("dim"))
-        .agg(F.round(F.avg("v"), 6).alias("centroid"))
+        .agg(TH.quantized6(F.avg("v")).alias("centroid"))
     )

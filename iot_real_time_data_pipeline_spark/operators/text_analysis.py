@@ -59,13 +59,12 @@ def token_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         F.size(toks).alias("n_tokens"),
         bpe_token_count(text_col).alias("n_tokens_bpe"),
         F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
-        F.round(
-            F.size(F.array_distinct(toks)) / F.size(toks).cast("double"), 6
+        TH.quantized6(
+            F.size(F.array_distinct(toks)) / F.size(toks).cast("double")
         ).alias("type_token_ratio"),
-        F.round(
+        TH.quantized6(
             F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t))
-            / F.size(toks).cast("double"),
-            6,
+            / F.size(toks).cast("double")
         ).alias("avg_token_len"),
     )
 
@@ -116,9 +115,9 @@ def quality_scores(docs: DataFrame, text_col: str = "text", id_col: str = "doc_i
         F.col(id_col).alias("doc_id"),
         n_chars.alias("n_chars"),
         F.size(toks).alias("n_tokens"),
-        F.round(punct / n_chars.cast("double"), 6).alias("punct_ratio"),
-        F.round(digits / n_chars.cast("double"), 6).alias("digit_ratio"),
-        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        TH.quantized6(punct / n_chars.cast("double")).alias("punct_ratio"),
+        TH.quantized6(digits / n_chars.cast("double")).alias("digit_ratio"),
+        TH.quantized6(stop_ratio).alias("stopword_ratio"),
         F.when(keep, F.lit("keep")).otherwise(F.lit("review")).alias("quality_route"),
     )
 
@@ -247,7 +246,8 @@ def unigram_logprob(
     averaging the per-token log-probabilities (shuffle ∝ tokens,
     map-side combined). No UDFs, no windows, no driver loops.
 
-    The 6-dp rounding on the average follows the engine-wide rule for
+    The average is snapped to the integer 1e-6 grid
+    (``texthash.quantized6``) per the engine-wide rule for
     accumulation-order-dependent double aggregates (see PERF.md).
     """
     term_rows = docs.select(
@@ -262,8 +262,8 @@ def unigram_logprob(
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_tokens"),
-            F.round(
-                F.avg(F.log(F.col("ctf") / F.col("total_tokens"))), 6
+            TH.quantized6(
+                F.avg(F.log(F.col("ctf") / F.col("total_tokens")))
             ).alias("avg_unigram_logprob"),
         )
     )
