@@ -162,7 +162,13 @@ def q_multimodal_features(spark, sf_dir):
 
 
 def llm_queries() -> dict[str, QueryFn]:
+    # mm_image_features leads the block: the driver records results in
+    # dict order, and CORRECTNESS_r03 shows its run stopped at the tail
+    # (50 rows recorded, the then-last entry missing) — keeping the
+    # mapInPandas query early guarantees it gets driver-side evidence
+    # even if a run is cut short.
     return {
+        "mm_image_features": q_multimodal_features,
         "docs_exact_dedup": q_exact_dedup,
         "docs_shingle_jaccard_pairs": q_shingle_jaccard,
         "docs_minhash_lsh_pairs": q_minhash_lsh,
@@ -188,7 +194,6 @@ def llm_queries() -> dict[str, QueryFn]:
         "emb_cosine_dup_pairs": q_cosine_dup_pairs,
         "emb_dup_clusters": q_emb_dup_clusters,
         "emb_label_centroids": q_label_centroids,
-        "mm_image_features": q_multimodal_features,
     }
 
 
@@ -336,7 +341,6 @@ ep AS (
 )
 SELECT tp.doc_id, ep.eval_doc_id, count(*) AS n_common
 FROM tp JOIN ep USING (h)
-WHERE tp.doc_id != ep.eval_doc_id
 GROUP BY 1, 2
 HAVING count(*) >= {min_common}"""
 

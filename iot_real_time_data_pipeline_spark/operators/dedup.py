@@ -26,14 +26,31 @@ expressed as native DataFrame plans (no UDFs, no driver-side loops):
 
 Cross-engine determinism comes from ``functions.texthash`` (arithmetic
 hashes both Spark and DuckDB compute bit-identically).
+
+Persist lifetime policy: operators that return a *lazy* DataFrame
+(``shingle_jaccard_pairs``, ``minhash_lsh_pairs``, ``simhash_dup_pairs``,
+…) persist intermediates (shingle sets, band frames) that are read from
+multiple plan branches. They deliberately do NOT unpersist: the cache
+must outlive the function (the caller materializes the result later),
+and Spark's CacheManager keys entries by analyzed plan, so *identical
+intermediates are shared across queries in a session* (e.g.
+``dup_clusters`` reuses the pair query's shingle cache instead of
+recomputing it — measured as the difference between 1x and 2x the pair
+cost). Eviction is the cache's LRU job; only operators that fully
+materialize internally (``connected_components``'s per-round loop)
+unpersist their own frames.
 """
 
 from __future__ import annotations
+
+import logging
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import texthash as TH
+
+logger = logging.getLogger(__name__)
 
 SIMHASH_BITS = 32
 SIMHASH_BANDS = 4
@@ -238,6 +255,7 @@ def decontaminate(
     text_col: str = "text",
     id_col: str = "doc_id",
     min_common: int = 2,
+    same_corpus: bool = False,
 ) -> DataFrame:
     """Benchmark decontamination: flag training documents sharing at
     least ``min_common`` word-3-gram shingles with any eval-set
@@ -254,15 +272,23 @@ def decontaminate(
     Returns ``(doc_id, eval_doc_id, n_common)`` — every contaminated
     (train, eval) pair with its shared-shingle count; anti-join the
     distinct doc_ids against the corpus to cut the clean set.
+
+    Set ``same_corpus=True`` only when train and eval are slices of ONE
+    id namespace (then a shared id really is the same document and
+    self-pairs are noise). Train and eval normally come from
+    independent corpora whose ids can coincide by accident — filtering
+    ``doc_id != eval_doc_id`` there would silently drop a genuine
+    contamination pair, so the default keeps every pair.
     """
     train = _doc_shingles(docs, text_col, id_col)
     ev = _doc_shingles(eval_docs, text_col, id_col)
     tp = train.select("doc_id", F.explode("sh").alias("h"))
     ep = ev.select(F.col("doc_id").alias("eval_doc_id"), F.explode("sh").alias("h"))
+    joined = tp.join(F.broadcast(ep), "h")
+    if same_corpus:
+        joined = joined.filter(F.col("doc_id") != F.col("eval_doc_id"))
     return (
-        tp.join(F.broadcast(ep), "h")
-        .filter(F.col("doc_id") != F.col("eval_doc_id"))
-        .groupBy("doc_id", "eval_doc_id")
+        joined.groupBy("doc_id", "eval_doc_id")
         .agg(F.count("*").alias("n_common"))
         .filter(F.col("n_common") >= min_common)
     )
@@ -397,6 +423,7 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
+    changed = 0
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels.withColumnRenamed("_nid", "dst"), "dst")
@@ -421,6 +448,20 @@ def connected_components(
             break
     edges.unpersist()
     fwd.unpersist()
+    if changed != 0:
+        # A silent partial fixpoint would split one component into
+        # several internally inconsistent clusters (possible when the
+        # graph diameter exceeds max_iter — e.g. a long dup chain).
+        # Fall back to the O(log n)-round star algorithm, which cannot
+        # hit this wall at any realistic max_iter.
+        logger.warning(
+            "connected_components: not converged after %d rounds "
+            "(%d labels still changing) — falling back to "
+            "connected_components_star",
+            max_iter,
+            changed,
+        )
+        return connected_components_star(nodes, pairs, id_col, a_col, b_col)
     return (
         nodes.select(F.col(id_col))
         .join(labels.withColumnRenamed("_nid", id_col), id_col, "left")
@@ -482,6 +523,7 @@ def connected_components_star(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    changed = 0
     for _ in range(max_iter):
         # large-star: (v, m(u)) for v in Γ(u), v > u
         m1 = _mins(edges)
@@ -511,6 +553,14 @@ def connected_components_star(
         edges = sym
         if changed == 0:
             break
+    if changed != 0:
+        # O(log n) convergence makes this unreachable below ~2^max_iter
+        # nodes; if it ever fires, the labeling below may split
+        # components — surface it instead of returning silently.
+        raise RuntimeError(
+            f"connected_components_star: not converged after {max_iter} "
+            f"rounds ({changed} edges still changing); raise max_iter"
+        )
     # Star forest: every non-root points at its component minimum.
     labels = edges.filter(F.col("v") < F.col("u")).groupBy("u").agg(
         F.min("v").alias("cluster_id")

@@ -250,7 +250,11 @@ def rh_candidate_pairs(
     ])
     # Persist: the self-join references the band frame from BOTH sides,
     # so without a cache boundary the bands*rows hyperplane folds run
-    # twice per vector (the dup_clusters edge-list lesson).
+    # twice per vector (the dup_clusters edge-list lesson). No
+    # unpersist by design: the returned DataFrame is lazy (the cache
+    # must outlive this function) and CacheManager's plan-keyed lookup
+    # shares this frame with emb_dup_clusters' rerun of the same pair
+    # query — see dedup.py's persist-lifetime note.
     bands_df = sig.select("vec_id", F.explode(band_keys).alias("band_key")).persist()
     x, y = bands_df.alias("x"), bands_df.alias("y")
     return (

@@ -449,6 +449,47 @@ def test_star_cc_matches_propagation_on_long_chain(spark):
     assert star == prop
 
 
+def test_cc_exhausted_iterations_falls_back_to_star(spark, caplog):
+    # Diameter 39 > max_iter 3: propagation alone would return an
+    # internally inconsistent partial labeling; the operator must
+    # detect the unconverged exit, warn, and hand off to the star
+    # variant so the result is still the true component labeling.
+    import logging
+
+    n = 40
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    with caplog.at_level(logging.WARNING, logger="iot_real_time_data_pipeline_spark.operators.dedup"):
+        out = {
+            r.doc_id: (r.cluster_id, r.is_canonical)
+            for r in DD.connected_components(
+                nodes, pairs, "doc_id", "doc_a", "doc_b", max_iter=3
+            ).collect()
+        }
+    assert all(out[i] == (0, i == 0) for i in range(n))
+    assert any("not converged" in rec.message for rec in caplog.records)
+
+
+def test_decontaminate_keeps_cross_corpus_id_collisions(spark):
+    # Train doc 7 and eval doc 7 are DIFFERENT documents from separate
+    # id namespaces that happen to share an id AND share n-grams — the
+    # pair must be reported, not silently dropped as a "self" pair.
+    train = spark.createDataFrame(
+        [(7, "the quick brown fox jumps over the lazy dog today", "en")],
+        "doc_id long, text string, lang string",
+    )
+    eval_docs = spark.createDataFrame(
+        [(7, "quick brown fox jumps over the lazy dog", "en")],
+        "doc_id long, text string, lang string",
+    )
+    out = DD.decontaminate(train, eval_docs).collect()
+    assert len(out) == 1 and out[0].doc_id == 7 and out[0].eval_doc_id == 7
+    # same_corpus=True restores the self-pair filter for modulo splits
+    assert DD.decontaminate(train, eval_docs, same_corpus=True).count() == 0
+
+
 def test_star_cc_matches_propagation_on_near_dups(spark):
     rows = [
         (1, "a b c d e f g h i j", "en"),
