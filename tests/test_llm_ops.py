@@ -406,6 +406,28 @@ def test_simhash_dup_pairs_exhaustive_at_ham3(docs):
     assert got[(1, 2)] == 0  # identical-modulo-whitespace docs
 
 
+def test_simhash64_dup_pairs_exhaustive_at_ham3(docs):
+    # Production geometry: 4 x 16-bit bands over 64 bits. Same
+    # pigeonhole exactness as the 32-bit default (ham <= bands-1 pairs
+    # must share a band), now against the two-word md5 fingerprint —
+    # including prints with bit 63 set (negative longs), where band
+    # extraction must mask off the arithmetic-shift sign extension.
+    fp = {
+        r.doc_id: r.simhash
+        for r in DD.simhash_fingerprints(docs, bits=64).collect()
+    }
+    ham = lambda a, b: bin((fp[a] ^ fp[b]) & (2**64 - 1)).count("1")  # noqa: E731
+    expect = {
+        (a, b): ham(a, b) for a in fp for b in fp if a < b and ham(a, b) <= 3
+    }
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in DD.simhash_dup_pairs(docs, bits=64, bands=4).collect()
+    }
+    assert got == expect
+    assert got[(1, 2)] == 0  # identical-modulo-whitespace docs
+
+
 def test_dup_clusters_transitive_closure(spark):
     # 1~2 and 2~3 are near dups but 1~3 is below threshold: only the
     # transitive closure collapses all three into one cluster.
