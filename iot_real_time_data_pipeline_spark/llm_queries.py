@@ -604,7 +604,8 @@ def _sql_bucket(col: str) -> str:
 
 def _sql_ivf_topk(k: int = 3) -> str:
     masks = ", ".join(
-        f"xor(bucket, {m})" for m in SIM.probe_masks(SIM.IVF_BITS, 1)
+        f"xor(bucket, {m})"
+        for m in SIM.probe_masks(SIM.IVF_BITS, SIM.IVF_PROBE_RADIUS)
     )
     return f"""
 WITH {_EMB_CTE},

@@ -35,7 +35,13 @@ from pyspark.sql import functions as F
 
 from ..functions import texthash as TH
 
-IVF_BITS = 4  # 16 coarse buckets
+# IVF coarse-quantizer geometry: 2^IVF_BITS buckets, multi-probed out to
+# Hamming IVF_PROBE_RADIUS. (5, 2) measured recall@3 = 0.90 vs exact at
+# sf0.01 while scanning 16/32 bucket-probes (see PERF.md); the
+# random-hyperplane quantizer measured strictly worse than leading-dim
+# signs on this data at every geometry tried.
+IVF_BITS = 5
+IVF_PROBE_RADIUS = 2
 
 # Random-hyperplane LSH constants for near-dup candidate generation.
 # Fixed seed so Spark and the DuckDB oracle embed the SAME hyperplanes;
@@ -86,11 +92,16 @@ def as_double(a: F.Column) -> F.Column:
 
 
 def coarse_bucket(emb: F.Column, bits: int = IVF_BITS) -> F.Column:
-    """Sign-bit quantizer over the first ``bits`` dimensions -> int."""
+    """Sign-bit quantizer over the first ``bits`` dimensions -> int.
+
+    ``try_element_at``: vectors shorter than ``bits`` dims contribute 0
+    for the missing bits (NULL > 0 is false) instead of raising under
+    ANSI mode — mirroring SQL's out-of-range ``v[i]`` -> NULL.
+    """
     bucket = F.lit(0)
     for i in range(bits):
         bucket = bucket + F.when(
-            F.element_at(emb, i + 1) > 0, F.lit(2**i)
+            F.try_element_at(emb, F.lit(i + 1)) > 0, F.lit(2**i)
         ).otherwise(F.lit(0))
     return bucket
 
@@ -159,10 +170,15 @@ def cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5) -> DataFr
 
 
 def probe_masks(bits: int, radius: int) -> list[int]:
-    """XOR masks for all buckets within Hamming ``radius`` (radius<=1)."""
+    """XOR masks for all buckets within Hamming ``radius`` of a bucket,
+    ordered by distance (exact enumeration — sum of C(bits, r) masks)."""
+    from itertools import combinations
+
     masks = [0]
-    if radius >= 1:
-        masks += [1 << i for i in range(bits)]
+    for r in range(1, radius + 1):
+        masks += [
+            sum(1 << i for i in combo) for combo in combinations(range(bits), r)
+        ]
     return masks
 
 
@@ -171,19 +187,21 @@ def ivf_topk(
     queries: DataFrame,
     k: int = 3,
     bits: int = IVF_BITS,
-    probe_radius: int = 1,
+    probe_radius: int = IVF_PROBE_RADIUS,
 ) -> DataFrame:
     """IVF-bucketed approximate top-k with multi-probe.
 
     The bucket id is a pure map-side expression, so the corpus join is
     a hash join on a tiny int key; within-bucket scoring is identical
     to the exact path. Multi-probe explodes the *query* side (tiny) to
-    every bucket within Hamming ``probe_radius`` of its own — radius 1
-    scans (1+bits)/2^bits of the corpus instead of 1/2^bits and
-    measurably recovers recall the coarse sign quantizer loses (see
-    PERF.md); the corpus side is never replicated. Each corpus vector
-    lives in exactly one bucket and probe masks are distinct, so no
-    (query, neighbor) pair is scored twice.
+    every bucket within Hamming ``probe_radius`` of its own — probing
+    ``sum(C(bits, r))`` of the 2^bits buckets instead of one, which
+    measurably recovers the recall the coarse sign quantizer loses
+    (default (5, 2): recall@3 0.90 at a 16/32 bucket-probe fraction,
+    vs 0.53 at radius 1 — PERF.md has the full grid); the corpus side
+    is never replicated. Each corpus vector lives in exactly one bucket
+    and probe masks are distinct, so no (query, neighbor) pair is
+    scored twice.
     """
     eb = embeddings.withColumn("bucket", coarse_bucket(as_double(F.col("embedding")), bits))
     qb = queries.withColumn(

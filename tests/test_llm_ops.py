@@ -204,13 +204,15 @@ def test_ivf_multi_probe_recall_vs_exact(spark):
     from iot_real_time_data_pipeline_spark.entrypoints import read_table
     from pyspark.sql import functions as F
 
-    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings").persist()
+    emb = read_table(spark, "/root/testdata/sf0.01", "embeddings").persist()
     q = emb.filter(F.col("vec_id") % 50 == 0)
     exact = {(r.query_id, r.neighbor_id) for r in SIM.cosine_topk(emb, q, k=3).collect()}
     ivf = {(r.query_id, r.neighbor_id) for r in SIM.ivf_topk(emb, q, k=3).collect()}
-    # Measured 0.50 at sf0.001 / 0.67 at sf0.01 (radius-1 multi-probe,
-    # vs 0.13/0.17 single-probe); bound leaves slack for data regen.
-    assert len(ivf & exact) / len(exact) >= 0.3
+    # Default (bits=5, radius=2) geometry measures 0.900 at sf0.01
+    # (0.733 at the 50-vector sf0.001 — too small to be meaningful);
+    # the floor leaves slack for data regen. Round-3's radius-1 default
+    # measured 0.67 — the wider probe is what bought the recall.
+    assert len(ivf & exact) / len(exact) >= 0.8
     emb.unpersist()
 
 
