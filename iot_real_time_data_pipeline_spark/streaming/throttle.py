@@ -11,7 +11,9 @@ Semantics, per key ``(loc_id, alert_type)``:
   the threshold is configurable, defaulting to the reference's 1.
 - state TTL: the reference purges entries older than 1 h with
   probability 0.1 per invocation (lamda.py:402-416); the state-store
-  timeout makes that deterministic, which is strictly better.
+  timeout makes that deterministic, which is strictly better — and
+  with the default event-time timeout (round 4), eviction is pinned to
+  the watermark, so replays evict at the same stream position as live.
 
 The clock is the *event* timestamp column, not wall clock, so tests and
 replays are deterministic (SURVEY §7.3 "throttle exactness").
@@ -62,7 +64,7 @@ THROTTLE_STATE_SCHEMA = T.StructType(
 )
 
 
-def _make_throttle_group(consecutive_threshold: int):
+def _make_throttle_group(consecutive_threshold: int, event_time_ttl: bool):
     def _throttle_group(
         key: tuple,
         pdfs: Iterator[pd.DataFrame],
@@ -82,8 +84,10 @@ def _make_throttle_group(consecutive_threshold: int):
         # event_id tie-break: same-timestamp alerts must throttle in a
         # replay-stable order, not shuffle arrival order.
         batch = batch.sort_values(["timestamp", "event_id"], kind="stable")
+        max_seen = None
         for rec in batch.itertuples(index=False):
             now = rec.timestamp.timestamp()
+            max_seen = now if max_seen is None else max(max_seen, now)
             send = False
             if rec.priority == "CRITICAL":
                 # bypass: sends + refreshes last_sent, but does NOT touch
@@ -112,7 +116,18 @@ def _make_throttle_group(consecutive_threshold: int):
 
         state.update((last_sent, consecutive))
         # Deterministic TTL replacing the reference's probabilistic purge.
-        state.setTimeoutDuration(int(STATE_TTL_SECONDS * 1000))
+        if event_time_ttl:
+            # Evict when the WATERMARK passes (last event seen + TTL):
+            # a pure function of event time, so a replay/backfill evicts
+            # at exactly the same point in the stream as the live run.
+            # The watermark guard covers pathological late batches whose
+            # horizon would otherwise not be in the future.
+            horizon_ms = int((max_seen + STATE_TTL_SECONDS) * 1000)
+            state.setTimeoutTimestamp(
+                max(horizon_ms, state.getCurrentWatermarkMs() + 1000)
+            )
+        else:
+            state.setTimeoutDuration(int(STATE_TTL_SECONDS * 1000))
         if rows:
             yield pd.DataFrame(
                 rows, columns=[f.name for f in THROTTLE_OUTPUT_SCHEMA.fields]
@@ -124,28 +139,46 @@ def _make_throttle_group(consecutive_threshold: int):
 def throttle_alerts_stateful(
     exploded_alerts: DataFrame,
     consecutive_threshold: int = CONSECUTIVE_THRESHOLD,
+    ttl_clock: str = "event",
+    watermark_delay: str = "10 minutes",
 ) -> DataFrame:
     """Exact stateful throttle over a *streaming* exploded-alerts frame.
 
     Input contract: columns (event_id, loc_id, timestamp, alert_type,
     priority, description) — ``operators.pipeline.exploded_alerts``.
 
-    State TTL caveat: the throttle clock is *event* time but the state
-    timeout is ProcessingTimeTimeout — 1 h of wall-clock idleness per
-    key, matching the reference's wall-clock purge (lamda.py:402-416).
-    On replays/backfills that compresses wall time, so state can expire
-    *later* (relative to event time) than live — which only ever
-    retains suppression state longer, never drops it early mid-stream.
-    EventTimeTimeout would pin eviction to the watermark instead but
-    requires one on the alerts stream; deployments that replay with
-    watermarks should switch to it.
+    State TTL: the throttle clock is the *event* timestamp, and with
+    the default ``ttl_clock="event"`` so is eviction — the state
+    timeout is an EventTimeTimeout at (last event seen + 1 h), pinned
+    to the watermark (``withWatermark`` is applied here, with
+    ``watermark_delay`` bounding how out-of-order alerts may arrive
+    before being dropped as late). Replays and backfills therefore
+    evict at exactly the same point in the stream as the live run
+    (proven by test: a key evicted mid-sequence re-arms its
+    consecutive counter identically on replay).
+
+    ``ttl_clock="processing"`` restores round-3 behavior — 1 h of
+    wall-clock idleness per key, the deterministic form of the
+    reference's probabilistic wall-clock purge (lamda.py:402-416).
+    A wall-compressed replay then evicts *later* relative to event
+    time than live (only ever retaining suppression state longer,
+    never dropping it early); use it only where no watermark can be
+    defined.
     """
-    return exploded_alerts.groupBy("loc_id", "alert_type").applyInPandasWithState(
-        _make_throttle_group(consecutive_threshold),
+    if ttl_clock == "event":
+        src = exploded_alerts.withWatermark("timestamp", watermark_delay)
+        timeout_conf = GroupStateTimeout.EventTimeTimeout
+    elif ttl_clock == "processing":
+        src = exploded_alerts
+        timeout_conf = GroupStateTimeout.ProcessingTimeTimeout
+    else:
+        raise ValueError(f"unknown ttl_clock: {ttl_clock!r}")
+    return src.groupBy("loc_id", "alert_type").applyInPandasWithState(
+        _make_throttle_group(consecutive_threshold, ttl_clock == "event"),
         outputStructType=THROTTLE_OUTPUT_SCHEMA,
         stateStructType=THROTTLE_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=timeout_conf,
     )
 
 

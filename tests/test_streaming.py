@@ -123,6 +123,106 @@ def test_throttle_stateful_consecutive_threshold_2(spark, tmp_path):
     assert sent == {"e2", "e5"}
 
 
+def _write_batches(src, batches):
+    import os
+    import time
+
+    src.mkdir()
+    now = time.time()
+    for i, batch in enumerate(batches):
+        path = src / f"b{i}.jsonl"
+        with open(path, "w") as fh:
+            for r in batch:
+                fh.write(json.dumps({
+                    "event_id": r[0], "loc_id": r[1], "timestamp": r[2].isoformat(),
+                    "alert_type": r[3], "priority": r[4], "description": r[5],
+                }) + "\n")
+        # FileStreamSource orders files by modification time; files
+        # written in the same clock tick would batch in ARBITRARY order
+        # under maxFilesPerTrigger=1, so space the mtimes explicitly.
+        os.utime(path, (now + i * 10, now + i * 10))
+
+
+def _run_throttle(spark, src, ckpt, name, **kwargs):
+    from iot_real_time_data_pipeline_spark.streaming import throttle_alerts_stateful
+
+    stream = (
+        spark.readStream.schema(ALERT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        throttle_alerts_stateful(stream, **kwargs)
+        .writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(ckpt))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    return {r.event_id for r in spark.sql(f"select * from {name}").collect()}
+
+
+def test_throttle_event_time_ttl_evicts_replay_stably(spark, tmp_path):
+    """T3 event-time TTL: eviction is a function of EVENT time, so a
+    replayed run evicts at the same stream position as the live run.
+
+    With consecutive_threshold=2 an armed-but-unsent counter makes
+    eviction observable: e1 arms (loc_1, High Temperature) and sets an
+    event-time timeout at t0+1h; two filler batches on another key push
+    the watermark past that horizon (watermark advances from the
+    previous batch's max event time), so loc_1's state is evicted in
+    batch b2 — and e2 at t0+92min then re-ARMS a fresh counter instead
+    of firing the old one. Wall-clock TTL could never evict here (the
+    whole test runs in seconds), which the processing-clock run proves.
+    """
+    base = ts(0)
+
+    def at(seconds):
+        return base + datetime.timedelta(seconds=seconds)
+
+    rows = [
+        ("e1", "loc_1", at(0), "High Temperature", "HIGH", "arm"),
+        ("f1", "loc_9", at(4500), "High Temperature", "HIGH", "filler-arms"),
+        ("f2", "loc_9", at(5000), "High Temperature", "HIGH", "filler-sends"),
+        ("e2", "loc_1", at(5520), "High Temperature", "HIGH", "post-evict"),
+    ]
+    batches = [rows[:1], rows[1:2], rows[2:3], rows[3:]]
+
+    # Live run: e1 arms; watermark after b1 = 4500-600 = 3900 > 3600 ->
+    # loc_1 evicted during b2 (no loc_1 data there); f2 sends (counter
+    # 2 on loc_9); e2 re-arms a fresh counter -> NOT sent.
+    src1 = tmp_path / "ttl_live"
+    _write_batches(src1, batches)
+    live = _run_throttle(
+        spark, src1, tmp_path / "ttl_ckpt1", "ttl_live",
+        consecutive_threshold=2,
+    )
+    assert live == {"f2"}
+
+    # Replay: identical batches, fresh checkpoint -> identical evictions
+    # and identical sends (event-time TTL has no wall-clock input).
+    src2 = tmp_path / "ttl_replay"
+    _write_batches(src2, batches)
+    replay = _run_throttle(
+        spark, src2, tmp_path / "ttl_ckpt2", "ttl_replay",
+        consecutive_threshold=2,
+    )
+    assert replay == live
+
+    # Contrast: wall-clock TTL cannot evict inside this compressed
+    # replay, so the stale armed counter survives and e2 fires it —
+    # the round-3 divergence this round fixed.
+    src3 = tmp_path / "ttl_proc"
+    _write_batches(src3, batches)
+    proc = _run_throttle(
+        spark, src3, tmp_path / "ttl_ckpt3", "ttl_proc",
+        consecutive_threshold=2, ttl_clock="processing",
+    )
+    assert proc == {"f2", "e2"}
+
+
 @pytest.mark.slow
 def test_stream_end_to_end(spark, tmp_path):
     from iot_real_time_data_pipeline_spark.streaming import run_stream
