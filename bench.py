@@ -12,6 +12,13 @@ deployment: the staging batch and star-schema tables are derived once,
 persisted, and every analytical query reads the cached tables —
 pipeline cost is paid once and reported as its own line items
 (``derive_staging``, ``build_star``).
+
+Noise handling (round 4): every dashboard/LLM line item runs 3x
+in-session; ``queries`` keeps the first-run number (comparable to
+BENCH_r01-r03), ``repeats`` adds per-query median/min/max, and
+``median_total`` / ``median_comparable_r2_subtotal`` are the
+noise-robust aggregates round-over-round deltas should be judged on
+(PERF.md measures ~2x single-shot swings on this shared host).
 """
 
 from __future__ import annotations
@@ -53,12 +60,36 @@ def main() -> None:
     from iot_real_time_data_pipeline_spark.operators.star_schema import incremental_load
 
     times: dict[str, float] = {}
+    repeats: dict[str, dict[str, float]] = {}
+    REPEAT_RUNS = 3
 
     def timed(name: str, fn):
         t0 = time.perf_counter()
         out = fn()
         times[name] = round(time.perf_counter() - t0, 3)
         return out
+
+    def timed_repeat(name: str, fn):
+        """First run is the round-comparable number (same semantics as
+        every earlier BENCH_r*); two more in-session repeats give a
+        median + min/max so a single host-load spike (PERF.md measures
+        ~2x run-to-run swings on this shared runner) can't masquerade
+        as a regression. Repeats deliberately ride whatever caches the
+        first run left (operator-internal persists): identical work,
+        so the spread isolates *noise*, not data-dependent variance.
+        """
+        runs = []
+        for _ in range(REPEAT_RUNS):
+            t0 = time.perf_counter()
+            fn()
+            runs.append(time.perf_counter() - t0)
+        times[name] = round(runs[0], 3)
+        runs_sorted = sorted(runs)
+        repeats[name] = {
+            "median": round(runs_sorted[len(runs) // 2], 3),
+            "min": round(runs_sorted[0], 3),
+            "max": round(runs_sorted[-1], 3),
+        }
 
     # --- pipeline: derive + validate + stage (once, cached) ---------------
     def _derive():
@@ -112,20 +143,20 @@ def main() -> None:
     fact = star["fact_sensor_readings"]
 
     # --- dashboard queries over the cached star ---------------------------
-    timed("d1_avg_temperature", lambda: D.avg_temperature(fact).collect())
-    timed("d2_avg_humidity", lambda: D.avg_humidity(fact).collect())
-    timed("d3_avg_wind_speed",
+    timed_repeat("d1_avg_temperature", lambda: D.avg_temperature(fact).collect())
+    timed_repeat("d2_avg_humidity", lambda: D.avg_humidity(fact).collect())
+    timed_repeat("d3_avg_wind_speed",
           lambda: D.avg_wind_speed(fact, star["dim_weather"]).collect())
-    timed("d4_health_donut", lambda: D.health_donut(fact).collect())
-    timed("d5_temp_humidity_by_hour",
+    timed_repeat("d4_health_donut", lambda: D.health_donut(fact).collect())
+    timed_repeat("d5_temp_humidity_by_hour",
           lambda: D.temp_humidity_by_hour(fact, star["dim_time"]).collect())
-    timed("d6_wind_direction",
+    timed_repeat("d6_wind_direction",
           lambda: D.wind_direction_counts(fact, star["dim_weather"]).collect())
-    timed("d7_nutrient_levels",
+    timed_repeat("d7_nutrient_levels",
           lambda: D.nutrient_levels(fact, star["dim_soil"]).collect())
-    timed("d8_readings_by_location",
+    timed_repeat("d8_readings_by_location",
           lambda: D.readings_by_location(fact, star["dim_location"]).collect())
-    timed("d9_water_level_by_farm",
+    timed_repeat("d9_water_level_by_farm",
           lambda: D.water_level_by_farm(fact, star["dim_location"]).collect())
 
     # --- LLM-data operators ----------------------------------------------
@@ -188,7 +219,7 @@ def main() -> None:
         "mm_image_features",
     ]:
         fn = LQ.llm_queries()[name]
-        timed(name, lambda fn=fn: fn(spark, sf_dir).collect())
+        timed_repeat(name, lambda fn=fn: fn(spark, sf_dir).collect())
 
     total = round(
         sum(v for k, v in times.items() if k not in DIAGNOSTIC_ITEMS), 3
@@ -201,11 +232,31 @@ def main() -> None:
         ),
         3,
     )
+    # Noise-robust aggregates: per-query medians where repeated, the
+    # single measurement otherwise. Round-over-round deltas should be
+    # judged on these; `value`/`queries` keep first-run semantics for
+    # continuity with BENCH_r01-r03.
+    med = lambda k: repeats[k]["median"] if k in repeats else times[k]  # noqa: E731
+    median_total = round(
+        sum(med(k) for k in times if k not in DIAGNOSTIC_ITEMS), 3
+    )
+    median_comparable_r2 = round(
+        sum(
+            med(k)
+            for k in times
+            if k not in DIAGNOSTIC_ITEMS and k not in ROUND3_ITEMS
+        ),
+        3,
+    )
     print(json.dumps({
         "metric": "end-to-end pipeline + analytics + llm-ops wall time",
         "value": total,
         "unit": "sec",
         "queries": times,
+        "repeats": repeats,
+        "repeat_runs": REPEAT_RUNS,
+        "median_total": median_total,
+        "median_comparable_r2_subtotal": median_comparable_r2,
         "comparable_r2_subtotal": comparable_r2,
         "sf": sf,
     }))
