@@ -189,6 +189,15 @@ def main() -> None:
         "emb_cosine_dup_pairs",
         "emb_dup_clusters",
     }
+    # Round-4 additions: likewise excluded from the r2-comparable subtotal.
+    ROUND4_ITEMS = {
+        "docs_boilerplate_scrub",
+        "docs_source_lang_matrix",
+        "docs_repetition_stats",
+        "docs_char_entropy",
+        "emb_norm_stats",
+    }
+    ROUND3_ITEMS |= ROUND4_ITEMS
 
     for name in [
         "docs_exact_dedup",
@@ -201,9 +210,13 @@ def main() -> None:
         "docs_dup_clusters",
         "docs_stratified_sample",
         "docs_pii_scrub",
+        "docs_boilerplate_scrub",
         "docs_curation",
         "docs_source_mix",
+        "docs_source_lang_matrix",
         "docs_rebalanced_sample",
+        "docs_repetition_stats",
+        "docs_char_entropy",
         "docs_unigram_logprob",
         "docs_bpe_merge_candidates",
         "docs_token_stats",
@@ -216,6 +229,7 @@ def main() -> None:
         "emb_cosine_dup_pairs",
         "emb_dup_clusters",
         "emb_label_centroids",
+        "emb_norm_stats",
         "mm_image_features",
     ]:
         fn = LQ.llm_queries()[name]

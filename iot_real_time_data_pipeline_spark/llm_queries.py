@@ -161,6 +161,26 @@ def q_multimodal_features(spark, sf_dir):
     return MM.extract_features(MM.with_binary_payload(_docs(spark, sf_dir)))
 
 
+def q_boilerplate_scrub(spark, sf_dir):
+    return CUR.boilerplate_scrub(_docs(spark, sf_dir))
+
+
+def q_source_lang_matrix(spark, sf_dir):
+    return CUR.source_lang_matrix(_docs(spark, sf_dir))
+
+
+def q_repetition_stats(spark, sf_dir):
+    return TA.repetition_stats(_docs(spark, sf_dir))
+
+
+def q_char_entropy(spark, sf_dir):
+    return TA.char_entropy(_docs(spark, sf_dir))
+
+
+def q_emb_norm_stats(spark, sf_dir):
+    return SIM.emb_norm_stats(_emb(spark, sf_dir))
+
+
 def llm_queries() -> dict[str, QueryFn]:
     # mm_image_features leads the block: the driver records results in
     # dict order, and CORRECTNESS_r03 shows its run stopped at the tail
@@ -179,9 +199,13 @@ def llm_queries() -> dict[str, QueryFn]:
         "docs_dup_clusters": q_dup_clusters,
         "docs_stratified_sample": q_stratified_sample,
         "docs_pii_scrub": q_pii_scrub,
+        "docs_boilerplate_scrub": q_boilerplate_scrub,
         "docs_curation": q_curation,
         "docs_source_mix": q_source_mix,
+        "docs_source_lang_matrix": q_source_lang_matrix,
         "docs_rebalanced_sample": q_rebalanced_sample,
+        "docs_repetition_stats": q_repetition_stats,
+        "docs_char_entropy": q_char_entropy,
         "docs_token_stats": q_token_stats,
         "docs_language_id": q_language_id,
         "docs_quality": q_quality,
@@ -194,6 +218,7 @@ def llm_queries() -> dict[str, QueryFn]:
         "emb_cosine_dup_pairs": q_cosine_dup_pairs,
         "emb_dup_clusters": q_emb_dup_clusters,
         "emb_label_centroids": q_label_centroids,
+        "emb_norm_stats": q_emb_norm_stats,
     }
 
 
@@ -805,6 +830,95 @@ WHERE ({h} % {CUR.SAMPLE_MOD}) * mix.n_sources * mix.n_tokens
       < mix.total_tokens * {CUR.SAMPLE_MOD}"""
 
 
+def _sql_boilerplate_scrub(seg_tokens: int = 10, min_docs: int = 2) -> str:
+    # Fixed-width token segments; parallel unnest zips (pos, seg)
+    # positionally. list_slice takes inclusive END index (Spark's slice
+    # takes LENGTH) — (i-1)*w+1 .. i*w spans the same window.
+    w = seg_tokens
+    nseg = f"greatest((len(t) + {w - 1}) // {w}, 1)"
+    return f"""
+WITH {_TOKS_CTE},
+seg AS (
+  SELECT doc_id,
+         unnest(range(1, {nseg} + 1)) AS pos,
+         unnest(list_transform(range(1, {nseg} + 1),
+                i -> array_to_string(list_slice(t, (i-1)*{w} + 1, i*{w}), ' '))) AS seg
+  FROM toks
+),
+freq AS (SELECT seg, count(DISTINCT doc_id) AS nd FROM seg GROUP BY seg),
+flagged AS (
+  SELECT s.doc_id, s.pos, s.seg, (f.nd >= {min_docs}) AS is_b
+  FROM seg s JOIN freq f USING (seg)
+)
+SELECT doc_id, count(*) AS n_segments,
+       CAST(sum(CASE WHEN is_b THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       coalesce(string_agg(CASE WHEN NOT is_b THEN seg END, ' ' ORDER BY pos), '')
+         AS cleaned_text
+FROM flagged GROUP BY doc_id"""
+
+
+def _sql_source_lang_matrix() -> str:
+    toks = TH.sql_tokens("text")
+    return f"""
+WITH cells AS (
+  SELECT source, lang, count(*) AS n_docs, sum(len({toks})) AS n_tokens
+  FROM documents GROUP BY source, lang
+),
+tot AS (SELECT sum(n_docs) AS total_docs, sum(n_tokens) AS total_tokens FROM cells)
+SELECT source, lang, n_docs, n_tokens,
+       CAST((n_docs * 1000000) // total_docs AS BIGINT) AS doc_share_ppm,
+       CAST((n_tokens * 1000000) // total_tokens AS BIGINT) AS token_share_ppm
+FROM cells CROSS JOIN tot"""
+
+
+def _sql_repetition_stats() -> str:
+    return f"""
+WITH {_TOKS_CTE},
+g AS (
+  SELECT doc_id, {TH.sql_shingles('t', 3)} AS g3, {TH.sql_shingles('t', 2)} AS g2
+  FROM toks
+),
+s3 AS (
+  SELECT doc_id, len(g3) AS n_3grams,
+         CAST(((len(g3) - len(list_distinct(g3))) * 1000000) // len(g3) AS BIGINT)
+           AS dup_3gram_ppm
+  FROM g
+),
+c2 AS (SELECT doc_id, unnest(g2) AS gram FROM g),
+t2 AS (
+  SELECT doc_id, CAST((max(c) * 1000000) // sum(c) AS BIGINT) AS top_2gram_ppm
+  FROM (SELECT doc_id, gram, count(*) AS c FROM c2 GROUP BY doc_id, gram)
+  GROUP BY doc_id
+)
+SELECT doc_id, n_3grams, dup_3gram_ppm, top_2gram_ppm
+FROM s3 JOIN t2 USING (doc_id)"""
+
+
+def _sql_char_entropy() -> str:
+    h = "ln(CAST(sum(c) AS DOUBLE)) - sum(c * ln(CAST(c AS DOUBLE))) / sum(c)"
+    return f"""
+WITH ch AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS ch FROM documents
+),
+pc AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY doc_id, ch)
+SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars, count(*) AS n_distinct_chars,
+       {TH.sql_quantized6(h)} AS char_entropy
+FROM pc GROUP BY doc_id"""
+
+
+def _sql_emb_norm_stats() -> str:
+    nrm = (
+        "sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(v, x -> x * x)), (a, x) -> a + x))"
+    )
+    return f"""
+WITH {_EMB_CTE},
+n AS (SELECT vec_id, {nrm} AS nrm FROM e)
+SELECT vec_id, {TH.sql_quantized6('nrm')} AS l2_norm,
+       CAST(round((nrm - 1.0) * 1e9) AS BIGINT) AS unit_dev_ppb
+FROM n"""
+
+
 def _sql_curation() -> str:
     h = TH.sql_token_hash("concat('s:', CAST(doc_id AS VARCHAR))")
     scores = ",\n         ".join(
@@ -863,9 +977,13 @@ def llm_oracle_sql() -> dict[str, str]:
         "docs_dup_clusters": _sql_dup_clusters(),
         "docs_stratified_sample": _sql_stratified_sample(),
         "docs_pii_scrub": _sql_pii_scrub(),
+        "docs_boilerplate_scrub": _sql_boilerplate_scrub(),
         "docs_curation": _sql_curation(),
         "docs_source_mix": _sql_source_mix(),
+        "docs_source_lang_matrix": _sql_source_lang_matrix(),
         "docs_rebalanced_sample": _sql_rebalanced_sample(),
+        "docs_repetition_stats": _sql_repetition_stats(),
+        "docs_char_entropy": _sql_char_entropy(),
         "docs_token_stats": _sql_token_stats(),
         "docs_language_id": _sql_language_id(),
         "docs_quality": _sql_quality(),
@@ -878,5 +996,6 @@ def llm_oracle_sql() -> dict[str, str]:
         "emb_cosine_dup_pairs": _sql_cosine_dup_pairs(),
         "emb_dup_clusters": _sql_emb_dup_clusters(),
         "emb_label_centroids": _sql_label_centroids(),
+        "emb_norm_stats": _sql_emb_norm_stats(),
         "mm_image_features": _sql_multimodal(),
     }

@@ -225,6 +225,112 @@ def rebalanced_sample(
     )
 
 
+def boilerplate_scrub(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seg_tokens: int = 10,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document boilerplate removal (the C4 rule, adapted):
+    a text *segment* appearing in >= ``min_docs`` distinct documents is
+    boilerplate (headers, footers, license blurbs, templated spans) and
+    is cut from every document; each document is reassembled from its
+    surviving segments in order.
+
+    C4 segments on newlines; this corpus is single-line, so segments
+    are fixed ``seg_tokens``-token windows — same algorithm, different
+    segmenter (swap the segment expression for ``split(text, '\\n')``
+    on newline-structured corpora).
+
+    Plan shape at scale: tokenize -> posexplode segments (rows ∝
+    tokens/seg_tokens) -> ``groupBy(segment)`` with a countDistinct
+    partial agg (shuffle ∝ segments) -> the boilerplate set is tiny by
+    construction (segments repeated across documents) so it broadcasts
+    back onto the postings -> per-doc reassembly via
+    ``array_sort(collect_list(struct(pos, seg)))`` (shuffle ∝ kept
+    segments; position-sorted, so reassembly is deterministic). At
+    production scale, group on ``md5(seg)`` to keep the frequency
+    shuffle fixed-width; the reassembly join carries segment text
+    either way.
+
+    Returns ``(doc_id, n_segments, n_removed, cleaned_text)``.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), TH.tokens(F.col(text_col)).alias("_t")
+    )
+    nseg = F.expr(f"greatest((size(_t) + {seg_tokens - 1}) div {seg_tokens}, 1)")
+    seg_list = F.transform(
+        F.sequence(F.lit(1).cast("long"), nseg),
+        lambda i: F.array_join(
+            F.slice(F.col("_t"), (i - F.lit(1)) * seg_tokens + F.lit(1), F.lit(seg_tokens)),
+            " ",
+        ),
+    )
+    segs = toks.select("doc_id", F.posexplode(seg_list).alias("pos", "seg"))
+    boiler = (
+        segs.groupBy("seg")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("seg", F.lit(True).alias("_is_b"))
+    )
+    flagged = segs.join(F.broadcast(boiler), "seg", "left").select(
+        "doc_id", "pos", "seg", F.coalesce(F.col("_is_b"), F.lit(False)).alias("_is_b")
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_segments"),
+        F.sum(F.when(F.col("_is_b"), 1).otherwise(0)).alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.filter(
+                    F.array_sort(F.collect_list(F.struct("pos", "seg", "_is_b"))),
+                    lambda x: ~x["_is_b"],
+                ),
+                lambda x: x["seg"],
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )
+
+
+def source_lang_matrix(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """(source x lang) corpus composition — the mix report a training
+    run is budgeted against, one level finer than ``source_mix``.
+
+    One scan -> partial-agged ``groupBy(source, lang)`` (shuffle is one
+    row per cell) -> corpus totals as a broadcast scalar. Shares are
+    integer ppm via BIGINT multiply-then-div (the ``source_mix`` rule:
+    never rounded doubles).
+    """
+    cells = docs.groupBy(
+        F.col(source_col).alias("source"), F.col(lang_col).alias("lang")
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(TH.tokens(F.col(text_col)))).alias("n_tokens"),
+    )
+    totals = cells.agg(
+        F.sum("n_docs").alias("total_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+    return cells.crossJoin(F.broadcast(totals)).select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.expr("(n_docs * CAST(1000000 AS BIGINT)) div total_docs").alias(
+            "doc_share_ppm"
+        ),
+        F.expr("(n_tokens * CAST(1000000 AS BIGINT)) div total_tokens").alias(
+            "token_share_ppm"
+        ),
+    )
+
+
 def curation_pipeline(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

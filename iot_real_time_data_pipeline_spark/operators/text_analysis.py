@@ -232,6 +232,85 @@ def bpe_merge_candidates(
     )
 
 
+def repetition_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition signals per document: the fraction of
+    word 3-grams that are repeats of an earlier one, and the share of
+    the single most frequent word 2-gram — the standard cheap detectors
+    for loop/boilerplate text that inflates LLM training loss.
+
+    Pure-integer ppm outputs (BIGINT multiply-then-div — no doubles
+    anywhere, so no cross-engine rounding surface at all). Plan: the
+    3-gram stats are a narrow map over the token array (size vs
+    array_distinct size); the top-2-gram share explodes 2-grams into a
+    partial-agged ``groupBy(doc, gram)`` then ``groupBy(doc)`` max/sum
+    (shuffle ∝ 2-grams, map-side combined).
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), TH.tokens(F.col(text_col)).alias("_t")
+    )
+    # Stage the 3-gram list through a projection so size/distinct read
+    # a materialized array instead of re-running the shingle transform.
+    g3 = toks.select(
+        "doc_id", TH.shingles(F.col("_t"), 3).alias("_g3")
+    ).select(
+        "doc_id",
+        F.size(F.col("_g3")).alias("n_3grams"),
+        F.size(F.array_distinct(F.col("_g3"))).alias("d3"),
+    ).select(
+        "doc_id",
+        "n_3grams",
+        F.expr(
+            "((n_3grams - d3) * CAST(1000000 AS BIGINT)) div n_3grams"
+        ).alias("dup_3gram_ppm"),
+    )
+    g2 = (
+        toks.select("doc_id", F.explode(TH.shingles(F.col("_t"), 2)).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("mx"), F.sum("c").alias("tot"))
+        .select(
+            "doc_id",
+            F.expr("(mx * CAST(1000000 AS BIGINT)) div tot").alias(
+                "top_2gram_ppm"
+            ),
+        )
+    )
+    return g3.join(g2, "doc_id")
+
+
+def char_entropy(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document Shannon entropy of the character distribution —
+    the classic gibberish/degenerate-text detector (keyboard mash and
+    single-char floods score near 0; natural text sits in a band).
+
+    ``H = ln(n) - sum(c*ln(c))/n`` over per-character counts ``c``
+    (algebraically identical to ``-sum(p*ln(p))``, but every ``ln``
+    argument is an integer — the same value on both engines). Plan:
+    explode characters -> partial-agged ``groupBy(doc, char)`` (shuffle
+    ∝ chars, combined map-side to one row per (doc, char)) -> one
+    ``groupBy(doc)``. Output snapped to the 1e-6 grid (engine rule for
+    accumulation-order-dependent double aggregates).
+    """
+    chars = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.expr(f"regexp_extract_all({text_col}, '.', 0)")).alias("ch"),
+    )
+    per_char = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("c"))
+    return per_char.groupBy("doc_id").agg(
+        F.sum("c").alias("n_chars"),
+        F.count("*").alias("n_distinct_chars"),
+        TH.quantized6(
+            F.log(F.sum("c").cast("double"))
+            - F.sum(F.col("c") * F.log(F.col("c").cast("double"))) / F.sum("c")
+        ).alias("char_entropy"),
+    )
+
+
 def unigram_logprob(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -604,6 +604,94 @@ def test_rebalanced_sample_thins_overrepresented(spark):
     assert set(out) == expect
 
 
+def test_boilerplate_scrub_cuts_cross_doc_segments(spark):
+    # Segment width 3 tokens for a readable fixture. "the same header"
+    # opens docs 1-3 (>= 2 docs -> boilerplate, cut everywhere);
+    # each doc's unique tail survives in order; doc 4 shares nothing.
+    rows = [
+        (1, "the same header alpha beta gamma", "en"),
+        (2, "the same header delta epsilon zeta", "en"),
+        (3, "the same header eta theta iota", "en"),
+        (4, "completely unrelated body of text", "en"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r.doc_id: r for r in CUR.boilerplate_scrub(df, seg_tokens=3).collect()}
+    assert out[1].cleaned_text == "alpha beta gamma"
+    assert out[2].cleaned_text == "delta epsilon zeta"
+    assert out[1].n_segments == 2 and out[1].n_removed == 1
+    # untouched doc: zero removed, text reassembles byte-identically
+    assert out[4].n_removed == 0
+    assert out[4].cleaned_text == "completely unrelated body of text"
+
+
+def test_boilerplate_scrub_all_boilerplate_doc_empties(spark):
+    rows = [
+        (1, "copy paste block", "en"),
+        (2, "copy paste block", "en"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r.doc_id: r for r in CUR.boilerplate_scrub(df, seg_tokens=3).collect()}
+    assert out[1].cleaned_text == "" and out[1].n_removed == 1
+    assert out[2].cleaned_text == ""
+
+
+def test_source_lang_matrix_shares(spark):
+    rows = [
+        (1, "a b", "en", "s1"),
+        (2, "a b", "en", "s1"),
+        (3, "a b c d", "de", "s2"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    out = {(r.source, r.lang): r for r in CUR.source_lang_matrix(df).collect()}
+    assert out[("s1", "en")].n_docs == 2 and out[("s1", "en")].n_tokens == 4
+    assert out[("s1", "en")].doc_share_ppm == 666666  # floor(2e6/3)
+    assert out[("s1", "en")].token_share_ppm == 500000  # 4 of 8
+    assert out[("s2", "de")].doc_share_ppm == 333333
+
+
+def test_repetition_stats_flags_loops(spark):
+    rows = [
+        # "x y z" * 4: 10 3-grams, 3 distinct -> dup 7/10; top 2-gram
+        # "x y" (or "y z"/"z x") 4 of 11
+        (1, "x y z x y z x y z x y z", "en"),
+        (2, "all distinct words here now", "en"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r.doc_id: r for r in TA.repetition_stats(df).collect()}
+    assert out[1].n_3grams == 10
+    assert out[1].dup_3gram_ppm == 700000
+    assert out[1].top_2gram_ppm == 363636  # floor(4e6/11)
+    assert out[2].dup_3gram_ppm == 0
+    assert out[2].top_2gram_ppm == 250000  # every 2-gram once: 1 of 4
+
+
+def test_char_entropy_orders_gibberish_below_text(spark):
+    rows = [
+        (1, "aaaaaaaaaaaaaaaa", "en"),       # single char: H = 0
+        (2, "abababababababab", "en"),       # two chars 50/50: H = ln 2
+        (3, "the quick brown fox jumps", "en"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r.doc_id: r for r in TA.char_entropy(df).collect()}
+    assert out[1].char_entropy == 0.0 and out[1].n_distinct_chars == 1
+    assert out[2].char_entropy == pytest.approx(0.693147, abs=1e-6)
+    assert out[3].char_entropy > out[2].char_entropy > out[1].char_entropy
+    assert out[3].n_chars == 25
+
+
+def test_emb_norm_stats_flags_denormalized(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0], 0),   # exactly unit (f32-exact values)
+        (2, [1.0000001, 0.0, 0.0, 0.0], 0),  # slightly off unit
+        (3, [2.0, 0.0, 0.0, 0.0], 0),   # 2x scale stray
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {r.vec_id: r for r in SIM.emb_norm_stats(df).collect()}
+    assert out[1].l2_norm == 1.0 and out[1].unit_dev_ppb == 0
+    assert 0 < abs(out[2].unit_dev_ppb) < 1000
+    assert out[3].l2_norm == 2.0 and out[3].unit_dev_ppb == 1_000_000_000
+
+
 def test_write_corpus_partitions_prune(spark, tmp_path, docs):
     import glob
     import io
