@@ -195,7 +195,9 @@ def main() -> None:
         "docs_source_lang_matrix",
         "docs_repetition_stats",
         "docs_char_entropy",
+        "docs_bigram_logprob",
         "emb_norm_stats",
+        "emb_int8_quantize",
     }
     ROUND3_ITEMS |= ROUND4_ITEMS
 
@@ -218,6 +220,7 @@ def main() -> None:
         "docs_repetition_stats",
         "docs_char_entropy",
         "docs_unigram_logprob",
+        "docs_bigram_logprob",
         "docs_bpe_merge_candidates",
         "docs_token_stats",
         "docs_language_id",
@@ -230,6 +233,7 @@ def main() -> None:
         "emb_dup_clusters",
         "emb_label_centroids",
         "emb_norm_stats",
+        "emb_int8_quantize",
         "mm_image_features",
     ]:
         fn = LQ.llm_queries()[name]

@@ -181,6 +181,14 @@ def q_emb_norm_stats(spark, sf_dir):
     return SIM.emb_norm_stats(_emb(spark, sf_dir))
 
 
+def q_bigram_logprob(spark, sf_dir):
+    return TA.bigram_logprob(_docs(spark, sf_dir))
+
+
+def q_int8_quantize(spark, sf_dir):
+    return SIM.int8_quantize(_emb(spark, sf_dir))
+
+
 def llm_queries() -> dict[str, QueryFn]:
     # mm_image_features leads the block: the driver records results in
     # dict order, and CORRECTNESS_r03 shows its run stopped at the tail
@@ -211,6 +219,7 @@ def llm_queries() -> dict[str, QueryFn]:
         "docs_quality": q_quality,
         "docs_fingerprints": q_fingerprints,
         "docs_unigram_logprob": q_unigram_logprob,
+        "docs_bigram_logprob": q_bigram_logprob,
         "docs_bpe_merge_candidates": q_bpe_merges,
         "docs_tfidf_top_terms": q_tfidf,
         "emb_cosine_topk": q_cosine_topk,
@@ -219,6 +228,7 @@ def llm_queries() -> dict[str, QueryFn]:
         "emb_dup_clusters": q_emb_dup_clusters,
         "emb_label_centroids": q_label_centroids,
         "emb_norm_stats": q_emb_norm_stats,
+        "emb_int8_quantize": q_int8_quantize,
     }
 
 
@@ -906,6 +916,40 @@ SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars, count(*) AS n_distinct_chars,
 FROM pc GROUP BY doc_id"""
 
 
+def _sql_bigram_logprob() -> str:
+    # Parallel unnest of the two shifted slices zips (prev, cur)
+    # positionally — the SQL mirror of the Spark pair transform.
+    return f"""
+WITH {_TOKS_CTE},
+pairs AS (
+  SELECT doc_id,
+         unnest(list_slice(t, 1, len(t) - 1)) AS prev,
+         unnest(list_slice(t, 2, len(t))) AS cur
+  FROM toks WHERE len(t) >= 2
+),
+c2 AS (SELECT prev, cur, count(*) AS c2 FROM pairs GROUP BY prev, cur),
+c1 AS (SELECT prev, count(*) AS c1 FROM pairs GROUP BY prev)
+SELECT doc_id, count(*) AS n_bigrams,
+       {TH.sql_quantized6(
+           'avg(ln(CAST(c2 AS DOUBLE)) - ln(CAST(c1 AS DOUBLE)))'
+       )} AS avg_bigram_logprob
+FROM pairs JOIN c2 USING (prev, cur) JOIN c1 USING (prev)
+GROUP BY doc_id"""
+
+
+def _sql_int8_quantize() -> str:
+    return f"""
+WITH {_EMB_CTE},
+s AS (
+  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS scale FROM e
+)
+SELECT vec_id,
+       CAST(unnest(range(1, len(v) + 1)) AS BIGINT) AS dim,
+       unnest(list_transform(v, x -> CAST(round(x / scale * 127) AS INT))) AS code,
+       {TH.sql_quantized6('scale')} AS scale
+FROM s"""
+
+
 def _sql_emb_norm_stats() -> str:
     nrm = (
         "sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
@@ -989,6 +1033,7 @@ def llm_oracle_sql() -> dict[str, str]:
         "docs_quality": _sql_quality(),
         "docs_fingerprints": _sql_fingerprints(),
         "docs_unigram_logprob": _sql_unigram_logprob(),
+        "docs_bigram_logprob": _sql_bigram_logprob(),
         "docs_bpe_merge_candidates": _sql_bpe_merges(),
         "docs_tfidf_top_terms": _sql_tfidf(),
         "emb_cosine_topk": _sql_cosine_topk(),
@@ -997,5 +1042,6 @@ def llm_oracle_sql() -> dict[str, str]:
         "emb_dup_clusters": _sql_emb_dup_clusters(),
         "emb_label_centroids": _sql_label_centroids(),
         "emb_norm_stats": _sql_emb_norm_stats(),
+        "emb_int8_quantize": _sql_int8_quantize(),
         "mm_image_features": _sql_multimodal(),
     }

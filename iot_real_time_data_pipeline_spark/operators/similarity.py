@@ -377,6 +377,40 @@ def emb_norm_stats(embeddings: DataFrame) -> DataFrame:
     )
 
 
+def int8_quantize(embeddings: DataFrame) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the
+    storage/ANN compression primitive (4x smaller vectors; distance
+    math on int8 codes with one dequant scale per vector).
+
+    ``code = round(x / scale * 127)`` with ``scale = max |x_i|`` — a
+    pure narrow map (abs-max and codes are per-row array expressions;
+    no aggregate, no shuffle except the output). Emitted in long form
+    ``(vec_id, dim, code, scale)``: codes are exact integers on both
+    engines (same IEEE divide/multiply on the same doubles, integer
+    round), scale snaps to the 1e-6 grid for the report while the
+    codes are computed from the UNsnapped scale.
+    """
+    e = embeddings.select(
+        F.col("vec_id"), as_double(F.col("embedding")).alias("v")
+    ).withColumn("scale", F.array_max(F.transform(F.col("v"), F.abs)))
+    coded = e.select(
+        "vec_id",
+        "scale",
+        F.posexplode(
+            F.transform(
+                F.col("v"),
+                lambda x: F.round(x / F.col("scale") * 127).cast("int"),
+            )
+        ).alias("pos", "code"),
+    )
+    return coded.select(
+        "vec_id",
+        (F.col("pos") + 1).cast("long").alias("dim"),
+        "code",
+        TH.quantized6(F.col("scale")).alias("scale"),
+    )
+
+
 def label_centroids(embeddings: DataFrame) -> DataFrame:
     """Per-label mean embedding, long form (label, pos, centroid).
 

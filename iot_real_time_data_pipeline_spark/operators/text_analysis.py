@@ -182,6 +182,54 @@ def tfidf_top_terms(
     )
 
 
+def bigram_logprob(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document average bigram log-likelihood under the corpus' own
+    bigram model — the KenLM-style fluency filter, one order up from
+    ``unigram_logprob`` (word-salad that passes the unigram screen
+    still scores low here, because its *transitions* are corpus-rare).
+
+    ``avg(ln c(prev,cur) - ln c(prev,*))`` — maximum-likelihood
+    P(cur|prev), with both ``ln`` arguments integers (corpus counts),
+    so the per-pair values are bit-identical across engines and only
+    the final avg needs the 1e-6 grid snap. Plan shape: explode
+    adjacent pairs (rows ∝ tokens) -> two partial-agged ``groupBy``s
+    (bigram counts, prefix counts; shuffle ∝ distinct grams) -> joins
+    back on the gram keys -> one ``groupBy(doc)``. The same tf-idf-
+    class plan, scale-safe. Docs with < 2 tokens have no bigrams and
+    drop out (filter them upstream with ``token_stats``).
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), TH.tokens(F.col(text_col)).alias("_t")
+    )
+    pairs = toks.filter(F.size("_t") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("_t") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("_t"), i).alias("prev"),
+                    F.element_at(F.col("_t"), i + 1).alias("cur"),
+                ),
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur"))
+    c2 = pairs.groupBy("prev", "cur").agg(F.count("*").alias("c2"))
+    c1 = pairs.groupBy("prev").agg(F.count("*").alias("c1"))
+    return (
+        pairs.join(c2, ["prev", "cur"])
+        .join(c1, "prev")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            TH.quantized6(
+                F.avg(F.log(F.col("c2").cast("double")) - F.log(F.col("c1").cast("double")))
+            ).alias("avg_bigram_logprob"),
+        )
+    )
+
+
 def doc_fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Order-sensitive rolling hash over the token-hash sequence."""
     toks = TH.tokens(F.col(text_col))

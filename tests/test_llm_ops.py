@@ -692,6 +692,41 @@ def test_emb_norm_stats_flags_denormalized(spark):
     assert out[3].l2_norm == 2.0 and out[3].unit_dev_ppb == 1_000_000_000
 
 
+def test_bigram_logprob_scores_common_transitions_higher(spark):
+    import math
+
+    rows = [
+        (1, "a b a b a b", "en"),       # transitions a->b (3x), b->a (2x)
+        (2, "a b c d e f", "en"),       # every transition unique
+        (3, "x", "en"),                 # < 2 tokens: no bigrams, dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r.doc_id: r for r in TA.bigram_logprob(df).collect()}
+    assert 3 not in out
+    assert out[1].n_bigrams == 5 and out[2].n_bigrams == 5
+    # corpus counts: c2(a,b)=4, c2(b,a)=2; prefixes c1(a)=4, c1(b)=3
+    # doc 1: 3 pairs ln(4/4) + 2 pairs ln(2/3), averaged over 5
+    expect = (3 * math.log(4 / 4) + 2 * math.log(2 / 3)) / 5
+    assert out[1].avg_bigram_logprob == pytest.approx(expect, abs=2e-6)
+    assert out[1].avg_bigram_logprob > out[2].avg_bigram_logprob
+
+
+def test_int8_quantize_codes_and_scale(spark):
+    rows = [
+        (1, [1.0, -0.5, 0.25, 0.0], 0),
+        (2, [0.0, 0.0, 2.0, -1.0], 0),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {(r.vec_id, r.dim): r for r in SIM.int8_quantize(df).collect()}
+    assert out[(1, 1)].code == 127 and out[(1, 1)].scale == 1.0
+    assert out[(1, 2)].code == -64          # round(-0.5*127) = -63.5 -> -64
+    assert out[(1, 3)].code == 32           # round(0.25*127) = 31.75 -> 32
+    assert out[(1, 4)].code == 0
+    assert out[(2, 3)].code == 127 and out[(2, 3)].scale == 2.0
+    assert out[(2, 4)].code == -64          # -1/2 * 127 -> -64
+    assert len(out) == 8
+
+
 def test_write_corpus_partitions_prune(spark, tmp_path, docs):
     import glob
     import io
