@@ -363,12 +363,7 @@ def curation_pipeline(
         (sample_hash(id_col) % SAMPLE_MOD).alias("sample_bucket"),
         *[TA._lang_score(toks, lang).alias(f"s_{lang}") for lang in TA.LANGS],
     )
-    best = F.greatest(*[F.col(f"s_{lang}") for lang in TA.LANGS])
-    chain = None
-    for lang in TA.LANGS:
-        cond = (F.col(f"s_{lang}") == best) & (best > 0)
-        chain = F.when(cond, F.lit(lang)) if chain is None else chain.when(cond, F.lit(lang))
-    labeled = base.withColumn("predicted_lang", chain.otherwise(F.lit("und")))
+    labeled = base.withColumn("predicted_lang", TA.predicted_lang_over_scores())
 
     canon = labeled.withColumn(
         "canonical_id", F.min("doc_id").over(Window.partitionBy("text_hash"))

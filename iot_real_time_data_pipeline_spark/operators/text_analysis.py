@@ -75,6 +75,20 @@ def _lang_score(toks: F.Column, lang: str) -> F.Column:
     return F.size(F.filter(toks, lambda t: t.isin(*words)))
 
 
+def predicted_lang_over_scores() -> F.Column:
+    """Argmax over pre-computed ``s_<lang>`` score columns; ties -> first
+    lang alphabetically, all-zero -> 'und'. The when-chain runs in LANGS
+    (alphabetical) order so earlier langs win ties — shared by
+    ``language_id``, the batch curation pipeline, and the streaming
+    curation path (a pure Column expression, stream-safe)."""
+    best = F.greatest(*[F.col(f"s_{lang}") for lang in LANGS])
+    chain = None
+    for lang in LANGS:
+        cond = (F.col(f"s_{lang}") == best) & (best > 0)
+        chain = F.when(cond, F.lit(lang)) if chain is None else chain.when(cond, F.lit(lang))
+    return chain.otherwise(F.lit("und"))
+
+
 def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Stopword-profile language ID; argmax score, ties -> first lang
     alphabetically, all-zero -> 'und' (undetermined)."""
@@ -84,15 +98,8 @@ def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         F.col("lang").alias("labeled_lang"),
         *[_lang_score(toks, lang).alias(f"s_{lang}") for lang in LANGS],
     )
-    best = F.greatest(*[F.col(f"s_{lang}") for lang in LANGS])
-    # when-chain in LANGS (alphabetical) order: earlier langs win ties.
-    chain = None
-    for lang in LANGS:
-        cond = (F.col(f"s_{lang}") == best) & (best > 0)
-        chain = F.when(cond, F.lit(lang)) if chain is None else chain.when(cond, F.lit(lang))
-    predicted = chain.otherwise(F.lit("und"))
     return (
-        scored.withColumn("predicted_lang", predicted)
+        scored.withColumn("predicted_lang", predicted_lang_over_scores())
         .groupBy("labeled_lang", "predicted_lang")
         .agg(F.count("*").alias("n_docs"))
     )

@@ -2,3 +2,4 @@
 
 from .throttle import throttle_alerts_stateful, throttle_batch_window  # noqa: F401
 from .pipeline import run_stream, foreach_batch_loader  # noqa: F401
+from .corpus import curate_doc_stream, run_corpus_stream  # noqa: F401

@@ -386,3 +386,58 @@ def test_windowed_health_streaming(spark, tmp_path):
     assert rows[0].n_events == 3 and rows[5].n_events == 2
     assert rows[0].n_invalid == 0
     assert rows[0].avg_temperature == pytest.approx(25.0)
+
+
+def test_corpus_stream_dedups_and_curates(spark, tmp_path):
+    """Streaming curation: cross-batch exact dedup within the watermark,
+    the batch pipeline's quality gate + language ID, and a corpus sink
+    partitioned by predicted language."""
+    import os
+    import time
+
+    from iot_real_time_data_pipeline_spark.streaming import run_corpus_stream
+
+    base = datetime.datetime(2024, 3, 1, 6, 0)
+    good_en = "the cat and the dog sat in the house of the king"
+    good_de = "der hund und die katze sind nicht mit der maus in das haus"
+    rows = [
+        # b0: one good English doc + a short doc (quality-gated out)
+        [(1, good_en, "en", "s1", base),
+         (2, "too short", "en", "s1", base)],
+        # b1: EXACT duplicate of doc 1 (different id, later ts, same
+        # batch-crossing text) -> dropped by watermark dedup; plus a
+        # German doc
+        [(3, good_en, "en", "s2", base + datetime.timedelta(minutes=1)),
+         (4, good_de, "de", "s1", base + datetime.timedelta(minutes=1))],
+        # b2: digit flood (quality-gated out)
+        [(5, "1 2 3 4 5 6 7 8 9 10 11 12", "en", "s1",
+          base + datetime.timedelta(minutes=2))],
+    ]
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    now = time.time()
+    for i, batch in enumerate(rows):
+        p = src / f"b{i}.jsonl"
+        with open(p, "w") as fh:
+            for doc_id, text, lang, source, ts_ in batch:
+                fh.write(json.dumps({
+                    "doc_id": doc_id, "text": text, "lang": lang,
+                    "source": source, "ingest_ts": ts_.isoformat(),
+                }) + "\n")
+        os.utime(p, (now + i * 10, now + i * 10))
+
+    q = run_corpus_stream(
+        spark, str(src), str(tmp_path / "corpus"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(240)
+
+    out = spark.read.parquet(str(tmp_path / "corpus"))
+    got = {r.doc_id: r for r in out.collect()}
+    # doc 1 kept; dup doc 3 dropped; short doc 2 and digit-flood doc 5
+    # quality-gated; German doc 4 kept with its language detected
+    assert set(got) == {1, 4}
+    assert got[1].predicted_lang == "en"
+    assert got[4].predicted_lang == "de"
+    # language is a PARTITION value -> static pruning for readers
+    langs = {d for d in os.listdir(tmp_path / "corpus") if d.startswith("predicted_lang=")}
+    assert langs == {"predicted_lang=en", "predicted_lang=de"}
