@@ -191,6 +191,7 @@ def main() -> None:
     }
     # Round-4 additions: likewise excluded from the r2-comparable subtotal.
     ROUND4_ITEMS = {
+        "docs_stratified_sample_exact",
         "docs_boilerplate_scrub",
         "docs_source_lang_matrix",
         "docs_repetition_stats",
@@ -211,6 +212,7 @@ def main() -> None:
         "docs_decontaminate",
         "docs_dup_clusters",
         "docs_stratified_sample",
+        "docs_stratified_sample_exact",
         "docs_pii_scrub",
         "docs_boilerplate_scrub",
         "docs_curation",

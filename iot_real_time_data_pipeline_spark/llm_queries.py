@@ -90,6 +90,10 @@ def q_stratified_sample(spark, sf_dir):
     return CUR.stratified_sample(_docs(spark, sf_dir))
 
 
+def q_stratified_sample_exact(spark, sf_dir):
+    return CUR.stratified_sample_exact(_docs(spark, sf_dir))
+
+
 def q_pii_scrub(spark, sf_dir):
     return CUR.pii_scrub(_docs(spark, sf_dir))
 
@@ -206,6 +210,7 @@ def llm_queries() -> dict[str, QueryFn]:
         "docs_decontaminate": q_decontaminate,
         "docs_dup_clusters": q_dup_clusters,
         "docs_stratified_sample": q_stratified_sample,
+        "docs_stratified_sample_exact": q_stratified_sample_exact,
         "docs_pii_scrub": q_pii_scrub,
         "docs_boilerplate_scrub": q_boilerplate_scrub,
         "docs_curation": q_curation,
@@ -784,6 +789,27 @@ FROM s
 WHERE sample_bucket < (CASE lang {rates} ELSE 0 END)"""
 
 
+def _sql_stratified_sample_exact() -> str:
+    h = TH.sql_token_hash("concat('s:', CAST(doc_id AS VARCHAR))")
+    quotas = " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in sorted(CUR.STRATUM_QUOTAS.items())
+    )
+    return f"""
+WITH s AS (
+  SELECT doc_id, lang AS stratum, {h} % {CUR.SAMPLE_MOD} AS sample_bucket
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, stratum, sample_bucket,
+         row_number() OVER (PARTITION BY stratum
+                            ORDER BY sample_bucket, doc_id) AS rnk
+  FROM s
+)
+SELECT doc_id, stratum, sample_bucket, rnk
+FROM ranked
+WHERE rnk <= (CASE stratum {quotas} ELSE 0 END)"""
+
+
 def _sql_pii_scrub() -> str:
     e, p = CUR.EMAIL_PATTERN, CUR.PHONE_PATTERN
     return f"""
@@ -1020,6 +1046,7 @@ def llm_oracle_sql() -> dict[str, str]:
         "docs_decontaminate": _sql_decontaminate(),
         "docs_dup_clusters": _sql_dup_clusters(),
         "docs_stratified_sample": _sql_stratified_sample(),
+        "docs_stratified_sample_exact": _sql_stratified_sample_exact(),
         "docs_pii_scrub": _sql_pii_scrub(),
         "docs_boilerplate_scrub": _sql_boilerplate_scrub(),
         "docs_curation": _sql_curation(),

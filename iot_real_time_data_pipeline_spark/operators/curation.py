@@ -80,6 +80,51 @@ def stratified_sample(
     )
 
 
+
+# Quota-exact sampling defaults: documents per stratum.
+STRATUM_QUOTAS = {"de": 30, "en": 40, "es": 30, "fr": 30, "zh": 30}
+
+
+def stratified_sample_exact(
+    docs: DataFrame,
+    quotas: dict[str, int] | None = None,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quota-EXACT stratified sample: precisely ``quotas[stratum]``
+    documents per stratum (budgeted training mixes are specified this
+    way — "exactly 100k docs per language"), chosen deterministically
+    as the lowest sampling-hash documents of each stratum.
+
+    The rank window shuffles by stratum, so each stratum lands on one
+    reducer: correct and fast when strata are few and bounded
+    (languages, source families — the only keys a mix is budgeted by).
+    For rate-based thinning of huge/unbounded strata use
+    ``stratified_sample``, which is a pure map. Ties cannot happen
+    (hash then doc_id orders totally), so the sample is replay- and
+    engine-stable.
+    """
+    from pyspark.sql import Window
+
+    quotas = quotas if quotas is not None else STRATUM_QUOTAS
+    pairs: list[F.Column] = []
+    for k in sorted(quotas):
+        pairs += [F.lit(k), F.lit(quotas[k])]
+    quota = F.coalesce(
+        F.element_at(F.create_map(*pairs), F.col("stratum")), F.lit(0)
+    )
+    w = Window.partitionBy("stratum").orderBy("sample_bucket", "doc_id")
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(stratum_col).alias("stratum"),
+            (sample_hash(id_col) % SAMPLE_MOD).alias("sample_bucket"),
+        )
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= quota)
+    )
+
+
 def pii_scrub(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Redact emails/phone numbers; report per-doc match counts.
 

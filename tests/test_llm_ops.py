@@ -692,6 +692,30 @@ def test_emb_norm_stats_flags_denormalized(spark):
     assert out[3].l2_norm == 2.0 and out[3].unit_dev_ppb == 1_000_000_000
 
 
+def test_stratified_sample_exact_meets_quotas_deterministically(spark):
+    rows = [(i, f"doc {i}", ["en", "de"][i % 2]) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = CUR.stratified_sample_exact(df, quotas={"en": 7, "de": 3}).collect()
+    by_stratum = {}
+    for r in out:
+        by_stratum.setdefault(r.stratum, []).append(r)
+    assert len(by_stratum["en"]) == 7 and len(by_stratum["de"]) == 3
+    # the chosen docs are exactly the lowest-hash members per stratum
+    buckets = {
+        r.doc_id: r.sample_bucket
+        for r in df.select(
+            "doc_id", (CUR.sample_hash() % CUR.SAMPLE_MOD).alias("sample_bucket")
+        ).collect()
+    }
+    en_sorted = sorted((buckets[i], i) for i in range(100) if i % 2 == 0)
+    assert {r.doc_id for r in by_stratum["en"]} == {i for _, i in en_sorted[:7]}
+    # rerun -> identical sample (hash order, no RNG)
+    out2 = CUR.stratified_sample_exact(df, quotas={"en": 7, "de": 3}).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+    # stratum without a quota contributes nothing
+    assert CUR.stratified_sample_exact(df, quotas={"en": 2}).count() == 2
+
+
 def test_bigram_logprob_scores_common_transitions_higher(spark):
     import math
 
