@@ -297,7 +297,10 @@ def boilerplate_scrub(
     segments; position-sorted, so reassembly is deterministic). At
     production scale, group on ``md5(seg)`` to keep the frequency
     shuffle fixed-width; the reassembly join carries segment text
-    either way.
+    either way. The broadcast hint assumes a normal corpus (boilerplate
+    = the small repeated tail); on an adversarial spam-flooded corpus
+    where MOST segments repeat, drop the hint and let AQE pick the join
+    — the rest of the plan is shape-identical.
 
     Returns ``(doc_id, n_segments, n_removed, cleaned_text)``.
     """

@@ -79,6 +79,47 @@ def curate_doc_stream(
     )
 
 
+def parse_kafka_documents(records: DataFrame) -> DataFrame:
+    """Kafka-source-shaped records -> streaming documents frame
+    (shared parse path; mirrors ``sources.events.parse_kafka_records``).
+
+    Expects the Kafka source contract columns (``value`` binary JSON of
+    one document, ``partition`` int, ``offset`` long); the
+    partition-offset pair rides along as ``source_seq`` for dead-letter
+    traceability. Unit-tested on a Kafka-shaped frame — the parse stage
+    is identical whether records came from the connector or a fixture.
+    """
+    parsed = records.select(
+        F.concat_ws(
+            "-", F.col("partition").cast("string"), F.col("offset").cast("string")
+        ).alias("source_seq"),
+        F.from_json(
+            F.col("value").cast("string"), DOC_STREAM_SCHEMA
+        ).alias("_d"),
+    )
+    return parsed.select("source_seq", "_d.*")
+
+
+def read_documents_kafka(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "latest",
+) -> DataFrame:
+    """Production form of the document drop: ``format("kafka")`` into
+    the shared parse path. Requires the spark-sql-kafka connector on
+    the classpath (not shipped in this sandbox — everything above the
+    ``.load()`` is the unit-tested shared code path)."""
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    return parse_kafka_documents(raw)
+
+
 def run_corpus_stream(
     spark: SparkSession,
     source_dir: str,

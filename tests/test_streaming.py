@@ -441,3 +441,26 @@ def test_corpus_stream_dedups_and_curates(spark, tmp_path):
     # language is a PARTITION value -> static pruning for readers
     langs = {d for d in os.listdir(tmp_path / "corpus") if d.startswith("predicted_lang=")}
     assert langs == {"predicted_lang=en", "predicted_lang=de"}
+
+
+def test_corpus_kafka_shaped_records_parse(spark):
+    """The Kafka-source contract columns parse into the document stream
+    schema with partition-offset traceability, same as the events path."""
+    from iot_real_time_data_pipeline_spark.streaming.corpus import (
+        parse_kafka_documents,
+    )
+
+    payload = json.dumps({
+        "doc_id": 7, "text": "hello kafka world", "lang": "en",
+        "source": "s1", "ingest_ts": "2024-03-01T06:00:00",
+    })
+    records = spark.createDataFrame(
+        [(bytearray(payload, "utf-8"), 2, 41)],
+        "value binary, partition int, offset long",
+    )
+    out = parse_kafka_documents(records).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.doc_id == 7 and r.text == "hello kafka world"
+    assert r.source_seq == "2-41"
+    assert r.ingest_ts == datetime.datetime(2024, 3, 1, 6, 0)
