@@ -971,7 +971,8 @@ s AS (
 )
 SELECT vec_id,
        CAST(unnest(range(1, len(v) + 1)) AS BIGINT) AS dim,
-       unnest(list_transform(v, x -> CAST(round(x / scale * 127) AS INT))) AS code,
+       unnest(list_transform(v, x -> CASE WHEN scale = 0 THEN 0
+              ELSE CAST(round(x / scale * 127) AS INT) END)) AS code,
        {TH.sql_quantized6('scale')} AS scale
 FROM s"""
 

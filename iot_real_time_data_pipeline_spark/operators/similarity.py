@@ -393,13 +393,18 @@ def int8_quantize(embeddings: DataFrame) -> DataFrame:
     e = embeddings.select(
         F.col("vec_id"), as_double(F.col("embedding")).alias("v")
     ).withColumn("scale", F.array_max(F.transform(F.col("v"), F.abs)))
+    # Zero-vector guard: scale 0 would make the code NaN, and ANSI-mode
+    # int cast of NaN throws — an all-zero vector quantizes to all-zero
+    # codes instead of failing the corpus scan.
     coded = e.select(
         "vec_id",
         "scale",
         F.posexplode(
             F.transform(
                 F.col("v"),
-                lambda x: F.round(x / F.col("scale") * 127).cast("int"),
+                lambda x: F.when(F.col("scale") == 0, F.lit(0))
+                .otherwise(F.round(x / F.col("scale") * 127))
+                .cast("int"),
             )
         ).alias("pos", "code"),
     )

@@ -749,6 +749,15 @@ def test_int8_quantize_codes_and_scale(spark):
     assert out[(2, 3)].code == 127 and out[(2, 3)].scale == 2.0
     assert out[(2, 4)].code == -64          # -1/2 * 127 -> -64
     assert len(out) == 8
+    # all-zero vector: scale 0 must quantize to zero codes, not throw
+    # (ANSI-mode int cast of 0/0=NaN would fail the whole corpus scan)
+    zero = spark.createDataFrame(
+        [(9, [0.0, 0.0, 0.0, 0.0], 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    zout = SIM.int8_quantize(zero).collect()
+    assert [r.code for r in zout] == [0, 0, 0, 0]
+    assert all(r.scale == 0.0 for r in zout)
 
 
 def test_write_corpus_partitions_prune(spark, tmp_path, docs):
