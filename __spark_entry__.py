@@ -41,6 +41,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out.update(_llm.llm_queries())
     except ImportError:
         pass
+    try:
+        from iot_real_time_data_pipeline_spark import events_queries as _ev
+
+        out.update(_ev.events_queries())
+    except ImportError:
+        pass
     return out
 
 
@@ -51,6 +57,12 @@ def oracle_sql() -> dict[str, str]:
         from iot_real_time_data_pipeline_spark import llm_queries as _llm
 
         out.update(_llm.llm_oracle_sql())
+    except ImportError:
+        pass
+    try:
+        from iot_real_time_data_pipeline_spark import events_queries as _ev
+
+        out.update(_ev.events_oracle_sql())
     except ImportError:
         pass
     return out

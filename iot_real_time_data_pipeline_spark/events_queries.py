@@ -1,0 +1,143 @@
+"""Driver-facing clickstream-analytics queries over the ``events``
+table, each with a DuckDB oracle twin.
+
+The oracle SQL mirrors the Spark window plans structurally: identical
+integer epoch-second derivation (``epoch_ns // 1e9`` vs long-nanos
+``div 1e9`` — both floor on the positive range), identical window
+frames, identical (ts_sec, event_id) tie-breaks. Every output column is
+BIGINT/VARCHAR except the histogram's raw double `value` ordering,
+which involves no arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .driver_queries import QueryFn
+from .entrypoints import read_table
+from .operators import events_analytics as EA
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return EA.with_ts_sec(read_table(spark, sf_dir, "events"))
+
+
+def q_sessionize(spark, sf_dir):
+    return EA.sessionize(_events(spark, sf_dir))
+
+
+def q_asof_attribution(spark, sf_dir):
+    return EA.asof_attribution(_events(spark, sf_dir))
+
+
+def q_retention(spark, sf_dir):
+    return EA.retention_cohorts(_events(spark, sf_dir))
+
+
+def q_value_histogram(spark, sf_dir):
+    return EA.value_histogram(_events(spark, sf_dir))
+
+
+def q_top_events_per_user(spark, sf_dir):
+    return EA.top_events_per_user(_events(spark, sf_dir))
+
+
+def events_queries() -> dict[str, QueryFn]:
+    return {
+        "events_sessionize": q_sessionize,
+        "events_asof_attribution": q_asof_attribution,
+        "events_retention_cohorts": q_retention,
+        "events_value_histogram": q_value_histogram,
+        "events_top_per_user": q_top_events_per_user,
+    }
+
+
+_EV_CTE = """
+ev AS (
+  SELECT event_id, user_id, event_type, value,
+         epoch_ns(ts) // 1000000000 AS ts_sec
+  FROM events
+)"""
+
+_SESSIONIZE_SQL = f"""
+WITH {_EV_CTE},
+flagged AS (
+  SELECT user_id, ts_sec, event_id,
+         CASE WHEN lag(ts_sec) OVER w IS NULL
+                OR ts_sec - lag(ts_sec) OVER w > {EA.SESSION_GAP_SEC}
+              THEN 1 ELSE 0 END AS is_new
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)
+),
+runs AS (
+  SELECT user_id, ts_sec,
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_idx
+  FROM flagged
+)
+SELECT user_id, session_idx,
+       count(*) AS n_events,
+       min(ts_sec) AS session_start_sec,
+       max(ts_sec) AS session_end_sec,
+       max(ts_sec) - min(ts_sec) AS duration_sec
+FROM runs GROUP BY user_id, session_idx"""
+
+_ASOF_SQL = f"""
+WITH {_EV_CTE},
+attributed AS (
+  SELECT event_id, user_id, event_type, ts_sec,
+         last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+           OVER w AS attributed_event_id,
+         last_value(CASE WHEN event_type = 'click' THEN ts_sec END IGNORE NULLS)
+           OVER w AS attributed_ts_sec
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, user_id, ts_sec, attributed_event_id, attributed_ts_sec,
+       ts_sec - attributed_ts_sec AS gap_sec
+FROM attributed WHERE event_type = 'purchase'"""
+
+_RETENTION_SQL = f"""
+WITH {_EV_CTE},
+days AS (
+  SELECT user_id, ts_sec // 86400 AS day,
+         min(ts_sec // 86400) OVER (PARTITION BY user_id) AS cohort_day
+  FROM ev
+),
+grid AS (
+  SELECT DISTINCT user_id, cohort_day, day - cohort_day AS day_offset FROM days
+)
+SELECT cohort_day, day_offset, count(*) AS n_users
+FROM grid GROUP BY cohort_day, day_offset"""
+
+_HISTOGRAM_SQL = f"""
+WITH binned AS (
+  SELECT event_type,
+         CAST(floor(value / {float(EA.HISTOGRAM_BIN_WIDTH)}) AS BIGINT) AS bin
+  FROM events
+)
+SELECT event_type, bin, bin * {EA.HISTOGRAM_BIN_WIDTH} AS bin_lo,
+       count(*) AS n_events
+FROM binned GROUP BY event_type, bin"""
+
+_TOP_PER_USER_SQL = """
+WITH ranked AS (
+  SELECT user_id, event_id, event_type, value,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id)
+              AS BIGINT) AS rank
+  FROM events
+)
+SELECT user_id, rank, event_id, event_type, value
+FROM ranked WHERE rank <= 3"""
+
+
+def events_oracle_sql() -> dict[str, str]:
+    return {
+        "events_sessionize": _SESSIONIZE_SQL,
+        "events_asof_attribution": _ASOF_SQL,
+        "events_retention_cohorts": _RETENTION_SQL,
+        "events_value_histogram": _HISTOGRAM_SQL,
+        "events_top_per_user": _TOP_PER_USER_SQL,
+    }

@@ -1,0 +1,187 @@
+"""Event-stream analytics over the generic ``events`` table.
+
+The reference pipeline treats events purely as IoT sensor payloads;
+a production analytics engine on the same table also needs the classic
+clickstream operators — sessionization, as-of attribution, retention
+cohorts, value histograms. Each is expressed as a window/groupBy plan
+whose only shuffle key is ``user_id`` (or the final low-cardinality
+report key), so the same plan runs on a 100 TB event log: users hash
+across reducers, no global sort, no driver-side state.
+
+Cross-engine determinism: all time arithmetic is integer epoch
+*seconds* (``BIGINT``), derived by integral division from the parquet
+nano timestamps — no doubles, no timezone math. Window orderings always
+tie-break on ``event_id``, so second-granularity timestamp ties cannot
+reorder between engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+SESSION_GAP_SEC = 1800  # 30 min inactivity closes a session
+HISTOGRAM_BIN_WIDTH = 50  # `value` bin width (integer → exact division grid)
+
+
+def with_ts_sec(events: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Append integer epoch seconds from either a long-nanos column (the
+    ``nanosAsLong`` read path) or a native timestamp column.
+
+    Lossless integer ``div`` — the cross-engine contract for every
+    operator below (DuckDB mirrors with ``epoch_ns(ts) // 1000000000``;
+    both floor toward zero on the positive epoch range).
+    """
+    dt = dict(events.dtypes)[ts_col]
+    if dt == "bigint":
+        sec = F.expr(f"{ts_col} div 1000000000")
+    else:
+        # unix_timestamp truncates sub-second parts — same floor.
+        sec = F.unix_timestamp(F.col(ts_col))
+    return events.withColumn("ts_sec", sec.cast("long"))
+
+
+def sessionize(events: DataFrame, gap_sec: int = SESSION_GAP_SEC) -> DataFrame:
+    """Gap-based sessionization: a session is a maximal run of a user's
+    events with inter-event gaps <= ``gap_sec``.
+
+    Plan: one shuffle on ``user_id`` (the session key), then two stacked
+    windows over the SAME partitioning (lag -> running sum — Spark
+    reuses the sort), then a partial-agged groupBy on (user_id,
+    session_idx) that lands on the already-co-located partitions. At
+    100 TB the per-user event lists are small (bounded by human
+    activity) so no skew; a bot-flood user would be the one salting
+    candidate.
+
+    Returns ``(user_id, session_idx, n_events, session_start_sec,
+    session_end_sec, duration_sec)`` — all BIGINT.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+    prev = F.lag("ts_sec").over(w)
+    is_new = F.when(
+        prev.isNull() | (F.col("ts_sec") - prev > gap_sec), F.lit(1)
+    ).otherwise(F.lit(0))
+    run = Window.partitionBy("user_id").orderBy("ts_sec", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        events.withColumn("session_idx", F.sum(is_new).over(run).cast("long"))
+        .groupBy("user_id", "session_idx")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts_sec").alias("session_start_sec"),
+            F.max("ts_sec").alias("session_end_sec"),
+            (F.max("ts_sec") - F.min("ts_sec")).alias("duration_sec"),
+        )
+    )
+
+
+def asof_attribution(
+    events: DataFrame,
+    target_type: str = "purchase",
+    match_type: str = "click",
+) -> DataFrame:
+    """As-of join within the event stream: each ``target_type`` event is
+    attributed to the user's most recent STRICTLY PRIOR ``match_type``
+    event (last-touch attribution).
+
+    This is the scalable as-of pattern — NO per-row range subquery and
+    NO range join: tag match rows, then ``last(..., ignorenulls=True)``
+    over ``ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING`` carries
+    the latest match id/timestamp forward within each user's ordered
+    partition. One shuffle on ``user_id``; the window is a single
+    streaming pass per partition. The same shape generalizes to
+    cross-table as-of joins (union the two tables with a tag column
+    first) — e.g. pricing ticks vs trades.
+
+    Targets with no prior match keep NULL attribution (left-join
+    semantics) so conversion-rate math can count unattributed sales.
+
+    Returns ``(event_id, user_id, ts_sec, attributed_event_id,
+    attributed_ts_sec, gap_sec)``.
+    """
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_sec", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    match_id = F.when(F.col("event_type") == match_type, F.col("event_id"))
+    match_ts = F.when(F.col("event_type") == match_type, F.col("ts_sec"))
+    return (
+        events.withColumn("attributed_event_id", F.last(match_id, ignorenulls=True).over(w))
+        .withColumn("attributed_ts_sec", F.last(match_ts, ignorenulls=True).over(w))
+        .filter(F.col("event_type") == target_type)
+        .select(
+            "event_id",
+            "user_id",
+            "ts_sec",
+            "attributed_event_id",
+            "attributed_ts_sec",
+            (F.col("ts_sec") - F.col("attributed_ts_sec")).alias("gap_sec"),
+        )
+    )
+
+
+def retention_cohorts(events: DataFrame) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-activity day,
+    counted on each subsequent active day offset.
+
+    Integer epoch days (``ts_sec div 86400``) throughout — no date
+    types, no timezone. Plan: groupBy(user_id) for the cohort day
+    (shuffle ∝ users, partial-agged), broadcast-free self-join replaced
+    by a window over the same user partitioning, then distinct + count
+    on the (cohort_day, day_offset) report grid — the second shuffle is
+    the report cardinality (days²/2), tiny at any corpus size.
+
+    Returns ``(cohort_day, day_offset, n_users)``.
+    """
+    ev = events.withColumn("day", F.expr("ts_sec div 86400").cast("long"))
+    w = Window.partitionBy("user_id")
+    return (
+        ev.withColumn("cohort_day", F.min("day").over(w))
+        .select("user_id", "cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset"))
+        .distinct()
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+def value_histogram(events: DataFrame, bin_width: int = HISTOGRAM_BIN_WIDTH) -> DataFrame:
+    """Fixed-width value histogram per event type.
+
+    ``floor(value / bin_width)`` on the IEEE double is bit-identical
+    across engines (one division by an exactly-representable integer,
+    one floor); the groupBy key is (type, bin) — low cardinality, pure
+    partial aggregation, the cheapest possible shuffle.
+
+    Returns ``(event_type, bin, bin_lo, n_events)``.
+    """
+    bin_col = F.floor(F.col("value") / F.lit(float(bin_width))).cast("long")
+    return (
+        events.withColumn("bin", bin_col)
+        .groupBy("event_type", "bin")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "event_type",
+            "bin",
+            (F.col("bin") * bin_width).alias("bin_lo"),
+            "n_events",
+        )
+    )
+
+
+def top_events_per_user(events: DataFrame, k: int = 3) -> DataFrame:
+    """Each user's k highest-value events — the generic top-k-per-group
+    primitive (rank window over the group shuffle, filter early).
+
+    Deterministic ordering: value DESC, then event_id (doubles compare
+    identically across engines — no arithmetic, just ordering).
+
+    Returns ``(user_id, rank, event_id, event_type, value)``.
+    """
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("event_id"))
+    return (
+        events.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("user_id", "rank", "event_id", "event_type", "value")
+    )

@@ -1,0 +1,128 @@
+"""Semantic tests for the clickstream analytics operators
+(sessionize / as-of attribution / retention / histogram / top-k)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from iot_real_time_data_pipeline_spark.operators import events_analytics as EA
+
+
+def _events(spark, rows):
+    """rows: (event_id, user_id, event_type, value, ts_sec)."""
+    return spark.createDataFrame(
+        rows, ["event_id", "user_id", "event_type", "value", "ts_sec"]
+    ).withColumn("ts_sec", F.col("ts_sec").cast("long"))
+
+
+def test_sessionize_splits_on_gap(spark):
+    rows = [
+        # user 1: two events 10 min apart (one session), then one 2 h later
+        (1, 1, "view", 1.0, 1000),
+        (2, 1, "click", 1.0, 1600),
+        (3, 1, "view", 1.0, 1600 + 7200),
+        # user 2: single event
+        (4, 2, "view", 1.0, 500),
+    ]
+    out = EA.sessionize(_events(spark, rows), gap_sec=1800).collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert len(by_user[1]) == 2
+    s1, s2 = sorted(by_user[1], key=lambda r: r.session_idx)
+    assert (s1.n_events, s1.session_start_sec, s1.session_end_sec, s1.duration_sec) == (
+        2, 1000, 1600, 600
+    )
+    assert (s2.n_events, s2.duration_sec) == (1, 0)
+    assert len(by_user[2]) == 1
+
+
+def test_sessionize_boundary_gap_exactly_equal_keeps_session(spark):
+    # gap == gap_sec stays in the same session (strict > opens a new one)
+    rows = [(1, 1, "view", 1.0, 0), (2, 1, "view", 1.0, 1800)]
+    out = EA.sessionize(_events(spark, rows), gap_sec=1800).collect()
+    assert len(out) == 1 and out[0].n_events == 2
+
+
+def test_asof_attribution_last_strictly_prior_click(spark):
+    rows = [
+        (1, 1, "click", 1.0, 100),
+        (2, 1, "click", 1.0, 200),
+        (3, 1, "purchase", 9.0, 300),   # -> click 2
+        (4, 1, "click", 1.0, 400),
+        (5, 1, "purchase", 9.0, 400),   # same second, click has lower id -> prior
+        (6, 2, "purchase", 9.0, 50),    # no prior click -> NULL attribution
+    ]
+    out = {r.event_id: r for r in EA.asof_attribution(_events(spark, rows)).collect()}
+    assert out[3].attributed_event_id == 2 and out[3].gap_sec == 100
+    assert out[5].attributed_event_id == 4 and out[5].gap_sec == 0
+    assert out[6].attributed_event_id is None and out[6].gap_sec is None
+
+
+def test_asof_attribution_does_not_cross_users(spark):
+    rows = [
+        (1, 1, "click", 1.0, 100),
+        (2, 2, "purchase", 9.0, 200),
+    ]
+    out = EA.asof_attribution(_events(spark, rows)).collect()
+    assert len(out) == 1 and out[0].attributed_event_id is None
+
+
+def test_retention_cohorts_counts_distinct_users_per_offset(spark):
+    day = 86400
+    rows = [
+        # users 1,2 start day 0; user 1 returns day 1 (twice -> still 1 user)
+        (1, 1, "view", 1.0, 10),
+        (2, 2, "view", 1.0, 20),
+        (3, 1, "view", 1.0, day + 5),
+        (4, 1, "view", 1.0, day + 6),
+        # user 3 starts day 1
+        (5, 3, "view", 1.0, day + 1),
+    ]
+    out = {
+        (r.cohort_day, r.day_offset): r.n_users
+        for r in EA.retention_cohorts(_events(spark, rows)).collect()
+    }
+    assert out[(0, 0)] == 2
+    assert out[(0, 1)] == 1
+    assert out[(1, 0)] == 1
+    assert (1, 1) not in out
+
+
+def test_value_histogram_bins_and_edges(spark):
+    rows = [
+        (1, 1, "view", 0.0, 0),     # bin 0 (lo edge inclusive)
+        (2, 1, "view", 49.99, 0),   # bin 0
+        (3, 1, "view", 50.0, 0),    # bin 1 (boundary goes up)
+        (4, 1, "click", 120.0, 0),  # bin 2
+    ]
+    out = {
+        (r.event_type, r.bin): (r.bin_lo, r.n_events)
+        for r in EA.value_histogram(_events(spark, rows)).collect()
+    }
+    assert out[("view", 0)] == (0, 2)
+    assert out[("view", 1)] == (50, 1)
+    assert out[("click", 2)] == (100, 1)
+
+
+def test_top_events_per_user_rank_and_tiebreak(spark):
+    rows = [
+        (1, 1, "view", 5.0, 0),
+        (2, 1, "view", 9.0, 0),
+        (3, 1, "view", 9.0, 0),  # tie with 2 -> lower event_id ranks first
+        (4, 1, "view", 1.0, 0),
+        (5, 1, "view", 0.5, 0),
+    ]
+    out = sorted(
+        EA.top_events_per_user(_events(spark, rows), k=3).collect(),
+        key=lambda r: r.rank,
+    )
+    assert [r.event_id for r in out] == [2, 3, 1]
+
+
+def test_with_ts_sec_handles_nanos_and_timestamp(spark):
+    nanos = spark.createDataFrame([(1_704_067_207_179_575_000,)], ["ts"])
+    assert EA.with_ts_sec(nanos).collect()[0].ts_sec == 1_704_067_207
+    ts = spark.sql("SELECT TIMESTAMP'2024-01-01 00:00:07.179575' AS ts")
+    assert EA.with_ts_sec(ts).collect()[0].ts_sec == 1_704_067_207
