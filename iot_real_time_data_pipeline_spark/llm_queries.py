@@ -193,6 +193,18 @@ def q_int8_quantize(spark, sf_dir):
     return SIM.int8_quantize(_emb(spark, sf_dir))
 
 
+def q_chunks(spark, sf_dir):
+    return CUR.chunk_documents(_docs(spark, sf_dir))
+
+
+def q_pack_sequences(spark, sf_dir):
+    return CUR.pack_sequences(_docs(spark, sf_dir))
+
+
+def q_length_percentiles(spark, sf_dir):
+    return TA.length_percentiles(_docs(spark, sf_dir))
+
+
 def llm_queries() -> dict[str, QueryFn]:
     # mm_image_features leads the block: the driver records results in
     # dict order, and CORRECTNESS_r03 shows its run stopped at the tail
@@ -217,6 +229,9 @@ def llm_queries() -> dict[str, QueryFn]:
         "docs_source_mix": q_source_mix,
         "docs_source_lang_matrix": q_source_lang_matrix,
         "docs_rebalanced_sample": q_rebalanced_sample,
+        "docs_chunks": q_chunks,
+        "docs_pack_sequences": q_pack_sequences,
+        "docs_length_percentiles": q_length_percentiles,
         "docs_repetition_stats": q_repetition_stats,
         "docs_char_entropy": q_char_entropy,
         "docs_token_stats": q_token_stats,
@@ -1036,6 +1051,78 @@ WHERE n_tokens >= 10
   AND sample_bucket < (CASE predicted_lang {rates} ELSE 0 END)"""
 
 
+def _sql_chunks() -> str:
+    chunk, stride = CUR.CHUNK_TOKENS, CUR.CHUNK_STRIDE
+    fp = TH.sql_doc_fingerprint("piece")
+    return f"""
+WITH {_TOKS_CTE},
+th AS (
+  SELECT doc_id, list_transform(t, tok -> {TH.sql_token_hash('tok')}) AS thl
+  FROM toks
+),
+win AS (
+  SELECT doc_id, thl,
+         unnest(range(0, 1 + (greatest(len(thl) - {chunk}, 0) + {stride - 1})
+                              // {stride})) AS chunk_idx
+  FROM th
+),
+sliced AS (
+  SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+         CAST(chunk_idx * {stride} + 1 AS BIGINT) AS chunk_start,
+         thl[chunk_idx * {stride} + 1 : chunk_idx * {stride} + {chunk}] AS piece
+  FROM win
+)
+SELECT doc_id, chunk_idx, chunk_start,
+       CAST(len(piece) AS BIGINT) AS n_chunk_tokens,
+       {fp} AS chunk_fingerprint
+FROM sliced"""
+
+
+def _sql_pack_sequences() -> str:
+    L = CUR.PACK_SEQ_LEN
+    return f"""
+WITH {_TOKS_CTE},
+base AS (
+  SELECT d.doc_id, d.source AS shard, CAST(len(t.t) AS BIGINT) AS n_tokens
+  FROM documents d JOIN toks t ON d.doc_id = t.doc_id
+),
+c AS (
+  SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM base
+)
+SELECT doc_id, shard, n_tokens,
+       cum - n_tokens AS start_offset,
+       (cum - n_tokens) // {L} AS first_seq,
+       (cum - 1) // {L} AS last_seq,
+       (cum - 1) // {L} - (cum - n_tokens) // {L} + 1 AS n_seqs,
+       (cum - n_tokens) % {L} AS offset_in_seq
+FROM c"""
+
+
+def _sql_length_percentiles() -> str:
+    cols = ",\n       ".join(
+        f"min(CASE WHEN rn = greatest(({p} * n + 99) // 100, 1) "
+        f"THEN n_tokens END) AS p{p}"
+        for p in TA.PERCENTILES
+    )
+    return f"""
+WITH {_TOKS_CTE},
+base AS (
+  SELECT doc_id, lang AS "group", CAST(len(t) AS BIGINT) AS n_tokens FROM toks
+),
+r AS (
+  SELECT *,
+         CAST(row_number() OVER (PARTITION BY "group"
+              ORDER BY n_tokens, doc_id) AS BIGINT) AS rn,
+         CAST(count(*) OVER (PARTITION BY "group") AS BIGINT) AS n
+  FROM base
+)
+SELECT "group", count(*) AS n_docs,
+       {cols}
+FROM r GROUP BY "group" """
+
+
 def llm_oracle_sql() -> dict[str, str]:
     return {
         "docs_exact_dedup": _sql_exact_dedup(),
@@ -1054,6 +1141,9 @@ def llm_oracle_sql() -> dict[str, str]:
         "docs_source_mix": _sql_source_mix(),
         "docs_source_lang_matrix": _sql_source_lang_matrix(),
         "docs_rebalanced_sample": _sql_rebalanced_sample(),
+        "docs_chunks": _sql_chunks(),
+        "docs_pack_sequences": _sql_pack_sequences(),
+        "docs_length_percentiles": _sql_length_percentiles(),
         "docs_repetition_stats": _sql_repetition_stats(),
         "docs_char_entropy": _sql_char_entropy(),
         "docs_token_stats": _sql_token_stats(),

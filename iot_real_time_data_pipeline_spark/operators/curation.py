@@ -379,6 +379,114 @@ def source_lang_matrix(
     )
 
 
+CHUNK_TOKENS = 50
+CHUNK_STRIDE = 25
+PACK_SEQ_LEN = 512
+
+
+def chunk_documents(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = CHUNK_TOKENS,
+    stride: int = CHUNK_STRIDE,
+) -> DataFrame:
+    """Sliding-window chunking for RAG/training prep: overlapping
+    ``chunk_tokens``-token windows every ``stride`` tokens.
+
+    Window count is ``1 + ceil(max(n - chunk, 0) / stride)`` so every
+    token is covered and short docs yield exactly one chunk. Each chunk
+    is reported by its deterministic rolling-hash fingerprint (the
+    dedup-able identity of the chunk text) rather than the text itself,
+    so the shuffle-free plan emits fixed-width rows: tokenize ->
+    materialize token hashes (projection boundary — see
+    ``texthash.shingle_hashes_from``) -> posexplode the window starts ->
+    fold each ``slice``. Rows ∝ tokens/stride; zero shuffles, zero UDFs.
+
+    Returns ``(doc_id, chunk_idx, chunk_start, n_chunk_tokens,
+    chunk_fingerprint)`` — chunk_start is the 1-based token offset.
+    """
+    th = docs.select(
+        F.col(id_col).alias("doc_id"),
+        TH.token_hashes(TH.tokens(F.col(text_col))).alias("_th"),
+    )
+    # Integer ceil — (x + stride-1) div stride — so the window count is
+    # exact BIGINT arithmetic on both engines (no double ceil).
+    n = F.size("_th")
+    n_windows = F.lit(1) + F.expr(
+        f"(greatest(size(_th) - {chunk_tokens}, 0) + {stride - 1}) div {stride}"
+    )
+    starts = F.transform(
+        F.sequence(F.lit(0), n_windows - 1), lambda i: i * stride + 1
+    )
+    exploded = th.select(
+        "doc_id", "_th", F.posexplode(starts).alias("chunk_idx", "chunk_start")
+    )
+    piece = F.slice(F.col("_th"), F.col("chunk_start"), F.lit(chunk_tokens))
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("chunk_start").cast("long").alias("chunk_start"),
+        F.size(piece).cast("long").alias("n_chunk_tokens"),
+        TH.doc_fingerprint(piece).alias("chunk_fingerprint"),
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shard_col: str = "source",
+    seq_len: int = PACK_SEQ_LEN,
+) -> DataFrame:
+    """GPT-style sequence packing manifest: concatenate each shard's
+    documents (in doc_id order) into one token stream and cut it into
+    fixed ``seq_len``-token training sequences; report where every
+    document lands.
+
+    The recurrence-free formulation: a document's placement is a pure
+    function of the running token prefix sum, so packing is ONE window
+    (``sum over rows unbounded preceding``) per shard — no sequential
+    driver loop, no UDF. Documents may straddle sequence boundaries
+    (``n_seqs`` > 1), exactly like production pretraining packing.
+
+    Scale shape: the prefix sum serializes *within* a shard, so the
+    shard column must bound per-reducer volume. Source families are the
+    natural unit here; at 100 TB you'd pack per (source, shard-bucket)
+    with ``shard = hash(doc_id) % k`` folded into ``shard_col`` — the
+    plan is identical, only the key widens.
+
+    Returns ``(doc_id, shard, n_tokens, start_offset, first_seq,
+    last_seq, n_seqs, offset_in_seq)`` — all BIGINT except shard.
+    """
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(shard_col).alias("shard"),
+        F.size(TH.tokens(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = F.sum("n_tokens").over(w)
+    return (
+        base.withColumn("_cum", cum)
+        .select(
+            "doc_id",
+            "shard",
+            "n_tokens",
+            (F.col("_cum") - F.col("n_tokens")).alias("start_offset"),
+            F.expr(f"(_cum - n_tokens) div {seq_len}").alias("first_seq"),
+            F.expr(f"(_cum - 1) div {seq_len}").alias("last_seq"),
+            (
+                F.expr(f"(_cum - 1) div {seq_len}")
+                - F.expr(f"(_cum - n_tokens) div {seq_len}")
+                + 1
+            ).alias("n_seqs"),
+            F.expr(f"(_cum - n_tokens) % {seq_len}").alias("offset_in_seq"),
+        )
+    )
+
+
 def curation_pipeline(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -401,3 +401,54 @@ def unigram_logprob(
             ).alias("avg_unigram_logprob"),
         )
     )
+
+
+PERCENTILES = (25, 50, 75, 90, 99)
+
+
+def length_percentiles(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "lang",
+    pcts: tuple[int, ...] = PERCENTILES,
+) -> DataFrame:
+    """Per-group token-length distribution report (the corpus-audit
+    "what does this source look like" query).
+
+    Discrete percentiles by construction: the p-th percentile is the
+    value at rank ``ceil(p * n / 100)`` under the total order
+    ``(n_tokens, doc_id)``. Everything is BIGINT — rank targets via
+    ``(p*n + 99) div 100`` — so the report is bit-identical across
+    engines (interpolating ``percentile_cont`` would re-introduce the
+    double-arithmetic divergence the 1e-6 quantization rule exists to
+    kill, and on integer token counts a fractional percentile is not
+    meaningful anyway).
+
+    Plan: one shuffle on the group key for the rank window, then a
+    partial-agged groupBy on the SAME key (no second exchange). Group
+    cardinality is languages/sources — small — but each group's rank
+    sort is a single-reducer sort at extreme scale; for a 100 TB corpus
+    swap the exact rank for a t-digest/approx_percentile sketch (the
+    report loses exactness, which is the documented trade).
+
+    Returns ``(group, n_docs, p25, p50, p75, p90, p99)``.
+    """
+    from pyspark.sql import Window
+
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(group_col).alias("group"),
+        F.size(TH.tokens(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy("group").orderBy("n_tokens", "doc_id")
+    ranked = base.withColumn("rn", F.row_number().over(w).cast("long")).withColumn(
+        "n", F.count("*").over(Window.partitionBy("group"))
+    )
+    aggs = [F.count("*").alias("n_docs")]
+    for p in pcts:
+        target = F.expr(f"greatest(({p} * n + 99) div 100, 1)")
+        aggs.append(
+            F.min(F.when(F.col("rn") == target, F.col("n_tokens"))).alias(f"p{p}")
+        )
+    return ranked.groupBy("group").agg(*aggs)

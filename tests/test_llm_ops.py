@@ -807,3 +807,65 @@ def test_multimodal_first_byte_is_utf8_byte(spark):
              MM.extract_features(MM.with_binary_payload(df)).collect()}
     assert feats[1].first_byte == 0xC3
     assert feats[2].mime == "application/x-empty" and feats[2].first_byte == -1
+
+
+# --- chunking / packing / percentiles (round 4) ----------------------------
+
+
+def _make_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+
+
+def test_chunk_documents_window_layout(spark):
+    # 7 tokens, chunk=4, stride=2 -> windows at 1,3,5 (1+ceil(3/2)=3 chunks)
+    rows = [(1, "a b c d e f g", "en", "s0"), (2, "a b", "en", "s0")]
+    out = CUR.chunk_documents(
+        _make_docs(spark, rows), chunk_tokens=4, stride=2
+    ).collect()
+    d1 = sorted([r for r in out if r.doc_id == 1], key=lambda r: r.chunk_idx)
+    assert [(r.chunk_start, r.n_chunk_tokens) for r in d1] == [(1, 4), (3, 4), (5, 3)]
+    d2 = [r for r in out if r.doc_id == 2]
+    assert len(d2) == 1 and d2[0].n_chunk_tokens == 2
+    # identical token windows -> identical fingerprints
+    rows2 = [(1, "x y z w", "en", "s0"), (2, "x y z w", "en", "s0")]
+    fps = [
+        r.chunk_fingerprint
+        for r in CUR.chunk_documents(
+            _make_docs(spark, rows2), chunk_tokens=4, stride=2
+        ).collect()
+    ]
+    assert fps[0] == fps[1]
+
+
+def test_pack_sequences_offsets_contiguous(spark):
+    # seq_len=10; shard s0 docs of 4,8,3 tokens -> offsets 0,4,12
+    rows = [
+        (1, "a b c d", "en", "s0"),
+        (2, "a b c d e f g h", "en", "s0"),
+        (3, "a b c", "en", "s0"),
+        (4, "a b c d e", "en", "s1"),  # independent shard restarts at 0
+    ]
+    out = {r.doc_id: r for r in CUR.pack_sequences(
+        _make_docs(spark, rows), seq_len=10).collect()}
+    assert (out[1].start_offset, out[1].first_seq, out[1].n_seqs) == (0, 0, 1)
+    # doc 2 spans tokens 4..11 -> straddles seqs 0 and 1
+    assert (out[2].start_offset, out[2].first_seq, out[2].last_seq, out[2].n_seqs) == (4, 0, 1, 2)
+    assert (out[3].start_offset, out[3].first_seq, out[3].offset_in_seq) == (12, 1, 2)
+    assert (out[4].start_offset, out[4].first_seq) == (0, 0)
+    # conservation: every token placed exactly once per shard
+    assert out[3].start_offset == out[1].n_tokens + out[2].n_tokens
+
+
+def test_length_percentiles_against_numpy_disc(spark):
+    import math
+
+    lens = [3, 1, 4, 1, 5, 9, 2, 6]
+    rows = [(i, " ".join(["w"] * n), "en", "s0") for i, n in enumerate(lens)]
+    out = TA.length_percentiles(_make_docs(spark, rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    srt = sorted(lens)
+    for p in (25, 50, 75, 90, 99):
+        expect = srt[max(1, math.ceil(p * len(lens) / 100)) - 1]
+        assert getattr(r, f"p{p}") == expect, p
+    assert r.n_docs == 8
