@@ -193,6 +193,10 @@ def q_int8_quantize(spark, sf_dir):
     return SIM.int8_quantize(_emb(spark, sf_dir))
 
 
+def q_kmeans_assign(spark, sf_dir):
+    return SIM.kmeans_assign(_emb(spark, sf_dir))
+
+
 def q_chunks(spark, sf_dir):
     return CUR.chunk_documents(_docs(spark, sf_dir))
 
@@ -249,6 +253,7 @@ def llm_queries() -> dict[str, QueryFn]:
         "emb_label_centroids": q_label_centroids,
         "emb_norm_stats": q_emb_norm_stats,
         "emb_int8_quantize": q_int8_quantize,
+        "emb_kmeans_assign": q_kmeans_assign,
     }
 
 
@@ -1051,6 +1056,31 @@ WHERE n_tokens >= 10
   AND sample_bucket < (CASE predicted_lang {rates} ELSE 0 END)"""
 
 
+def _sql_kmeans_assign() -> str:
+    k = SIM.KMEANS_K
+    d2 = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(range(1, len(v) + 1), "
+        "i -> (v[i] - cv[i]) * (v[i] - cv[i]))), (a, x) -> a + x)"
+    )
+    return f"""
+WITH {_EMB_CTE},
+cent AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster,
+         v AS cv
+  FROM e ORDER BY vec_id LIMIT {k}
+),
+scored AS (
+  SELECT e.vec_id, cent.cluster, {d2} AS d2 FROM e, cent
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+  FROM scored
+)
+SELECT vec_id, cluster, {TH.sql_quantized6('d2')} AS dist2
+FROM r WHERE rn = 1"""
+
+
 def _sql_chunks() -> str:
     chunk, stride = CUR.CHUNK_TOKENS, CUR.CHUNK_STRIDE
     fp = TH.sql_doc_fingerprint("piece")
@@ -1141,6 +1171,7 @@ def llm_oracle_sql() -> dict[str, str]:
         "docs_source_mix": _sql_source_mix(),
         "docs_source_lang_matrix": _sql_source_lang_matrix(),
         "docs_rebalanced_sample": _sql_rebalanced_sample(),
+        "emb_kmeans_assign": _sql_kmeans_assign(),
         "docs_chunks": _sql_chunks(),
         "docs_pack_sequences": _sql_pack_sequences(),
         "docs_length_percentiles": _sql_length_percentiles(),

@@ -430,3 +430,80 @@ def label_centroids(embeddings: DataFrame) -> DataFrame:
         exploded.groupBy("label", (F.col("pos") + 1).cast("long").alias("dim"))
         .agg(TH.quantized6(F.avg("v")).alias("centroid"))
     )
+
+
+KMEANS_K = 8
+
+
+def kmeans_assign(
+    embeddings: DataFrame, k: int = KMEANS_K, centroids: DataFrame | None = None
+) -> DataFrame:
+    """One deterministic Lloyd assignment step: every vector to its
+    nearest of ``k`` seed centroids by squared L2.
+
+    Seeds are the ``k`` lowest ``vec_id`` vectors (deterministic init —
+    the cross-engine analogue of a fixed random seed); clusters are
+    numbered 0..k-1 in seed order. The centroid table is k rows, so the
+    scoring join is a broadcast nested loop: the corpus streams in
+    place, each partition scores independently — the same
+    embarrassingly-parallel shape as ``cosine_topk``, and the building
+    block of distributed k-means (iterate: assign -> ``label_centroids``
+    on the assignment -> re-assign; each round is one broadcast +
+    one partial-agged groupBy).
+
+    Distances are the deterministic left fold over ``(x-y)^2`` terms, so
+    the argmin ordering (d2, then cluster) is bit-identical across
+    engines — no quantization needed before the comparison.
+
+    Pass ``centroids`` — a ``(cluster, cv: array<double>)`` frame, e.g.
+    from :func:`assignment_centroids` — to run the next Lloyd round
+    against updated centers instead of the seeds.
+
+    Returns ``(vec_id, cluster, dist2)`` with dist2 on the 1e-6 grid.
+    """
+    from pyspark.sql import Window
+
+    vecs = embeddings.select(
+        F.col("vec_id"), as_double(F.col("embedding")).alias("v")
+    )
+    if centroids is not None:
+        cent = centroids.select("cluster", F.col("cv"))
+    else:
+        cent = (
+            vecs.orderBy("vec_id")
+            .limit(k)
+            .withColumn(
+                "cluster",
+                (F.row_number().over(Window.orderBy("vec_id")) - 1).cast("long"),
+            )
+            .select("cluster", F.col("v").alias("cv"))
+        )
+    d2 = _fold_sum(F.zip_with(F.col("v"), F.col("cv"), lambda x, y: (x - y) * (x - y)))
+    scored = vecs.crossJoin(F.broadcast(cent)).withColumn("d2", d2)
+    w = Window.partitionBy("vec_id").orderBy("d2", "cluster")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cluster", TH.quantized6(F.col("d2")).alias("dist2"))
+    )
+
+
+def assignment_centroids(embeddings: DataFrame, assignment: DataFrame) -> DataFrame:
+    """Lloyd update step: mean vector per assigned cluster, re-packed as
+    the ``(cluster, cv)`` frame :func:`kmeans_assign` accepts.
+
+    Same partial-agged explode plan as ``label_centroids`` (shuffle is
+    one partial sum per (cluster, dim, partition)), then the k-row
+    result is re-assembled into arrays driver-free via
+    ``array_sort(collect_list(struct(dim, val)))`` — k×dim rows, tiny.
+    """
+    joined = embeddings.join(assignment.select("vec_id", "cluster"), "vec_id")
+    exploded = joined.select(
+        "cluster", F.posexplode(as_double(F.col("embedding"))).alias("pos", "x")
+    )
+    per_dim = exploded.groupBy("cluster", "pos").agg(F.avg("x").alias("m"))
+    return per_dim.groupBy("cluster").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+        ).alias("cv")
+    )

@@ -4,6 +4,7 @@ multimodal plumbing — controlled-input semantics tests."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from iot_real_time_data_pipeline_spark.operators import curation as CUR
 from iot_real_time_data_pipeline_spark.operators import dedup as DD
@@ -869,3 +870,45 @@ def test_length_percentiles_against_numpy_disc(spark):
         expect = srt[max(1, math.ceil(p * len(lens) / 100)) - 1]
         assert getattr(r, f"p{p}") == expect, p
     assert r.n_docs == 8
+
+
+def test_kmeans_assign_matches_numpy_argmin(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(40, 8)).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]], 0) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {r.vec_id: r.cluster for r in SIM.kmeans_assign(df, k=4).collect()}
+    cent = vecs[:4].astype("float64")
+    v64 = vecs.astype("float64")
+    d2 = ((v64[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    expect = d2.argmin(axis=1)
+    assert all(out[i] == expect[i] for i in range(40))
+
+
+def test_kmeans_iterates_with_label_centroids(spark):
+    """assign -> recompute centroids on the assignment -> reassign:
+    two well-separated blobs end in self-consistent clusters."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    blob_a = rng.normal(0.0, 0.1, size=(10, 4))
+    blob_b = rng.normal(5.0, 0.1, size=(10, 4))
+    vecs = np.vstack([blob_a, blob_b]).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]], 0) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+    assign = SIM.kmeans_assign(df, k=2)
+    cents = SIM.assignment_centroids(df, assign)
+    # seeds 0 and 1 are both in blob A, but the update step pulls the
+    # centroids apart; reassignment against them splits the blobs
+    final = {
+        r.vec_id: r.cluster
+        for r in SIM.kmeans_assign(df, k=2, centroids=cents).collect()
+    }
+    blob_a_clusters = {final[i] for i in range(10)}
+    blob_b_clusters = {final[i] for i in range(10, 20)}
+    assert len(blob_a_clusters) == 1
+    assert len(blob_b_clusters) == 1
+    assert blob_a_clusters != blob_b_clusters
