@@ -199,6 +199,15 @@ def main() -> None:
         "docs_bigram_logprob",
         "emb_norm_stats",
         "emb_int8_quantize",
+        "docs_chunks",
+        "docs_pack_sequences",
+        "docs_length_percentiles",
+        "emb_kmeans_assign",
+        "events_sessionize",
+        "events_asof_attribution",
+        "events_retention_cohorts",
+        "events_value_histogram",
+        "events_top_per_user",
     }
     ROUND3_ITEMS |= ROUND4_ITEMS
 
@@ -236,9 +245,19 @@ def main() -> None:
         "emb_label_centroids",
         "emb_norm_stats",
         "emb_int8_quantize",
+        "emb_kmeans_assign",
+        "docs_chunks",
+        "docs_pack_sequences",
+        "docs_length_percentiles",
         "mm_image_features",
     ]:
         fn = LQ.llm_queries()[name]
+        timed_repeat(name, lambda fn=fn: fn(spark, sf_dir).collect())
+
+    # --- clickstream analytics over the events table ----------------------
+    from iot_real_time_data_pipeline_spark import events_queries as EQ
+
+    for name, fn in EQ.events_queries().items():
         timed_repeat(name, lambda fn=fn: fn(spark, sf_dir).collect())
 
     total = round(

@@ -480,11 +480,19 @@ def kmeans_assign(
         )
     d2 = _fold_sum(F.zip_with(F.col("v"), F.col("cv"), lambda x, y: (x - y) * (x - y)))
     scored = vecs.crossJoin(F.broadcast(cent)).withColumn("d2", d2)
-    w = Window.partitionBy("vec_id").orderBy("d2", "cluster")
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cluster", TH.quantized6(F.col("d2")).alias("dist2"))
+    # argmin via min(struct(d2, cluster)) — struct ordering IS the
+    # (distance, cluster-id) tie-break, and unlike a rank window the
+    # groupBy partial-aggregates map-side: each vector's k candidate
+    # rows collapse to one row BEFORE the exchange (they are co-located
+    # by construction — the centroid side is the broadcast), so the
+    # shuffle carries n rows, not n*k, and there is no sort at all.
+    best = scored.groupBy("vec_id").agg(
+        F.min(F.struct("d2", "cluster")).alias("best")
+    )
+    return best.select(
+        "vec_id",
+        F.col("best.cluster").alias("cluster"),
+        TH.quantized6(F.col("best.d2")).alias("dist2"),
     )
 
 
