@@ -47,6 +47,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out.update(_ev.events_queries())
     except ImportError:
         pass
+    try:
+        from iot_real_time_data_pipeline_spark import warehouse_queries as _wh
+
+        out.update(_wh.warehouse_queries())
+    except ImportError:
+        pass
     return out
 
 
@@ -63,6 +69,12 @@ def oracle_sql() -> dict[str, str]:
         from iot_real_time_data_pipeline_spark import events_queries as _ev
 
         out.update(_ev.events_oracle_sql())
+    except ImportError:
+        pass
+    try:
+        from iot_real_time_data_pipeline_spark import warehouse_queries as _wh
+
+        out.update(_wh.warehouse_oracle_sql())
     except ImportError:
         pass
     return out

@@ -208,6 +208,11 @@ def main() -> None:
         "events_retention_cohorts",
         "events_value_histogram",
         "events_top_per_user",
+        "wh_q1_pricing_summary",
+        "wh_q3_shipping_priority",
+        "wh_q4_order_priority",
+        "wh_q5_local_supplier_volume",
+        "wh_q10_returned_items",
     }
     ROUND3_ITEMS |= ROUND4_ITEMS
 
@@ -258,6 +263,12 @@ def main() -> None:
     from iot_real_time_data_pipeline_spark import events_queries as EQ
 
     for name, fn in EQ.events_queries().items():
+        timed_repeat(name, lambda fn=fn: fn(spark, sf_dir).collect())
+
+    # --- warehouse (TPC-H-shaped) analytics -------------------------------
+    from iot_real_time_data_pipeline_spark import warehouse_queries as WQ
+
+    for name, fn in WQ.warehouse_queries().items():
         timed_repeat(name, lambda fn=fn: fn(spark, sf_dir).collect())
 
     total = round(

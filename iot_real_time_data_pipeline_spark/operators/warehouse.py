@@ -1,0 +1,229 @@
+"""Warehouse analytics over the TPC-H-shaped tables (lineitem, orders,
+customer, supplier, nation, region).
+
+The five classic plan shapes an analytics engine must get right, each
+tuned for the 100 TB layout:
+
+- Q1  scan-heavy partial aggregation (no join at all);
+- Q3  fact-to-fact shuffle join + broadcast dim + global top-k;
+- Q4  EXISTS semi-join (never materializes the match multiplicity);
+- Q5  star join: three broadcast dims rooted at region, two
+      shuffle joins between the big tables;
+- Q10 group-by-entity revenue + top-k with a broadcast customer dim.
+
+Money math: every per-row monetary term is quantized to integer cents
+(``CAST(round(x * 100) AS BIGINT)``) BEFORE aggregation. Per-row double
+expressions are bit-identical across engines (same IEEE expression
+tree), but multi-row double sums are accumulation-order-dependent —
+integer sums are not. Averages are integer divisions of those sums
+(centi-cents / basis points), never double divisions.
+
+Dates: cutoffs are integer epoch-SECOND literals computed from UTC
+calendar dates. ``date_sec`` lowers the date column to epoch seconds on
+either read path (TIMESTAMP_NTZ under the UTC session, or long nanos if
+a file stores TIMESTAMP(NANOS)); DuckDB mirrors with
+``epoch_ns(col) // 1e9`` — both floor on the positive range, and the
+values are midnight-aligned anyway.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def sec(date_str: str) -> int:
+    """UTC midnight of ``YYYY-MM-DD`` as integer epoch seconds."""
+    dt = datetime.strptime(date_str, "%Y-%m-%d").replace(tzinfo=timezone.utc)
+    return int(dt.timestamp())
+
+
+def with_date_sec(df: DataFrame, col: str) -> DataFrame:
+    """Replace a date column with integer epoch seconds, whichever way
+    parquet delivered it: TIMESTAMP/TIMESTAMP_NTZ casts to long epoch
+    seconds directly (UTC session; micros floor), a TIMESTAMP(NANOS)
+    file read as long nanos integral-divides. Midnight-aligned values
+    either way."""
+    if dict(df.dtypes)[col] == "bigint":
+        return df.withColumn(col, F.expr(f"{col} div 1000000000"))
+    # TIMESTAMP_NTZ has no direct long cast; route through TIMESTAMP
+    # (session tz is pinned UTC by read_table, so the reinterpretation
+    # is identity) then to epoch seconds.
+    return df.withColumn(col, F.col(col).cast("timestamp").cast("long"))
+
+
+Q1_SHIP_CUTOFF = sec("1998-09-02")
+Q3_SEGMENT = "BUILDING"
+Q3_DATE = sec("1998-01-01")
+Q4_LO, Q4_HI = sec("1997-01-01"), sec("1998-01-01")
+Q5_REGION = "ASIA"
+Q5_LO, Q5_HI = sec("1996-01-01"), sec("1997-01-01")
+Q10_LO, Q10_HI = sec("1997-01-01"), sec("1997-04-01")
+
+
+def cents(expr: F.Column) -> F.Column:
+    """Per-row integer-cent quantization (cross-engine exact)."""
+    return F.round(expr * 100).cast("long")
+
+
+def _revenue_c() -> F.Column:
+    return cents(F.col("l_extendedprice") * (1.0 - F.col("l_discount")))
+
+
+def q1_pricing_summary(lineitem: DataFrame) -> DataFrame:
+    """Q1: pricing summary report. Pure scan + partial agg — the
+    filter and the per-row cent terms fuse into the scan stage; the
+    shuffle is 6 groups x partials. ReadSchema must show only the 7
+    needed columns (verified in PERF.md)."""
+    li = with_date_sec(lineitem, "l_shipdate").filter(
+        F.col("l_shipdate") <= Q1_SHIP_CUTOFF
+    )
+    qty_c = cents(F.col("l_quantity"))
+    price_c = cents(F.col("l_extendedprice"))
+    disc_price_c = _revenue_c()
+    charge_c = cents(
+        F.col("l_extendedprice") * (1.0 - F.col("l_discount")) * (1.0 + F.col("l_tax"))
+    )
+    disc_bp = F.round(F.col("l_discount") * 10000).cast("long")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty_c).alias("sum_qty_c"),
+            F.sum(price_c).alias("sum_base_price_c"),
+            F.sum(disc_price_c).alias("sum_disc_price_c"),
+            F.sum(charge_c).alias("sum_charge_c"),
+            F.sum(disc_bp).alias("sum_disc_bp"),
+            F.count("*").alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "sum_qty_c",
+            "sum_base_price_c",
+            "sum_disc_price_c",
+            "sum_charge_c",
+            F.expr("(sum_qty_c * 100) div count_order").alias("avg_qty_cc"),
+            F.expr("(sum_base_price_c * 100) div count_order").alias("avg_price_cc"),
+            F.expr("sum_disc_bp div count_order").alias("avg_disc_bp"),
+            "count_order",
+        )
+    )
+
+
+def q3_shipping_priority(
+    lineitem: DataFrame, orders: DataFrame, customer: DataFrame, k: int = 10
+) -> DataFrame:
+    """Q3: unshipped-order revenue, top k. customer is the broadcast
+    dim; orders↔lineitem is the one real shuffle (orderkey) — at scale
+    both sides bucket on orderkey and the exchange disappears. Top-k is
+    TakeOrdered (per-partition heap + driver merge of k rows), never a
+    global sort."""
+    cust = customer.filter(F.col("c_mktsegment") == Q3_SEGMENT).select("c_custkey")
+    ords = with_date_sec(orders, "o_orderdate").filter(
+        F.col("o_orderdate") < Q3_DATE
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        # epoch seconds on both engines — the shared integer
+        # representation of the timestamp column.
+        F.col("o_orderdate").alias("o_orderdate_sec"),
+        "o_orderpriority",
+    )
+    li = with_date_sec(lineitem, "l_shipdate").filter(
+        F.col("l_shipdate") > Q3_DATE
+    ).select(
+        "l_orderkey", _revenue_c().alias("rev_c")
+    )
+    return (
+        li.join(ords, li.l_orderkey == ords.o_orderkey)
+        .join(F.broadcast(cust), ords.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate_sec", "o_orderpriority")
+        .agg(F.sum("rev_c").alias("revenue_c"))
+        .orderBy(F.col("revenue_c").desc(), F.col("o_orderkey"))
+        .limit(k)
+    )
+
+
+def q4_order_priority(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+    """Q4 shape: order counts by priority for orders with at least one
+    returned line — LEFT SEMI join, which dedups match multiplicity
+    inside the join instead of a join+distinct (half the shuffle, no
+    exploded intermediate)."""
+    ords = with_date_sec(orders, "o_orderdate").filter(
+        (F.col("o_orderdate") >= Q4_LO) & (F.col("o_orderdate") < Q4_HI)
+    ).select("o_orderkey", "o_orderpriority")
+    returned = lineitem.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        ords.join(returned, ords.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+def q5_local_supplier_volume(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+) -> DataFrame:
+    """Q5: revenue by nation where customer and supplier share the
+    nation. region→nation→(customer, supplier) broadcast down the
+    snowflake; the two big-table joins (orders↔lineitem on orderkey,
+    then supplier check on (suppkey, nationkey)) are the only
+    shuffles. The c_nationkey = s_nationkey correlation rides the join
+    condition — no post-filter blowup."""
+    nat = (
+        nation.join(
+            F.broadcast(region.filter(F.col("r_name") == Q5_REGION)),
+            nation.n_regionkey == region.r_regionkey,
+        ).select("n_nationkey", "n_name")
+    )
+    cust = customer.join(
+        F.broadcast(nat), customer.c_nationkey == nat.n_nationkey
+    ).select("c_custkey", F.col("n_nationkey").alias("c_nat"), "n_name")
+    supp = supplier.select("s_suppkey", F.col("s_nationkey").alias("s_nat"))
+    ords = with_date_sec(orders, "o_orderdate").filter(
+        (F.col("o_orderdate") >= Q5_LO) & (F.col("o_orderdate") < Q5_HI)
+    ).select("o_orderkey", "o_custkey")
+    li = lineitem.select("l_orderkey", "l_suppkey", _revenue_c().alias("rev_c"))
+    return (
+        li.join(ords, li.l_orderkey == ords.o_orderkey)
+        .join(F.broadcast(cust), ords.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (F.col("c_nat") == F.col("s_nat")),
+        )
+        .groupBy("n_name")
+        .agg(F.sum("rev_c").alias("revenue_c"))
+    )
+
+
+def q10_returned_items(
+    lineitem: DataFrame, orders: DataFrame, customer: DataFrame, k: int = 20
+) -> DataFrame:
+    """Q10: customers who returned the most revenue in a quarter.
+    Aggregate BEFORE the dim join: revenue collapses to one row per
+    customer first, then the (tiny) result joins the broadcast customer
+    dim — the join input is |customers with returns|, not |lineitems|."""
+    ords = with_date_sec(orders, "o_orderdate").filter(
+        (F.col("o_orderdate") >= Q10_LO) & (F.col("o_orderdate") < Q10_HI)
+    ).select("o_orderkey", "o_custkey")
+    li = lineitem.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", _revenue_c().alias("rev_c")
+    )
+    per_cust = (
+        li.join(ords, li.l_orderkey == ords.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum("rev_c").alias("revenue_c"))
+    )
+    cust = customer.select("c_custkey", "c_name", "c_nationkey")
+    return (
+        per_cust.join(F.broadcast(cust), per_cust.o_custkey == cust.c_custkey)
+        .select("c_custkey", "c_name", "c_nationkey", "revenue_c")
+        .orderBy(F.col("revenue_c").desc(), F.col("c_custkey"))
+        .limit(k)
+    )

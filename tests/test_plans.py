@@ -117,3 +117,66 @@ def test_incremental_filter_pushes_down_to_scan(spark):
     assert "PushedFilters: [" in plan
     assert "GreaterThan(event_id,1000)" in plan
     assert raw is not None
+
+
+@pytest.fixture(scope="module")
+def wh_tables(spark):
+    from iot_real_time_data_pipeline_spark.entrypoints import read_table
+
+    return {
+        t: read_table(spark, SF_DIR, t)
+        for t in ("lineitem", "orders", "customer", "supplier", "nation", "region")
+    }
+
+
+def test_q1_scan_prunes_to_needed_columns(spark, wh_tables):
+    from iot_real_time_data_pipeline_spark.operators import warehouse as WH
+
+    plan = plan_of(WH.q1_pricing_summary(wh_tables["lineitem"]))
+    # 7 needed columns reach the scan; the untouched ones must not.
+    assert "l_orderkey" not in plan.split("ReadSchema")[-1]
+    assert "SortMergeJoin" not in plan and "Join" not in plan
+
+
+def test_q3_broadcasts_customer_dim(spark, wh_tables):
+    from iot_real_time_data_pipeline_spark.operators import warehouse as WH
+
+    plan = plan_of(
+        WH.q3_shipping_priority(
+            wh_tables["lineitem"], wh_tables["orders"], wh_tables["customer"]
+        )
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # top-k must be TakeOrdered (heap), not a global Sort + Limit
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q4_uses_left_semi_join(spark, wh_tables):
+    from iot_real_time_data_pipeline_spark.operators import warehouse as WH
+
+    plan = plan_of(WH.q4_order_priority(wh_tables["lineitem"], wh_tables["orders"]))
+    assert "LeftSemi" in plan
+
+
+def test_q5_result_and_broadcast_star(spark, wh_tables):
+    from iot_real_time_data_pipeline_spark.operators import warehouse as WH
+
+    df = WH.q5_local_supplier_volume(
+        wh_tables["lineitem"], wh_tables["orders"], wh_tables["customer"],
+        wh_tables["supplier"], wh_tables["nation"], wh_tables["region"],
+    )
+    plan = plan_of(df)
+    assert plan.count("BroadcastHashJoin") >= 2
+    rows = df.collect()
+    region_nations = {
+        r.n_nationkey
+        for r in wh_tables["nation"]
+        .join(
+            wh_tables["region"].filter(F.col("r_name") == "ASIA"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .collect()
+    }
+    assert 0 < len(rows) <= len(region_nations)
+    assert all(r.revenue_c > 0 for r in rows)
