@@ -208,6 +208,8 @@ def main() -> None:
         "events_retention_cohorts",
         "events_value_histogram",
         "events_top_per_user",
+        "events_funnel",
+        "events_hourly_rollup",
         "wh_q1_pricing_summary",
         "wh_q3_shipping_priority",
         "wh_q4_order_priority",

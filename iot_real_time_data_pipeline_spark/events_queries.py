@@ -42,6 +42,14 @@ def q_top_events_per_user(spark, sf_dir):
     return EA.top_events_per_user(_events(spark, sf_dir))
 
 
+def q_funnel(spark, sf_dir):
+    return EA.funnel(_events(spark, sf_dir))
+
+
+def q_hourly_rollup(spark, sf_dir):
+    return EA.hourly_rollup(_events(spark, sf_dir))
+
+
 def events_queries() -> dict[str, QueryFn]:
     return {
         "events_sessionize": q_sessionize,
@@ -49,6 +57,8 @@ def events_queries() -> dict[str, QueryFn]:
         "events_retention_cohorts": q_retention,
         "events_value_histogram": q_value_histogram,
         "events_top_per_user": q_top_events_per_user,
+        "events_funnel": q_funnel,
+        "events_hourly_rollup": q_hourly_rollup,
     }
 
 
@@ -133,6 +143,42 @@ SELECT user_id, rank, event_id, event_type, value
 FROM ranked WHERE rank <= 3"""
 
 
+_FUNNEL_SQL = f"""
+WITH {_EV_CTE},
+s0 AS (
+  SELECT *, min(CASE WHEN event_type = 'view' THEN ts_sec END)
+         OVER (PARTITION BY user_id) AS t0 FROM ev
+),
+s1 AS (
+  SELECT *, min(CASE WHEN event_type = 'click' AND ts_sec > t0 THEN ts_sec END)
+         OVER (PARTITION BY user_id) AS t1 FROM s0
+),
+s2 AS (
+  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts_sec > t1 THEN ts_sec END)
+         OVER (PARTITION BY user_id) AS t2 FROM s1
+),
+u AS (SELECT DISTINCT user_id, t0, t1, t2 FROM s2),
+c AS (SELECT count(t0) AS n0, count(t1) AS n1, count(t2) AS n2 FROM u)
+SELECT CAST(0 AS BIGINT) AS stage_idx, 'view' AS stage, n0 AS n_users FROM c
+UNION ALL
+SELECT CAST(1 AS BIGINT), 'click', n1 FROM c
+UNION ALL
+SELECT CAST(2 AS BIGINT), 'purchase', n2 FROM c"""
+
+_ROLLUP_SQL = f"""
+WITH {_EV_CTE},
+g AS (
+  SELECT event_type, (ts_sec // {EA.ROLLUP_BUCKET_SEC}) * {EA.ROLLUP_BUCKET_SEC}
+           AS bucket_start_sec,
+         count(*) AS n_events,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
+  FROM ev GROUP BY 1, 2
+)
+SELECT event_type, bucket_start_sec, n_events, sum_value_c,
+       CAST((sum_value_c * 100) // n_events AS BIGINT) AS avg_value_cc
+FROM g"""
+
+
 def events_oracle_sql() -> dict[str, str]:
     return {
         "events_sessionize": _SESSIONIZE_SQL,
@@ -140,4 +186,6 @@ def events_oracle_sql() -> dict[str, str]:
         "events_retention_cohorts": _RETENTION_SQL,
         "events_value_histogram": _HISTOGRAM_SQL,
         "events_top_per_user": _TOP_PER_USER_SQL,
+        "events_funnel": _FUNNEL_SQL,
+        "events_hourly_rollup": _ROLLUP_SQL,
     }

@@ -185,3 +185,89 @@ def top_events_per_user(events: DataFrame, k: int = 3) -> DataFrame:
         .filter(F.col("rank") <= k)
         .select("user_id", "rank", "event_id", "event_type", "value")
     )
+
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def funnel(events: DataFrame, stages: tuple[str, ...] = FUNNEL_STAGES) -> DataFrame:
+    """Ordered conversion funnel: stage k counts users with a
+    ``stages[k]`` event STRICTLY after their stage-(k-1) entry time.
+
+    All stage times are conditional-min windows over the SAME
+    ``user_id`` partition, so however many stages the funnel has, the
+    plan is ONE shuffle plus stacked same-partition windows (Spark
+    reuses the exchange), then a distinct user grid and a global count
+    — the second shuffle is |users reached stage sets|, tiny.
+
+    Second-granularity strictness: a same-second follow-up event does
+    not advance the funnel (documented tie rule, identical on both
+    engines).
+
+    Returns ``(stage_idx, stage, n_users)``.
+    """
+    w = Window.partitionBy("user_id")
+    df = events
+    prev_t = None
+    for i, stage in enumerate(stages):
+        cond = F.col("event_type") == stage
+        if prev_t is not None:
+            cond = cond & (F.col("ts_sec") > F.col(prev_t))
+        t = f"_t{i}"
+        df = df.withColumn(t, F.min(F.when(cond, F.col("ts_sec"))).over(w))
+        prev_t = t
+    users = df.select("user_id", *[f"_t{i}" for i in range(len(stages))]).distinct()
+    counts = users.agg(
+        *[
+            F.count(F.col(f"_t{i}")).alias(f"_n{i}")
+            for i in range(len(stages))
+        ]
+    )
+    rows = [
+        F.struct(
+            F.lit(i).cast("long").alias("stage_idx"),
+            F.lit(stage).alias("stage"),
+            F.col(f"_n{i}").alias("n_users"),
+        )
+        for i, stage in enumerate(stages)
+    ]
+    return counts.select(F.explode(F.array(*rows)).alias("s")).select(
+        "s.stage_idx", "s.stage", "s.n_users"
+    )
+
+
+ROLLUP_BUCKET_SEC = 3600
+
+
+def hourly_rollup(events: DataFrame, bucket_sec: int = ROLLUP_BUCKET_SEC) -> DataFrame:
+    """Time-bucketed continuous-aggregate rollup (the hypertable
+    pattern): per (event_type, hour bucket) counts and integer-cent
+    value sums.
+
+    Pure partial aggregation — shuffle is the rollup grid (types x
+    hours), independent of event volume; exactly the shape a streaming
+    job maintains incrementally with event-time windows
+    (``streaming/windows.py``), here as the batch/backfill twin.
+
+    Returns ``(event_type, bucket_start_sec, n_events, sum_value_c,
+    avg_value_cc)`` — value cents are per-row quantized before the sum,
+    so the BIGINT totals are engine-exact.
+    """
+    bucket = F.expr(f"(ts_sec div {bucket_sec}) * {bucket_sec}")
+    value_c = F.round(F.col("value") * 100).cast("long")
+    return (
+        events.groupBy(
+            "event_type", bucket.cast("long").alias("bucket_start_sec")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(value_c).alias("sum_value_c"),
+        )
+        .select(
+            "event_type",
+            "bucket_start_sec",
+            "n_events",
+            "sum_value_c",
+            F.expr("(sum_value_c * 100) div n_events").alias("avg_value_cc"),
+        )
+    )

@@ -126,3 +126,40 @@ def test_with_ts_sec_handles_nanos_and_timestamp(spark):
     assert EA.with_ts_sec(nanos).collect()[0].ts_sec == 1_704_067_207
     ts = spark.sql("SELECT TIMESTAMP'2024-01-01 00:00:07.179575' AS ts")
     assert EA.with_ts_sec(ts).collect()[0].ts_sec == 1_704_067_207
+
+
+def test_funnel_requires_strict_order(spark):
+    rows = [
+        # user 1 completes the funnel in order
+        (1, 1, "view", 1.0, 100),
+        (2, 1, "click", 1.0, 200),
+        (3, 1, "purchase", 1.0, 300),
+        # user 2 clicks BEFORE viewing -> stalls at stage 0
+        (4, 2, "click", 1.0, 50),
+        (5, 2, "view", 1.0, 100),
+        # user 3 views + clicks, same-second purchase does NOT advance
+        (6, 3, "view", 1.0, 10),
+        (7, 3, "click", 1.0, 20),
+        (8, 3, "purchase", 1.0, 20),
+        # user 4 never views
+        (9, 4, "purchase", 1.0, 5),
+    ]
+    out = {r.stage: r.n_users for r in EA.funnel(_events(spark, rows)).collect()}
+    assert out == {"view": 3, "click": 2, "purchase": 1}
+
+
+def test_hourly_rollup_buckets_and_cents(spark):
+    rows = [
+        (1, 1, "view", 1.25, 100),
+        (2, 1, "view", 2.50, 3599),   # same hour bucket 0
+        (3, 1, "view", 10.0, 3600),   # next bucket
+        (4, 1, "click", 1.0, 100),
+    ]
+    out = {
+        (r.event_type, r.bucket_start_sec): r
+        for r in EA.hourly_rollup(_events(spark, rows)).collect()
+    }
+    r = out[("view", 0)]
+    assert (r.n_events, r.sum_value_c, r.avg_value_cc) == (2, 375, 18750)
+    assert out[("view", 3600)].sum_value_c == 1000
+    assert out[("click", 0)].n_events == 1
