@@ -203,6 +203,7 @@ def main() -> None:
         "docs_pack_sequences",
         "docs_length_percentiles",
         "emb_kmeans_assign",
+        "mm_frame_sample",
         "events_sessionize",
         "events_asof_attribution",
         "events_retention_cohorts",
@@ -257,6 +258,7 @@ def main() -> None:
         "docs_pack_sequences",
         "docs_length_percentiles",
         "mm_image_features",
+        "mm_frame_sample",
     ]:
         fn = LQ.llm_queries()[name]
         timed_repeat(name, lambda fn=fn: fn(spark, sf_dir).collect())

@@ -165,6 +165,10 @@ def q_multimodal_features(spark, sf_dir):
     return MM.extract_features(MM.with_binary_payload(_docs(spark, sf_dir)))
 
 
+def q_frame_sample(spark, sf_dir):
+    return MM.sample_frames(MM.with_binary_payload(_docs(spark, sf_dir)))
+
+
 def q_boilerplate_scrub(spark, sf_dir):
     return CUR.boilerplate_scrub(_docs(spark, sf_dir))
 
@@ -217,6 +221,7 @@ def llm_queries() -> dict[str, QueryFn]:
     # even if a run is cut short.
     return {
         "mm_image_features": q_multimodal_features,
+        "mm_frame_sample": q_frame_sample,
         "docs_exact_dedup": q_exact_dedup,
         "docs_shingle_jaccard_pairs": q_shingle_jaccard,
         "docs_minhash_lsh_pairs": q_minhash_lsh,
@@ -1056,6 +1061,23 @@ WHERE n_tokens >= 10
   AND sample_bucket < (CASE predicted_lang {rates} ELSE 0 END)"""
 
 
+def _sql_frame_sample() -> str:
+    fb, st = MM.FRAME_BYTES, MM.FRAME_STRIDE
+    return f"""
+WITH b AS (
+  SELECT doc_id, octet_length(encode(text)) AS n FROM documents
+),
+f AS (
+  SELECT doc_id, n,
+         unnest(range(0, (n + {fb - 1}) // {fb}, {st})) AS frame_idx
+  FROM b
+)
+SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(frame_idx * {fb} AS BIGINT) AS frame_offset,
+       CAST(least({fb}, n - frame_idx * {fb}) AS BIGINT) AS frame_len
+FROM f"""
+
+
 def _sql_kmeans_assign() -> str:
     k = SIM.KMEANS_K
     d2 = (
@@ -1171,6 +1193,7 @@ def llm_oracle_sql() -> dict[str, str]:
         "docs_source_mix": _sql_source_mix(),
         "docs_source_lang_matrix": _sql_source_lang_matrix(),
         "docs_rebalanced_sample": _sql_rebalanced_sample(),
+        "mm_frame_sample": _sql_frame_sample(),
         "emb_kmeans_assign": _sql_kmeans_assign(),
         "docs_chunks": _sql_chunks(),
         "docs_pack_sequences": _sql_pack_sequences(),

@@ -86,3 +86,49 @@ def extract_features(docs_with_payload: DataFrame) -> DataFrame:
     return docs_with_payload.select("doc_id", "payload").mapInPandas(
         _extract, schema=FEATURE_SCHEMA
     )
+
+
+FRAME_BYTES = 1024
+FRAME_STRIDE = 2
+FRAME_SCHEMA = "doc_id long, frame_idx long, frame_offset long, frame_len long"
+
+
+def sample_frames(
+    docs_with_payload: DataFrame,
+    frame_bytes: int = FRAME_BYTES,
+    stride: int = FRAME_STRIDE,
+) -> DataFrame:
+    """Frame sampling plumbing: one input row fans out to one output row
+    per sampled frame — the video-decode shape (`mapInPandas` is the
+    only Spark stage whose output cardinality is decided inside the
+    batch loop, which is exactly what a real demuxer needs).
+
+    The stub "demuxer" treats the payload as fixed-size frames of
+    ``frame_bytes`` and samples every ``stride``-th frame; a real one
+    (pyav / ffmpeg) replaces the loop body and nothing else changes —
+    the schema, the fan-out, and the payloads-never-shuffle property
+    are the production contract. Frame geometry (offset/len) is emitted
+    rather than frame bytes: features flow downstream, media stays in
+    the scan stage.
+
+    Returns ``(doc_id, frame_idx, frame_offset, frame_len)``.
+    """
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = 0 if payload is None else len(payload)
+                n_frames = (n + frame_bytes - 1) // frame_bytes
+                for idx in range(0, n_frames, stride):
+                    off = idx * frame_bytes
+                    rows.append(
+                        (doc_id, idx, off, min(frame_bytes, n - off))
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "frame_offset", "frame_len"]
+            )
+
+    return docs_with_payload.select("doc_id", "payload").mapInPandas(
+        _sample, schema=FRAME_SCHEMA
+    )

@@ -912,3 +912,20 @@ def test_kmeans_iterates_with_label_centroids(spark):
     assert len(blob_a_clusters) == 1
     assert len(blob_b_clusters) == 1
     assert blob_a_clusters != blob_b_clusters
+
+
+def test_sample_frames_fanout_and_empty_payload(spark):
+    rows = [
+        (1, "x" * 3000, "en"),   # 3000 bytes -> frames 0,1,2 -> sampled 0,2
+        (2, "", "en"),           # empty payload -> no frames
+        (3, "y" * 1024, "en"),   # exactly one frame
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = MM.sample_frames(MM.with_binary_payload(df)).collect()
+    d1 = sorted([r for r in out if r.doc_id == 1], key=lambda r: r.frame_idx)
+    assert [(r.frame_idx, r.frame_offset, r.frame_len) for r in d1] == [
+        (0, 0, 1024), (2, 2048, 952)
+    ]
+    assert not [r for r in out if r.doc_id == 2]
+    d3 = [r for r in out if r.doc_id == 3]
+    assert len(d3) == 1 and d3[0].frame_len == 1024
