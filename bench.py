@@ -216,6 +216,7 @@ def main() -> None:
         "wh_q4_order_priority",
         "wh_q5_local_supplier_volume",
         "wh_q10_returned_items",
+        "wh_sales_rollup",
     }
     ROUND3_ITEMS |= ROUND4_ITEMS
 

@@ -227,3 +227,36 @@ def q10_returned_items(
         .orderBy(F.col("revenue_c").desc(), F.col("c_custkey"))
         .limit(k)
     )
+
+
+def sales_rollup(lineitem: DataFrame) -> DataFrame:
+    """Hierarchical ROLLUP over (returnflag, linestatus): leaf cells,
+    per-flag subtotals, and the grand total in ONE pass — Spark expands
+    the grouping sets BEFORE the exchange, so the shuffle carries the
+    partial aggregates of every level at once instead of one job per
+    level (the OLAP cube primitive; ``cube()`` is the same plan with
+    more sets).
+
+    NULL group markers are folded to the literal ``'ALL'`` on both
+    engines — the hash compare never sees engine-specific NULL order,
+    and report consumers get an explicit total row label.
+
+    Returns ``(l_returnflag, l_linestatus, grp_level, n_items,
+    sum_disc_price_c)``.
+    """
+    return (
+        lineitem.select("l_returnflag", "l_linestatus", _revenue_c().alias("rev_c"))
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("long").alias("grp_level"),
+            F.count("*").alias("n_items"),
+            F.sum("rev_c").alias("sum_disc_price_c"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("l_returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("l_linestatus"),
+            "grp_level",
+            "n_items",
+            "sum_disc_price_c",
+        )
+    )

@@ -56,6 +56,10 @@ def q_q10(spark, sf_dir):
     )
 
 
+def q_rollup(spark, sf_dir):
+    return WH.sales_rollup(_t(spark, sf_dir, "lineitem"))
+
+
 def warehouse_queries() -> dict[str, QueryFn]:
     return {
         "wh_q1_pricing_summary": q_q1,
@@ -63,6 +67,7 @@ def warehouse_queries() -> dict[str, QueryFn]:
         "wh_q4_order_priority": q_q4,
         "wh_q5_local_supplier_volume": q_q5,
         "wh_q10_returned_items": q_q10,
+        "wh_sales_rollup": q_rollup,
     }
 
 
@@ -146,6 +151,17 @@ ORDER BY revenue_c DESC, c_custkey
 LIMIT 20"""
 
 
+_ROLLUP_SQL = f"""
+SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+       CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT)
+         AS grp_level,
+       count(*) AS n_items,
+       CAST(sum({_REV}) AS BIGINT) AS sum_disc_price_c
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)"""
+
+
 def warehouse_oracle_sql() -> dict[str, str]:
     return {
         "wh_q1_pricing_summary": _Q1_SQL,
@@ -153,4 +169,5 @@ def warehouse_oracle_sql() -> dict[str, str]:
         "wh_q4_order_priority": _Q4_SQL,
         "wh_q5_local_supplier_volume": _Q5_SQL,
         "wh_q10_returned_items": _Q10_SQL,
+        "wh_sales_rollup": _ROLLUP_SQL,
     }

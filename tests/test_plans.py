@@ -180,3 +180,17 @@ def test_q5_result_and_broadcast_star(spark, wh_tables):
     }
     assert 0 < len(rows) <= len(region_nations)
     assert all(r.revenue_c > 0 for r in rows)
+
+
+def test_sales_rollup_levels_consistent(spark, wh_tables):
+    from iot_real_time_data_pipeline_spark.operators import warehouse as WH
+
+    rows = WH.sales_rollup(wh_tables["lineitem"]).collect()
+    plan = plan_of(WH.sales_rollup(wh_tables["lineitem"]))
+    # single Expand + one aggregate exchange, not one job per level
+    assert "Expand" in plan
+    grand = [r for r in rows if r.grp_level == 3]
+    leaves = [r for r in rows if r.grp_level == 0]
+    assert len(grand) == 1
+    assert grand[0].n_items == sum(r.n_items for r in leaves)
+    assert grand[0].sum_disc_price_c == sum(r.sum_disc_price_c for r in leaves)
