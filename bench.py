@@ -217,6 +217,7 @@ def main() -> None:
         "wh_q5_local_supplier_volume",
         "wh_q10_returned_items",
         "wh_sales_rollup",
+        "wh_integrity_audit",
     }
     ROUND3_ITEMS |= ROUND4_ITEMS
 

@@ -260,3 +260,28 @@ def sales_rollup(lineitem: DataFrame) -> DataFrame:
             "sum_disc_price_c",
         )
     )
+
+
+def integrity_audit(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+    """Referential-integrity audit: FULL OUTER join of the order-key
+    universes on both sides, classified into matched / order-only /
+    item-only counts — the data-quality query every warehouse load
+    gates on.
+
+    Both sides pre-aggregate to distinct keys BEFORE the join (partial
+    agg, shuffle ∝ distinct keys, not rows), so the full-outer join is
+    key-to-key — at 100 TB the join input is the key space, never the
+    fact volume.
+
+    Returns one row: ``(n_matched, n_order_only, n_item_only)``.
+    """
+    o = orders.select("o_orderkey").distinct()
+    l = lineitem.select("l_orderkey").distinct()
+    joined = o.join(l, o.o_orderkey == l.l_orderkey, "full_outer")
+    return joined.agg(
+        F.count(
+            F.when(F.col("o_orderkey").isNotNull() & F.col("l_orderkey").isNotNull(), 1)
+        ).alias("n_matched"),
+        F.count(F.when(F.col("l_orderkey").isNull(), 1)).alias("n_order_only"),
+        F.count(F.when(F.col("o_orderkey").isNull(), 1)).alias("n_item_only"),
+    )

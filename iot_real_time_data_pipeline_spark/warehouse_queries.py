@@ -60,6 +60,12 @@ def q_rollup(spark, sf_dir):
     return WH.sales_rollup(_t(spark, sf_dir, "lineitem"))
 
 
+def q_integrity(spark, sf_dir):
+    return WH.integrity_audit(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders")
+    )
+
+
 def warehouse_queries() -> dict[str, QueryFn]:
     return {
         "wh_q1_pricing_summary": q_q1,
@@ -68,6 +74,7 @@ def warehouse_queries() -> dict[str, QueryFn]:
         "wh_q5_local_supplier_volume": q_q5,
         "wh_q10_returned_items": q_q10,
         "wh_sales_rollup": q_rollup,
+        "wh_integrity_audit": q_integrity,
     }
 
 
@@ -162,6 +169,17 @@ FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)"""
 
 
+_INTEGRITY_SQL = """
+WITH o AS (SELECT DISTINCT o_orderkey FROM orders),
+l AS (SELECT DISTINCT l_orderkey FROM lineitem),
+j AS (SELECT * FROM o FULL OUTER JOIN l ON o_orderkey = l_orderkey)
+SELECT count(CASE WHEN o_orderkey IS NOT NULL AND l_orderkey IS NOT NULL THEN 1 END)
+         AS n_matched,
+       count(CASE WHEN l_orderkey IS NULL THEN 1 END) AS n_order_only,
+       count(CASE WHEN o_orderkey IS NULL THEN 1 END) AS n_item_only
+FROM j"""
+
+
 def warehouse_oracle_sql() -> dict[str, str]:
     return {
         "wh_q1_pricing_summary": _Q1_SQL,
@@ -170,4 +188,5 @@ def warehouse_oracle_sql() -> dict[str, str]:
         "wh_q5_local_supplier_volume": _Q5_SQL,
         "wh_q10_returned_items": _Q10_SQL,
         "wh_sales_rollup": _ROLLUP_SQL,
+        "wh_integrity_audit": _INTEGRITY_SQL,
     }

@@ -194,3 +194,14 @@ def test_sales_rollup_levels_consistent(spark, wh_tables):
     assert len(grand) == 1
     assert grand[0].n_items == sum(r.n_items for r in leaves)
     assert grand[0].sum_disc_price_c == sum(r.sum_disc_price_c for r in leaves)
+
+
+def test_integrity_audit_counts_unmatched_sides(spark):
+    from iot_real_time_data_pipeline_spark.operators import warehouse as WH
+
+    orders = spark.createDataFrame([(1,), (2,), (3,)], ["o_orderkey"])
+    lineitem = spark.createDataFrame(
+        [(1,), (1,), (3,), (9,)], ["l_orderkey"]
+    )
+    r = WH.integrity_audit(lineitem, orders).collect()[0]
+    assert (r.n_matched, r.n_order_only, r.n_item_only) == (2, 1, 1)
