@@ -259,6 +259,8 @@ def main() -> None:
         "docs_chunks",
         "docs_pack_sequences",
         "docs_length_percentiles",
+        "docs_vocab_coverage",
+        "docs_chunk_dups",
         "mm_image_features",
         "mm_frame_sample",
     ]:

@@ -213,6 +213,14 @@ def q_length_percentiles(spark, sf_dir):
     return TA.length_percentiles(_docs(spark, sf_dir))
 
 
+def q_vocab_coverage(spark, sf_dir):
+    return TA.vocab_coverage(_docs(spark, sf_dir))
+
+
+def q_chunk_dups(spark, sf_dir):
+    return CUR.chunk_dups(_docs(spark, sf_dir))
+
+
 def llm_queries() -> dict[str, QueryFn]:
     # mm_image_features leads the block: the driver records results in
     # dict order, and CORRECTNESS_r03 shows its run stopped at the tail
@@ -241,6 +249,8 @@ def llm_queries() -> dict[str, QueryFn]:
         "docs_chunks": q_chunks,
         "docs_pack_sequences": q_pack_sequences,
         "docs_length_percentiles": q_length_percentiles,
+        "docs_vocab_coverage": q_vocab_coverage,
+        "docs_chunk_dups": q_chunk_dups,
         "docs_repetition_stats": q_repetition_stats,
         "docs_char_entropy": q_char_entropy,
         "docs_token_stats": q_token_stats,
@@ -1152,6 +1162,34 @@ SELECT doc_id, shard, n_tokens,
 FROM c"""
 
 
+def _sql_vocab_coverage() -> str:
+    k = TA.VOCAB_K
+    return f"""
+WITH {_TOKS_CTE},
+tok AS (SELECT doc_id, unnest(t) AS term FROM toks),
+vocab AS (
+  SELECT term FROM (
+    SELECT term, count(*) AS c FROM tok GROUP BY term
+    ORDER BY c DESC, term LIMIT {k}
+  )
+)
+SELECT tok.doc_id, count(*) AS n_tokens,
+       count(CASE WHEN vocab.term IS NULL THEN 1 END) AS n_oov,
+       CAST((count(CASE WHEN vocab.term IS NULL THEN 1 END) * 1000000)
+            // count(*) AS BIGINT) AS oov_ppm
+FROM tok LEFT JOIN vocab ON tok.term = vocab.term
+GROUP BY tok.doc_id"""
+
+
+def _sql_chunk_dups() -> str:
+    return f"""
+WITH chunks AS ({_sql_chunks()})
+SELECT chunk_fingerprint, count(*) AS n_chunks,
+       count(DISTINCT doc_id) AS n_docs,
+       min(doc_id) AS canonical_doc_id
+FROM chunks GROUP BY chunk_fingerprint HAVING count(*) > 1"""
+
+
 def _sql_length_percentiles() -> str:
     cols = ",\n       ".join(
         f"min(CASE WHEN rn = greatest(({p} * n + 99) // 100, 1) "
@@ -1198,6 +1236,8 @@ def llm_oracle_sql() -> dict[str, str]:
         "docs_chunks": _sql_chunks(),
         "docs_pack_sequences": _sql_pack_sequences(),
         "docs_length_percentiles": _sql_length_percentiles(),
+        "docs_vocab_coverage": _sql_vocab_coverage(),
+        "docs_chunk_dups": _sql_chunk_dups(),
         "docs_repetition_stats": _sql_repetition_stats(),
         "docs_char_entropy": _sql_char_entropy(),
         "docs_token_stats": _sql_token_stats(),

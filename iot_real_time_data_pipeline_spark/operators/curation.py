@@ -535,3 +535,30 @@ def curation_pipeline(
         & (F.col("sample_bucket") < _rate_for(F.col("predicted_lang")))
     )
     return canon.filter(sampled).select("doc_id", "predicted_lang", "n_tokens")
+
+
+def chunk_dups(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = CHUNK_TOKENS,
+    stride: int = CHUNK_STRIDE,
+) -> DataFrame:
+    """Chunk-level duplicate detection — the RAG-index dedup: two
+    documents sharing a token window produce the same chunk
+    fingerprint, so duplicated passages surface without any pair join
+    (one groupBy on the fingerprint, shuffle carries 8-byte keys).
+
+    Returns fingerprints seen more than once:
+    ``(chunk_fingerprint, n_chunks, n_docs, canonical_doc_id)``.
+    """
+    chunks = chunk_documents(docs, text_col, id_col, chunk_tokens, stride)
+    return (
+        chunks.groupBy("chunk_fingerprint")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+        .filter(F.col("n_chunks") > 1)
+    )

@@ -452,3 +452,53 @@ def length_percentiles(
             F.min(F.when(F.col("rn") == target, F.col("n_tokens"))).alias(f"p{p}")
         )
     return ranked.groupBy("group").agg(*aggs)
+
+
+VOCAB_K = 500
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_k: int = VOCAB_K,
+) -> DataFrame:
+    """Tokenizer-vocabulary coverage: induce the top-``vocab_k`` terms
+    by corpus frequency, then score every document's out-of-vocabulary
+    token rate — the go/no-go metric for sizing a tokenizer vocab
+    against a corpus.
+
+    Vocabulary induction is ``orderBy(freq desc, term).limit(k)`` —
+    TakeOrdered (per-partition heaps merged at the driver, k rows),
+    never a global sort; the deterministic (freq, term) tie-break makes
+    the boundary cut engine-stable. The induced vocab broadcasts back
+    onto the exploded token postings; OOV counting is then a
+    partial-agged groupBy(doc).
+
+    Returns ``(doc_id, n_tokens, n_oov, oov_ppm)`` with the ppm as
+    exact BIGINT arithmetic.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(TH.tokens(F.col(text_col))).alias("term")
+    )
+    vocab = (
+        toks.groupBy("term")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), F.col("term"))
+        .limit(vocab_k)
+        .select("term", F.lit(True).alias("_in_vocab"))
+    )
+    flagged = toks.join(F.broadcast(vocab), "term", "left")
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.when(F.col("_in_vocab").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            F.expr("(n_oov * CAST(1000000 AS BIGINT)) div n_tokens").alias("oov_ppm"),
+        )
+    )

@@ -929,3 +929,85 @@ def test_sample_frames_fanout_and_empty_payload(spark):
     assert not [r for r in out if r.doc_id == 2]
     d3 = [r for r in out if r.doc_id == 3]
     assert len(d3) == 1 and d3[0].frame_len == 1024
+
+
+def test_vocab_coverage_oov_rate(spark):
+    rows = [
+        (1, "a a a b", "en", "s0"),
+        (2, "a b z", "en", "s0"),      # z is below the vocab cut
+        (3, "q r s", "en", "s0"),      # all OOV
+    ]
+    df = _make_docs(spark, rows)
+    out = {r.doc_id: r for r in TA.vocab_coverage(df, vocab_k=2).collect()}
+    # vocab = top-2 by (freq desc, term): a(4), b(2)
+    assert (out[1].n_tokens, out[1].n_oov, out[1].oov_ppm) == (4, 0, 0)
+    assert (out[2].n_oov, out[2].oov_ppm) == (1, 333333)
+    assert (out[3].n_oov, out[3].oov_ppm) == (3, 1000000)
+
+
+def test_chunk_dups_finds_shared_windows(spark):
+    shared = " ".join(f"w{i}" for i in range(4))
+    rows = [
+        (1, shared, "en", "s0"),
+        (2, shared, "en", "s0"),            # identical -> same fingerprint
+        (3, "totally different text here", "en", "s0"),
+    ]
+    out = CUR.chunk_dups(
+        _make_docs(spark, rows), chunk_tokens=4, stride=4
+    ).collect()
+    assert len(out) == 1
+    assert (out[0].n_chunks, out[0].n_docs, out[0].canonical_doc_id) == (2, 2, 1)
+
+
+def test_pack_sequences_properties(spark):
+    """Property check over random corpora: per shard, start offsets
+    partition the concatenated token stream exactly (no gaps/overlap),
+    and every doc's sequence span matches its offsets."""
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(60):
+        n = rng.randint(1, 40)
+        rows.append((i, " ".join(["w"] * n), "en", f"s{rng.randint(0, 2)}"))
+    out = CUR.pack_sequences(_make_docs(spark, rows), seq_len=16).collect()
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard, docs_ in by_shard.items():
+        docs_.sort(key=lambda r: r.doc_id)
+        expect_off = 0
+        for r in docs_:
+            assert r.start_offset == expect_off, (shard, r)
+            assert r.offset_in_seq == r.start_offset % 16
+            assert r.first_seq == r.start_offset // 16
+            assert r.last_seq == (r.start_offset + r.n_tokens - 1) // 16
+            assert r.n_seqs == r.last_seq - r.first_seq + 1
+            expect_off += r.n_tokens
+
+
+def test_chunk_documents_covers_every_token(spark):
+    """Every token index of every doc falls inside >= 1 chunk window,
+    and consecutive windows advance by exactly the stride."""
+    import random
+
+    rng = random.Random(5)
+    rows = [
+        (i, " ".join(["w"] * rng.randint(1, 120)), "en", "s0") for i in range(30)
+    ]
+    chunk, stride = 10, 7
+    out = CUR.chunk_documents(
+        _make_docs(spark, rows), chunk_tokens=chunk, stride=stride
+    ).collect()
+    n_by_doc = {i: len(rows[i][1].split()) for i in range(30)}
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, chs in by_doc.items():
+        chs.sort(key=lambda r: r.chunk_idx)
+        covered = set()
+        for j, r in enumerate(chs):
+            assert r.chunk_start == 1 + j * stride
+            assert r.n_chunk_tokens == min(chunk, n_by_doc[doc_id] - r.chunk_start + 1)
+            covered.update(range(r.chunk_start, r.chunk_start + r.n_chunk_tokens))
+        assert covered == set(range(1, n_by_doc[doc_id] + 1)), doc_id
