@@ -33,14 +33,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Order = driver evaluation order. The round-3 driver run was cut
+    # short at the tail, so families with no prior driver-side evidence
+    # (events, warehouse — all sub-second) run BEFORE the long LLM
+    # block; a truncated run then still records them.
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(_iot.iot_queries())
-    try:
-        from iot_real_time_data_pipeline_spark import llm_queries as _llm
-
-        out.update(_llm.llm_queries())
-    except ImportError:
-        pass
     try:
         from iot_real_time_data_pipeline_spark import events_queries as _ev
 
@@ -51,6 +49,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from iot_real_time_data_pipeline_spark import warehouse_queries as _wh
 
         out.update(_wh.warehouse_queries())
+    except ImportError:
+        pass
+    try:
+        from iot_real_time_data_pipeline_spark import llm_queries as _llm
+
+        out.update(_llm.llm_queries())
     except ImportError:
         pass
     return out
