@@ -40,6 +40,40 @@ def sec(date_str: str) -> int:
     return int(dt.timestamp())
 
 
+def date_bounds(
+    df: DataFrame,
+    col: str,
+    lo_sec: int | None = None,
+    hi_sec: int | None = None,
+    hi_inclusive: bool = False,
+) -> DataFrame:
+    """Range-filter a date column with NATIVE-typed literals so the
+    predicate pushes down to the parquet scan (row-group/page pruning
+    at 100 TB). Converting the column first (``with_date_sec``) would
+    wrap it in a cast and strand the filter above the scan — so
+    filtering happens here, on the raw column, and the epoch-second
+    conversion only where the value is *output*."""
+    is_nanos = dict(df.dtypes)[col] == "bigint"
+
+    def lit_for(s: int) -> F.Column:
+        if is_nanos:
+            return F.lit(s * 1_000_000_000)
+        # timestamp_seconds -> LTZ; cast to the column's NTZ type is
+        # identity under the UTC session pin.
+        return F.timestamp_seconds(F.lit(s)).cast(dict(df.dtypes)[col])
+
+    c = F.col(col)
+    if lo_sec is not None:
+        df = df.filter(c >= lit_for(lo_sec))
+    if hi_sec is not None:
+        # Inclusive-in-truncated-seconds == strict < (hi+1): identical
+        # to the oracle's `epoch_ns // 1e9 <= hi` even for timestamps
+        # with intra-second/intra-day parts.
+        hi = hi_sec + 1 if hi_inclusive else hi_sec
+        df = df.filter(c < lit_for(hi))
+    return df
+
+
 def with_date_sec(df: DataFrame, col: str) -> DataFrame:
     """Replace a date column with integer epoch seconds, whichever way
     parquet delivered it: TIMESTAMP/TIMESTAMP_NTZ casts to long epoch
@@ -77,9 +111,7 @@ def q1_pricing_summary(lineitem: DataFrame) -> DataFrame:
     filter and the per-row cent terms fuse into the scan stage; the
     shuffle is 6 groups x partials. ReadSchema must show only the 7
     needed columns (verified in PERF.md)."""
-    li = with_date_sec(lineitem, "l_shipdate").filter(
-        F.col("l_shipdate") <= Q1_SHIP_CUTOFF
-    )
+    li = date_bounds(lineitem, "l_shipdate", hi_sec=Q1_SHIP_CUTOFF, hi_inclusive=True)
     qty_c = cents(F.col("l_quantity"))
     price_c = cents(F.col("l_extendedprice"))
     disc_price_c = _revenue_c()
@@ -121,8 +153,8 @@ def q3_shipping_priority(
     TakeOrdered (per-partition heap + driver merge of k rows), never a
     global sort."""
     cust = customer.filter(F.col("c_mktsegment") == Q3_SEGMENT).select("c_custkey")
-    ords = with_date_sec(orders, "o_orderdate").filter(
-        F.col("o_orderdate") < Q3_DATE
+    ords = with_date_sec(
+        date_bounds(orders, "o_orderdate", hi_sec=Q3_DATE), "o_orderdate"
     ).select(
         "o_orderkey",
         "o_custkey",
@@ -131,8 +163,8 @@ def q3_shipping_priority(
         F.col("o_orderdate").alias("o_orderdate_sec"),
         "o_orderpriority",
     )
-    li = with_date_sec(lineitem, "l_shipdate").filter(
-        F.col("l_shipdate") > Q3_DATE
+    li = date_bounds(
+        lineitem, "l_shipdate", lo_sec=Q3_DATE + 1
     ).select(
         "l_orderkey", _revenue_c().alias("rev_c")
     )
@@ -151,9 +183,9 @@ def q4_order_priority(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
     returned line — LEFT SEMI join, which dedups match multiplicity
     inside the join instead of a join+distinct (half the shuffle, no
     exploded intermediate)."""
-    ords = with_date_sec(orders, "o_orderdate").filter(
-        (F.col("o_orderdate") >= Q4_LO) & (F.col("o_orderdate") < Q4_HI)
-    ).select("o_orderkey", "o_orderpriority")
+    ords = date_bounds(orders, "o_orderdate", lo_sec=Q4_LO, hi_sec=Q4_HI).select(
+        "o_orderkey", "o_orderpriority"
+    )
     returned = lineitem.filter(F.col("l_returnflag") == "R").select("l_orderkey")
     return (
         ords.join(returned, ords.o_orderkey == returned.l_orderkey, "left_semi")
@@ -186,9 +218,9 @@ def q5_local_supplier_volume(
         F.broadcast(nat), customer.c_nationkey == nat.n_nationkey
     ).select("c_custkey", F.col("n_nationkey").alias("c_nat"), "n_name")
     supp = supplier.select("s_suppkey", F.col("s_nationkey").alias("s_nat"))
-    ords = with_date_sec(orders, "o_orderdate").filter(
-        (F.col("o_orderdate") >= Q5_LO) & (F.col("o_orderdate") < Q5_HI)
-    ).select("o_orderkey", "o_custkey")
+    ords = date_bounds(orders, "o_orderdate", lo_sec=Q5_LO, hi_sec=Q5_HI).select(
+        "o_orderkey", "o_custkey"
+    )
     li = lineitem.select("l_orderkey", "l_suppkey", _revenue_c().alias("rev_c"))
     return (
         li.join(ords, li.l_orderkey == ords.o_orderkey)
@@ -209,9 +241,9 @@ def q10_returned_items(
     Aggregate BEFORE the dim join: revenue collapses to one row per
     customer first, then the (tiny) result joins the broadcast customer
     dim — the join input is |customers with returns|, not |lineitems|."""
-    ords = with_date_sec(orders, "o_orderdate").filter(
-        (F.col("o_orderdate") >= Q10_LO) & (F.col("o_orderdate") < Q10_HI)
-    ).select("o_orderkey", "o_custkey")
+    ords = date_bounds(orders, "o_orderdate", lo_sec=Q10_LO, hi_sec=Q10_HI).select(
+        "o_orderkey", "o_custkey"
+    )
     li = lineitem.filter(F.col("l_returnflag") == "R").select(
         "l_orderkey", _revenue_c().alias("rev_c")
     )

@@ -271,3 +271,10 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path_factory):
     finally:
         spark.sql("DROP TABLE IF EXISTS bkt_a")
         spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_q1_date_filter_pushes_down(spark, wh_tables):
+    from iot_real_time_data_pipeline_spark.operators import warehouse as WH
+
+    plan = plan_of(WH.q1_pricing_summary(wh_tables["lineitem"]))
+    assert "PushedFilters: [LessThan(l_shipdate" in plan, plan[:800]
