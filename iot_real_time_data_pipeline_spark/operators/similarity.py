@@ -515,3 +515,54 @@ def assignment_centroids(embeddings: DataFrame, assignment: DataFrame) -> DataFr
             F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
         ).alias("cv")
     )
+
+
+def build_ivf_index(
+    embeddings: DataFrame, path: str, bits: int = IVF_BITS, mode: str = "overwrite"
+) -> None:
+    """Persist the IVF index as parquet PARTITIONED BY the coarse
+    bucket — the storage layout that turns every subsequent ANN search
+    into a partition-pruned read: a query touching p of the 2^bits
+    buckets opens p directories and never lists the rest. This is the
+    at-rest complement of ``ivf_topk`` (which quantizes on the fly):
+    build once, probe many.
+    """
+    eb = embeddings.withColumn(
+        "bucket", coarse_bucket(as_double(F.col("embedding")), bits)
+    )
+    eb.write.mode(mode).partitionBy("bucket").parquet(path)
+
+
+def ivf_index_topk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 3,
+    bits: int = IVF_BITS,
+    probe_radius: int = IVF_PROBE_RADIUS,
+) -> DataFrame:
+    """Top-k search against a persisted IVF index with static partition
+    pruning.
+
+    The probe bucket set is collected to literals first — legitimately
+    driver-side: its size is |queries| x sum(C(bits, r)), a plan
+    constant independent of corpus size — so Catalyst prunes the
+    parquet partitions at PLAN time (``PartitionFilters: [bucket IN
+    (...)]``, asserted in tests): unprobed buckets are never listed,
+    let alone read. Scoring and the per-query top-k are the same
+    broadcast-query plan as ``ivf_topk``.
+    """
+    qb = queries.withColumn(
+        "bucket",
+        F.explode(
+            F.array(*[
+                coarse_bucket(as_double(F.col("embedding")), bits).bitwiseXOR(F.lit(m))
+                for m in probe_masks(bits, probe_radius)
+            ])
+        ),
+    )
+    probe_buckets = sorted(
+        {r.bucket for r in qb.select("bucket").distinct().collect()}
+    )
+    idx = spark.read.parquet(path).filter(F.col("bucket").isin(probe_buckets))
+    return _topk(_scored_pairs(qb, idx, join_on="bucket"), k)

@@ -278,3 +278,20 @@ def test_q1_date_filter_pushes_down(spark, wh_tables):
 
     plan = plan_of(WH.q1_pricing_summary(wh_tables["lineitem"]))
     assert "PushedFilters: [LessThan(l_shipdate" in plan, plan[:800]
+
+
+def test_ivf_index_search_prunes_partitions(spark, emb, tmp_path):
+    """Persisted IVF index: the probe read must prune at the partition
+    level (PartitionFilters on bucket), and the pruned search must
+    return exactly what the on-the-fly ivf_topk returns."""
+    from iot_real_time_data_pipeline_spark.operators import similarity as SIM
+
+    path = str(tmp_path / "ivf_index")
+    SIM.build_ivf_index(emb, path)
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    pruned = SIM.ivf_index_topk(spark, path, q, k=3)
+    plan = plan_of(pruned)
+    assert "PartitionFilters" in plan and "bucket" in plan.split("PartitionFilters")[1][:200]
+    live = {(r.query_id, r.rank): r.neighbor_id for r in SIM.ivf_topk(emb, q, k=3).collect()}
+    idx = {(r.query_id, r.rank): r.neighbor_id for r in pruned.collect()}
+    assert idx == live
