@@ -255,6 +255,7 @@ def main() -> None:
         "emb_label_centroids",
         "emb_norm_stats",
         "emb_int8_quantize",
+        "emb_int8_topk",
         "emb_kmeans_assign",
         "docs_chunks",
         "docs_pack_sequences",

@@ -201,6 +201,10 @@ def q_kmeans_assign(spark, sf_dir):
     return SIM.kmeans_assign(_emb(spark, sf_dir))
 
 
+def q_int8_topk(spark, sf_dir):
+    return SIM.int8_topk(_emb(spark, sf_dir), _emb_queries(spark, sf_dir), k=5)
+
+
 def q_chunks(spark, sf_dir):
     return CUR.chunk_documents(_docs(spark, sf_dir))
 
@@ -269,6 +273,7 @@ def llm_queries() -> dict[str, QueryFn]:
         "emb_norm_stats": q_emb_norm_stats,
         "emb_int8_quantize": q_int8_quantize,
         "emb_kmeans_assign": q_kmeans_assign,
+        "emb_int8_topk": q_int8_topk,
     }
 
 
@@ -1088,6 +1093,40 @@ SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
 FROM f"""
 
 
+def _sql_int8_topk() -> str:
+    codes = (
+        "list_transform(v, x -> CASE WHEN scale = 0 THEN CAST(0 AS BIGINT) "
+        "ELSE CAST(round(x / scale * 127) AS BIGINT) END)"
+    )
+    isum = lambda arr: (  # noqa: E731
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), {arr}), (a, x) -> a + x)"
+    )
+    dot_i = isum("list_transform(range(1, len(qc) + 1), i -> qc[i] * cc[i])")
+    n2 = lambda col: isum(f"list_transform({col}, x -> x * x)")  # noqa: E731
+    return f"""
+WITH {_EMB_CTE},
+coded AS (
+  SELECT vec_id, {codes.replace('scale', 'list_max(list_transform(v, x -> abs(x)))')} AS c
+  FROM e
+),
+q AS (SELECT vec_id AS query_id, c AS qc FROM coded WHERE vec_id % {QUERY_MOD} = 0),
+scored AS (
+  SELECT query_id, coded.vec_id AS neighbor_id,
+         CAST({dot_i} AS DOUBLE)
+           / (sqrt(CAST({n2('qc')} AS DOUBLE)) * sqrt(CAST({n2('cc')} AS DOUBLE)))
+           AS cosine
+  FROM q, (SELECT vec_id, c AS cc FROM coded) AS coded
+  WHERE query_id <> coded.vec_id
+),
+r AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, {TH.sql_quantized6('cosine')} AS cosine
+FROM r WHERE rank <= 5"""
+
+
 def _sql_kmeans_assign() -> str:
     k = SIM.KMEANS_K
     d2 = (
@@ -1233,6 +1272,7 @@ def llm_oracle_sql() -> dict[str, str]:
         "docs_rebalanced_sample": _sql_rebalanced_sample(),
         "mm_frame_sample": _sql_frame_sample(),
         "emb_kmeans_assign": _sql_kmeans_assign(),
+        "emb_int8_topk": _sql_int8_topk(),
         "docs_chunks": _sql_chunks(),
         "docs_pack_sequences": _sql_pack_sequences(),
         "docs_length_percentiles": _sql_length_percentiles(),

@@ -1011,3 +1011,22 @@ def test_chunk_documents_covers_every_token(spark):
             assert r.n_chunk_tokens == min(chunk, n_by_doc[doc_id] - r.chunk_start + 1)
             covered.update(range(r.chunk_start, r.chunk_start + r.n_chunk_tokens))
         assert covered == set(range(1, n_by_doc[doc_id] + 1)), doc_id
+
+
+def test_int8_topk_recall_vs_exact(spark):
+    from iot_real_time_data_pipeline_spark.entrypoints import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings").persist()
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    exact = {}
+    for r in SIM.cosine_topk(emb, q, k=5).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx = {}
+    for r in SIM.int8_topk(emb, q, k=5).collect():
+        approx.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [
+        len(exact[qid] & approx.get(qid, set())) / len(exact[qid]) for qid in exact
+    ]
+    # int8 quantization barely perturbs cosine ordering: near-full recall
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
+    emb.unpersist()
