@@ -211,6 +211,7 @@ def main() -> None:
         "events_top_per_user",
         "events_funnel",
         "events_hourly_rollup",
+        "events_value_anomalies",
         "wh_q1_pricing_summary",
         "wh_q3_shipping_priority",
         "wh_q4_order_priority",

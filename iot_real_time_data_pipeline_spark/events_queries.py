@@ -50,6 +50,10 @@ def q_hourly_rollup(spark, sf_dir):
     return EA.hourly_rollup(_events(spark, sf_dir))
 
 
+def q_anomalies(spark, sf_dir):
+    return EA.value_anomalies(_events(spark, sf_dir))
+
+
 def events_queries() -> dict[str, QueryFn]:
     return {
         "events_sessionize": q_sessionize,
@@ -59,6 +63,7 @@ def events_queries() -> dict[str, QueryFn]:
         "events_top_per_user": q_top_events_per_user,
         "events_funnel": q_funnel,
         "events_hourly_rollup": q_hourly_rollup,
+        "events_value_anomalies": q_anomalies,
     }
 
 
@@ -179,6 +184,40 @@ SELECT event_type, bucket_start_sec, n_events, sum_value_c,
 FROM g"""
 
 
+_ANOMALY_SQL = f"""
+WITH base AS (
+  SELECT event_id, event_type, value,
+         CAST(round(value * 100) AS BIGINT) AS vc
+  FROM events
+),
+stats AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(vc) AS BIGINT) AS sum_c,
+         CAST(sum(vc * vc) AS BIGINT) AS sumsq_c2
+  FROM base GROUP BY event_type
+),
+moments AS (
+  SELECT event_type, n, sum_c, sumsq_c2,
+         (CAST(sumsq_c2 AS DOUBLE)
+          - CAST(n AS DOUBLE)
+            * (CAST(sum_c AS DOUBLE) / CAST(n AS DOUBLE))
+            * (CAST(sum_c AS DOUBLE) / CAST(n AS DOUBLE)))
+         / CAST(n AS DOUBLE) AS var
+  FROM stats
+),
+scored AS (
+  SELECT b.event_id, b.event_type, b.value,
+         CASE WHEN s.var > 0 THEN
+           (CAST(b.vc AS DOUBLE) - CAST(s.sum_c AS DOUBLE) / CAST(s.n AS DOUBLE))
+             / sqrt(s.var)
+         ELSE 0.0 END AS z
+  FROM base b JOIN moments s ON b.event_type = s.event_type
+)
+SELECT event_id, event_type, value,
+       CAST(round(z * 1000) AS BIGINT) AS z_milli
+FROM scored WHERE abs(z) > {EA.ANOMALY_Z}"""
+
+
 def events_oracle_sql() -> dict[str, str]:
     return {
         "events_sessionize": _SESSIONIZE_SQL,
@@ -188,4 +227,5 @@ def events_oracle_sql() -> dict[str, str]:
         "events_top_per_user": _TOP_PER_USER_SQL,
         "events_funnel": _FUNNEL_SQL,
         "events_hourly_rollup": _ROLLUP_SQL,
+        "events_value_anomalies": _ANOMALY_SQL,
     }

@@ -306,3 +306,57 @@ def streaming_rollup(
             "sum_value_c",
         )
     )
+
+
+ANOMALY_Z = 3.0
+
+
+def value_anomalies(events: DataFrame, z_threshold: float = ANOMALY_Z) -> DataFrame:
+    """Statistical outlier detection: events whose value is more than
+    ``z_threshold`` standard deviations from their type's mean.
+
+    Determinism recipe: the per-type moments are INTEGER sums
+    (cent-quantized value and its square — partial-agged groupBy,
+    shuffle is one row per type), and mean/variance are then derived in
+    double arithmetic from those exact integers — the same inputs and
+    the same expression tree on both engines, so the flag comparison
+    and the reported z-score are bit-stable. A double sum() would be
+    accumulation-order-dependent; integer moments are not.
+
+    Plan: one stats pass (tiny result, broadcast back) + one map-side
+    filter over the stream — two scans of the same cached relation, or
+    one scan at 100 TB if the stats come from the rollup table.
+
+    Returns ``(event_id, event_type, value, z_milli)`` for outliers,
+    with z in integer milli-units.
+    """
+    value_c = F.round(F.col("value") * 100).cast("long")
+    stats = (
+        events.withColumn("_vc", value_c)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("_n"),
+            F.sum("_vc").alias("_sum_c"),
+            F.sum(F.col("_vc") * F.col("_vc")).alias("_sumsq_c2"),
+        )
+    )
+    j = events.withColumn("_vc", value_c).join(F.broadcast(stats), "event_type")
+    n = F.col("_n").cast("double")
+    mean = F.col("_sum_c").cast("double") / n
+    var = (F.col("_sumsq_c2").cast("double") - n * mean * mean) / n
+    # var == 0 (homogeneous group) would divide by zero (ANSI error in
+    # Spark, NaN in SQL): z is 0 by definition there — all values ARE
+    # the mean. Guarded identically in the oracle.
+    z = F.when(var > 0, (F.col("_vc").cast("double") - mean) / F.sqrt(var)).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        j.withColumn("_z", z)
+        .filter(F.abs(F.col("_z")) > z_threshold)
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round(F.col("_z") * 1000).cast("long").alias("z_milli"),
+        )
+    )

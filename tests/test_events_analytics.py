@@ -218,3 +218,16 @@ def test_streaming_rollup_matches_batch(spark, tmp_path):
     }
     assert live == batch
     assert len(batch) == 4
+
+
+def test_value_anomalies_flags_only_outliers(spark):
+    # 40 values at ~10, one at 1000: only the spike exceeds 3 sigma
+    rows = [(i, 1, "view", 10.0 + (i % 3), 0) for i in range(40)]
+    rows.append((99, 1, "view", 1000.0, 0))
+    out = EA.value_anomalies(_events(spark, rows)).collect()
+    assert [r.event_id for r in out] == [99]
+    assert out[0].z_milli > 3000
+
+    # homogeneous values -> no anomalies (and no div-by-zero NaN rows)
+    rows2 = [(i, 1, "view", 5.0, 0) for i in range(10)]
+    assert EA.value_anomalies(_events(spark, rows2)).count() == 0
