@@ -230,6 +230,7 @@ def main() -> None:
         "docs_simhash",
         "docs_simhash_dup_pairs",
         "docs_decontaminate",
+        "docs_decontaminated_corpus",
         "docs_dup_clusters",
         "docs_stratified_sample",
         "docs_stratified_sample_exact",

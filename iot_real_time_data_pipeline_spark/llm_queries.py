@@ -82,6 +82,14 @@ def q_decontaminate(spark, sf_dir):
     )
 
 
+def q_decontaminated_corpus(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return DD.decontaminated_corpus(
+        docs.filter(F.col("doc_id") % EVAL_MOD != 0),
+        docs.filter(F.col("doc_id") % EVAL_MOD == 0),
+    )
+
+
 def q_dup_clusters(spark, sf_dir):
     return DD.dup_clusters(_docs(spark, sf_dir), threshold=JACCARD_THRESHOLD)
 
@@ -241,6 +249,7 @@ def llm_queries() -> dict[str, QueryFn]:
         "docs_simhash": q_simhash,
         "docs_simhash_dup_pairs": q_simhash_dup_pairs,
         "docs_decontaminate": q_decontaminate,
+        "docs_decontaminated_corpus": q_decontaminated_corpus,
         "docs_dup_clusters": q_dup_clusters,
         "docs_stratified_sample": q_stratified_sample,
         "docs_stratified_sample_exact": q_stratified_sample_exact,
@@ -423,6 +432,16 @@ SELECT tp.doc_id, ep.eval_doc_id, count(*) AS n_common
 FROM tp JOIN ep USING (h)
 GROUP BY 1, 2
 HAVING count(*) >= {min_common}"""
+
+
+def _sql_decontaminated_corpus(min_common: int = 2) -> str:
+    return f"""
+WITH contaminated AS (
+  SELECT DISTINCT doc_id FROM ({_sql_decontaminate(min_common)})
+)
+SELECT d.doc_id FROM documents d
+WHERE d.doc_id % {EVAL_MOD} != 0
+  AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)"""
 
 
 def _sql_dup_clusters() -> str:
@@ -1261,6 +1280,7 @@ def llm_oracle_sql() -> dict[str, str]:
         "docs_simhash": _sql_simhash(),
         "docs_simhash_dup_pairs": _sql_simhash_dup_pairs(),
         "docs_decontaminate": _sql_decontaminate(),
+        "docs_decontaminated_corpus": _sql_decontaminated_corpus(),
         "docs_dup_clusters": _sql_dup_clusters(),
         "docs_stratified_sample": _sql_stratified_sample(),
         "docs_stratified_sample_exact": _sql_stratified_sample_exact(),

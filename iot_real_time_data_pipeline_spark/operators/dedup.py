@@ -647,3 +647,30 @@ def dup_clusters(
     return connected_components(
         docs, pairs, id_col=id_col, a_col="doc_a", b_col="doc_b", max_iter=max_iter
     )
+
+
+def decontaminated_corpus(
+    train: DataFrame,
+    eval_set: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_common: int = 2,
+) -> DataFrame:
+    """The corpus CUT that :func:`decontaminate` reports on: drop every
+    training document sharing >= ``min_common`` shingles with the eval
+    set, keep the rest.
+
+    Plan: the contaminated-id set (tiny — bounded by |flagged docs|)
+    comes from the same broadcast postings join, then a LEFT ANTI join
+    removes those ids from the training stream — the corpus is filtered
+    in one pass and document bodies never shuffle. Returns
+    ``(doc_id,)`` of surviving documents.
+    """
+    flagged = (
+        decontaminate(train, eval_set, text_col, id_col, min_common=min_common)
+        .select("doc_id")
+        .distinct()
+    )
+    return train.select(F.col(id_col).alias("doc_id")).join(
+        F.broadcast(flagged), "doc_id", "left_anti"
+    )

@@ -1030,3 +1030,16 @@ def test_int8_topk_recall_vs_exact(spark):
     # int8 quantization barely perturbs cosine ordering: near-full recall
     assert sum(recalls) / len(recalls) >= 0.9, recalls
     emb.unpersist()
+
+
+def test_decontaminated_corpus_drops_flagged_only(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "en"),
+        (2, "completely unrelated text about spark engines here", "en"),
+        (50, "the quick brown fox jumps over the lazy dog", "en"),  # eval twin of 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    train = df.filter(F.col("doc_id") % 50 != 0)
+    ev = df.filter(F.col("doc_id") % 50 == 0)
+    kept = {r.doc_id for r in DD.decontaminated_corpus(train, ev).collect()}
+    assert kept == {2}
