@@ -54,6 +54,10 @@ def q_anomalies(spark, sf_dir):
     return EA.value_anomalies(_events(spark, sf_dir))
 
 
+def q_dau_wau(spark, sf_dir):
+    return EA.dau_wau(_events(spark, sf_dir))
+
+
 def events_queries() -> dict[str, QueryFn]:
     return {
         "events_sessionize": q_sessionize,
@@ -64,6 +68,7 @@ def events_queries() -> dict[str, QueryFn]:
         "events_funnel": q_funnel,
         "events_hourly_rollup": q_hourly_rollup,
         "events_value_anomalies": q_anomalies,
+        "events_dau_wau": q_dau_wau,
     }
 
 
@@ -218,6 +223,25 @@ SELECT event_id, event_type, value,
 FROM scored WHERE abs(z) > {EA.ANOMALY_Z}"""
 
 
+_DAU_WAU_SQL = f"""
+WITH {_EV_CTE},
+days AS (SELECT DISTINCT user_id, ts_sec // 86400 AS day FROM ev),
+bounds AS (SELECT max(day) AS max_day FROM days),
+dau AS (SELECT day, count(*) AS dau FROM days GROUP BY day),
+support AS (
+  SELECT DISTINCT user_id, day FROM (
+    SELECT user_id, unnest(range(day, day + 7)) AS day FROM days
+  )
+),
+wau AS (
+  SELECT s.day, count(*) AS wau
+  FROM support s, bounds b WHERE s.day <= b.max_day GROUP BY s.day
+)
+SELECT d.day, d.dau, w.wau,
+       CAST((d.dau * 1000000) // w.wau AS BIGINT) AS stickiness_ppm
+FROM dau d JOIN wau w ON d.day = w.day"""
+
+
 def events_oracle_sql() -> dict[str, str]:
     return {
         "events_sessionize": _SESSIONIZE_SQL,
@@ -228,4 +252,5 @@ def events_oracle_sql() -> dict[str, str]:
         "events_funnel": _FUNNEL_SQL,
         "events_hourly_rollup": _ROLLUP_SQL,
         "events_value_anomalies": _ANOMALY_SQL,
+        "events_dau_wau": _DAU_WAU_SQL,
     }

@@ -360,3 +360,42 @@ def value_anomalies(events: DataFrame, z_threshold: float = ANOMALY_Z) -> DataFr
             F.round(F.col("_z") * 1000).cast("long").alias("z_milli"),
         )
     )
+
+
+def dau_wau(events: DataFrame) -> DataFrame:
+    """Daily active users, trailing-7-day active users, and the
+    DAU/WAU stickiness ratio (ppm) per epoch day.
+
+    WAU(d) counts users active in [d-6, d]: each (user, day) activity
+    row fans out to the <=7 report days it supports (explode of a
+    7-element sequence — rows ∝ active-days x 7, map-side), then one
+    distinct-count per day. No self-join of the activity table against
+    itself, no 7x re-scan; the fan-out constant is the window length.
+    Report days outside the observed range are trimmed.
+
+    Returns ``(day, dau, wau, stickiness_ppm)``.
+    """
+    days = events.select(
+        "user_id", F.expr("ts_sec div 86400").cast("long").alias("day")
+    ).distinct()
+    bounds = days.agg(F.max("day").alias("_max_day"))
+    dau = days.groupBy("day").agg(F.count("*").alias("dau"))
+    support = days.select(
+        "user_id",
+        F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias("day"),
+    ).distinct()
+    wau = (
+        support.crossJoin(F.broadcast(bounds))
+        .filter(F.col("day") <= F.col("_max_day"))
+        .groupBy("day")
+        .agg(F.count("*").alias("wau"))
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            F.expr("(dau * CAST(1000000 AS BIGINT)) div wau").alias("stickiness_ppm"),
+        )
+    )

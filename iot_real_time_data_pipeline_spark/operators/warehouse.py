@@ -317,3 +317,43 @@ def integrity_audit(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
         F.count(F.when(F.col("l_orderkey").isNull(), 1)).alias("n_order_only"),
         F.count(F.when(F.col("o_orderkey").isNull(), 1)).alias("n_item_only"),
     )
+
+
+Q6_LO, Q6_HI = sec("1996-01-01"), sec("1997-01-01")
+
+
+def q6_forecast_revenue(lineitem: DataFrame) -> DataFrame:
+    """Q6: forecast-revenue change — the pure scan-and-reduce shape
+    (every predicate pushes to the scan, the aggregate is one row).
+    Revenue term ``l_extendedprice * l_discount`` is cent-quantized per
+    row; the discount band is expressed on integer basis points so the
+    boundary test never compares raw doubles to a decimal literal.
+    """
+    li = date_bounds(lineitem, "l_shipdate", lo_sec=Q6_LO, hi_sec=Q6_HI)
+    disc_bp = F.round(F.col("l_discount") * 10000).cast("long")
+    rev_c = cents(F.col("l_extendedprice") * F.col("l_discount"))
+    return (
+        li.filter((disc_bp >= 500) & (disc_bp <= 700) & (F.col("l_quantity") < 24.0))
+        .agg(
+            F.sum(rev_c).alias("revenue_c"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q13_order_distribution(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """Q13 shape: distribution of orders-per-customer INCLUDING
+    zero-order customers — the LEFT OUTER join whose unmatched side
+    carries the business signal. Two partial-agged groupBys: per
+    customer (shuffle ∝ customers), then per count (shuffle ∝ distinct
+    counts — the report).
+
+    Returns ``(n_orders, n_customers)``.
+    """
+    per_cust = (
+        customer.select("c_custkey")
+        .join(orders.select("o_custkey"), customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_custkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count("*").alias("n_customers"))

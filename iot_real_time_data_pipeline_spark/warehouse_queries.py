@@ -66,6 +66,16 @@ def q_integrity(spark, sf_dir):
     )
 
 
+def q_q6(spark, sf_dir):
+    return WH.q6_forecast_revenue(_t(spark, sf_dir, "lineitem"))
+
+
+def q_q13(spark, sf_dir):
+    return WH.q13_order_distribution(
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "customer")
+    )
+
+
 def warehouse_queries() -> dict[str, QueryFn]:
     return {
         "wh_q1_pricing_summary": q_q1,
@@ -75,6 +85,8 @@ def warehouse_queries() -> dict[str, QueryFn]:
         "wh_q10_returned_items": q_q10,
         "wh_sales_rollup": q_rollup,
         "wh_integrity_audit": q_integrity,
+        "wh_q6_forecast_revenue": q_q6,
+        "wh_q13_order_distribution": q_q13,
     }
 
 
@@ -180,6 +192,25 @@ SELECT count(CASE WHEN o_orderkey IS NOT NULL AND l_orderkey IS NOT NULL THEN 1 
 FROM j"""
 
 
+_Q6_SQL = f"""
+SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT))
+            AS BIGINT) AS revenue_c,
+       count(*) AS n_items
+FROM lineitem
+WHERE (epoch_ns(l_shipdate) // 1000000000) >= {WH.Q6_LO}
+  AND (epoch_ns(l_shipdate) // 1000000000) < {WH.Q6_HI}
+  AND CAST(round(l_discount * 10000) AS BIGINT) BETWEEN 500 AND 700
+  AND l_quantity < 24.0"""
+
+_Q13_SQL = """
+WITH per_cust AS (
+  SELECT c_custkey, count(o_custkey) AS n_orders
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+SELECT n_orders, count(*) AS n_customers FROM per_cust GROUP BY n_orders"""
+
+
 def warehouse_oracle_sql() -> dict[str, str]:
     return {
         "wh_q1_pricing_summary": _Q1_SQL,
@@ -189,4 +220,6 @@ def warehouse_oracle_sql() -> dict[str, str]:
         "wh_q10_returned_items": _Q10_SQL,
         "wh_sales_rollup": _ROLLUP_SQL,
         "wh_integrity_audit": _INTEGRITY_SQL,
+        "wh_q6_forecast_revenue": _Q6_SQL,
+        "wh_q13_order_distribution": _Q13_SQL,
     }

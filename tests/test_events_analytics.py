@@ -231,3 +231,21 @@ def test_value_anomalies_flags_only_outliers(spark):
     # homogeneous values -> no anomalies (and no div-by-zero NaN rows)
     rows2 = [(i, 1, "view", 5.0, 0) for i in range(10)]
     assert EA.value_anomalies(_events(spark, rows2)).count() == 0
+
+
+def test_dau_wau_trailing_window(spark):
+    day = 86400
+    rows = [
+        (1, 1, "view", 1.0, 0),              # user 1 day 0
+        (2, 2, "view", 1.0, 10),             # user 2 day 0
+        (3, 1, "view", 1.0, 3 * day),        # user 1 day 3
+        (4, 3, "view", 1.0, 8 * day),        # user 3 day 8 (day 0 outside its window)
+    ]
+    out = {r.day: r for r in EA.dau_wau(_events(spark, rows)).collect()}
+    assert (out[0].dau, out[0].wau) == (2, 2)
+    # day 3: user 1 active; users 1+2 within trailing 7 days
+    assert (out[3].dau, out[3].wau, out[3].stickiness_ppm) == (1, 2, 500000)
+    # day 8: only user 3 (days 0 activity is 8 days back; day-3 activity counts)
+    assert (out[8].dau, out[8].wau) == (1, 2)
+    # days with no activity produce no report row
+    assert 5 not in out

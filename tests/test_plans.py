@@ -295,3 +295,13 @@ def test_ivf_index_search_prunes_partitions(spark, emb, tmp_path):
     live = {(r.query_id, r.rank): r.neighbor_id for r in SIM.ivf_topk(emb, q, k=3).collect()}
     idx = {(r.query_id, r.rank): r.neighbor_id for r in pruned.collect()}
     assert idx == live
+
+
+def test_q13_counts_zero_order_customers(spark):
+    from iot_real_time_data_pipeline_spark.operators import warehouse as WH
+
+    customer = spark.createDataFrame([(1,), (2,), (3,)], ["c_custkey"])
+    orders = spark.createDataFrame([(1,), (1,), (2,)], ["o_custkey"])
+    out = {r.n_orders: r.n_customers for r in
+           WH.q13_order_distribution(orders, customer).collect()}
+    assert out == {2: 1, 1: 1, 0: 1}
