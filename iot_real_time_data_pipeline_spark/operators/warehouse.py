@@ -357,3 +357,36 @@ def q13_order_distribution(orders: DataFrame, customer: DataFrame) -> DataFrame:
         .agg(F.count("o_custkey").alias("n_orders"))
     )
     return per_cust.groupBy("n_orders").agg(F.count("*").alias("n_customers"))
+
+
+Q14_LO, Q14_HI = sec("1996-01-01"), sec("1996-04-01")
+
+
+def q14_promo_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Q14: promo revenue share for a quarter — conditional aggregation
+    over a broadcast dim join (part is catalog-sized: always the
+    broadcast side). The share is integer ppm of integer cent sums, so
+    the single-row report is engine-exact.
+
+    Returns ``(promo_revenue_c, total_revenue_c, promo_share_ppm)``.
+    """
+    li = date_bounds(lineitem, "l_shipdate", lo_sec=Q14_LO, hi_sec=Q14_HI).select(
+        "l_partkey", _revenue_c().alias("rev_c")
+    )
+    p = part.select("p_partkey", "p_type")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", F.col("rev_c")).otherwise(0)).alias(
+                "promo_revenue_c"
+            ),
+            F.sum("rev_c").alias("total_revenue_c"),
+        )
+        .select(
+            "promo_revenue_c",
+            "total_revenue_c",
+            F.expr(
+                "(promo_revenue_c * CAST(1000000 AS BIGINT)) div total_revenue_c"
+            ).alias("promo_share_ppm"),
+        )
+    )

@@ -76,6 +76,12 @@ def q_q13(spark, sf_dir):
     )
 
 
+def q_q14(spark, sf_dir):
+    return WH.q14_promo_revenue(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    )
+
+
 def warehouse_queries() -> dict[str, QueryFn]:
     return {
         "wh_q1_pricing_summary": q_q1,
@@ -87,6 +93,7 @@ def warehouse_queries() -> dict[str, QueryFn]:
         "wh_integrity_audit": q_integrity,
         "wh_q6_forecast_revenue": q_q6,
         "wh_q13_order_distribution": q_q13,
+        "wh_q14_promo_revenue": q_q14,
     }
 
 
@@ -211,6 +218,25 @@ WITH per_cust AS (
 SELECT n_orders, count(*) AS n_customers FROM per_cust GROUP BY n_orders"""
 
 
+_Q14_SQL = f"""
+WITH j AS (
+  SELECT p.p_type, {_REV} AS rev_c
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE (epoch_ns(l.l_shipdate) // 1000000000) >= {WH.Q14_LO}
+    AND (epoch_ns(l.l_shipdate) // 1000000000) < {WH.Q14_HI}
+),
+g AS (
+  SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev_c ELSE 0 END) AS BIGINT)
+           AS promo_revenue_c,
+         CAST(sum(rev_c) AS BIGINT) AS total_revenue_c
+  FROM j
+)
+SELECT promo_revenue_c, total_revenue_c,
+       CAST((promo_revenue_c * 1000000) // total_revenue_c AS BIGINT)
+         AS promo_share_ppm
+FROM g"""
+
+
 def warehouse_oracle_sql() -> dict[str, str]:
     return {
         "wh_q1_pricing_summary": _Q1_SQL,
@@ -222,4 +248,5 @@ def warehouse_oracle_sql() -> dict[str, str]:
         "wh_integrity_audit": _INTEGRITY_SQL,
         "wh_q6_forecast_revenue": _Q6_SQL,
         "wh_q13_order_distribution": _Q13_SQL,
+        "wh_q14_promo_revenue": _Q14_SQL,
     }
