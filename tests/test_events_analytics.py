@@ -249,3 +249,46 @@ def test_dau_wau_trailing_window(spark):
     assert (out[8].dau, out[8].wau) == (1, 2)
     # days with no activity produce no report row
     assert 5 not in out
+
+
+def test_sessionize_fuzz_vs_python_reference(spark):
+    """Randomized cross-check: the window-based sessionizer must agree
+    with a straightforward per-user Python scan on arbitrary event
+    layouts (duplicated timestamps, singleton users, long gaps)."""
+    import random
+
+    rng = random.Random(42)
+    rows = []
+    eid = 0
+    for user in range(8):
+        t = rng.randint(0, 1000)
+        for _ in range(rng.randint(1, 30)):
+            rows.append((eid, user, "view", 1.0, t))
+            eid += 1
+            # mix of sub-gap advances, exact-gap edges, and new sessions
+            t += rng.choice([0, 1, 300, 1800, 1801, 5000])
+    gap = 1800
+
+    expected = {}
+    by_user = {}
+    for r in sorted(rows, key=lambda r: (r[1], r[4], r[0])):
+        by_user.setdefault(r[1], []).append(r[4])
+    for user, times in by_user.items():
+        sessions = []
+        for ts in times:
+            if sessions and ts - sessions[-1][-1] <= gap:
+                sessions[-1].append(ts)
+            else:
+                sessions.append([ts])
+        expected[user] = sorted(
+            (len(s), s[0], s[-1], s[-1] - s[0]) for s in sessions
+        )
+
+    out = EA.sessionize(_events(spark, rows), gap_sec=gap).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r.user_id, []).append(
+            (r.n_events, r.session_start_sec, r.session_end_sec, r.duration_sec)
+        )
+    got = {u: sorted(v) for u, v in got.items()}
+    assert got == expected
