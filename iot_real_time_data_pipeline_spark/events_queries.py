@@ -58,6 +58,14 @@ def q_dau_wau(spark, sf_dir):
     return EA.dau_wau(_events(spark, sf_dir))
 
 
+def q_deciles(spark, sf_dir):
+    return EA.value_deciles(_events(spark, sf_dir))
+
+
+def q_multi_action(spark, sf_dir):
+    return EA.multi_action_users(_events(spark, sf_dir))
+
+
 def events_queries() -> dict[str, QueryFn]:
     return {
         "events_sessionize": q_sessionize,
@@ -69,6 +77,8 @@ def events_queries() -> dict[str, QueryFn]:
         "events_hourly_rollup": q_hourly_rollup,
         "events_value_anomalies": q_anomalies,
         "events_dau_wau": q_dau_wau,
+        "events_value_deciles": q_deciles,
+        "events_multi_action_users": q_multi_action,
     }
 
 
@@ -242,6 +252,23 @@ SELECT d.day, d.dau, w.wau,
 FROM dau d JOIN wau w ON d.day = w.day"""
 
 
+_DECILES_SQL = """
+WITH ranked AS (
+  SELECT event_type, value,
+         CAST(ntile(10) OVER (PARTITION BY event_type ORDER BY value, event_id)
+              AS BIGINT) AS decile
+  FROM events
+)
+SELECT event_type, decile, count(*) AS n_events,
+       min(value) AS lo_value, max(value) AS hi_value
+FROM ranked GROUP BY event_type, decile"""
+
+_MULTI_ACTION_SQL = """
+SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+INTERSECT
+SELECT DISTINCT user_id FROM events WHERE event_type = 'error'"""
+
+
 def events_oracle_sql() -> dict[str, str]:
     return {
         "events_sessionize": _SESSIONIZE_SQL,
@@ -253,4 +280,6 @@ def events_oracle_sql() -> dict[str, str]:
         "events_hourly_rollup": _ROLLUP_SQL,
         "events_value_anomalies": _ANOMALY_SQL,
         "events_dau_wau": _DAU_WAU_SQL,
+        "events_value_deciles": _DECILES_SQL,
+        "events_multi_action_users": _MULTI_ACTION_SQL,
     }

@@ -399,3 +399,37 @@ def dau_wau(events: DataFrame) -> DataFrame:
             F.expr("(dau * CAST(1000000 AS BIGINT)) div wau").alias("stickiness_ppm"),
         )
     )
+
+
+def value_deciles(events: DataFrame) -> DataFrame:
+    """Per-type decile assignment of event values (``ntile(10)`` over
+    the total order (value, event_id) — the equal-frequency binning
+    behind score normalization and percentile features).
+
+    One shuffle on event_type for the rank window; the decile summary
+    groupBy rides the same partitioning. Returns per (type, decile):
+    count and the decile's value range — doubles carried verbatim (no
+    arithmetic), min/max are order statistics so engine-exact.
+
+    Returns ``(event_type, decile, n_events, lo_value, hi_value)``.
+    """
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        events.withColumn("decile", F.ntile(10).over(w).cast("long"))
+        .groupBy("event_type", "decile")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("value").alias("lo_value"),
+            F.max("value").alias("hi_value"),
+        )
+    )
+
+
+def multi_action_users(events: DataFrame) -> DataFrame:
+    """Users who BOTH purchased and hit an error — the INTERSECT shape
+    (implemented as a left-semi self-join on the distinct key sets, the
+    plan INTERSECT compiles to anyway). Returns ``(user_id,)``.
+    """
+    buyers = events.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    erring = events.filter(F.col("event_type") == "error").select("user_id").distinct()
+    return buyers.intersect(erring)

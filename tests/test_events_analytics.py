@@ -292,3 +292,24 @@ def test_sessionize_fuzz_vs_python_reference(spark):
         )
     got = {u: sorted(v) for u, v in got.items()}
     assert got == expected
+
+
+def test_value_deciles_equal_frequency(spark):
+    rows = [(i, 1, "view", float(i), 0) for i in range(20)]
+    out = sorted(
+        EA.value_deciles(_events(spark, rows)).collect(), key=lambda r: r.decile
+    )
+    assert [r.decile for r in out] == list(range(1, 11))
+    assert all(r.n_events == 2 for r in out)
+    assert out[0].lo_value == 0.0 and out[-1].hi_value == 19.0
+
+
+def test_multi_action_users_intersection(spark):
+    rows = [
+        (1, 1, "purchase", 1.0, 0),
+        (2, 1, "error", 1.0, 0),
+        (3, 2, "purchase", 1.0, 0),
+        (4, 3, "error", 1.0, 0),
+    ]
+    out = {r.user_id for r in EA.multi_action_users(_events(spark, rows)).collect()}
+    assert out == {1}
