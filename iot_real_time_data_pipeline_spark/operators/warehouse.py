@@ -390,3 +390,366 @@ def q14_promo_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
             ).alias("promo_share_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 additions: the remaining TPC-H plan shapes expressible on the
+# driver's column set (no partsupp / commitdate / shipmode columns, so
+# Q2/Q11/Q12/Q16/Q20/Q21 have no data to run on; Q9/Q19/Q22 ship in
+# adapted forms that keep the plan shape and drop only the missing
+# columns). Reference parity: these are the OLAP shapes the reference's
+# warehouse layer (Redshift star schema, SURVEY.md §2.4) serves.
+# ---------------------------------------------------------------------------
+
+Q7_NATION_A = "NATION_1"
+Q7_NATION_B = "NATION_2"
+Q7_LO, Q7_HI = sec("1996-01-01"), sec("1998-01-01")
+
+
+def with_year(df: DataFrame, col: str, out: str) -> DataFrame:
+    """Calendar year of a date column, whichever physical type parquet
+    delivered (TIMESTAMP/NTZ, or long nanos under ``nanosAsLong``).
+    Session tz is pinned UTC, so ``year()`` agrees with DuckDB's naive
+    ``year()``."""
+    if dict(df.dtypes)[col] == "bigint":
+        return df.withColumn(out, F.year(F.timestamp_micros(F.expr(f"{col} div 1000"))).cast("long"))
+    return df.withColumn(out, F.year(F.col(col)).cast("long"))
+
+
+def q7_nation_volume(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+) -> DataFrame:
+    """Q7: shipping volume between two nations, by direction and year.
+
+    Supplier-side and customer-side nation maps are pre-filtered to the
+    two nations of interest BEFORE broadcasting, so each broadcast inner
+    join is simultaneously the lookup and a semi-filter — lineitems
+    outside either nation die inside the joins, and the only post-join
+    predicate is the cross-pair disjunction (A→B or B→A), which needs
+    both sides attached. The one big shuffle is orders↔lineitem on
+    orderkey (bucketable at 100 TB, see ``functions/skew.py``).
+
+    Returns ``(supp_nation, cust_nation, l_year, revenue_c)``.
+    """
+    nat2 = nation.filter(F.col("n_name").isin(Q7_NATION_A, Q7_NATION_B)).select(
+        "n_nationkey", "n_name"
+    )
+    supp = (
+        supplier.join(F.broadcast(nat2), supplier.s_nationkey == nat2.n_nationkey)
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        customer.join(F.broadcast(nat2), customer.c_nationkey == nat2.n_nationkey)
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = with_year(
+        date_bounds(lineitem, "l_shipdate", lo_sec=Q7_LO, hi_sec=Q7_HI),
+        "l_shipdate",
+        "l_year",
+    ).select("l_orderkey", "l_suppkey", "l_year", _revenue_c().alias("rev_c"))
+    ords = orders.select("o_orderkey", "o_custkey")
+    return (
+        li.join(ords, li.l_orderkey == ords.o_orderkey)
+        .join(F.broadcast(cust), ords.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(
+            ((F.col("supp_nation") == Q7_NATION_A) & (F.col("cust_nation") == Q7_NATION_B))
+            | ((F.col("supp_nation") == Q7_NATION_B) & (F.col("cust_nation") == Q7_NATION_A))
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum("rev_c").alias("revenue_c"))
+    )
+
+
+Q8_REGION = "EUROPE"
+Q8_TYPE = "ECONOMY"
+Q8_NATION = "NATION_7"
+Q8_LO, Q8_HI = sec("1996-01-01"), sec("1998-01-01")
+
+
+def q8_market_share(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    part: DataFrame,
+) -> DataFrame:
+    """Q8: national market share — the share of a region's market (all
+    orders by customers in ``Q8_REGION`` for ``Q8_TYPE`` parts) captured
+    by suppliers from ``Q8_NATION``, per order year.
+
+    The share is conditional aggregation over ONE scan: numerator and
+    denominator are the same joined rows, split by a CASE on the
+    supplier nation — never two queries. Part (type-filtered) and the
+    region-pruned customer map broadcast; supplier carries its nation
+    name in the broadcast so the CASE is a string compare on an
+    attached column. Output is integer-ppm of integer cent sums.
+
+    Returns ``(o_year, nation_revenue_c, total_revenue_c, share_ppm)``.
+    """
+    reg_nat = (
+        nation.join(
+            F.broadcast(region.filter(F.col("r_name") == Q8_REGION)),
+            nation.n_regionkey == region.r_regionkey,
+        ).select("n_nationkey")
+    )
+    cust = customer.join(
+        F.broadcast(reg_nat), customer.c_nationkey == reg_nat.n_nationkey
+    ).select("c_custkey")
+    all_nat = nation.select("n_nationkey", "n_name")
+    supp = supplier.join(
+        F.broadcast(all_nat), supplier.s_nationkey == all_nat.n_nationkey
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    p = part.filter(F.col("p_type") == Q8_TYPE).select("p_partkey")
+    ords = with_year(
+        date_bounds(orders, "o_orderdate", lo_sec=Q8_LO, hi_sec=Q8_HI),
+        "o_orderdate",
+        "o_year",
+    ).select("o_orderkey", "o_custkey", "o_year")
+    li = lineitem.select(
+        "l_orderkey", "l_partkey", "l_suppkey", _revenue_c().alias("rev_c")
+    )
+    target = F.when(F.col("supp_nation") == Q8_NATION, F.col("rev_c")).otherwise(0)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(ords, li.l_orderkey == ords.o_orderkey)
+        .join(F.broadcast(cust), ords.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("o_year")
+        .agg(
+            F.sum(target).alias("nation_revenue_c"),
+            F.sum("rev_c").alias("total_revenue_c"),
+        )
+        .select(
+            "o_year",
+            "nation_revenue_c",
+            "total_revenue_c",
+            F.expr(
+                "(nation_revenue_c * CAST(1000000 AS BIGINT)) div total_revenue_c"
+            ).alias("share_ppm"),
+        )
+    )
+
+
+Q9_NAME_FRAGMENT = "widget"
+
+
+def q9_product_profit(
+    lineitem: DataFrame, supplier: DataFrame, nation: DataFrame, part: DataFrame
+) -> DataFrame:
+    """Q9 (adapted): revenue by supplier nation and ship year for parts
+    whose name contains ``Q9_NAME_FRAGMENT`` (no partsupp table in this
+    corpus, so profit = discounted revenue without the supplycost term —
+    the plan shape is unchanged).
+
+    Every join is a broadcast (LIKE-filtered part catalog; supplier
+    carrying its nation name), so the fact table never shuffles at all:
+    the only exchange in the whole plan is the final (nation, year)
+    aggregation — partial-agged map-side to ~|nations|x|years| rows.
+
+    Returns ``(supp_nation, l_year, revenue_c, n_items)``.
+    """
+    p = part.filter(F.col("p_name").contains(Q9_NAME_FRAGMENT)).select("p_partkey")
+    all_nat = nation.select("n_nationkey", "n_name")
+    supp = supplier.join(
+        F.broadcast(all_nat), supplier.s_nationkey == all_nat.n_nationkey
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    li = with_year(lineitem, "l_shipdate", "l_year").select(
+        "l_partkey", "l_suppkey", "l_year", _revenue_c().alias("rev_c")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("supp_nation", "l_year")
+        .agg(F.sum("rev_c").alias("revenue_c"), F.count("*").alias("n_items"))
+    )
+
+
+Q15_LO, Q15_HI = sec("1996-01-01"), sec("1996-04-01")
+
+
+def q15_top_supplier(lineitem: DataFrame, supplier: DataFrame) -> DataFrame:
+    """Q15: the supplier(s) with the maximum quarterly revenue — the
+    scalar-subquery-equality shape (``WHERE total = (SELECT max ...)``).
+
+    Per-supplier revenue aggregates once (shuffle ∝ |suppliers|); the
+    global max is a 1-row aggregate of that result, broadcast back as a
+    nested-loop equality filter — the revenue table is never recomputed
+    and never sorted. Ties return every tied supplier on both engines.
+
+    Returns ``(s_suppkey, s_name, total_revenue_c)`` ordered by key.
+    """
+    li = date_bounds(lineitem, "l_shipdate", lo_sec=Q15_LO, hi_sec=Q15_HI).select(
+        "l_suppkey", _revenue_c().alias("rev_c")
+    )
+    rev = li.groupBy("l_suppkey").agg(F.sum("rev_c").alias("total_revenue_c"))
+    mx = rev.agg(F.max("total_revenue_c").alias("max_rev"))
+    s = supplier.select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx), rev.total_revenue_c == mx.max_rev)
+        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue_c")
+        .orderBy("s_suppkey")
+    )
+
+
+# threshold: keep lineitems with qty_c < (3/10) * avg qty_c of the part.
+Q17_NUM, Q17_DEN = 3, 10
+
+
+def q17_small_qty_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Q17 shape: revenue from order lines far below their part's
+    average quantity — the correlated-scalar-subquery pattern, decomposed
+    into aggregate-then-rejoin.
+
+    Per-part quantity moments aggregate first (shuffle ∝ |parts|); the
+    agg result is catalog-sized, so it BROADCASTS back onto the fact
+    scan — the fact table never shuffles. The threshold compare
+    ``qty < 0.3 * avg`` is cross-multiplied into pure BIGINT
+    (``10*qty_c*cnt < 3*sum_qty_c``): no double division, so the
+    boundary rows land identically on both engines.
+
+    Returns one row ``(n_small_lines, revenue_c)``.
+    """
+    qty_c = cents(F.col("l_quantity"))
+    per_part = (
+        lineitem.select("l_partkey", qty_c.alias("q_c"))
+        .groupBy("l_partkey")
+        .agg(F.sum("q_c").alias("sum_q_c"), F.count("*").alias("n_lines"))
+        .withColumnRenamed("l_partkey", "pk")
+    )
+    li = lineitem.select("l_partkey", qty_c.alias("q_c"), _revenue_c().alias("rev_c"))
+    return (
+        li.join(F.broadcast(per_part), li.l_partkey == per_part.pk)
+        .filter(
+            F.col("q_c") * F.col("n_lines") * F.lit(Q17_DEN)
+            < F.col("sum_q_c") * F.lit(Q17_NUM)
+        )
+        .agg(F.count("*").alias("n_small_lines"), F.sum("rev_c").alias("revenue_c"))
+    )
+
+
+Q18_QTY_C = 300 * 100  # orders with > 300 total quantity (centi-units)
+
+
+def q18_large_volume_customers(
+    lineitem: DataFrame, orders: DataFrame, customer: DataFrame, k: int = 50
+) -> DataFrame:
+    """Q18: customers who placed very large orders — the group-HAVING
+    semi-join shape. Per-order quantity sums aggregate first and the
+    HAVING cut drops ~99.9% of orders BEFORE any join; the survivors
+    (a tiny set) then join orders and the broadcast customer dim.
+    Top-k is TakeOrdered on the surviving handful.
+
+    Returns ``(c_custkey, c_name, o_orderkey, o_orderdate_sec,
+    total_qty_c)``.
+    """
+    qty_c = cents(F.col("l_quantity"))
+    big = (
+        lineitem.select("l_orderkey", qty_c.alias("q_c"))
+        .groupBy("l_orderkey")
+        .agg(F.sum("q_c").alias("total_qty_c"))
+        .filter(F.col("total_qty_c") > Q18_QTY_C)
+    )
+    ords = with_date_sec(orders, "o_orderdate").select(
+        "o_orderkey", "o_custkey", F.col("o_orderdate").alias("o_orderdate_sec")
+    )
+    cust = customer.select("c_custkey", "c_name")
+    return (
+        big.join(ords, big.l_orderkey == ords.o_orderkey)
+        .join(F.broadcast(cust), ords.o_custkey == cust.c_custkey)
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate_sec", "total_qty_c")
+        .orderBy(F.col("total_qty_c").desc(), F.col("o_orderkey"))
+        .limit(k)
+    )
+
+
+Q19_BANDS = (
+    ("Brand#11", 1, 15, 100, 1100),  # (brand, size_lo, size_hi, qty_c_lo, qty_c_hi)
+    ("Brand#12", 1, 20, 1000, 2000),
+    ("Brand#13", 1, 25, 2000, 3000),
+)
+
+
+def q19_disjunctive_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Q19 (adapted): revenue under a disjunction of (brand, size band,
+    quantity band) conditions — the predicate-pushdown stress shape (no
+    p_container column; size bands stand in).
+
+    The brand/size disjunction involves only part columns, so it prunes
+    the broadcast side to the 3 brands BEFORE the join; the quantity
+    band rides the join output. The residual OR (which band a row
+    matched) evaluates on broadcast-joined rows — the fact side is
+    filtered by the join itself, never scanned twice.
+
+    Returns one row ``(n_lines, revenue_c)``.
+    """
+    part_pred = None
+    for brand, slo, shi, _, _ in Q19_BANDS:
+        c = (F.col("p_brand") == brand) & F.col("p_size").between(slo, shi)
+        part_pred = c if part_pred is None else (part_pred | c)
+    p = part.filter(part_pred).select("p_partkey", "p_brand", "p_size")
+
+    qty_c = cents(F.col("l_quantity"))
+    li = lineitem.select("l_partkey", qty_c.alias("q_c"), _revenue_c().alias("rev_c"))
+
+    full_pred = None
+    for brand, slo, shi, qlo, qhi in Q19_BANDS:
+        c = (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(slo, shi)
+            & F.col("q_c").between(qlo, qhi)
+        )
+        full_pred = c if full_pred is None else (full_pred | c)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(full_pred)
+        .agg(F.count("*").alias("n_lines"), F.sum("rev_c").alias("revenue_c"))
+    )
+
+
+Q22_CUTOFF = sec("2000-01-01")
+
+
+def q22_dormant_customers(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """Q22 (adapted): high-balance customers with no recent orders — the
+    anti-join + global-scalar-threshold shape (no phone prefixes in this
+    corpus; "recent" replaces the country-code cut).
+
+    The balance threshold (mean positive balance) is computed as integer
+    cent sums and compared by cross-multiplication
+    (``bal_c * n_pos > sum_pos_c``) — no double division crosses
+    engines. The recent-order key set collapses to DISTINCT custkeys
+    before broadcasting into a LEFT ANTI join, so the anti-join probe is
+    ∝ |recent customers|, not |orders|.
+
+    Returns ``(c_nationkey, n_customers, sum_acctbal_c)``.
+    """
+    bal_c = cents(F.col("c_acctbal"))
+    cust = customer.select("c_custkey", "c_nationkey", bal_c.alias("bal_c"))
+    thresh = cust.filter(F.col("bal_c") > 0).agg(
+        F.sum("bal_c").alias("sum_pos_c"), F.count("*").alias("n_pos")
+    )
+    rich = (
+        cust.crossJoin(F.broadcast(thresh))
+        .filter(F.col("bal_c") * F.col("n_pos") > F.col("sum_pos_c"))
+        .select("c_custkey", "c_nationkey", "bal_c")
+    )
+    recent = (
+        date_bounds(orders, "o_orderdate", lo_sec=Q22_CUTOFF)
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        rich.join(
+            F.broadcast(recent), rich.c_custkey == recent.o_custkey, "left_anti"
+        )
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_customers"), F.sum("bal_c").alias("sum_acctbal_c"))
+    )

@@ -250,3 +250,276 @@ def warehouse_oracle_sql() -> dict[str, str]:
         "wh_q13_order_distribution": _Q13_SQL,
         "wh_q14_promo_revenue": _Q14_SQL,
     }
+
+
+# ---------------------------------------------------------------------------
+# Round-5 additions: Q7/Q8/Q9/Q15/Q17/Q18/Q19/Q22 plan shapes.
+# ---------------------------------------------------------------------------
+
+
+def q_q7(spark, sf_dir):
+    return WH.q7_nation_volume(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
+def q_q8(spark, sf_dir):
+    return WH.q8_market_share(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "region"),
+        _t(spark, sf_dir, "part"),
+    )
+
+
+def q_q9(spark, sf_dir):
+    return WH.q9_product_profit(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "part"),
+    )
+
+
+def q_q15(spark, sf_dir):
+    return WH.q15_top_supplier(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "supplier")
+    )
+
+
+def q_q17(spark, sf_dir):
+    return WH.q17_small_qty_revenue(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    )
+
+
+def q_q18(spark, sf_dir):
+    return WH.q18_large_volume_customers(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"),
+    )
+
+
+def q_q19(spark, sf_dir):
+    return WH.q19_disjunctive_revenue(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    )
+
+
+def q_q22(spark, sf_dir):
+    return WH.q22_dormant_customers(
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "customer")
+    )
+
+
+warehouse_queries_r4 = warehouse_queries
+
+
+def warehouse_queries() -> dict[str, QueryFn]:  # noqa: F811
+    out = warehouse_queries_r4()
+    out.update(
+        {
+            "wh_q7_nation_volume": q_q7,
+            "wh_q8_market_share": q_q8,
+            "wh_q9_product_profit": q_q9,
+            "wh_q15_top_supplier": q_q15,
+            "wh_q17_small_qty_revenue": q_q17,
+            "wh_q18_large_volume_customers": q_q18,
+            "wh_q19_disjunctive_revenue": q_q19,
+            "wh_q22_dormant_customers": q_q22,
+        }
+    )
+    return out
+
+
+def _esec(col: str) -> str:
+    return f"(epoch_ns({col}) // 1000000000)"
+
+
+_Q7_SQL = f"""
+WITH nat2 AS (
+  SELECT n_nationkey, n_name FROM nation
+  WHERE n_name IN ('{WH.Q7_NATION_A}', '{WH.Q7_NATION_B}')
+),
+li AS (
+  SELECT l_orderkey, l_suppkey, CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         {_REV} AS rev_c
+  FROM lineitem
+  WHERE {_esec('l_shipdate')} >= {WH.Q7_LO} AND {_esec('l_shipdate')} < {WH.Q7_HI}
+)
+SELECT supp_nation, cust_nation, l_year,
+       CAST(sum(rev_c) AS BIGINT) AS revenue_c
+FROM li
+JOIN orders ON l_orderkey = o_orderkey
+JOIN (SELECT c_custkey, n_name AS cust_nation
+      FROM customer JOIN nat2 ON c_nationkey = n_nationkey) cn
+  ON o_custkey = c_custkey
+JOIN (SELECT s_suppkey, n_name AS supp_nation
+      FROM supplier JOIN nat2 ON s_nationkey = n_nationkey) sn
+  ON l_suppkey = s_suppkey
+WHERE (supp_nation = '{WH.Q7_NATION_A}' AND cust_nation = '{WH.Q7_NATION_B}')
+   OR (supp_nation = '{WH.Q7_NATION_B}' AND cust_nation = '{WH.Q7_NATION_A}')
+GROUP BY supp_nation, cust_nation, l_year"""
+
+
+_Q8_SQL = f"""
+WITH cust AS (
+  SELECT c_custkey FROM customer
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = '{WH.Q8_REGION}'
+),
+supp AS (
+  SELECT s_suppkey, n_name AS supp_nation
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+),
+j AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, supp_nation, {_REV} AS rev_c
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey AND p_type = '{WH.Q8_TYPE}'
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN cust ON o_custkey = c_custkey
+  JOIN supp ON l_suppkey = s_suppkey
+  WHERE {_esec('o_orderdate')} >= {WH.Q8_LO} AND {_esec('o_orderdate')} < {WH.Q8_HI}
+),
+g AS (
+  SELECT o_year,
+         CAST(sum(CASE WHEN supp_nation = '{WH.Q8_NATION}' THEN rev_c ELSE 0 END)
+              AS BIGINT) AS nation_revenue_c,
+         CAST(sum(rev_c) AS BIGINT) AS total_revenue_c
+  FROM j GROUP BY o_year
+)
+SELECT o_year, nation_revenue_c, total_revenue_c,
+       CAST((nation_revenue_c * 1000000) // total_revenue_c AS BIGINT) AS share_ppm
+FROM g"""
+
+
+_Q9_SQL = f"""
+SELECT supp_nation, l_year,
+       CAST(sum(rev_c) AS BIGINT) AS revenue_c,
+       count(*) AS n_items
+FROM (
+  SELECT n_name AS supp_nation, CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         {_REV} AS rev_c
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE p_name LIKE '%{WH.Q9_NAME_FRAGMENT}%'
+)
+GROUP BY supp_nation, l_year"""
+
+
+_Q15_SQL = f"""
+WITH rev AS (
+  SELECT l_suppkey, CAST(sum({_REV}) AS BIGINT) AS total_revenue_c
+  FROM lineitem
+  WHERE {_esec('l_shipdate')} >= {WH.Q15_LO} AND {_esec('l_shipdate')} < {WH.Q15_HI}
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue_c
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue_c = (SELECT max(total_revenue_c) FROM rev)
+ORDER BY s_suppkey"""
+
+
+_Q17_SQL = f"""
+WITH li AS (
+  SELECT l_partkey, CAST(round(l_quantity * 100) AS BIGINT) AS q_c,
+         {_REV} AS rev_c
+  FROM lineitem
+),
+pp AS (
+  SELECT l_partkey AS pk, sum(q_c) AS sum_q_c, count(*) AS n_lines
+  FROM li GROUP BY l_partkey
+)
+SELECT count(*) AS n_small_lines, CAST(sum(rev_c) AS BIGINT) AS revenue_c
+FROM li JOIN pp ON l_partkey = pk
+WHERE q_c * n_lines * {WH.Q17_DEN} < sum_q_c * {WH.Q17_NUM}"""
+
+
+_Q18_SQL = f"""
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS total_qty_c
+  FROM lineitem GROUP BY l_orderkey
+  HAVING total_qty_c > {WH.Q18_QTY_C}
+)
+SELECT c_custkey, c_name, o_orderkey,
+       {_esec('o_orderdate')} AS o_orderdate_sec, total_qty_c
+FROM big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY total_qty_c DESC, o_orderkey
+LIMIT 50"""
+
+
+def _q19_sql() -> str:
+    clauses = []
+    for brand, slo, shi, qlo, qhi in WH.Q19_BANDS:
+        clauses.append(
+            f"(p_brand = '{brand}' AND p_size BETWEEN {slo} AND {shi} "
+            f"AND q_c BETWEEN {qlo} AND {qhi})"
+        )
+    disj = "\n   OR ".join(clauses)
+    return f"""
+WITH li AS (
+  SELECT l_partkey, CAST(round(l_quantity * 100) AS BIGINT) AS q_c,
+         {_REV} AS rev_c
+  FROM lineitem
+)
+SELECT count(*) AS n_lines, CAST(sum(rev_c) AS BIGINT) AS revenue_c
+FROM li JOIN part ON l_partkey = p_partkey
+WHERE {disj}"""
+
+
+_Q22_SQL = f"""
+WITH cust AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+  FROM customer
+),
+th AS (
+  SELECT sum(bal_c) AS sum_pos_c, count(*) AS n_pos FROM cust WHERE bal_c > 0
+),
+rich AS (
+  SELECT c_custkey, c_nationkey, bal_c FROM cust, th
+  WHERE bal_c * n_pos > sum_pos_c
+),
+recent AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE {_esec('o_orderdate')} >= {WH.Q22_CUTOFF}
+)
+SELECT c_nationkey, count(*) AS n_customers,
+       CAST(sum(bal_c) AS BIGINT) AS sum_acctbal_c
+FROM rich
+WHERE NOT EXISTS (SELECT 1 FROM recent WHERE o_custkey = rich.c_custkey)
+GROUP BY c_nationkey"""
+
+
+warehouse_oracle_sql_r4 = warehouse_oracle_sql
+
+
+def warehouse_oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = warehouse_oracle_sql_r4()
+    out.update(
+        {
+            "wh_q7_nation_volume": _Q7_SQL,
+            "wh_q8_market_share": _Q8_SQL,
+            "wh_q9_product_profit": _Q9_SQL,
+            "wh_q15_top_supplier": _Q15_SQL,
+            "wh_q17_small_qty_revenue": _Q17_SQL,
+            "wh_q18_large_volume_customers": _Q18_SQL,
+            "wh_q19_disjunctive_revenue": _q19_sql(),
+            "wh_q22_dormant_customers": _Q22_SQL,
+        }
+    )
+    return out

@@ -125,7 +125,9 @@ def wh_tables(spark):
 
     return {
         t: read_table(spark, SF_DIR, t)
-        for t in ("lineitem", "orders", "customer", "supplier", "nation", "region")
+        for t in (
+            "lineitem", "orders", "customer", "supplier", "nation", "region", "part",
+        )
     }
 
 
@@ -305,3 +307,123 @@ def test_q13_counts_zero_order_customers(spark):
     out = {r.n_orders: r.n_customers for r in
            WH.q13_order_distribution(orders, customer).collect()}
     assert out == {2: 1, 1: 1, 0: 1}
+
+
+# ---------------------------------------------------------------------------
+# Round-5 warehouse shapes (Q7/Q8/Q9/Q15/Q17/Q18/Q19/Q22)
+# ---------------------------------------------------------------------------
+
+
+def test_q9_fact_never_shuffles(spark, wh_tables):
+    """Q9's only exchange is the final (nation, year) aggregation —
+    every join broadcasts, so the fact scan has no shuffle before the
+    partial agg."""
+    from iot_real_time_data_pipeline_spark.operators import warehouse as WH
+
+    plan = plan_of(
+        WH.q9_product_profit(
+            wh_tables["lineitem"], wh_tables["supplier"],
+            wh_tables["nation"], wh_tables["part"],
+        )
+    )
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q15_max_is_broadcast_back_not_recomputed(spark, wh_tables):
+    from iot_real_time_data_pipeline_spark.operators import warehouse as WH
+
+    df = WH.q15_top_supplier(wh_tables["lineitem"], wh_tables["supplier"])
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    rows = df.collect()
+    assert len(rows) >= 1
+    # every returned supplier carries the same (max) revenue
+    assert len({r.total_revenue_c for r in rows}) == 1
+
+
+def test_q17_per_part_agg_broadcasts_back(spark, wh_tables):
+    """The aggregate-then-rejoin decomposition of the correlated scalar
+    subquery: the per-part moments frame is catalog-sized and must come
+    back as the BROADCAST side — the fact table never shuffles."""
+    from iot_real_time_data_pipeline_spark.operators import warehouse as WH
+
+    df = WH.q17_small_qty_revenue(wh_tables["lineitem"], wh_tables["part"])
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    row = df.collect()[0]
+    assert row.n_small_lines > 0 and row.revenue_c > 0
+
+
+def test_q18_having_cut_precedes_joins(spark, wh_tables):
+    from iot_real_time_data_pipeline_spark.operators import warehouse as WH
+
+    df = WH.q18_large_volume_customers(
+        wh_tables["lineitem"], wh_tables["orders"], wh_tables["customer"]
+    )
+    rows = df.collect()
+    assert all(r.total_qty_c > WH.Q18_QTY_C for r in rows)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q19_brand_filter_prunes_broadcast_side(spark, wh_tables):
+    """The part-only half of the disjunction must prune the part scan
+    (PushedFilters / a Filter under the broadcast exchange), keeping the
+    broadcast build input to the 3 brands."""
+    from iot_real_time_data_pipeline_spark.operators import warehouse as WH
+
+    df = WH.q19_disjunctive_revenue(wh_tables["lineitem"], wh_tables["part"])
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    # the brand IN-set must appear in the part-side scan pushdown
+    assert "p_brand" in plan.split("BroadcastHashJoin")[-1] or "PushedFilters" in plan
+    row = df.collect()[0]
+    assert row.n_lines > 0
+
+
+def test_q22_anti_join_on_distinct_recent_keys(spark, wh_tables):
+    from iot_real_time_data_pipeline_spark.operators import warehouse as WH
+
+    df = WH.q22_dormant_customers(wh_tables["orders"], wh_tables["customer"])
+    plan = plan_of(df)
+    assert "LeftAnti" in plan
+    rows = df.collect()
+    # threshold cut: every group only counts above-average balances, so
+    # per-customer average balance in the result exceeds the global mean
+    # positive balance — spot-check totals are positive and plausible.
+    assert all(r.n_customers > 0 and r.sum_acctbal_c > 0 for r in rows)
+
+
+def test_q7_nation_maps_broadcast_and_semi_filter(spark, wh_tables):
+    from iot_real_time_data_pipeline_spark.operators import warehouse as WH
+
+    df = WH.q7_nation_volume(
+        wh_tables["lineitem"], wh_tables["orders"], wh_tables["customer"],
+        wh_tables["supplier"], wh_tables["nation"],
+    )
+    plan = plan_of(df)
+    assert plan.count("BroadcastHashJoin") >= 2
+    rows = df.collect()
+    pairs = {(r.supp_nation, r.cust_nation) for r in rows}
+    assert pairs <= {
+        (WH.Q7_NATION_A, WH.Q7_NATION_B),
+        (WH.Q7_NATION_B, WH.Q7_NATION_A),
+    }
+
+
+def test_q8_share_is_single_scan_conditional_agg(spark, wh_tables):
+    from iot_real_time_data_pipeline_spark.operators import warehouse as WH
+
+    df = WH.q8_market_share(
+        wh_tables["lineitem"], wh_tables["orders"], wh_tables["customer"],
+        wh_tables["supplier"], wh_tables["nation"], wh_tables["region"],
+        wh_tables["part"],
+    )
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.nation_revenue_c <= r.total_revenue_c
+        assert 0 <= r.share_ppm <= 1_000_000
