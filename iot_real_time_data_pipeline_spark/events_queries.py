@@ -66,6 +66,14 @@ def q_multi_action(spark, sf_dir):
     return EA.multi_action_users(_events(spark, sf_dir))
 
 
+def q_scd2(spark, sf_dir):
+    return EA.scd2_intervals(_events(spark, sf_dir))
+
+
+def q_moving_avg(spark, sf_dir):
+    return EA.daily_moving_avg(_events(spark, sf_dir))
+
+
 def events_queries() -> dict[str, QueryFn]:
     return {
         "events_sessionize": q_sessionize,
@@ -79,6 +87,8 @@ def events_queries() -> dict[str, QueryFn]:
         "events_dau_wau": q_dau_wau,
         "events_value_deciles": q_deciles,
         "events_multi_action_users": q_multi_action,
+        "events_scd2_intervals": q_scd2,
+        "events_daily_moving_avg": q_moving_avg,
     }
 
 
@@ -269,6 +279,60 @@ INTERSECT
 SELECT DISTINCT user_id FROM events WHERE event_type = 'error'"""
 
 
+_SCD2_SQL = f"""
+WITH {_EV_CTE},
+flagged AS (
+  SELECT user_id, event_type, ts_sec, event_id,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                OR lag(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS is_change
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)
+),
+versioned AS (
+  SELECT user_id, event_type, ts_sec,
+         CAST(sum(is_change) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS version
+  FROM flagged
+),
+iv AS (
+  SELECT user_id, version, min(event_type) AS event_type,
+         min(ts_sec) AS valid_from_sec, count(*) AS n_events
+  FROM versioned GROUP BY user_id, version
+)
+SELECT user_id, version, event_type, valid_from_sec,
+       CAST(coalesce(lead(valid_from_sec)
+            OVER (PARTITION BY user_id ORDER BY version), -1) AS BIGINT)
+         AS valid_to_sec,
+       n_events,
+       CAST(CASE WHEN lead(valid_from_sec)
+                      OVER (PARTITION BY user_id ORDER BY version) IS NULL
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_current
+FROM iv"""
+
+
+_MOVING_AVG_SQL = f"""
+WITH {_EV_CTE},
+daily AS (
+  SELECT event_type, ts_sec // 86400 AS day,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS daily_sum_c,
+         count(*) AS n_events
+  FROM ev GROUP BY 1, 2
+),
+win AS (
+  SELECT event_type, day, daily_sum_c,
+         CAST(sum(daily_sum_c) OVER w AS BIGINT) AS trailing_sum_c,
+         CAST(sum(n_events) OVER w AS BIGINT) AS trailing_n
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               RANGE BETWEEN {EA.MOVING_AVG_DAYS - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, day, daily_sum_c, trailing_sum_c, trailing_n,
+       CAST(trailing_sum_c // trailing_n AS BIGINT) AS trailing_avg_c
+FROM win"""
+
+
 def events_oracle_sql() -> dict[str, str]:
     return {
         "events_sessionize": _SESSIONIZE_SQL,
@@ -282,4 +346,6 @@ def events_oracle_sql() -> dict[str, str]:
         "events_dau_wau": _DAU_WAU_SQL,
         "events_value_deciles": _DECILES_SQL,
         "events_multi_action_users": _MULTI_ACTION_SQL,
+        "events_scd2_intervals": _SCD2_SQL,
+        "events_daily_moving_avg": _MOVING_AVG_SQL,
     }

@@ -213,6 +213,10 @@ def q_int8_topk(spark, sf_dir):
     return SIM.int8_topk(_emb(spark, sf_dir), _emb_queries(spark, sf_dir), k=5)
 
 
+def q_semantic_dedup(spark, sf_dir):
+    return SIM.semantic_dedup(_emb(spark, sf_dir))
+
+
 def q_chunks(spark, sf_dir):
     return CUR.chunk_documents(_docs(spark, sf_dir))
 
@@ -283,6 +287,7 @@ def llm_queries() -> dict[str, QueryFn]:
         "emb_int8_quantize": q_int8_quantize,
         "emb_kmeans_assign": q_kmeans_assign,
         "emb_int8_topk": q_int8_topk,
+        "emb_semantic_dedup": q_semantic_dedup,
     }
 
 
@@ -1146,29 +1151,66 @@ SELECT query_id, rank, neighbor_id, {TH.sql_quantized6('cosine')} AS cosine
 FROM r WHERE rank <= 5"""
 
 
-def _sql_kmeans_assign() -> str:
+def _kmeans_ctes() -> str:
+    """Shared CTE chain: deterministic-seed k-means assignment
+    (mirrors ``similarity.kmeans_assign``). Terminal CTE ``kassign`` is
+    ``(vec_id, cluster, d2)``."""
     k = SIM.KMEANS_K
     d2 = (
         "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
         "list_transform(range(1, len(v) + 1), "
         "i -> (v[i] - cv[i]) * (v[i] - cv[i]))), (a, x) -> a + x)"
     )
-    return f"""
-WITH {_EMB_CTE},
+    return f"""{_EMB_CTE},
 cent AS (
   SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster,
          v AS cv
   FROM e ORDER BY vec_id LIMIT {k}
 ),
-scored AS (
+kscored AS (
   SELECT e.vec_id, cent.cluster, {d2} AS d2 FROM e, cent
 ),
-r AS (
-  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
-  FROM scored
-)
+kassign AS (
+  SELECT vec_id, cluster, d2 FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+    FROM kscored
+  ) WHERE rn = 1
+)"""
+
+
+def _sql_kmeans_assign() -> str:
+    return f"""
+WITH {_kmeans_ctes()}
 SELECT vec_id, cluster, {TH.sql_quantized6('d2')} AS dist2
-FROM r WHERE rn = 1"""
+FROM kassign"""
+
+
+def _sql_semantic_dedup() -> str:
+    dot_ab = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(range(1, len(av) + 1), i -> av[i] * bv[i])), (a, x) -> a + x)"
+    )
+    norm_of = (
+        "sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform({0}, x -> x * x)), (a, x) -> a + x))"
+    )
+    return f"""
+WITH {_kmeans_ctes()},
+av AS (
+  SELECT e.vec_id, kassign.cluster, e.v, {norm_of.format('e.v')} AS n
+  FROM e JOIN kassign ON e.vec_id = kassign.vec_id
+),
+pairs AS (
+  SELECT a.vec_id, a.cluster, b.vec_id AS vec_b,
+         a.v AS av, b.v AS bv, a.n * b.n AS nn
+  FROM av a JOIN av b ON a.cluster = b.cluster AND b.vec_id < a.vec_id
+),
+sscored AS (
+  SELECT vec_id, cluster, vec_b, {dot_ab} / nn AS cosine FROM pairs
+)
+SELECT vec_id, cluster, min(vec_b) AS dup_of, count(*) AS n_dups
+FROM sscored WHERE cosine >= {SIM.SEMDEDUP_THRESHOLD}
+GROUP BY vec_id, cluster"""
 
 
 def _sql_chunks() -> str:
@@ -1293,6 +1335,7 @@ def llm_oracle_sql() -> dict[str, str]:
         "mm_frame_sample": _sql_frame_sample(),
         "emb_kmeans_assign": _sql_kmeans_assign(),
         "emb_int8_topk": _sql_int8_topk(),
+        "emb_semantic_dedup": _sql_semantic_dedup(),
         "docs_chunks": _sql_chunks(),
         "docs_pack_sequences": _sql_pack_sequences(),
         "docs_length_percentiles": _sql_length_percentiles(),

@@ -433,3 +433,90 @@ def multi_action_users(events: DataFrame) -> DataFrame:
     buyers = events.filter(F.col("event_type") == "purchase").select("user_id").distinct()
     erring = events.filter(F.col("event_type") == "error").select("user_id").distinct()
     return buyers.intersect(erring)
+
+
+def scd2_intervals(events: DataFrame) -> DataFrame:
+    """Slowly-changing-dimension (type 2) history build from a change
+    stream: collapse each user's event-type runs into versioned
+    validity intervals — the dimension-table maintenance operator every
+    warehouse load needs (the reference's star schema keeps only
+    current-state dims; this is the versioned form).
+
+    Plan: ONE shuffle on ``user_id``, then three stacked windows over
+    the same partitioning (lag -> change flag -> running version sum),
+    a co-located groupBy per (user, version), and a lead window for the
+    interval close — Spark reuses the (user_id)-hashed sort for all of
+    them. Open intervals use the ``-1`` sentinel (BIGINT, never NULL)
+    so the cross-engine hash is total.
+
+    Returns ``(user_id, version, event_type, valid_from_sec,
+    valid_to_sec, n_events, is_current)``.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+    prev_type = F.lag("event_type").over(w)
+    is_change = F.when(
+        prev_type.isNull() | (prev_type != F.col("event_type")), F.lit(1)
+    ).otherwise(F.lit(0))
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    versioned = events.withColumn("version", F.sum(is_change).over(run).cast("long"))
+    iv = versioned.groupBy("user_id", "version").agg(
+        # event_type is constant within a version run by construction
+        F.min("event_type").alias("event_type"),
+        F.min("ts_sec").alias("valid_from_sec"),
+        F.count("*").alias("n_events"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("version")
+    return (
+        iv.withColumn(
+            "valid_to_sec",
+            F.coalesce(F.lead("valid_from_sec").over(w2), F.lit(-1)).cast("long"),
+        )
+        .withColumn(
+            "is_current", (F.col("valid_to_sec") == -1).cast("long")
+        )
+        .select(
+            "user_id", "version", "event_type", "valid_from_sec",
+            "valid_to_sec", "n_events", "is_current",
+        )
+    )
+
+
+MOVING_AVG_DAYS = 7
+
+
+def daily_moving_avg(events: DataFrame, days: int = MOVING_AVG_DAYS) -> DataFrame:
+    """Trailing ``days``-day moving average of event value per type —
+    the RANGE-frame window shape (frame bounds in *key units*, not row
+    counts, so gap days shrink the frame instead of stretching it).
+
+    Two-level plan: the raw stream partial-aggregates to one row per
+    (event_type, day) FIRST (shuffle ∝ |types| x |days|, never event
+    volume), and the window runs on that tiny rollup — the pattern that
+    makes trailing metrics free at 100 TB. Values are integer cents;
+    the average is an integer division (daily sums are non-negative, so
+    truncating ``div`` == the oracle's floor ``//``).
+
+    Returns ``(event_type, day, daily_sum_c, trailing_sum_c,
+    trailing_n, trailing_avg_c)``.
+    """
+    val_c = F.round(F.col("value") * 100).cast("long")
+    daily = (
+        events.withColumn("day", F.expr("ts_sec div 86400"))
+        .groupBy("event_type", "day")
+        .agg(F.sum(val_c).alias("daily_sum_c"), F.count("*").alias("n_events"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rangeBetween(-(days - 1), Window.currentRow)
+    )
+    return (
+        daily.select(
+            "event_type",
+            "day",
+            "daily_sum_c",
+            F.sum("daily_sum_c").over(w).alias("trailing_sum_c"),
+            F.sum("n_events").over(w).alias("trailing_n"),
+        )
+        .withColumn("trailing_avg_c", F.expr("trailing_sum_c div trailing_n"))
+    )

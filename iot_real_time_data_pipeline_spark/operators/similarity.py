@@ -634,3 +634,57 @@ def _fold_sum2(codes: F.Column) -> F.Column:
         F.lit(0).cast("long"),
         lambda a, x: a + x,
     )
+
+
+SEMDEDUP_THRESHOLD = 0.45
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    k: int = KMEANS_K,
+    threshold: float = SEMDEDUP_THRESHOLD,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding space with k-means, then search for near-duplicates ONLY
+    within each cluster — pairwise cosine never crosses a cluster
+    boundary, turning the O(n^2) all-pairs problem into
+    O(sum cluster_size^2).
+
+    The cluster id is the join key: members co-locate on one exchange
+    and the quadratic work is per-cluster-local. The published
+    algorithm's scale contract applies — ``k`` grows with the corpus
+    (k ~ n/10^4 keeps clusters bounded), so per-reducer work stays flat
+    at 100 TB; the deterministic seed init here (first-k by vec_id, see
+    :func:`kmeans_assign`) stands in for the paper's random init, and
+    ``centroids`` accepts converged Lloyd centers for production use.
+
+    A vector is a duplicate if some LOWER-id cluster-mate has cosine
+    >= ``threshold`` (the paper keeps one exemplar per duplicate
+    group; lowest-id is the deterministic choice). Returns only the
+    dropped vectors: ``(vec_id, cluster, dup_of, n_dups)`` where
+    ``dup_of`` is the lowest-id duplicate partner and ``n_dups`` the
+    number of cluster-mates over the threshold.
+    """
+    assign = kmeans_assign(embeddings, k=k, centroids=centroids).select(
+        "vec_id", "cluster"
+    )
+    vecs = embeddings.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    a = vecs.join(assign, "vec_id").withColumn("n", norm(F.col("v")))
+    b = a.select(
+        F.col("cluster").alias("cluster_b"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("vb"),
+        F.col("n").alias("nb"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("cluster") == F.col("cluster_b")) & (F.col("vec_b") < F.col("vec_id")),
+    )
+    cosine = dot(F.col("v"), F.col("vb")) / (F.col("n") * F.col("nb"))
+    return (
+        pairs.withColumn("cosine", cosine)
+        .filter(F.col("cosine") >= threshold)
+        .groupBy("vec_id", "cluster")
+        .agg(F.min("vec_b").alias("dup_of"), F.count("*").alias("n_dups"))
+    )

@@ -313,3 +313,78 @@ def test_multi_action_users_intersection(spark):
     ]
     out = {r.user_id for r in EA.multi_action_users(_events(spark, rows)).collect()}
     assert out == {1}
+
+
+# ---------------------------------------------------------------------------
+# Round-5: SCD2 intervals + trailing moving average
+# ---------------------------------------------------------------------------
+
+
+def test_scd2_intervals_partition_the_timeline(spark):
+    rows = [
+        # user 1: view view click view  -> 3 versions
+        (1, 1, "view", 1.0, 100),
+        (2, 1, "view", 1.0, 200),
+        (3, 1, "click", 1.0, 300),
+        (4, 1, "view", 1.0, 400),
+        # user 2: single state
+        (5, 2, "error", 1.0, 50),
+    ]
+    out = sorted(
+        EA.scd2_intervals(_events(spark, rows)).collect(),
+        key=lambda r: (r.user_id, r.version),
+    )
+    u1 = [r for r in out if r.user_id == 1]
+    assert [r.event_type for r in u1] == ["view", "click", "view"]
+    assert [r.version for r in u1] == [1, 2, 3]
+    assert [r.n_events for r in u1] == [2, 1, 1]
+    # intervals tile: each closes exactly where the next opens
+    assert [(r.valid_from_sec, r.valid_to_sec) for r in u1] == [
+        (100, 300), (300, 400), (400, -1),
+    ]
+    assert [r.is_current for r in u1] == [0, 0, 1]
+    u2 = [r for r in out if r.user_id == 2]
+    assert len(u2) == 1 and u2[0].is_current == 1 and u2[0].valid_to_sec == -1
+
+
+def test_scd2_same_second_ties_break_on_event_id(spark):
+    rows = [
+        (10, 1, "a", 1.0, 100),
+        (11, 1, "b", 1.0, 100),  # same ts — event_id orders the run
+        (12, 1, "b", 1.0, 200),
+    ]
+    out = sorted(
+        EA.scd2_intervals(_events(spark, rows)).collect(), key=lambda r: r.version
+    )
+    assert [r.event_type for r in out] == ["a", "b"]
+    assert [r.n_events for r in out] == [1, 2]
+
+
+def test_daily_moving_avg_matches_python_reference(spark):
+    rows = []
+    eid = 0
+    for day in (0, 1, 2, 5, 9):  # gap days: RANGE frame must shrink
+        for j in range(3):
+            eid += 1
+            rows.append((eid, 1, "view", float(day * 10 + j), day * 86400 + j))
+    out = {
+        (r.event_type, r.day): r
+        for r in EA.daily_moving_avg(_events(spark, rows), days=3).collect()
+    }
+    # python reference over the same integer-cent daily sums
+    daily = {}
+    for (_, _, _, v, ts) in rows:
+        d = ts // 86400
+        s, n = daily.get(d, (0, 0))
+        daily[d] = (s + round(v * 100), n + 1)
+    for d, (s, n) in daily.items():
+        window = [daily[x] for x in range(d - 2, d + 1) if x in daily]
+        tsum = sum(x[0] for x in window)
+        tn = sum(x[1] for x in window)
+        r = out[("view", d)]
+        assert r.daily_sum_c == s
+        assert r.trailing_sum_c == tsum and r.trailing_n == tn
+        assert r.trailing_avg_c == tsum // tn
+    # day 5 and 9 are isolated: their trailing window is just themselves
+    assert out[("view", 5)].trailing_n == 3
+    assert out[("view", 9)].trailing_n == 3

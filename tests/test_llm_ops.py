@@ -1043,3 +1043,42 @@ def test_decontaminated_corpus_drops_flagged_only(spark):
     ev = df.filter(F.col("doc_id") % 50 == 0)
     kept = {r.doc_id for r in DD.decontaminated_corpus(train, ev).collect()}
     assert kept == {2}
+
+
+def test_semantic_dedup_matches_numpy_within_cluster_scan(spark):
+    """Every SemDeDup drop decision re-derived with numpy: same
+    deterministic k-means seeds, exact within-cluster cosine scan."""
+    import numpy as np
+
+    from iot_real_time_data_pipeline_spark.entrypoints import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    out = {r.vec_id: r for r in SIM.semantic_dedup(emb).collect()}
+
+    rows = sorted(
+        ((r.vec_id, np.array(r.embedding, dtype=np.float64)) for r in emb.collect()),
+        key=lambda t: t[0],
+    )
+    ids = [t[0] for t in rows]
+    V = np.stack([t[1] for t in rows])
+    seeds = V[: SIM.KMEANS_K]
+    d2 = ((V[:, None, :] - seeds[None, :, :]) ** 2).sum(axis=2)
+    cluster = d2.argmin(axis=1)
+
+    expected = {}
+    for ci in range(SIM.KMEANS_K):
+        members = [i for i in range(len(ids)) if cluster[i] == ci]
+        for pos, i in enumerate(members):
+            dups = []
+            for j in members[:pos]:
+                cos = float(
+                    V[i] @ V[j] / (np.linalg.norm(V[i]) * np.linalg.norm(V[j]))
+                )
+                if cos >= SIM.SEMDEDUP_THRESHOLD - 1e-9:
+                    dups.append(ids[j])
+            if dups:
+                expected[ids[i]] = (ci, min(dups), len(dups))
+    assert set(out) == set(expected)
+    for vid, (ci, dup_of, n) in expected.items():
+        r = out[vid]
+        assert (r.cluster, r.dup_of, r.n_dups) == (ci, dup_of, n)
