@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from .driver_queries import QueryFn
 from .entrypoints import read_table
 from .operators import events_analytics as EA
+from .operators import sketches as SK
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -74,6 +75,14 @@ def q_moving_avg(spark, sf_dir):
     return EA.daily_moving_avg(_events(spark, sf_dir))
 
 
+def q_kmv(spark, sf_dir):
+    return SK.kmv_distinct(_events(spark, sf_dir))
+
+
+def q_cms(spark, sf_dir):
+    return SK.cms_table(_events(spark, sf_dir))
+
+
 def events_queries() -> dict[str, QueryFn]:
     return {
         "events_sessionize": q_sessionize,
@@ -89,6 +98,8 @@ def events_queries() -> dict[str, QueryFn]:
         "events_multi_action_users": q_multi_action,
         "events_scd2_intervals": q_scd2,
         "events_daily_moving_avg": q_moving_avg,
+        "events_kmv_distinct": q_kmv,
+        "events_cms_table": q_cms,
     }
 
 
@@ -333,6 +344,47 @@ SELECT event_type, day, daily_sum_c, trailing_sum_c, trailing_n,
 FROM win"""
 
 
+
+
+def _kmv_sql() -> str:
+    p, k = SK.HASH_P, SK.KMV_K
+    return f"""
+WITH hashed AS (
+  SELECT DISTINCT event_type,
+         ({SK.KMV_A} * (user_id % {p}) + {SK.KMV_B}) % {p} AS h
+  FROM events
+),
+topk AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM hashed
+),
+g AS (
+  SELECT event_type, count(*) AS n_hashes_kept, max(h) AS m_k
+  FROM topk WHERE rn <= {k} GROUP BY event_type
+)
+SELECT event_type, n_hashes_kept,
+       CAST(CASE WHEN n_hashes_kept < {k} THEN n_hashes_kept
+                 ELSE (CAST({k - 1} AS BIGINT) * {p}) // m_k END AS BIGINT)
+         AS kmv_estimate
+FROM g"""
+
+
+def _cms_sql() -> str:
+    p, w = SK.HASH_P, SK.CMS_WIDTH
+    selects = [
+        f"SELECT CAST({i} AS BIGINT) AS depth, "
+        f"(({a} * (user_id % {p}) + {b}) % {p}) % {w} AS slot FROM events"
+        for i, (a, b) in enumerate(SK.CMS_AB)
+    ]
+    union = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH cells AS (
+{union}
+)
+SELECT depth, slot, count(*) AS n_events FROM cells GROUP BY depth, slot"""
+
+
 def events_oracle_sql() -> dict[str, str]:
     return {
         "events_sessionize": _SESSIONIZE_SQL,
@@ -348,4 +400,6 @@ def events_oracle_sql() -> dict[str, str]:
         "events_multi_action_users": _MULTI_ACTION_SQL,
         "events_scd2_intervals": _SCD2_SQL,
         "events_daily_moving_avg": _MOVING_AVG_SQL,
+        "events_kmv_distinct": _kmv_sql(),
+        "events_cms_table": _cms_sql(),
     }

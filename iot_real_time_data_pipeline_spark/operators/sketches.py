@@ -1,0 +1,178 @@
+"""Distributed sketch operators over the events stream.
+
+At 100 TB, "how many distinct users" and "how often does user X
+appear" cannot afford an exact global distinct per ad-hoc question —
+sketches answer them with bounded memory and one partial-aggregated
+pass. Two families ship here:
+
+- **Deterministic, oracle-checkable sketches** (KMV distinct-count,
+  count-min frequency table): built from the same arithmetic hash
+  family as ``functions.texthash`` (``(a*x + b) mod p``, fixed seeded
+  constants), so Spark and the DuckDB oracle compute bit-identical
+  sketch contents — the correctness gate covers not just the estimate
+  but the full sketch state. Both are algebraic: k-smallest-hashes and
+  per-cell counts merge associatively, so they partial-aggregate
+  map-side and the shuffle carries sketch-sized state, never row
+  volume.
+
+- **Spark-native approximate aggregates** (`approx_count_distinct` =
+  HyperLogLog++, `approx_percentile`): the built-in production path.
+  Their estimates are implementation-defined (no cross-engine oracle
+  possible), so they are verified by error-bound tests against exact
+  answers instead (``tests/test_sketches.py``).
+
+Reference parity note: the reference has no sketch layer at all — its
+Lambda counts rows per batch (`lamda.py` batch summary). These are the
+operators that keep those dashboards answerable at cluster scale.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.texthash import HASH_P
+
+# Fixed hash constants — the SQL oracle embeds the same literals.
+_rng = random.Random(20250814)
+KMV_K = 64
+KMV_A = _rng.randrange(1, HASH_P)
+KMV_B = _rng.randrange(0, HASH_P)
+
+CMS_DEPTH = 4
+CMS_WIDTH = 64
+CMS_AB = [
+    (_rng.randrange(1, HASH_P), _rng.randrange(0, HASH_P)) for _ in range(CMS_DEPTH)
+]
+
+
+def _hash_long(col: F.Column, a: int, b: int) -> F.Column:
+    """(a*x + b) mod p over a BIGINT key — products stay far below
+    2^63 for a,b < p = 2^31-1 and x reduced mod p first."""
+    return F.pmod(F.lit(a) * F.pmod(col, F.lit(HASH_P)) + F.lit(b), F.lit(HASH_P))
+
+
+def kmv_distinct(events: DataFrame, k: int = KMV_K) -> DataFrame:
+    """K-minimum-values distinct-count sketch per event type
+    (Bar-Yossef et al. 2002): hash every key, keep the k smallest
+    DISTINCT hash values; the k-th smallest m estimates the distinct
+    count as ``(k-1) * p / m`` (hashes ~ uniform on [0, p)).
+
+    Everything is integer and deterministic, so the DuckDB oracle
+    reproduces the estimate exactly — the rare sketch whose *estimate*
+    sits in the correctness gate, not just its error bound.
+
+    Plan: distinct (type, hash) partial-aggregates map-side (the only
+    row-volume stage), then a row_number window on the per-type hash
+    order — at most k rows per type survive to the final agg. Merging
+    partitions' k-smallest sets is a k-smallest over the union:
+    associative, no resort of raw data.
+
+    Groups with fewer than k distinct keys report their exact count
+    (the sketch is exact below saturation). Returns ``(event_type,
+    n_hashes_kept, kmv_estimate)``.
+    """
+    hashed = events.select(
+        "event_type", _hash_long(F.col("user_id"), KMV_A, KMV_B).alias("h")
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    topk = hashed.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    return (
+        topk.groupBy("event_type")
+        .agg(F.count("*").alias("n_hashes_kept"), F.max("h").alias("m_k"))
+        .select(
+            "event_type",
+            "n_hashes_kept",
+            F.when(
+                F.col("n_hashes_kept") < k, F.col("n_hashes_kept")
+            )
+            .otherwise(
+                F.expr(f"(CAST({k - 1} AS BIGINT) * {HASH_P}) div m_k")
+            )
+            .cast("long")
+            .alias("kmv_estimate"),
+        )
+    )
+
+
+def cms_table(events: DataFrame, depth: int = CMS_DEPTH, width: int = CMS_WIDTH) -> DataFrame:
+    """Count-min sketch of user event frequencies (Cormode &
+    Muthukrishnan 2005): ``depth`` independent hash rows x ``width``
+    counters; a key's frequency estimate is the MIN over its cells and
+    never underestimates.
+
+    The sketch table IS the result: ``depth*width`` rows regardless of
+    input volume. Each event maps to ``depth`` cells (an in-row explode
+    of a literal array — no join), and the groupBy partial-aggregates
+    map-side, so the shuffle carries at most ``depth*width`` partial
+    rows per task. Merging sketches across partitions/streams is cell
+    addition — the algebraic property that makes CMS the standard
+    streaming frequency sketch.
+
+    Returns ``(depth, slot, n_events)`` (cells with zero count are
+    absent — a sparse sketch; readers treat missing as 0).
+    """
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("long").alias("depth"),
+                F.pmod(
+                    _hash_long(F.col("user_id"), a, b), F.lit(width)
+                ).alias("slot"),
+            )
+            for i, (a, b) in enumerate(CMS_AB[:depth])
+        ]
+    )
+    return (
+        events.select(F.explode(cells).alias("c"))
+        .select(F.col("c.depth").alias("depth"), F.col("c.slot").alias("slot"))
+        .groupBy("depth", "slot")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+def cms_estimate(events: DataFrame, keys: DataFrame) -> DataFrame:
+    """Point-frequency estimates for a key set from the CMS: min over
+    the key's ``depth`` cells. The sketch (bounded size) broadcasts;
+    the probe side never shuffles. Returns ``(user_id, est_count)``
+    with the CMS one-sided guarantee est >= true count.
+    """
+    sketch = cms_table(events)
+    probes = keys.select("user_id").distinct()
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("long").alias("depth"),
+                F.pmod(_hash_long(F.col("user_id"), a, b), F.lit(CMS_WIDTH)).alias(
+                    "slot"
+                ),
+            )
+            for i, (a, b) in enumerate(CMS_AB)
+        ]
+    )
+    probe_cells = probes.select(
+        "user_id", F.explode(cells).alias("c")
+    ).select("user_id", F.col("c.depth").alias("depth"), F.col("c.slot").alias("slot"))
+    return (
+        probe_cells.join(F.broadcast(sketch), ["depth", "slot"])
+        .groupBy("user_id")
+        .agg(F.min("n_events").alias("est_count"))
+    )
+
+
+def approx_user_stats(events: DataFrame) -> DataFrame:
+    """The Spark-native approximate path: HyperLogLog++ distinct users
+    and t-digest-style value percentiles per event type, in ONE
+    partial-aggregated pass. Estimates are implementation-defined, so
+    this operator is bound by error tests, not the SQL oracle.
+
+    Returns ``(event_type, n_events, approx_users, p50, p95)``.
+    """
+    return events.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.percentile_approx("value", 0.5).alias("p50"),
+        F.percentile_approx("value", 0.95).alias("p95"),
+    )

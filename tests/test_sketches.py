@@ -1,0 +1,108 @@
+"""Sketch operators: deterministic sketches (KMV, CMS) checked for
+their probabilistic guarantees against exact answers, and the
+Spark-native approximate aggregates bound by error tests (their
+estimates are implementation-defined, so no SQL oracle exists)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from iot_real_time_data_pipeline_spark.operators import events_analytics as EA
+from iot_real_time_data_pipeline_spark.operators import sketches as SK
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    from iot_real_time_data_pipeline_spark.entrypoints import read_table
+
+    return EA.with_ts_sec(read_table(spark, SF_DIR, "events"))
+
+
+def test_kmv_estimate_within_standard_error(spark, events):
+    exact = {
+        r.event_type: r.n
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    est = {r.event_type: r.kmv_estimate for r in SK.kmv_distinct(events).collect()}
+    assert set(est) == set(exact)
+    for t, n in exact.items():
+        if n < SK.KMV_K:
+            assert est[t] == n  # exact below saturation
+        else:
+            # KMV standard error ~ 1/sqrt(k-2); allow 4 sigma
+            rel = abs(est[t] - n) / n
+            assert rel < 4.0 / (SK.KMV_K - 2) ** 0.5, (t, est[t], n)
+
+
+def test_kmv_exact_below_saturation(spark):
+    rows = [(i, i % 10, "view", 1.0, i) for i in range(100)]
+    df = spark.createDataFrame(
+        rows, ["event_id", "user_id", "event_type", "value", "ts_sec"]
+    )
+    out = SK.kmv_distinct(df).collect()
+    assert len(out) == 1 and out[0].kmv_estimate == 10
+
+
+def test_cms_never_underestimates_and_is_tight_for_heavy_keys(spark, events):
+    exact = {
+        r.user_id: r.n
+        for r in events.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    est = {
+        r.user_id: r.est_count
+        for r in SK.cms_estimate(events, events.select("user_id")).collect()
+    }
+    assert set(est) == set(exact)
+    n_total = sum(exact.values())
+    for u, n in exact.items():
+        assert est[u] >= n  # one-sided CMS guarantee
+        # epsilon = e/width per row, min over depth rows; generous bound
+        assert est[u] - n <= 3 * n_total / SK.CMS_WIDTH
+
+
+def test_cms_table_total_mass_per_depth_equals_row_count(spark, events):
+    n = events.count()
+    rows = SK.cms_table(events).collect()
+    for d in range(SK.CMS_DEPTH):
+        assert sum(r.n_events for r in rows if r.depth == d) == n
+
+
+def test_cms_merge_is_cell_addition(spark, events):
+    """Sketch of the union == cell-wise sum of the two halves' sketches
+    — the algebraic property that makes CMS streamable/distributable."""
+    a = events.filter(F.col("event_id") % 2 == 0)
+    b = events.filter(F.col("event_id") % 2 == 1)
+    whole = {(r.depth, r.slot): r.n_events for r in SK.cms_table(events).collect()}
+    merged: dict = {}
+    for half in (a, b):
+        for r in SK.cms_table(half).collect():
+            merged[(r.depth, r.slot)] = merged.get((r.depth, r.slot), 0) + r.n_events
+    assert merged == whole
+
+
+def test_approx_user_stats_error_bounds(spark, events):
+    exact_users = {
+        r.event_type: r.n
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    exact_med = {
+        r.event_type: r.m
+        for r in events.groupBy("event_type")
+        .agg(F.expr("percentile(value, 0.5)").alias("m"))
+        .collect()
+    }
+    out = {r.event_type: r for r in SK.approx_user_stats(events).collect()}
+    for t, n in exact_users.items():
+        r = out[t]
+        assert abs(r.approx_users - n) / n < 0.1  # HLL++ default rsd 5%
+        assert r.p50 <= r.p95
+        # approx_percentile returns a real data value near the median
+        spread = exact_med[t] * 0.25 + 1
+        assert abs(r.p50 - exact_med[t]) <= spread
