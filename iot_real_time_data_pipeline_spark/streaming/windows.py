@@ -84,3 +84,53 @@ def windowed_health(
             "avg_temperature",
         )
     )
+
+
+def correlate_streams(
+    readings: DataFrame,
+    alerts: DataFrame,
+    lookback: str = "10 minutes",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream interval join: for every alert, the sensor
+    readings from the SAME location in the ``lookback`` window ending
+    at the alert — the "what led up to this alert" correlation query.
+
+    This is Spark's watermarked stream-stream inner join: both sides
+    buffer in the state store, co-partitioned on ``loc_id`` (one
+    exchange per side), and the range condition
+    ``alert_ts - lookback <= reading_ts <= alert_ts`` plus the two
+    watermarks lets the engine compute how long each side's state must
+    be retained and evict the rest — bounded state on unbounded
+    streams. Batch frames run the identical plan (watermarks are
+    no-ops), which is how the parity test pins the semantics.
+
+    Inputs need ``(loc_id, event_ts, ...)`` on the readings side and
+    ``(loc_id, alert_ts, alert_type)`` on the alerts side. Returns one
+    row per (alert, qualifying reading).
+    """
+    r = readings
+    a = alerts
+    if readings.isStreaming:
+        r = readings.withWatermark("event_ts", watermark_delay)
+    if alerts.isStreaming:
+        a = alerts.withWatermark("alert_ts", watermark_delay)
+    r = r.select(
+        F.col("loc_id").alias("r_loc_id"),
+        F.col("event_ts"),
+        F.col("event_id").alias("reading_event_id"),
+        F.col("sensor_temperature"),
+    )
+    return a.join(
+        r,
+        (F.col("loc_id") == F.col("r_loc_id"))
+        & (F.col("event_ts") <= F.col("alert_ts"))
+        & (F.col("event_ts") >= F.col("alert_ts") - F.expr(f"INTERVAL {lookback}")),
+    ).select(
+        "loc_id",
+        "alert_ts",
+        "alert_type",
+        "reading_event_id",
+        "event_ts",
+        "sensor_temperature",
+    )

@@ -464,3 +464,95 @@ def test_corpus_kafka_shaped_records_parse(spark):
     assert r.doc_id == 7 and r.text == "hello kafka world"
     assert r.source_seq == "2-41"
     assert r.ingest_ts == datetime.datetime(2024, 3, 1, 6, 0)
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream interval join (alert correlation):
+    append-mode streaming output must equal the identical plan run in
+    batch — and only readings inside the lookback window qualify."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from iot_real_time_data_pipeline_spark.streaming.windows import correlate_streams
+
+    base = datetime.datetime(2024, 3, 1, 6, 0, 0)
+
+    def ts(m):
+        return (base + datetime.timedelta(minutes=m)).isoformat()
+
+    readings = [
+        # (event_id, loc, minute, temp)
+        ("r1", "loc_1", 0, 20.0),
+        ("r2", "loc_1", 8, 21.0),
+        ("r3", "loc_1", 30, 22.0),   # outside any alert's lookback
+        ("r4", "loc_2", 9, 30.0),    # right loc_2 window
+        ("r5", "loc_2", 11, 31.0),   # after the alert: excluded
+    ]
+    alerts = [
+        # (loc, minute, type)
+        ("loc_1", 10, "HIGH_TEMPERATURE"),
+        ("loc_2", 10, "LOW_WATER_LEVEL"),
+    ]
+    r_schema = T.StructType(
+        [
+            T.StructField("event_id", T.StringType()),
+            T.StructField("loc_id", T.StringType()),
+            T.StructField("event_ts", T.TimestampType()),
+            T.StructField("sensor_temperature", T.DoubleType()),
+        ]
+    )
+    a_schema = T.StructType(
+        [
+            T.StructField("loc_id", T.StringType()),
+            T.StructField("alert_ts", T.TimestampType()),
+            T.StructField("alert_type", T.StringType()),
+        ]
+    )
+    rdir, adir = tmp_path / "r_src", tmp_path / "a_src"
+    rdir.mkdir(), adir.mkdir()
+    (rdir / "r.jsonl").write_text(
+        "\n".join(
+            _json.dumps(
+                {"event_id": e, "loc_id": l, "event_ts": ts(m), "sensor_temperature": t}
+            )
+            for e, l, m, t in readings
+        )
+    )
+    (adir / "a.jsonl").write_text(
+        "\n".join(
+            _json.dumps({"loc_id": l, "alert_ts": ts(m), "alert_type": ty})
+            for l, m, ty in alerts
+        )
+    )
+
+    r_stream = spark.readStream.schema(r_schema).json(str(rdir))
+    a_stream = spark.readStream.schema(a_schema).json(str(adir))
+    q = (
+        correlate_streams(r_stream, a_stream)
+        .writeStream.format("memory")
+        .queryName("corr")
+        .option("checkpointLocation", str(tmp_path / "ckpt_corr"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.loc_id, r.alert_type, r.reading_event_id)
+        for r in spark.sql("select * from corr").collect()
+    }
+    assert got == {
+        ("loc_1", "HIGH_TEMPERATURE", "r1"),
+        ("loc_1", "HIGH_TEMPERATURE", "r2"),
+        ("loc_2", "LOW_WATER_LEVEL", "r4"),
+    }
+
+    # batch parity: the same function on batch frames gives the same rows
+    r_batch = spark.read.schema(r_schema).json(str(rdir))
+    a_batch = spark.read.schema(a_schema).json(str(adir))
+    batch = {
+        (r.loc_id, r.alert_type, r.reading_event_id)
+        for r in correlate_streams(r_batch, a_batch).collect()
+    }
+    assert batch == got
