@@ -75,6 +75,14 @@ def q_moving_avg(spark, sf_dir):
     return EA.daily_moving_avg(_events(spark, sf_dir))
 
 
+def q_tw_avg(spark, sf_dir):
+    return EA.time_weighted_avg(_events(spark, sf_dir))
+
+
+def q_gapfill(spark, sf_dir):
+    return EA.gapfill_locf(_events(spark, sf_dir))
+
+
 def q_kmv(spark, sf_dir):
     return SK.kmv_distinct(_events(spark, sf_dir))
 
@@ -98,6 +106,8 @@ def events_queries() -> dict[str, QueryFn]:
         "events_multi_action_users": q_multi_action,
         "events_scd2_intervals": q_scd2,
         "events_daily_moving_avg": q_moving_avg,
+        "events_time_weighted_avg": q_tw_avg,
+        "events_gapfill_locf": q_gapfill,
         "events_kmv_distinct": q_kmv,
         "events_cms_table": q_cms,
     }
@@ -346,6 +356,62 @@ FROM win"""
 
 
 
+_TW_AVG_SQL = f"""
+WITH {_EV_CTE},
+seq AS (
+  SELECT event_type, ts_sec, CAST(round(value * 100) AS BIGINT) AS val_c,
+         lead(ts_sec) OVER (PARTITION BY event_type ORDER BY ts_sec, event_id)
+           AS next_sec
+  FROM ev
+),
+weighted AS (
+  SELECT event_type, val_c, next_sec - ts_sec AS weight_sec
+  FROM seq WHERE next_sec IS NOT NULL
+),
+g AS (
+  SELECT event_type, count(*) AS n_weighted,
+         CAST(sum(weight_sec) AS BIGINT) AS total_sec,
+         CAST(sum(val_c * weight_sec) AS BIGINT) AS tw_sum
+  FROM weighted GROUP BY event_type
+)
+SELECT event_type, n_weighted, total_sec,
+       CAST(tw_sum // total_sec AS BIGINT) AS tw_avg_c
+FROM g"""
+
+
+_GAPFILL_SQL = f"""
+WITH {_EV_CTE},
+rollup AS (
+  SELECT event_type, ts_sec // {EA.GAPFILL_BUCKET_SEC} AS bucket,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS real_sum_c
+  FROM ev GROUP BY 1, 2
+),
+bounds AS (
+  SELECT event_type, min(bucket) AS lo, max(bucket) AS hi
+  FROM rollup GROUP BY event_type
+),
+grid AS (
+  SELECT event_type, unnest(range(lo, hi + 1)) AS bucket FROM bounds
+),
+joined AS (
+  SELECT g.event_type, g.bucket, r.real_sum_c
+  FROM grid g LEFT JOIN rollup r
+    ON g.event_type = r.event_type AND g.bucket = r.bucket
+),
+filled AS (
+  SELECT event_type, bucket, real_sum_c,
+         last_value(real_sum_c IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f
+  FROM joined
+)
+SELECT event_type, bucket,
+       CAST(coalesce(real_sum_c, -1) AS BIGINT) AS real_sum_c,
+       CAST(coalesce(f, -1) AS BIGINT) AS filled_sum_c,
+       CAST(CASE WHEN real_sum_c IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_filled
+FROM filled"""
+
+
 def _kmv_sql() -> str:
     p, k = SK.HASH_P, SK.KMV_K
     return f"""
@@ -400,6 +466,8 @@ def events_oracle_sql() -> dict[str, str]:
         "events_multi_action_users": _MULTI_ACTION_SQL,
         "events_scd2_intervals": _SCD2_SQL,
         "events_daily_moving_avg": _MOVING_AVG_SQL,
+        "events_time_weighted_avg": _TW_AVG_SQL,
+        "events_gapfill_locf": _GAPFILL_SQL,
         "events_kmv_distinct": _kmv_sql(),
         "events_cms_table": _cms_sql(),
     }

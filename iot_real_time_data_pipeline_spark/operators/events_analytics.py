@@ -520,3 +520,98 @@ def daily_moving_avg(events: DataFrame, days: int = MOVING_AVG_DAYS) -> DataFram
         )
         .withColumn("trailing_avg_c", F.expr("trailing_sum_c div trailing_n"))
     )
+
+
+def time_weighted_avg(events: DataFrame) -> DataFrame:
+    """Time-weighted average of ``value`` per event type (the
+    TimescaleDB ``time_weight('LOCF')`` aggregate): each sample's value
+    holds until the next sample arrives, so its weight is the gap to
+    the successor in seconds — irregular sampling stops biasing the
+    mean toward burst periods, which is the right average for
+    last-observation-carried-forward sensors.
+
+    One shuffle on the series key, a lead window on the same sort, then
+    a partial-agged groupBy. The last sample of each series has no
+    successor and carries zero weight (excluded on both engines).
+    All-integer arithmetic: cent values x second weights, with the
+    final average an integer division.
+
+    Returns ``(event_type, n_weighted, total_sec, tw_avg_c)``.
+    """
+    w = Window.partitionBy("event_type").orderBy("ts_sec", "event_id")
+    val_c = F.round(F.col("value") * 100).cast("long")
+    seq = events.select(
+        "event_type", "ts_sec", "event_id", val_c.alias("val_c")
+    ).withColumn("next_sec", F.lead("ts_sec").over(w))
+    weighted = seq.filter(F.col("next_sec").isNotNull()).withColumn(
+        "weight_sec", F.col("next_sec") - F.col("ts_sec")
+    )
+    return (
+        weighted.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_weighted"),
+            F.sum("weight_sec").alias("total_sec"),
+            F.sum(F.col("val_c") * F.col("weight_sec")).alias("tw_sum"),
+        )
+        .select(
+            "event_type",
+            "n_weighted",
+            "total_sec",
+            # weights are non-negative (sorted series), so truncating
+            # div == the oracle's floor //
+            F.expr("tw_sum div total_sec").alias("tw_avg_c"),
+        )
+    )
+
+
+GAPFILL_BUCKET_SEC = 3600
+
+
+def gapfill_locf(events: DataFrame, bucket_sec: int = GAPFILL_BUCKET_SEC) -> DataFrame:
+    """Dense time-bucket grid with last-observation-carried-forward
+    fill (the TimescaleDB ``time_bucket_gapfill`` + ``locf()`` shape):
+    real per-bucket aggregates where data exists, the previous bucket's
+    value where it doesn't — what dashboards need to draw an unbroken
+    line over a sparse series.
+
+    The grid generates from each series' (min, max) bucket — a
+    per-group ``sequence`` explode of the 2-row bound aggregate, NOT a
+    driver-side loop — and left-joins the real rollup (both sides hash
+    on the series key; grid size is buckets x series, independent of
+    event volume). The fill is one ``last_value IGNORE NULLS`` window
+    over the same partitioning. Leading missing buckets (nothing to
+    carry) keep the 0/-1 sentinel convention.
+
+    Returns ``(event_type, bucket, real_sum_c, filled_sum_c,
+    is_filled)`` where ``filled_sum_c = -1`` for unfillable leading
+    buckets.
+    """
+    val_c = F.round(F.col("value") * 100).cast("long")
+    rollup = (
+        events.withColumn("bucket", F.expr(f"ts_sec div {bucket_sec}"))
+        .groupBy("event_type", "bucket")
+        .agg(F.sum(val_c).alias("real_sum_c"))
+    )
+    bounds = rollup.groupBy("event_type").agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    )
+    grid = bounds.select(
+        "event_type", F.explode(F.sequence("lo", "hi")).alias("bucket")
+    )
+    joined = grid.join(rollup, ["event_type", "bucket"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = F.last("real_sum_c", ignorenulls=True).over(w)
+    return joined.select(
+        "event_type",
+        "bucket",
+        F.coalesce(F.col("real_sum_c"), F.lit(-1)).cast("long").alias("real_sum_c"),
+        F.coalesce(filled, F.lit(-1)).cast("long").alias("filled_sum_c"),
+        F.when(F.col("real_sum_c").isNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("is_filled"),
+    )

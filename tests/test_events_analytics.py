@@ -388,3 +388,62 @@ def test_daily_moving_avg_matches_python_reference(spark):
     # day 5 and 9 are isolated: their trailing window is just themselves
     assert out[("view", 5)].trailing_n == 3
     assert out[("view", 9)].trailing_n == 3
+
+
+def test_time_weighted_avg_locf_weighting(spark):
+    rows = [
+        # value 10 holds for 100 s, value 50 for 300 s, last sample unweighted
+        (1, 1, "view", 10.0, 0),
+        (2, 1, "view", 50.0, 100),
+        (3, 1, "view", 99.0, 400),
+    ]
+    out = EA.time_weighted_avg(_events(spark, rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_weighted == 2 and r.total_sec == 400
+    # (1000*100 + 5000*300) / 400 = 4000 cents
+    assert r.tw_avg_c == (1000 * 100 + 5000 * 300) // 400
+
+
+def test_time_weighted_avg_ignores_burst_bias(spark):
+    """A burst of identical readings must not drag the mean: the
+    time-weighted average differs from the plain mean by design."""
+    rows = [(i, 1, "view", 10.0, i) for i in range(10)]  # 10 s burst @ 10
+    rows.append((10, 1, "view", 100.0, 9 + 1))           # then 100 holds...
+    rows.append((11, 1, "view", 0.0, 10 + 1000))         # ...for 1000 s
+    out = EA.time_weighted_avg(_events(spark, rows)).collect()[0]
+    plain_mean_c = round(sum([10.0] * 10 + [100.0, 0.0]) / 12 * 100)
+    assert out.tw_avg_c > 90 * 100  # dominated by the long-held 100
+    assert abs(out.tw_avg_c - plain_mean_c) > 1000
+
+
+def test_gapfill_locf_fills_interior_gaps_only(spark):
+    h = EA.GAPFILL_BUCKET_SEC
+    rows = [
+        (1, 1, "view", 10.0, 0 * h + 5),
+        (2, 1, "view", 20.0, 3 * h + 5),   # buckets 1,2 missing
+        (3, 1, "view", 30.0, 4 * h + 5),
+    ]
+    out = {r.bucket: r for r in EA.gapfill_locf(_events(spark, rows)).collect()}
+    assert set(out) == {0, 1, 2, 3, 4}
+    assert out[0].real_sum_c == 1000 and out[0].is_filled == 0
+    for b in (1, 2):
+        assert out[b].real_sum_c == -1
+        assert out[b].filled_sum_c == 1000  # carried forward
+        assert out[b].is_filled == 1
+    assert out[3].filled_sum_c == 2000 and out[4].filled_sum_c == 3000
+
+
+def test_gapfill_grid_is_per_series_bounds(spark):
+    h = EA.GAPFILL_BUCKET_SEC
+    rows = [
+        (1, 1, "view", 1.0, 0),
+        (2, 1, "view", 1.0, 2 * h),
+        (3, 1, "click", 1.0, 5 * h),  # click series starts later
+    ]
+    out = EA.gapfill_locf(_events(spark, rows)).collect()
+    by_type = {}
+    for r in out:
+        by_type.setdefault(r.event_type, set()).add(r.bucket)
+    assert by_type["view"] == {0, 1, 2}
+    assert by_type["click"] == {5}  # no grid bleed across series
