@@ -172,55 +172,6 @@ def main() -> None:
 
     timed("load_corpus_tables", _load_corpus)
 
-    # Line items absent from BENCH_r02's query list (added in round 3):
-    # excluded from the r2-comparable subtotal, counted in the total.
-    ROUND3_ITEMS = {
-        "docs_containment_pairs",
-        "docs_simhash_dup_pairs",
-        "docs_decontaminate",
-        "docs_dup_clusters",
-        "docs_stratified_sample",
-        "docs_pii_scrub",
-        "docs_curation",
-        "docs_source_mix",
-        "docs_rebalanced_sample",
-        "docs_unigram_logprob",
-        "docs_bpe_merge_candidates",
-        "emb_cosine_dup_pairs",
-        "emb_dup_clusters",
-    }
-    # Round-4 additions: likewise excluded from the r2-comparable subtotal.
-    ROUND4_ITEMS = {
-        "docs_stratified_sample_exact",
-        "docs_boilerplate_scrub",
-        "docs_source_lang_matrix",
-        "docs_repetition_stats",
-        "docs_char_entropy",
-        "docs_bigram_logprob",
-        "emb_norm_stats",
-        "emb_int8_quantize",
-        "docs_chunks",
-        "docs_pack_sequences",
-        "docs_length_percentiles",
-        "emb_kmeans_assign",
-        "mm_frame_sample",
-        "events_sessionize",
-        "events_asof_attribution",
-        "events_retention_cohorts",
-        "events_value_histogram",
-        "events_top_per_user",
-        "events_funnel",
-        "events_hourly_rollup",
-        "events_value_anomalies",
-        "wh_q1_pricing_summary",
-        "wh_q3_shipping_priority",
-        "wh_q4_order_priority",
-        "wh_q5_local_supplier_volume",
-        "wh_q10_returned_items",
-        "wh_sales_rollup",
-        "wh_integrity_audit",
-    }
-    ROUND3_ITEMS |= ROUND4_ITEMS
 
     for name in [
         "docs_exact_dedup",
@@ -259,6 +210,7 @@ def main() -> None:
         "emb_int8_quantize",
         "emb_int8_topk",
         "emb_kmeans_assign",
+        "emb_semantic_dedup",
         "docs_chunks",
         "docs_pack_sequences",
         "docs_length_percentiles",
@@ -285,13 +237,23 @@ def main() -> None:
     total = round(
         sum(v for k, v in times.items() if k not in DIAGNOSTIC_ITEMS), 3
     )
+    # The r2-comparable subtotal is the EXACT BENCH_r02 query list (an
+    # inclusion set): new line items in any later round can never leak
+    # into the round-over-round baseline comparison.
+    R2_QUERY_SET = {
+        "derive_staging", "build_star", "d1_avg_temperature",
+        "d2_avg_humidity", "d3_avg_wind_speed", "d4_health_donut",
+        "d5_temp_humidity_by_hour", "d6_wind_direction",
+        "d7_nutrient_levels", "d8_readings_by_location",
+        "d9_water_level_by_farm", "load_corpus_tables",
+        "docs_exact_dedup", "docs_shingle_jaccard_pairs",
+        "docs_minhash_lsh_pairs", "docs_simhash", "docs_token_stats",
+        "docs_language_id", "docs_quality", "docs_fingerprints",
+        "docs_tfidf_top_terms", "emb_cosine_topk", "emb_ivf_topk",
+        "emb_label_centroids", "mm_image_features",
+    }
     comparable_r2 = round(
-        sum(
-            v
-            for k, v in times.items()
-            if k not in DIAGNOSTIC_ITEMS and k not in ROUND3_ITEMS
-        ),
-        3,
+        sum(v for k, v in times.items() if k in R2_QUERY_SET), 3
     )
     # Noise-robust aggregates: per-query medians where repeated, the
     # single measurement otherwise. Round-over-round deltas should be
@@ -302,12 +264,7 @@ def main() -> None:
         sum(med(k) for k in times if k not in DIAGNOSTIC_ITEMS), 3
     )
     median_comparable_r2 = round(
-        sum(
-            med(k)
-            for k in times
-            if k not in DIAGNOSTIC_ITEMS and k not in ROUND3_ITEMS
-        ),
-        3,
+        sum(med(k) for k in times if k in R2_QUERY_SET), 3
     )
     print(json.dumps({
         "metric": "end-to-end pipeline + analytics + llm-ops wall time",
