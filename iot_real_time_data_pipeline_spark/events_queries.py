@@ -83,6 +83,14 @@ def q_gapfill(spark, sf_dir):
     return EA.gapfill_locf(_events(spark, sf_dir))
 
 
+def q_key_skew(spark, sf_dir):
+    return EA.key_skew_report(_events(spark, sf_dir))
+
+
+def q_heavy_hitters(spark, sf_dir):
+    return EA.heavy_hitters(_events(spark, sf_dir))
+
+
 def q_kmv(spark, sf_dir):
     return SK.kmv_distinct(_events(spark, sf_dir))
 
@@ -108,6 +116,8 @@ def events_queries() -> dict[str, QueryFn]:
         "events_daily_moving_avg": q_moving_avg,
         "events_time_weighted_avg": q_tw_avg,
         "events_gapfill_locf": q_gapfill,
+        "events_key_skew": q_key_skew,
+        "events_heavy_hitters": q_heavy_hitters,
         "events_kmv_distinct": q_kmv,
         "events_cms_table": q_cms,
     }
@@ -412,6 +422,28 @@ SELECT event_type, bucket,
 FROM filled"""
 
 
+_KEY_SKEW_SQL = """
+WITH per_key AS (SELECT user_id, count(*) AS freq FROM events GROUP BY user_id),
+g AS (
+  SELECT count(*) AS n_keys, CAST(sum(freq) AS BIGINT) AS n_rows,
+         CAST(max(freq) AS BIGINT) AS max_freq
+  FROM per_key
+)
+SELECT n_keys, n_rows, max_freq,
+       CAST((n_rows * 1000) // n_keys AS BIGINT) AS mean_freq_milli,
+       CAST((max_freq * n_keys * 1000000) // n_rows AS BIGINT) AS skew_ratio_ppm
+FROM g"""
+
+
+def _heavy_hitters_sql() -> str:
+    k = EA.HEAVY_HITTER_K
+    return f"""
+WITH per_key AS (SELECT user_id, count(*) AS freq FROM events GROUP BY user_id),
+t AS (SELECT CAST(sum(freq) AS BIGINT) AS n FROM per_key)
+SELECT user_id, freq, CAST((freq * 1000000) // n AS BIGINT) AS share_ppm
+FROM per_key, t WHERE freq * {k} > n"""
+
+
 def _kmv_sql() -> str:
     p, k = SK.HASH_P, SK.KMV_K
     return f"""
@@ -468,6 +500,8 @@ def events_oracle_sql() -> dict[str, str]:
         "events_daily_moving_avg": _MOVING_AVG_SQL,
         "events_time_weighted_avg": _TW_AVG_SQL,
         "events_gapfill_locf": _GAPFILL_SQL,
+        "events_key_skew": _KEY_SKEW_SQL,
+        "events_heavy_hitters": _heavy_hitters_sql(),
         "events_kmv_distinct": _kmv_sql(),
         "events_cms_table": _cms_sql(),
     }

@@ -615,3 +615,58 @@ def gapfill_locf(events: DataFrame, bucket_sec: int = GAPFILL_BUCKET_SEC) -> Dat
         .cast("long")
         .alias("is_filled"),
     )
+
+
+HEAVY_HITTER_K = 100  # report keys with frequency > n/K
+
+
+def key_skew_report(events: DataFrame, key: str = "user_id") -> DataFrame:
+    """Partition-skew diagnostic: the per-key frequency distribution
+    summarized as one row — total keys, max/mean key frequency, and the
+    skew ratio in ppm. This is the query an operator runs BEFORE
+    choosing a join/agg strategy at 100 TB (salt? AQE skew join?
+    broadcast?): a skew ratio near 1M x means one hot key owns the
+    reducer.
+
+    One partial-agged groupBy on the key (the thing being measured),
+    then a 1-row aggregate. Returns ``(n_keys, n_rows, max_freq,
+    mean_freq_milli, skew_ratio_ppm)`` — all BIGINT.
+    """
+    per_key = events.groupBy(key).agg(F.count("*").alias("freq"))
+    return per_key.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("freq").alias("n_rows"),
+        F.max("freq").alias("max_freq"),
+    ).select(
+        "n_keys",
+        "n_rows",
+        F.col("max_freq").cast("long").alias("max_freq"),
+        F.expr("(n_rows * 1000) div n_keys").alias("mean_freq_milli"),
+        # max/mean in ppm = max * n_keys * 1e6 / n_rows
+        F.expr("(max_freq * n_keys * CAST(1000000 AS BIGINT)) div n_rows").alias(
+            "skew_ratio_ppm"
+        ),
+    )
+
+
+def heavy_hitters(events: DataFrame, key: str = "user_id", k: int = HEAVY_HITTER_K) -> DataFrame:
+    """Exact phi-heavy hitters: keys whose frequency exceeds n/k — the
+    exact counterpart of the CMS/Misra-Gries question, answerable
+    exactly in two partial-aggregated passes at any scale (shuffle ∝
+    distinct keys; the n/k threshold is a broadcast 1-row aggregate).
+    The cross-multiplied integer comparison ``freq * k > n`` avoids
+    division entirely.
+
+    Returns ``(user_id, freq, share_ppm)`` for qualifying keys.
+    """
+    per_key = events.groupBy(key).agg(F.count("*").alias("freq"))
+    total = per_key.agg(F.sum("freq").alias("n"))
+    return (
+        per_key.crossJoin(F.broadcast(total))
+        .filter(F.col("freq") * k > F.col("n"))
+        .select(
+            key,
+            "freq",
+            F.expr("(freq * CAST(1000000 AS BIGINT)) div n").alias("share_ppm"),
+        )
+    )

@@ -447,3 +447,25 @@ def test_gapfill_grid_is_per_series_bounds(spark):
         by_type.setdefault(r.event_type, set()).add(r.bucket)
     assert by_type["view"] == {0, 1, 2}
     assert by_type["click"] == {5}  # no grid bleed across series
+
+
+def test_key_skew_report_flat_vs_hot_key(spark):
+    flat = [(i, i % 10, "view", 1.0, i) for i in range(100)]
+    out = EA.key_skew_report(_events(spark, flat)).collect()[0]
+    assert out.n_keys == 10 and out.n_rows == 100 and out.max_freq == 10
+    assert out.skew_ratio_ppm == 1_000_000  # perfectly flat
+
+    hot = flat + [(1000 + i, 7, "view", 1.0, i) for i in range(90)]
+    out2 = EA.key_skew_report(_events(spark, hot)).collect()[0]
+    assert out2.max_freq == 100
+    assert out2.skew_ratio_ppm == (100 * 10 * 1_000_000) // 190
+
+
+def test_heavy_hitters_exact_threshold(spark):
+    # 100 rows; k=100 -> threshold freq > 1
+    rows = [(i, i, "view", 1.0, i) for i in range(98)]  # 98 singletons
+    rows += [(200, 500, "view", 1.0, 0), (201, 500, "view", 1.0, 1)]  # freq 2
+    out = EA.heavy_hitters(_events(spark, rows)).collect()
+    assert len(out) == 1
+    assert out[0].user_id == 500 and out[0].freq == 2
+    assert out[0].share_ppm == (2 * 1_000_000) // 100
