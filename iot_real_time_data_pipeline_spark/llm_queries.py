@@ -217,6 +217,10 @@ def q_semantic_dedup(spark, sf_dir):
     return SIM.semantic_dedup(_emb(spark, sf_dir))
 
 
+def q_train_split(spark, sf_dir):
+    return CUR.train_split(_docs(spark, sf_dir))
+
+
 def q_chunks(spark, sf_dir):
     return CUR.chunk_documents(_docs(spark, sf_dir))
 
@@ -263,6 +267,7 @@ def llm_queries() -> dict[str, QueryFn]:
         "docs_source_mix": q_source_mix,
         "docs_source_lang_matrix": q_source_lang_matrix,
         "docs_rebalanced_sample": q_rebalanced_sample,
+        "docs_train_split": q_train_split,
         "docs_chunks": q_chunks,
         "docs_pack_sequences": q_pack_sequences,
         "docs_length_percentiles": q_length_percentiles,
@@ -839,6 +844,22 @@ SELECT doc_id,
 FROM enc"""
 
 
+def _sql_train_split() -> str:
+    hb = TH.sql_token_hash("concat('sp:', CAST(doc_id AS VARCHAR))")
+    hs = TH.sql_token_hash("concat('sh:', CAST(doc_id AS VARCHAR))")
+    return f"""
+WITH s AS (
+  SELECT doc_id, {hb} % {CUR.SAMPLE_MOD} AS split_bucket, {hs} AS shuffle_key
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN split_bucket < {CUR.SPLIT_TRAIN_PERMILLE} THEN 'train'
+            WHEN split_bucket < {CUR.SPLIT_VAL_PERMILLE} THEN 'val'
+            ELSE 'test' END AS split,
+       split_bucket, shuffle_key
+FROM s"""
+
+
 def _sql_stratified_sample() -> str:
     h = TH.sql_token_hash("concat('s:', CAST(doc_id AS VARCHAR))")
     rates = " ".join(
@@ -1336,6 +1357,7 @@ def llm_oracle_sql() -> dict[str, str]:
         "emb_kmeans_assign": _sql_kmeans_assign(),
         "emb_int8_topk": _sql_int8_topk(),
         "emb_semantic_dedup": _sql_semantic_dedup(),
+        "docs_train_split": _sql_train_split(),
         "docs_chunks": _sql_chunks(),
         "docs_pack_sequences": _sql_pack_sequences(),
         "docs_length_percentiles": _sql_length_percentiles(),

@@ -562,3 +562,72 @@ def chunk_dups(
         )
         .filter(F.col("n_chunks") > 1)
     )
+
+
+# train/val/test permille boundaries over the split-hash bucket space.
+SPLIT_TRAIN_PERMILLE = 980
+SPLIT_VAL_PERMILLE = 990  # val = [980, 990), test = [990, 1000)
+
+
+def split_hash(id_col: str = "doc_id") -> F.Column:
+    """Split-assignment hash — salted differently from ``sample_hash``
+    so split membership is independent of every sampling decision."""
+    return TH.token_hash(F.concat(F.lit("sp:"), F.col(id_col).cast("string")))
+
+
+def shuffle_key(id_col: str = "doc_id") -> F.Column:
+    """Training-order shuffle hash (third independent salt)."""
+    return TH.token_hash(F.concat(F.lit("sh:"), F.col(id_col).cast("string")))
+
+
+def train_split(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic train/val/test assignment + training shuffle
+    order — the last step before sequence packing in a training-data
+    pipeline.
+
+    Split membership is a pure per-row hash-bucket test (98/1/1 by
+    permille bands), so it is stable under corpus growth: adding
+    documents never reassigns an existing one (the property random
+    splits lack). The shuffle order is a second independent hash: NOT
+    a global ``row_number`` (a single-reducer scan at 100 TB) but a
+    sort KEY — the writer realizes the total order with
+    ``repartitionByRange(shuffle_key).sortWithinPartitions`` so
+    ordering work distributes across executors and file N's keys all
+    precede file N+1's (asserted in tests). Readers stream files in
+    name order and get the global shuffle.
+
+    Returns ``(doc_id, split, split_bucket, shuffle_key)``.
+    """
+    bucket = split_hash(id_col) % SAMPLE_MOD
+    split = (
+        F.when(bucket < SPLIT_TRAIN_PERMILLE, F.lit("train"))
+        .when(bucket < SPLIT_VAL_PERMILLE, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return docs.select(
+        F.col(id_col),
+        split.alias("split"),
+        bucket.alias("split_bucket"),
+        shuffle_key(id_col).alias("shuffle_key"),
+    )
+
+
+def write_shuffled_split(
+    assignment: DataFrame, path: str, n_files: int = 8
+) -> None:
+    """Materialize the training order: range-partition on the shuffle
+    key (distributed total sort — each output file covers a disjoint
+    key range, files ordered by name) and write one split directory
+    per membership class for partition-pruned reads.
+    """
+    (
+        assignment.repartitionByRange(n_files, "shuffle_key")
+        # 'split' leads the sort so the dynamic-partition writer's
+        # required ordering (partition columns first) is already
+        # satisfied and its own re-sort — which would destroy the
+        # shuffle order — is skipped.
+        .sortWithinPartitions("split", "shuffle_key", "doc_id")
+        .write.mode("overwrite")
+        .partitionBy("split")
+        .parquet(path)
+    )

@@ -1082,3 +1082,55 @@ def test_semantic_dedup_matches_numpy_within_cluster_scan(spark):
     for vid, (ci, dup_of, n) in expected.items():
         r = out[vid]
         assert (r.cluster, r.dup_of, r.n_dups) == (ci, dup_of, n)
+
+
+def test_train_split_stable_under_corpus_growth(spark):
+    from iot_real_time_data_pipeline_spark.entrypoints import read_table
+    from iot_real_time_data_pipeline_spark.operators import curation as CUR
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    full = {r.doc_id: r.split for r in CUR.train_split(docs).collect()}
+    half = {
+        r.doc_id: r.split
+        for r in CUR.train_split(docs.filter(F.col("doc_id") % 2 == 0)).collect()
+    }
+    # removing (or adding) documents never reassigns the survivors
+    assert all(full[d] == s for d, s in half.items())
+    # the band invariant: split is a pure function of the hash bucket
+    rows = CUR.train_split(docs).collect()
+    for r in rows:
+        if r.split_bucket < CUR.SPLIT_TRAIN_PERMILLE:
+            assert r.split == "train"
+        elif r.split_bucket < CUR.SPLIT_VAL_PERMILLE:
+            assert r.split == "val"
+        else:
+            assert r.split == "test"
+    from collections import Counter
+
+    c = Counter(full.values())
+    assert c["train"] > 0.9 * len(full)
+
+
+def test_write_shuffled_split_realizes_global_order(spark, tmp_path):
+    """Range-partitioned write: file N's shuffle keys all precede file
+    N+1's, and each file is internally sorted — a distributed total
+    order with no single-reducer sort."""
+    import glob as _glob
+
+    from iot_real_time_data_pipeline_spark.entrypoints import read_table
+    from iot_real_time_data_pipeline_spark.operators import curation as CUR
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    path = str(tmp_path / "split_out")
+    CUR.write_shuffled_split(CUR.train_split(docs), path, n_files=4)
+
+    files = sorted(_glob.glob(f"{path}/split=train/part-*.parquet"))
+    assert len(files) >= 2
+    prev_hi = None
+    for f in files:
+        keys = [r.shuffle_key for r in spark.read.parquet(f).collect()]
+        assert keys == sorted(keys)  # sorted within file
+        if prev_hi is not None and keys:
+            assert keys[0] >= prev_hi  # disjoint ascending ranges
+        if keys:
+            prev_hi = keys[-1]
