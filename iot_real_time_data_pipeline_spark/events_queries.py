@@ -83,6 +83,10 @@ def q_gapfill(spark, sf_dir):
     return EA.gapfill_locf(_events(spark, sf_dir))
 
 
+def q_exact_median(spark, sf_dir):
+    return EA.exact_median(_events(spark, sf_dir))
+
+
 def q_key_skew(spark, sf_dir):
     return EA.key_skew_report(_events(spark, sf_dir))
 
@@ -116,6 +120,7 @@ def events_queries() -> dict[str, QueryFn]:
         "events_daily_moving_avg": q_moving_avg,
         "events_time_weighted_avg": q_tw_avg,
         "events_gapfill_locf": q_gapfill,
+        "events_exact_median": q_exact_median,
         "events_key_skew": q_key_skew,
         "events_heavy_hitters": q_heavy_hitters,
         "events_kmv_distinct": q_kmv,
@@ -422,6 +427,31 @@ SELECT event_type, bucket,
 FROM filled"""
 
 
+_EXACT_MEDIAN_SQL = f"""
+WITH {_EV_CTE},
+ranked AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS val_c,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY CAST(round(value * 100) AS BIGINT), event_id)
+           AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM ev
+),
+mid AS (
+  SELECT event_type, val_c, n FROM ranked
+  WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+),
+g AS (
+  SELECT event_type, CAST(max(n) AS BIGINT) AS n_values,
+         CAST(sum(val_c) AS BIGINT) AS m_sum
+  FROM mid GROUP BY event_type
+)
+SELECT event_type, n_values,
+       CAST(CASE WHEN n_values % 2 = 1 THEN m_sum * 2 ELSE m_sum END AS BIGINT)
+         AS median_halfcent_c
+FROM g"""
+
+
 _KEY_SKEW_SQL = """
 WITH per_key AS (SELECT user_id, count(*) AS freq FROM events GROUP BY user_id),
 g AS (
@@ -500,6 +530,7 @@ def events_oracle_sql() -> dict[str, str]:
         "events_daily_moving_avg": _MOVING_AVG_SQL,
         "events_time_weighted_avg": _TW_AVG_SQL,
         "events_gapfill_locf": _GAPFILL_SQL,
+        "events_exact_median": _EXACT_MEDIAN_SQL,
         "events_key_skew": _KEY_SKEW_SQL,
         "events_heavy_hitters": _heavy_hitters_sql(),
         "events_kmv_distinct": _kmv_sql(),

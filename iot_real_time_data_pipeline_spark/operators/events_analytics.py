@@ -670,3 +670,46 @@ def heavy_hitters(events: DataFrame, key: str = "user_id", k: int = HEAVY_HITTER
             F.expr("(freq * CAST(1000000 AS BIGINT)) div n").alias("share_ppm"),
         )
     )
+
+
+def exact_median(events: DataFrame) -> DataFrame:
+    """Exact interpolated median of ``value`` per event type, in
+    half-cent units so the even-count midpoint needs no fractional
+    arithmetic: median_halfcent = val_lo_c + val_hi_c (odd count:
+    2 * middle).
+
+    Shape: one window sort per type ranks the values, then ONLY the two
+    middle rows survive to the final 5-row aggregate — no full-column
+    collect, no approx sketch; the per-type sort is the honest cost of
+    an exact quantile and shuffles each type's values once. (For
+    sketch-budget medians, ``sketches.approx_user_stats`` is the
+    production path.)
+
+    Returns ``(event_type, n_values, median_halfcent_c)``.
+    """
+    val_c = F.round(F.col("value") * 100).cast("long")
+    w = Window.partitionBy("event_type").orderBy("val_c", "event_id")
+    ranked = (
+        events.select("event_type", "event_id", val_c.alias("val_c"))
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(Window.partitionBy("event_type")))
+    )
+    mid = ranked.filter(
+        (F.col("rn") == F.expr("(n + 1) div 2"))
+        | (F.col("rn") == F.expr("(n + 2) div 2"))
+    )
+    return (
+        mid.groupBy("event_type")
+        .agg(F.max("n").alias("n_values"), F.sum("val_c").alias("m_sum"))
+        .select(
+            "event_type",
+            "n_values",
+            # odd n: (n+1)div2 == (n+2)div2, so ONE row survives the
+            # OR filter — double it to stay in half-cent units.
+            F.when(
+                F.col("n_values") % 2 == 1, F.col("m_sum") * 2
+            )
+            .otherwise(F.col("m_sum"))
+            .alias("median_halfcent_c"),
+        )
+    )

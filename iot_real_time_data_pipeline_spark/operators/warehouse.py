@@ -753,3 +753,31 @@ def q22_dormant_customers(orders: DataFrame, customer: DataFrame) -> DataFrame:
         .groupBy("c_nationkey")
         .agg(F.count("*").alias("n_customers"), F.sum("bal_c").alias("sum_acctbal_c"))
     )
+
+
+def sales_cube(lineitem: DataFrame) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all four grouping sets —
+    leaf cells, both one-dimension margins, and the grand total — in
+    the same single-Expand single-exchange plan as :func:`sales_rollup`
+    (ROLLUP emits 3 of the 4 sets; CUBE adds the linestatus margin).
+    Same 'ALL' folding, same integer cents.
+
+    Returns ``(l_returnflag, l_linestatus, grp_level, n_items,
+    sum_disc_price_c)``.
+    """
+    return (
+        lineitem.select("l_returnflag", "l_linestatus", _revenue_c().alias("rev_c"))
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("long").alias("grp_level"),
+            F.count("*").alias("n_items"),
+            F.sum("rev_c").alias("sum_disc_price_c"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("l_returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("l_linestatus"),
+            "grp_level",
+            "n_items",
+            "sum_disc_price_c",
+        )
+    )

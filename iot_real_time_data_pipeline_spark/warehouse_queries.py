@@ -257,6 +257,10 @@ def warehouse_oracle_sql() -> dict[str, str]:
 # ---------------------------------------------------------------------------
 
 
+def q_cube(spark, sf_dir):
+    return WH.sales_cube(_t(spark, sf_dir, "lineitem"))
+
+
 def q_q7(spark, sf_dir):
     return WH.q7_nation_volume(
         _t(spark, sf_dir, "lineitem"),
@@ -327,6 +331,7 @@ def warehouse_queries() -> dict[str, QueryFn]:  # noqa: F811
     out = warehouse_queries_r4()
     out.update(
         {
+            "wh_sales_cube": q_cube,
             "wh_q7_nation_volume": q_q7,
             "wh_q8_market_share": q_q8,
             "wh_q9_product_profit": q_q9,
@@ -342,6 +347,17 @@ def warehouse_queries() -> dict[str, QueryFn]:  # noqa: F811
 
 def _esec(col: str) -> str:
     return f"(epoch_ns({col}) // 1000000000)"
+
+
+_CUBE_SQL = f"""
+SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+       CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT)
+         AS grp_level,
+       count(*) AS n_items,
+       CAST(sum({_REV}) AS BIGINT) AS sum_disc_price_c
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)"""
 
 
 _Q7_SQL = f"""
@@ -512,6 +528,7 @@ def warehouse_oracle_sql() -> dict[str, str]:  # noqa: F811
     out = warehouse_oracle_sql_r4()
     out.update(
         {
+            "wh_sales_cube": _CUBE_SQL,
             "wh_q7_nation_volume": _Q7_SQL,
             "wh_q8_market_share": _Q8_SQL,
             "wh_q9_product_profit": _Q9_SQL,

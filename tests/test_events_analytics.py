@@ -469,3 +469,14 @@ def test_heavy_hitters_exact_threshold(spark):
     assert len(out) == 1
     assert out[0].user_id == 500 and out[0].freq == 2
     assert out[0].share_ppm == (2 * 1_000_000) // 100
+
+
+def test_exact_median_odd_and_even(spark):
+    odd = [(i, 1, "view", float(v), i) for i, v in enumerate([5, 1, 9])]
+    out = EA.exact_median(_events(spark, odd)).collect()[0]
+    assert out.n_values == 3 and out.median_halfcent_c == 2 * 500
+
+    even = [(i, 1, "view", float(v), i) for i, v in enumerate([4, 1, 9, 6])]
+    out = EA.exact_median(_events(spark, even)).collect()[0]
+    # middle two are 4 and 6 -> 400 + 600 half-cents (i.e. median 5.0)
+    assert out.n_values == 4 and out.median_halfcent_c == 400 + 600

@@ -427,3 +427,20 @@ def test_q8_share_is_single_scan_conditional_agg(spark, wh_tables):
     for r in rows:
         assert 0 <= r.nation_revenue_c <= r.total_revenue_c
         assert 0 <= r.share_ppm <= 1_000_000
+
+
+def test_sales_cube_single_expand_four_sets(spark, wh_tables):
+    from iot_real_time_data_pipeline_spark.operators import warehouse as WH
+
+    df = WH.sales_cube(wh_tables["lineitem"])
+    plan = plan_of(df)
+    assert plan.count("Expand") == 1  # one pass for all four grouping sets
+    rows = df.collect()
+    levels = {r.grp_level for r in rows}
+    assert levels == {0, 1, 2, 3}
+    grand = [r for r in rows if r.grp_level == 3]
+    assert len(grand) == 1
+    leaf_total = sum(r.sum_disc_price_c for r in rows if r.grp_level == 0)
+    flag_margin = sum(r.sum_disc_price_c for r in rows if r.grp_level == 1)
+    status_margin = sum(r.sum_disc_price_c for r in rows if r.grp_level == 2)
+    assert leaf_total == flag_margin == status_margin == grand[0].sum_disc_price_c
