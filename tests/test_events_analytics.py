@@ -480,3 +480,83 @@ def test_exact_median_odd_and_even(spark):
     out = EA.exact_median(_events(spark, even)).collect()[0]
     # middle two are 4 and 6 -> 400 + 600 half-cents (i.e. median 5.0)
     assert out.n_values == 4 and out.median_halfcent_c == 400 + 600
+
+
+def test_scd2_fuzz_vs_python_reference(spark):
+    """Randomized cross-check: interval build must agree with a
+    per-user Python scan on arbitrary layouts (repeated states,
+    same-timestamp runs, singleton users)."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    eid = 0
+    for user in range(10):
+        t = rng.randint(0, 500)
+        for _ in range(rng.randint(1, 25)):
+            rows.append((eid, user, rng.choice("abc"), 1.0, t))
+            eid += 1
+            t += rng.choice([0, 1, 50])
+
+    expected = {}
+    by_user = {}
+    for r in sorted(rows, key=lambda r: (r[1], r[4], r[0])):
+        by_user.setdefault(r[1], []).append((r[2], r[4]))
+    for user, seq in by_user.items():
+        runs = []
+        for typ, ts in seq:
+            if runs and runs[-1][0] == typ:
+                runs[-1][2] += 1
+            else:
+                runs.append([typ, ts, 1])
+        iv = []
+        for i, (typ, start, n) in enumerate(runs):
+            nxt = runs[i + 1][1] if i + 1 < len(runs) else -1
+            iv.append((i + 1, typ, start, nxt, n, 1 if nxt == -1 else 0))
+        expected[user] = iv
+
+    got = {}
+    for r in EA.scd2_intervals(_events(spark, rows)).collect():
+        got.setdefault(r.user_id, []).append(
+            (r.version, r.event_type, r.valid_from_sec, r.valid_to_sec,
+             r.n_events, r.is_current)
+        )
+    got = {u: sorted(v) for u, v in got.items()}
+    assert got == expected
+
+
+def test_daily_moving_avg_fuzz_vs_python_reference(spark):
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    for eid in range(300):
+        rows.append(
+            (
+                eid,
+                rng.randint(0, 5),
+                rng.choice(["view", "click"]),
+                round(rng.uniform(0, 400), 2),
+                rng.randint(0, 20) * 86400 + rng.randint(0, 86399),
+            )
+        )
+    days = 7
+
+    daily = {}
+    for (_, _, typ, v, ts) in rows:
+        d = ts // 86400
+        s, n = daily.get((typ, d), (0, 0))
+        daily[(typ, d)] = (s + round(v * 100), n + 1)
+
+    out = EA.daily_moving_avg(_events(spark, rows), days=days).collect()
+    assert {(r.event_type, r.day) for r in out} == set(daily)
+    for r in out:
+        window = [
+            daily[(r.event_type, d)]
+            for d in range(r.day - days + 1, r.day + 1)
+            if (r.event_type, d) in daily
+        ]
+        tsum, tn = sum(x[0] for x in window), sum(x[1] for x in window)
+        assert r.daily_sum_c == daily[(r.event_type, r.day)][0]
+        assert (r.trailing_sum_c, r.trailing_n) == (tsum, tn)
+        assert r.trailing_avg_c == tsum // tn
