@@ -83,6 +83,10 @@ def q_gapfill(spark, sf_dir):
     return EA.gapfill_locf(_events(spark, sf_dir))
 
 
+def q_props_stats(spark, sf_dir):
+    return EA.props_stats(_events(spark, sf_dir))
+
+
 def q_exact_median(spark, sf_dir):
     return EA.exact_median(_events(spark, sf_dir))
 
@@ -120,6 +124,7 @@ def events_queries() -> dict[str, QueryFn]:
         "events_daily_moving_avg": q_moving_avg,
         "events_time_weighted_avg": q_tw_avg,
         "events_gapfill_locf": q_gapfill,
+        "events_props_stats": q_props_stats,
         "events_exact_median": q_exact_median,
         "events_key_skew": q_key_skew,
         "events_heavy_hitters": q_heavy_hitters,
@@ -427,6 +432,19 @@ SELECT event_type, bucket,
 FROM filled"""
 
 
+_PROPS_STATS_SQL = """
+WITH x AS (
+  SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events
+)
+SELECT event_type, count(*) AS n_events,
+       count(CASE WHEN k IS NULL THEN 1 END) AS n_null_k,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       CAST(min(k) AS BIGINT) AS min_k,
+       CAST(max(k) AS BIGINT) AS max_k,
+       count(DISTINCT k) AS n_distinct_k
+FROM x GROUP BY event_type"""
+
+
 _EXACT_MEDIAN_SQL = f"""
 WITH {_EV_CTE},
 ranked AS (
@@ -530,6 +548,7 @@ def events_oracle_sql() -> dict[str, str]:
         "events_daily_moving_avg": _MOVING_AVG_SQL,
         "events_time_weighted_avg": _TW_AVG_SQL,
         "events_gapfill_locf": _GAPFILL_SQL,
+        "events_props_stats": _PROPS_STATS_SQL,
         "events_exact_median": _EXACT_MEDIAN_SQL,
         "events_key_skew": _KEY_SKEW_SQL,
         "events_heavy_hitters": _heavy_hitters_sql(),

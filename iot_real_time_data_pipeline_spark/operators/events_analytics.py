@@ -713,3 +713,34 @@ def exact_median(events: DataFrame) -> DataFrame:
             .alias("median_halfcent_c"),
         )
     )
+
+
+def props_stats(events: DataFrame) -> DataFrame:
+    """Semi-structured analytics over the raw JSON ``props`` column:
+    extract ``$.k`` per row and aggregate per event type — the "query
+    the JSON payload without a pre-flattened schema" path every event
+    lake needs.
+
+    ``get_json_object`` is a JVM-side codegen expression (no Python in
+    the row path); the extraction fuses into the scan stage and only
+    the (type, k) pair reaches the partial agg. Unparseable / missing
+    keys become NULL and are excluded from the value aggregates but
+    counted (``n_null_k``) — silently dropping malformed payloads is
+    how pipelines lie.
+
+    Returns ``(event_type, n_events, n_null_k, sum_k, min_k, max_k,
+    n_distinct_k)``.
+    """
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count(F.when(F.col("k").isNull(), 1)).alias("n_null_k"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.countDistinct("k").alias("n_distinct_k"),
+        )
+    )

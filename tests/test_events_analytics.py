@@ -560,3 +560,19 @@ def test_daily_moving_avg_fuzz_vs_python_reference(spark):
         assert r.daily_sum_c == daily[(r.event_type, r.day)][0]
         assert (r.trailing_sum_c, r.trailing_n) == (tsum, tn)
         assert r.trailing_avg_c == tsum // tn
+
+
+def test_props_stats_counts_malformed_payloads(spark):
+    rows = [
+        (1, 1, "view", 1.0, 0, '{"k": 5}'),
+        (2, 1, "view", 1.0, 0, '{"k": 7}'),
+        (3, 1, "view", 1.0, 0, "not json"),
+        (4, 1, "view", 1.0, 0, '{"other": 1}'),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "user_id", "event_type", "value", "ts_sec", "props"]
+    )
+    out = EA.props_stats(df).collect()[0]
+    assert out.n_events == 4 and out.n_null_k == 2
+    assert out.sum_k == 12 and out.min_k == 5 and out.max_k == 7
+    assert out.n_distinct_k == 2
