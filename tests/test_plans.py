@@ -444,3 +444,41 @@ def test_sales_cube_single_expand_four_sets(spark, wh_tables):
     flag_margin = sum(r.sum_disc_price_c for r in rows if r.grp_level == 1)
     status_margin = sum(r.sum_disc_price_c for r in rows if r.grp_level == 2)
     assert leaf_total == flag_margin == status_margin == grand[0].sum_disc_price_c
+
+
+def test_aqe_splits_skewed_join_at_runtime(spark):
+    """The 100 TB skew story is AQE's skew-join splitting — prove the
+    engine configuration actually triggers it: a hot-key join must
+    re-plan with SortMergeJoin(skew=true) at runtime thresholds."""
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        hot = spark.range(0, 200000).select(
+            (F.col("id") * 0).alias("k"), F.col("id").alias("v")
+        )
+        tail = spark.range(0, 1000).select(
+            (F.col("id") % 50 + 1).alias("k"), F.col("id").alias("v")
+        )
+        right = spark.range(0, 51).select(F.col("id").alias("k"))
+        j = hot.union(tail).join(right, "k")
+        # materialize THIS DataFrame so its AdaptiveSparkPlan finalizes
+        # (count() would execute a separate query plan)
+        assert len(j.collect()) == 201000
+        plan = plan_of(j)
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
