@@ -216,6 +216,10 @@ def main() -> None:
         "docs_length_percentiles",
         "docs_vocab_coverage",
         "docs_chunk_dups",
+        "docs_hashed_classifier",
+        "docs_ngram_diversity",
+        "docs_pareto_frontier",
+        "emb_rand_projection",
         "mm_image_features",
         "mm_frame_sample",
     ]:

@@ -555,3 +555,93 @@ def events_oracle_sql() -> dict[str, str]:
         "events_kmv_distinct": _kmv_sql(),
         "events_cms_table": _cms_sql(),
     }
+
+
+def q_asof_join(spark, sf_dir):
+    return EA.asof_join_events(_events(spark, sf_dir))
+
+
+def q_time_band_pairs(spark, sf_dir):
+    return EA.time_band_pairs(_events(spark, sf_dir))
+
+
+def q_interarrival(spark, sf_dir):
+    return EA.interarrival_stats(_events(spark, sf_dir))
+
+
+# DuckDB's native ASOF LEFT JOIN is an entirely independent
+# implementation of the inclusive as-of contract — a stronger oracle
+# than a structural mirror of the Spark union+window plan. The right
+# side is pre-collapsed to one row per (user, ts) (max event_id wins)
+# in BOTH engines so duplicate-timestamp matches are deterministic.
+_ASOF_JOIN_SQL = f"""
+WITH {_EV_CTE},
+l AS (
+  SELECT event_id, user_id, ts_sec FROM ev
+  WHERE event_type = '{EA.ASOF_TARGET_TYPE}'
+),
+r AS (
+  SELECT user_id, ts_sec, CAST(max(event_id) AS BIGINT) AS matched_event_id
+  FROM ev WHERE event_type = '{EA.ASOF_REF_TYPE}'
+  GROUP BY user_id, ts_sec
+)
+SELECT l.event_id, l.user_id, l.ts_sec,
+       r.matched_event_id,
+       r.ts_sec AS matched_ts_sec,
+       l.ts_sec - r.ts_sec AS lag_sec
+FROM l ASOF LEFT JOIN r
+  ON l.user_id = r.user_id AND l.ts_sec >= r.ts_sec"""
+
+# Oracle = the NAIVE range join the bucketed plan replaces: an
+# independent formulation of the band predicate.
+_TIME_BAND_SQL = f"""
+WITH {_EV_CTE},
+l AS (SELECT event_id AS left_event_id, ts_sec AS left_sec FROM ev
+      WHERE event_type = '{EA.BAND_LEFT_TYPE}'),
+r AS (SELECT event_id AS right_event_id, ts_sec AS right_sec FROM ev
+      WHERE event_type = '{EA.BAND_RIGHT_TYPE}')
+SELECT left_event_id, right_event_id,
+       right_sec - left_sec AS gap_sec
+FROM l JOIN r ON right_sec - left_sec BETWEEN -{EA.BAND_SEC} AND {EA.BAND_SEC}"""
+
+_INTERARRIVAL_SQL = f"""
+WITH {_EV_CTE},
+g AS (
+  SELECT user_id,
+         ts_sec - lag(ts_sec) OVER (PARTITION BY user_id
+                                    ORDER BY ts_sec, event_id) AS gap_sec
+  FROM ev
+)
+SELECT user_id, count(*) AS n_gaps,
+       CAST(min(gap_sec) AS BIGINT) AS min_gap_sec,
+       CAST(max(gap_sec) AS BIGINT) AS max_gap_sec,
+       CAST((sum(gap_sec) * 1000) // count(*) AS BIGINT) AS mean_gap_milli
+FROM g WHERE gap_sec IS NOT NULL GROUP BY user_id"""
+
+
+events_queries_r5 = events_queries
+events_oracle_sql_r5 = events_oracle_sql
+
+
+def events_queries() -> dict[str, QueryFn]:  # noqa: F811
+    out = events_queries_r5()
+    out.update(
+        {
+            "events_asof_join": q_asof_join,
+            "events_time_band_pairs": q_time_band_pairs,
+            "events_interarrival": q_interarrival,
+        }
+    )
+    return out
+
+
+def events_oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = events_oracle_sql_r5()
+    out.update(
+        {
+            "events_asof_join": _ASOF_JOIN_SQL,
+            "events_time_band_pairs": _TIME_BAND_SQL,
+            "events_interarrival": _INTERARRIVAL_SQL,
+        }
+    )
+    return out

@@ -1382,3 +1382,140 @@ def llm_oracle_sql() -> dict[str, str]:
         "emb_int8_quantize": _sql_int8_quantize(),
         "mm_image_features": _sql_multimodal(),
     }
+
+
+# ---------------------------------------------------------------------------
+# Round-6 additions: hashed classifier, n-gram diversity, Pareto
+# frontier, random projection
+# ---------------------------------------------------------------------------
+
+
+def q_hashed_classifier(spark, sf_dir):
+    return TA.hashed_classifier(_docs(spark, sf_dir))
+
+
+def q_ngram_diversity(spark, sf_dir):
+    return TA.ngram_diversity(_docs(spark, sf_dir))
+
+
+def q_pareto_frontier(spark, sf_dir):
+    return CUR.pareto_frontier(_docs(spark, sf_dir))
+
+
+def q_rand_projection(spark, sf_dir):
+    return SIM.rand_projection(_emb(spark, sf_dir))
+
+
+def _sql_hashed_classifier() -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({TH.sql_tokens('text')}) AS tok FROM documents
+),
+b AS (
+  SELECT doc_id, {TH.sql_token_hash('tok')} % {TA.CLS_BUCKETS} AS bucket
+  FROM tok
+),
+counts AS (SELECT doc_id, bucket, count(*) AS cnt FROM b GROUP BY doc_id, bucket),
+w AS (
+  SELECT range AS bucket,
+         (({TA.CLS_A} * range + {TA.CLS_B}) % {_P}) % {2 * TA.CLS_W_RANGE + 1}
+           - {TA.CLS_W_RANGE} AS weight
+  FROM range({TA.CLS_BUCKETS})
+),
+g AS (
+  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+         CAST(sum(cnt * weight) AS BIGINT) AS logit
+  FROM counts JOIN w USING (bucket) GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, logit,
+       CASE WHEN logit > 0 THEN 'keep' ELSE 'drop' END AS cls_route
+FROM g"""
+
+
+def _sql_ngram_diversity() -> str:
+    return f"""
+WITH d AS (
+  SELECT source, {TH.sql_tokens('text')} AS t FROM documents
+),
+tri AS (
+  SELECT source,
+         unnest(list_transform(range(1, len(t) - 1),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS trigram
+  FROM d
+)
+SELECT source, count(*) AS n_trigrams,
+       count(DISTINCT trigram) AS n_distinct_trigrams,
+       CAST((count(DISTINCT trigram) * 1000000) // count(*) AS BIGINT)
+         AS diversity_ppm
+FROM tri GROUP BY source"""
+
+
+def _sql_pareto_frontier() -> str:
+    # Deliberately the NAIVE dominance formulation (NOT EXISTS over all
+    # pairs) — an independent statement of the skyline contract, not a
+    # mirror of the Spark level-reduction plan.
+    en = ", ".join(f"'{w}'" for w in TA.STOPWORDS["en"])
+    return f"""
+WITH d AS (
+  SELECT doc_id, {TH.sql_tokens('text')} AS t FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CAST((len(list_filter(t, x -> x IN ({en}))) * 1000) // len(t)
+              AS BIGINT) AS stop_milli,
+         len(t) AS n_tokens
+  FROM d
+)
+SELECT doc_id, stop_milli, n_tokens FROM m a
+WHERE NOT EXISTS (
+  SELECT 1 FROM m b
+  WHERE b.stop_milli >= a.stop_milli AND b.n_tokens >= a.n_tokens
+    AND (b.stop_milli > a.stop_milli OR b.n_tokens > a.n_tokens))"""
+
+
+def _sql_rand_projection() -> str:
+    cols = []
+    for i, row in enumerate(SIM.RP_SIGNS):
+        lits = ", ".join(f"CAST({s} AS DOUBLE)" for s in row)
+        fold = (
+            "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(range(1, {SIM.EMB_DIM} + 1), "
+            f"j -> v[j] * ([{lits}])[j])), (a, x) -> a + x)"
+        )
+        cols.append(f"CAST(round(({fold}) * 1e6) AS BIGINT) AS p{i}_micro")
+    sel = ",\n       ".join(cols)
+    return f"""
+WITH {_EMB_CTE}
+SELECT vec_id,
+       {sel}
+FROM e"""
+
+
+llm_queries_r5 = llm_queries
+llm_oracle_sql_r5 = llm_oracle_sql
+
+
+def llm_queries() -> dict[str, QueryFn]:  # noqa: F811
+    out = llm_queries_r5()
+    out.update(
+        {
+            "docs_hashed_classifier": q_hashed_classifier,
+            "docs_ngram_diversity": q_ngram_diversity,
+            "docs_pareto_frontier": q_pareto_frontier,
+            "emb_rand_projection": q_rand_projection,
+        }
+    )
+    return out
+
+
+def llm_oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = llm_oracle_sql_r5()
+    out.update(
+        {
+            "docs_hashed_classifier": _sql_hashed_classifier(),
+            "docs_ngram_diversity": _sql_ngram_diversity(),
+            "docs_pareto_frontier": _sql_pareto_frontier(),
+            "emb_rand_projection": _sql_rand_projection(),
+        }
+    )
+    return out

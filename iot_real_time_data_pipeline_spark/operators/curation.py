@@ -631,3 +631,56 @@ def write_shuffled_split(
         .partitionBy("split")
         .parquet(path)
     )
+
+
+def pareto_frontier(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Pareto-frontier (skyline) curation: the documents not dominated
+    on the (quality, length) plane — doc A dominates B when A is >= on
+    both metrics and strictly better on at least one. Selecting the
+    frontier instead of a single weighted score is how curation keeps
+    BOTH the short-but-pristine and the long-but-decent documents.
+
+    Metrics (all integer): ``stop_milli`` — English stopword hits per
+    1000 tokens (fluency proxy) — and ``n_tokens``.
+
+    Scale shape: the naive skyline is an O(n^2) self-join. Here the
+    corpus first collapses to the per-quality-level maximum length
+    (``groupBy(stop_milli)`` — at most 1001 groups, since the metric is
+    a milli ratio), the strictly-better-quality running maximum runs as
+    a window over THAT bounded table only, and the verdict broadcast-
+    joins back: a doc is on the frontier iff it is the longest at its
+    own quality level and strictly longer than every doc of strictly
+    higher quality. No global sort of the corpus, no self-join; the
+    full-data operations are one groupBy and one broadcast join.
+
+    Returns ``(doc_id, stop_milli, n_tokens)`` — frontier rows only.
+    """
+    toks = TH.tokens(F.col(text_col))
+    hits = F.size(F.filter(toks, lambda t: t.isin(*TA.STOPWORDS["en"])))
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).alias("n_tokens"),
+        (hits * 1000).alias("hits_x1000"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        F.expr("hits_x1000 div n_tokens").alias("stop_milli"),
+    )
+    per_q = base.groupBy("stop_milli").agg(F.max("n_tokens").alias("max_t_q"))
+    w_higher = (
+        Window.orderBy("stop_milli").rangeBetween(1, Window.unboundedFollowing)
+    )
+    levels = per_q.withColumn("best_higher_t", F.max("max_t_q").over(w_higher))
+    return (
+        base.join(F.broadcast(levels), "stop_milli")
+        .filter(
+            (F.col("n_tokens") == F.col("max_t_q"))
+            & (
+                F.col("best_higher_t").isNull()
+                | (F.col("n_tokens") > F.col("best_higher_t"))
+            )
+        )
+        .select("doc_id", "stop_milli", "n_tokens")
+    )

@@ -744,3 +744,177 @@ def props_stats(events: DataFrame) -> DataFrame:
             F.countDistinct("k").alias("n_distinct_k"),
         )
     )
+
+
+ASOF_TARGET_TYPE = "purchase"  # left side of the two-table as-of join
+ASOF_REF_TYPE = "click"  # right side (the "quote"/reference stream)
+BAND_LEFT_TYPE = "error"
+BAND_RIGHT_TYPE = "purchase"
+BAND_SEC = 60  # time-band half-width for the pair join
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: str = "user_id",
+    ts: str = "ts_sec",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Generic TWO-TABLE as-of join: each ``left`` row picks the latest
+    ``right`` row of the same ``by`` key with ``right.ts <= left.ts``
+    (inclusive, kdb/TimescaleDB/pandas ``merge_asof`` semantics; the
+    strictly-prior same-table variant is :func:`asof_attribution`).
+
+    This is the scalable as-of shape — NO range join, NO per-row
+    subquery: the right table is first collapsed to one row per
+    (key, ts) (latest ``id_col`` wins, making duplicate-timestamp
+    matches deterministic), both sides are union-tagged, and one
+    ordered window per key carries the latest right id/ts forward.
+    Right rows sort BEFORE left rows at equal ts (tag 0 < 1), which is
+    exactly the inclusive contract. One shuffle on the key for the
+    union; the window is a single streaming pass per partition — the
+    same plan joins a 100 TB trade log to a quote log.
+
+    Left rows with no prior right row keep NULL match columns
+    (as-of LEFT join).
+
+    Returns ``(event_id, user_id, ts_sec, matched_event_id,
+    matched_ts_sec, lag_sec)``.
+    """
+    r1 = (
+        right.groupBy(by, ts)
+        .agg(F.max(id_col).alias("matched_event_id"))
+        .select(
+            F.col(by),
+            F.col(ts),
+            F.lit(0).alias("tag"),
+            F.lit(None).cast("long").alias(id_col),
+            "matched_event_id",
+        )
+    )
+    l1 = left.select(
+        F.col(by),
+        F.col(ts),
+        F.lit(1).alias("tag"),
+        F.col(id_col),
+        F.lit(None).cast("long").alias("matched_event_id"),
+    )
+    w = (
+        Window.partitionBy(by)
+        .orderBy(ts, "tag", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    m_ts = F.when(F.col("tag") == 0, F.col(ts))
+    return (
+        r1.unionByName(l1)
+        .withColumn("m_id", F.last(F.when(F.col("tag") == 0, F.col("matched_event_id")), ignorenulls=True).over(w))
+        .withColumn("m_ts", F.last(m_ts, ignorenulls=True).over(w))
+        .filter(F.col("tag") == 1)
+        .select(
+            F.col(id_col),
+            F.col(by),
+            F.col(ts),
+            F.col("m_id").alias("matched_event_id"),
+            F.col("m_ts").alias("matched_ts_sec"),
+            (F.col(ts) - F.col("m_ts")).alias("lag_sec"),
+        )
+    )
+
+
+def asof_join_events(
+    events: DataFrame,
+    target_type: str = ASOF_TARGET_TYPE,
+    ref_type: str = ASOF_REF_TYPE,
+) -> DataFrame:
+    """Driver-facing instantiation of :func:`asof_join`: the event
+    stream split into two genuinely separate DataFrames (purchases vs
+    clicks) and re-joined as-of — the oracle twin is DuckDB's native
+    ``ASOF LEFT JOIN``, an entirely independent implementation."""
+    left = events.filter(F.col("event_type") == target_type)
+    right = events.filter(F.col("event_type") == ref_type)
+    return asof_join(left, right)
+
+
+def time_band_pairs(
+    events: DataFrame,
+    left_type: str = BAND_LEFT_TYPE,
+    right_type: str = BAND_RIGHT_TYPE,
+    band_sec: int = BAND_SEC,
+) -> DataFrame:
+    """Cross-key temporal proximity join: every (``left_type``,
+    ``right_type``) event pair — across ALL users — within
+    ``band_sec`` seconds of each other (e.g. "which purchases happened
+    within a minute of any error?").
+
+    Spark has no native band/range join, and the naive form is a
+    cross join with an ``abs(t1 - t2) <= B`` filter — O(n^2) at scale.
+    The scalable shape is BUCKETING: each side keys by its time bucket
+    ``ts div B``; a qualifying pair's buckets differ by at most 1, so
+    exploding the left side to [b-1, b, b+1] and equi-joining on the
+    bucket id finds every candidate exactly once (each right row lives
+    in exactly one bucket). The equi-join shuffles on a dense integer
+    key, candidate volume is bounded by per-bucket occupancy x 3, and
+    the exact band predicate filters candidates post-join. Skewed
+    (bursty) buckets are AQE-splittable because the key is the bucket.
+
+    Returns ``(left_event_id, right_event_id, gap_sec)`` with
+    ``gap_sec = right_ts - left_ts`` (signed, in [-B, B]).
+    """
+    lhs = (
+        events.filter(F.col("event_type") == left_type)
+        .select(
+            F.col("event_id").alias("left_event_id"),
+            F.col("ts_sec").alias("left_sec"),
+        )
+        .withColumn(
+            "bucket",
+            F.explode(
+                F.array(
+                    F.expr(f"left_sec div {band_sec} - 1"),
+                    F.expr(f"left_sec div {band_sec}"),
+                    F.expr(f"left_sec div {band_sec} + 1"),
+                )
+            ),
+        )
+    )
+    rhs = events.filter(F.col("event_type") == right_type).select(
+        F.col("event_id").alias("right_event_id"),
+        F.col("ts_sec").alias("right_sec"),
+        F.expr(f"ts_sec div {band_sec}").alias("bucket"),
+    )
+    return (
+        lhs.join(rhs, "bucket")
+        .filter(F.abs(F.col("right_sec") - F.col("left_sec")) <= band_sec)
+        .select(
+            "left_event_id",
+            "right_event_id",
+            (F.col("right_sec") - F.col("left_sec")).alias("gap_sec"),
+        )
+    )
+
+
+def interarrival_stats(events: DataFrame) -> DataFrame:
+    """Per-user inter-arrival (gap) statistics — the burstiness /
+    engagement-cadence profile: gap count, min/max, and mean in
+    milliseconds (integer micro-arithmetic, no doubles).
+
+    Plan: one shuffle on ``user_id``, a single lag window, then a
+    partial-agged groupBy on the same key (no second exchange). Users
+    with fewer than 2 events produce no row (no gaps exist).
+
+    Returns ``(user_id, n_gaps, min_gap_sec, max_gap_sec,
+    mean_gap_milli)``.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+    gap = F.col("ts_sec") - F.lag("ts_sec").over(w)
+    return (
+        events.withColumn("gap_sec", gap)
+        .filter(F.col("gap_sec").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_gaps"),
+            F.min("gap_sec").alias("min_gap_sec"),
+            F.max("gap_sec").alias("max_gap_sec"),
+            F.expr("sum(gap_sec) * 1000 div count(*)").alias("mean_gap_milli"),
+        )
+    )

@@ -688,3 +688,41 @@ def semantic_dedup(
         .groupBy("vec_id", "cluster")
         .agg(F.min("vec_b").alias("dup_of"), F.count("*").alias("n_dups"))
     )
+
+
+# Johnson-Lindenstrauss random projection: EMB_DIM -> RP_DIM via a
+# fixed seeded +/-1 sign matrix (embedded as literals in both engines,
+# like RH_PLANES). Sign matrices satisfy the JL lemma with the same
+# distortion bounds as Gaussian ones (Achlioptas 2003) and keep the
+# arithmetic exactly reproducible.
+RP_DIM = 8
+_rp_rng = random.Random(20260814)
+RP_SIGNS = [
+    [float(_rp_rng.choice((-1.0, 1.0))) for _ in range(EMB_DIM)]
+    for _ in range(RP_DIM)
+]
+
+
+def rand_projection(embs: DataFrame) -> DataFrame:
+    """Random-projection dimensionality reduction of the embedding
+    column: each output coordinate is ``dot(v, sign_row_i)`` for a
+    fixed +/-1 row — the JL sketch that shrinks 100 TB of wide vectors
+    to a fraction of the width while approximately preserving pairwise
+    distances (preprocessing for clustering / coarse ANN / dedup).
+
+    Pure narrow map: the sign matrix is a plan-time constant (no join,
+    no broadcast variable), each projection is a deterministic
+    left-to-right fold over the vector, and the scan's column pruning
+    reads only (vec_id, embedding). Output coordinates are integer
+    micro-units of the exact fold result — engine-exact.
+
+    Returns ``(vec_id, p0_micro, ..., p{RP_DIM-1}_micro)``.
+    """
+    v = as_double(F.col("embedding"))
+    cols = [F.col("vec_id")]
+    for i, row in enumerate(RP_SIGNS):
+        plane = F.array(*[F.lit(s) for s in row])
+        cols.append(
+            F.round(dot(v, plane) * F.lit(1e6)).cast("long").alias(f"p{i}_micro")
+        )
+    return embs.select(*cols)

@@ -502,3 +502,114 @@ def vocab_coverage(
             F.expr("(n_oov * CAST(1000000 AS BIGINT)) div n_tokens").alias("oov_ppm"),
         )
     )
+
+
+# Hashed linear classifier ("fastText-shaped" quality model inference).
+# Weights are a deterministic pseudo-model generated from the bucket id
+# so Spark and the oracle embed the same table; production swaps in a
+# trained weight parquet with the identical plan.
+CLS_BUCKETS = 1024
+CLS_A = 1_103_515_245
+CLS_B = 12_345
+CLS_W_RANGE = 1000  # weights lie in [-1000, 1000]
+
+
+def classifier_weights(spark) -> DataFrame:
+    """The synthetic weight table: ``(bucket, weight)`` for every
+    feature bucket, weight = ((A*bucket + B) mod P) mod (2R+1) - R."""
+    return spark.range(CLS_BUCKETS).select(
+        F.col("id").alias("bucket"),
+        F.expr(
+            f"(({CLS_A} * id + {CLS_B}) % {TH.HASH_P}) % {2 * CLS_W_RANGE + 1}"
+            f" - {CLS_W_RANGE}"
+        ).alias("weight"),
+    )
+
+
+def hashed_classifier(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Linear text-classifier inference with the hashing trick: tokens
+    hash into ``CLS_BUCKETS`` feature buckets, bucket counts dot a
+    broadcast weight vector, and the integer logit routes the document
+    — the standard quality/toxicity-filter inference shape of LLM data
+    pipelines (fastText / logistic models over hashed n-grams).
+
+    Scale shape: explode -> partial-agged groupBy((doc, bucket)) ->
+    BROADCAST join the 1024-row weight table -> re-agg per doc. The
+    weight table broadcasts at any corpus size (model size is fixed);
+    the only big shuffle keys on (doc_id, bucket). All-integer logits
+    — bit-exact across engines.
+
+    Returns ``(doc_id, n_tokens, logit, cls_route)``.
+    """
+    toks = TH.tokens(F.col(text_col))
+    bucket = (TH.token_hash(F.col("tok")) % CLS_BUCKETS).alias("bucket")
+    counts = (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("tok"))
+        .select("doc_id", bucket)
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = F.broadcast(classifier_weights(docs.sparkSession))
+    return (
+        counts.join(w, "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.sum(F.col("cnt") * F.col("weight")).alias("logit"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "logit",
+            F.when(F.col("logit") > 0, F.lit("keep"))
+            .otherwise(F.lit("drop"))
+            .alias("cls_route"),
+        )
+    )
+
+
+def ngram_diversity(
+    docs: DataFrame, text_col: str = "text", source_col: str = "source"
+) -> DataFrame:
+    """Per-source n-gram (trigram) diversity: distinct trigrams over
+    total trigrams — the corpus-health signal that catches template
+    farms and self-similar synthetic data (low diversity) that
+    per-document repetition stats miss.
+
+    Trigram construction is a narrow map over the token array; the
+    distinct count is the only shuffle (partial-agged on (source,
+    trigram) — at 100 TB, count distinct over a hashed trigram id, or
+    the KMV sketch in ``sketches.py``, replaces exactness if the
+    distinct set outgrows the cluster).
+
+    Returns ``(source, n_trigrams, n_distinct_trigrams,
+    diversity_ppm)``.
+    """
+    toks = TH.tokens(F.col(text_col))
+    tri = F.when(
+        F.size(toks) >= 3,
+        F.expr(
+            "transform(sequence(0, size(split(lower(trim("
+            + text_col
+            + ")), '\\\\s+')) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.withColumn("toks", toks)
+        .select(F.col(source_col).alias("source"), F.explode(tri).alias("trigram"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_trigrams"),
+            F.countDistinct("trigram").alias("n_distinct_trigrams"),
+        )
+        .select(
+            "source",
+            "n_trigrams",
+            "n_distinct_trigrams",
+            F.expr("n_distinct_trigrams * 1000000 div n_trigrams").alias(
+                "diversity_ppm"
+            ),
+        )
+    )

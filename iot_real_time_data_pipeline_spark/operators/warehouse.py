@@ -30,7 +30,7 @@ from __future__ import annotations
 
 from datetime import datetime, timezone
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -780,4 +780,56 @@ def sales_cube(lineitem: DataFrame) -> DataFrame:
             "n_items",
             "sum_disc_price_c",
         )
+    )
+
+
+ABC_A_PPM = 700_000  # cumulative revenue share ceilings for class A / B
+ABC_B_PPM = 900_000
+
+
+def abc_classification(lineitem: DataFrame) -> DataFrame:
+    """ABC / Pareto revenue classification of parts: rank parts by
+    revenue, compute each part's CUMULATIVE share of total revenue, and
+    bucket into A (first 70% of revenue), B (70-90%), C (tail) — the
+    classic inventory-analysis operator.
+
+    Plan discipline: the window runs on the PER-PART AGGREGATE
+    (cardinality = |part|, ~200k/TB), never on raw lineitem — the only
+    full-data shuffle is the partial-agged groupBy(l_partkey). The
+    cumulative-sum window needs a global revenue order; at |part| scale
+    a single-partition window is acceptable for the report, and the
+    grand total joins back as a broadcast 1-row aggregate rather than a
+    second window pass. Shares are integer ppm of integer-cent sums —
+    engine-exact. Ties rank deterministically by (revenue desc,
+    partkey).
+
+    Returns ``(l_partkey, revenue_c, cum_share_ppm, abc_class)``.
+    """
+    per_part = (
+        lineitem.select("l_partkey", _revenue_c().alias("rev_c"))
+        .groupBy("l_partkey")
+        .agg(F.sum("rev_c").alias("revenue_c"))
+    )
+    total = per_part.agg(F.sum("revenue_c").alias("total_c"))
+    w = (
+        Window.orderBy(F.col("revenue_c").desc(), F.col("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    shared = (
+        per_part.crossJoin(F.broadcast(total))
+        .withColumn("cum_c", F.sum("revenue_c").over(w))
+        .select(
+            "l_partkey",
+            "revenue_c",
+            F.expr("cum_c * 1000000 div total_c").alias("cum_share_ppm"),
+        )
+    )
+    return shared.select(
+        "l_partkey",
+        "revenue_c",
+        "cum_share_ppm",
+        F.when(F.col("cum_share_ppm") <= ABC_A_PPM, F.lit("A"))
+        .when(F.col("cum_share_ppm") <= ABC_B_PPM, F.lit("B"))
+        .otherwise(F.lit("C"))
+        .alias("abc_class"),
     )

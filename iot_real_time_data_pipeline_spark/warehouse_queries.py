@@ -540,3 +540,43 @@ def warehouse_oracle_sql() -> dict[str, str]:  # noqa: F811
         }
     )
     return out
+
+
+def q_abc(spark, sf_dir):
+    return WH.abc_classification(_t(spark, sf_dir, "lineitem"))
+
+
+_ABC_SQL = f"""
+WITH per_part AS (
+  SELECT l_partkey, CAST(sum({_REV}) AS BIGINT) AS revenue_c
+  FROM lineitem GROUP BY l_partkey
+),
+t AS (SELECT CAST(sum(revenue_c) AS BIGINT) AS total_c FROM per_part),
+c AS (
+  SELECT l_partkey, revenue_c,
+         CAST((sum(revenue_c) OVER (ORDER BY revenue_c DESC, l_partkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               * 1000000) // total_c AS BIGINT) AS cum_share_ppm
+  FROM per_part, t
+)
+SELECT l_partkey, revenue_c, cum_share_ppm,
+       CASE WHEN cum_share_ppm <= {WH.ABC_A_PPM} THEN 'A'
+            WHEN cum_share_ppm <= {WH.ABC_B_PPM} THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM c"""
+
+
+warehouse_queries_r5 = warehouse_queries
+warehouse_oracle_sql_r5 = warehouse_oracle_sql
+
+
+def warehouse_queries() -> dict[str, QueryFn]:  # noqa: F811
+    out = warehouse_queries_r5()
+    out["wh_abc_classification"] = q_abc
+    return out
+
+
+def warehouse_oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = warehouse_oracle_sql_r5()
+    out["wh_abc_classification"] = _ABC_SQL
+    return out

@@ -576,3 +576,106 @@ def test_props_stats_counts_malformed_payloads(spark):
     assert out.n_events == 4 and out.n_null_k == 2
     assert out.sum_k == 12 and out.min_k == 5 and out.max_k == 7
     assert out.n_distinct_k == 2
+
+
+# ---------------------------------------------------------------------------
+# Two-table as-of join
+# ---------------------------------------------------------------------------
+
+
+def test_asof_join_inclusive_prior_and_null_when_unmatched(spark):
+    rows = [
+        # user 1: refs at 100 and 200; targets at 150 (matches 100),
+        # 200 (INCLUSIVE: matches the ref at the same second), 90 (no
+        # prior ref -> NULL match)
+        (1, 1, "click", 1.0, 100),
+        (2, 1, "click", 1.0, 200),
+        (3, 1, "purchase", 1.0, 150),
+        (4, 1, "purchase", 1.0, 200),
+        (5, 1, "purchase", 1.0, 90),
+        # user 2's ref must not leak into user 1
+        (6, 2, "click", 1.0, 50),
+        (7, 2, "purchase", 1.0, 60),
+    ]
+    out = {r.event_id: r for r in EA.asof_join_events(_events(spark, rows)).collect()}
+    assert out[3].matched_event_id == 1 and out[3].lag_sec == 50
+    assert out[4].matched_event_id == 2 and out[4].lag_sec == 0
+    assert out[5].matched_event_id is None and out[5].lag_sec is None
+    assert out[7].matched_event_id == 6 and out[7].lag_sec == 10
+
+
+def test_asof_join_duplicate_right_timestamps_pick_max_event_id(spark):
+    rows = [
+        (1, 1, "click", 1.0, 100),
+        (9, 1, "click", 1.0, 100),  # same second — max event_id must win
+        (3, 1, "purchase", 1.0, 120),
+    ]
+    out = EA.asof_join_events(_events(spark, rows)).collect()
+    assert len(out) == 1 and out[0].matched_event_id == 9
+
+
+# ---------------------------------------------------------------------------
+# Bucketed time-band pair join
+# ---------------------------------------------------------------------------
+
+
+def test_time_band_pairs_matches_naive_reference(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    eid = 0
+    for _ in range(60):
+        eid += 1
+        rows.append((eid, rng.randrange(3), "error", 1.0, rng.randrange(0, 2000)))
+    for _ in range(60):
+        eid += 1
+        rows.append((eid, rng.randrange(3), "purchase", 1.0, rng.randrange(0, 2000)))
+    band = 60
+    out = {
+        (r.left_event_id, r.right_event_id, r.gap_sec)
+        for r in EA.time_band_pairs(_events(spark, rows), band_sec=band).collect()
+    }
+    naive = {
+        (l[0], r[0], r[4] - l[4])
+        for l in rows
+        if l[2] == "error"
+        for r in rows
+        if r[2] == "purchase" and abs(r[4] - l[4]) <= band
+    }
+    assert out == naive
+
+
+def test_time_band_pairs_boundary_and_bucket_crossing(spark):
+    # gaps of exactly +/-band qualify; pairs in adjacent buckets are
+    # found; a gap of band+1 is rejected even when buckets are adjacent.
+    rows = [
+        (1, 1, "error", 1.0, 119),  # bucket 1
+        (2, 1, "purchase", 1.0, 179),  # bucket 2, gap 60 -> keep
+        (3, 1, "purchase", 1.0, 59),  # bucket 0, gap -60 -> keep
+        (4, 1, "purchase", 1.0, 180),  # bucket 3, gap 61 -> drop
+    ]
+    out = {
+        (r.right_event_id, r.gap_sec)
+        for r in EA.time_band_pairs(_events(spark, rows)).collect()
+    }
+    assert out == {(2, 60), (3, -60)}
+
+
+# ---------------------------------------------------------------------------
+# Inter-arrival stats
+# ---------------------------------------------------------------------------
+
+
+def test_interarrival_stats_gaps_and_single_event_user(spark):
+    rows = [
+        (1, 1, "view", 1.0, 0),
+        (2, 1, "view", 1.0, 10),
+        (3, 1, "view", 1.0, 25),
+        (4, 2, "view", 1.0, 100),  # single event: no gaps, no row
+    ]
+    out = {r.user_id: r for r in EA.interarrival_stats(_events(spark, rows)).collect()}
+    assert set(out) == {1}
+    r = out[1]
+    assert (r.n_gaps, r.min_gap_sec, r.max_gap_sec) == (2, 10, 15)
+    assert r.mean_gap_milli == (25 * 1000) // 2

@@ -1134,3 +1134,137 @@ def test_write_shuffled_split_realizes_global_order(spark, tmp_path):
             assert keys[0] >= prev_hi  # disjoint ascending ranges
         if keys:
             prev_hi = keys[-1]
+
+
+# ---------------------------------------------------------------------------
+# Hashed linear classifier
+# ---------------------------------------------------------------------------
+
+
+def test_hashed_classifier_matches_python_reference(spark, docs):
+    import hashlib
+
+    def bucket(tok: str) -> int:
+        h = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % 2_147_483_647
+        return h % TA.CLS_BUCKETS
+
+    def weight(b: int) -> int:
+        return ((TA.CLS_A * b + TA.CLS_B) % 2_147_483_647) % (
+            2 * TA.CLS_W_RANGE + 1
+        ) - TA.CLS_W_RANGE
+
+    expected = {}
+    for r in docs.collect():
+        toks = r.text.strip().lower().split()
+        logit = sum(weight(bucket(t)) for t in toks)
+        expected[r.doc_id] = (len(toks), logit, "keep" if logit > 0 else "drop")
+
+    out = {
+        r.doc_id: (r.n_tokens, r.logit, r.cls_route)
+        for r in TA.hashed_classifier(docs).collect()
+    }
+    assert out == expected
+
+
+def test_classifier_weights_bounded_and_deterministic(spark):
+    w = {r.bucket: r.weight for r in TA.classifier_weights(spark).collect()}
+    assert len(w) == TA.CLS_BUCKETS
+    assert all(-TA.CLS_W_RANGE <= v <= TA.CLS_W_RANGE for v in w.values())
+    # both signs occur — a degenerate all-positive model would make the
+    # route column vacuous
+    assert any(v > 0 for v in w.values()) and any(v < 0 for v in w.values())
+
+
+# ---------------------------------------------------------------------------
+# N-gram diversity
+# ---------------------------------------------------------------------------
+
+
+def test_ngram_diversity_repetitive_source_scores_lower(spark):
+    rows = [
+        # 'loop': one trigram repeated -> near-zero diversity
+        (1, "ha ha ha ha ha ha ha ha", "loop"),
+        (2, "ha ha ha ha ha ha ha ha", "loop"),
+        # 'fresh': all trigrams distinct -> 100% diversity
+        (3, "the quick brown fox jumps over lazy dogs", "fresh"),
+        # short docs contribute no trigrams
+        (4, "too short", "tiny"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.source: r for r in TA.ngram_diversity(docs).collect()}
+    assert "tiny" not in out
+    assert out["loop"].n_trigrams == 12 and out["loop"].n_distinct_trigrams == 1
+    assert out["fresh"].diversity_ppm == 1_000_000
+    assert out["loop"].diversity_ppm < 100_000
+
+
+# ---------------------------------------------------------------------------
+# Pareto frontier
+# ---------------------------------------------------------------------------
+
+
+def test_pareto_frontier_matches_naive_dominance(spark):
+    import random
+
+    rng = random.Random(13)
+    stop_words = TA.STOPWORDS["en"]
+    rows = []
+    for i in range(80):
+        n = rng.randrange(1, 30)
+        toks = [
+            rng.choice(stop_words) if rng.random() < 0.4 else f"w{rng.randrange(50)}"
+            for _ in range(n)
+        ]
+        rows.append((i, " ".join(toks), "en"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    pts = {}
+    for i, text, _ in rows:
+        toks = text.split()
+        q = (sum(1 for t in toks if t in stop_words) * 1000) // len(toks)
+        pts[i] = (q, len(toks))
+    naive = {
+        i
+        for i, (q, t) in pts.items()
+        if not any(
+            (q2 >= q and t2 >= t and (q2 > q or t2 > t)) for q2, t2 in pts.values()
+        )
+    }
+    out = {r.doc_id for r in CUR.pareto_frontier(docs).collect()}
+    assert out == naive and out  # non-empty frontier
+
+
+# ---------------------------------------------------------------------------
+# Random projection
+# ---------------------------------------------------------------------------
+
+
+def test_rand_projection_matches_left_fold_reference(spark):
+    import random
+
+    rng = random.Random(99)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(SIM.EMB_DIM)]) for i in range(20)
+    ]
+    embs = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r.vec_id: r for r in SIM.rand_projection(embs).collect()}
+    import struct
+
+    for i, v in rows:
+        v32 = [struct.unpack("f", struct.pack("f", x))[0] for x in v]
+        for d, signs in enumerate(SIM.RP_SIGNS):
+            acc = 0.0
+            for x, s in zip(v32, signs):
+                acc += x * s  # same left-to-right fold as the engine
+            assert out[i][f"p{d}_micro"] == round(acc * 1e6), (i, d)
+
+
+def test_rand_projection_signs_are_balanced(spark):
+    flat = [s for row in SIM.RP_SIGNS for s in row]
+    assert set(flat) == {-1.0, 1.0}
+    # a heavily unbalanced sign matrix would break the JL distance
+    # preservation this sketch exists for
+    assert abs(sum(flat)) < len(flat) * 0.3

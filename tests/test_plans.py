@@ -482,3 +482,87 @@ def test_aqe_splits_skewed_join_at_runtime(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+@pytest.fixture(scope="module")
+def events_t(spark):
+    from iot_real_time_data_pipeline_spark.entrypoints import read_table
+    from iot_real_time_data_pipeline_spark.operators import events_analytics as EA
+
+    return EA.with_ts_sec(read_table(spark, SF_DIR, "events"))
+
+
+def test_asof_join_is_union_window_no_join_operator(spark, events_t):
+    from iot_real_time_data_pipeline_spark.operators import events_analytics as EA
+
+    plan = plan_of(EA.asof_join_events(events_t))
+    # The scalable as-of shape is union + window — a per-row range
+    # join (SortMergeJoin/BroadcastNestedLoop/Cartesian) would be the
+    # O(n * matches) regression this test pins against.
+    for op in ("SortMergeJoin", "BroadcastNestedLoopJoin", "CartesianProduct", "BroadcastHashJoin"):
+        assert op not in plan, op
+    assert "Window" in plan
+
+
+def test_time_band_pairs_equi_joins_on_bucket(spark, events_t):
+    from iot_real_time_data_pipeline_spark.operators import events_analytics as EA
+
+    plan = plan_of(EA.time_band_pairs(events_t))
+    # The band predicate must ride an equi-join on the bucket id, not a
+    # cartesian/nested-loop filter.
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "bucket" in plan
+
+
+def test_hashed_classifier_broadcasts_weight_table(spark, docs):
+    from iot_real_time_data_pipeline_spark.operators import text_analysis as TA
+
+    plan = plan_of(TA.hashed_classifier(docs))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pareto_frontier_broadcasts_level_table(spark, docs):
+    from iot_real_time_data_pipeline_spark.operators import curation as CUR
+
+    plan = plan_of(CUR.pareto_frontier(docs))
+    # The window runs on the bounded per-level aggregate; the corpus
+    # side re-joins it via broadcast — never a shuffle join of the
+    # full corpus against itself.
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_rand_projection_is_shuffle_free_and_prunes_scan(spark, emb):
+    from iot_real_time_data_pipeline_spark.operators import similarity as SIM
+
+    df = SIM.rand_projection(emb)
+    plan = plan_of(df)
+    # Pure narrow map: constants live in the plan, so there is no join
+    # and no data-movement exchange (the reader's round-robin
+    # repartition is the only Exchange allowed).
+    assert "hashpartitioning" not in plan
+    assert "SinglePartition" not in plan
+    assert "Join" not in plan
+
+
+def test_abc_classification_windows_the_part_aggregate_not_lineitem(spark, wh_tables):
+    from iot_real_time_data_pipeline_spark.operators import warehouse as WH
+
+    df = WH.abc_classification(wh_tables["lineitem"])
+    plan = plan_of(df)
+    # Scan pruned to the three needed columns...
+    import re
+
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and set(c.split(":")[0] for c in m.group(1).split(",")) == {
+        "l_partkey", "l_extendedprice", "l_discount",
+    }
+    # ...and the single-partition window sits ABOVE the per-part
+    # aggregate (the plan prints top-down: Window before the
+    # HashAggregate that keys on l_partkey).
+    agg = re.search(r"HashAggregate\(keys=\[l_partkey#\d+", plan)
+    assert agg and plan.index("Window") < agg.start()
