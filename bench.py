@@ -220,6 +220,7 @@ def main() -> None:
         "docs_ngram_diversity",
         "docs_pareto_frontier",
         "emb_rand_projection",
+        "emb_gram_matrix",
         "mm_image_features",
         "mm_frame_sample",
     ]:

@@ -645,3 +645,81 @@ def events_oracle_sql() -> dict[str, str]:  # noqa: F811
         }
     )
     return out
+
+
+def q_hopping_rollup(spark, sf_dir):
+    return EA.hopping_rollup(_events(spark, sf_dir))
+
+
+def q_type_day_pivot(spark, sf_dir):
+    return EA.type_day_pivot(_events(spark, sf_dir))
+
+
+def q_transition_matrix(spark, sf_dir):
+    return EA.transition_matrix(_events(spark, sf_dir))
+
+
+_HOPPING_SQL = f"""
+WITH {_EV_CTE},
+fanned AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS val_c,
+         unnest(list_transform(range(0, {EA.HOP_SIZE_SEC // EA.HOP_SLIDE_SEC}),
+                k -> (ts_sec // {EA.HOP_SLIDE_SEC} - k) * {EA.HOP_SLIDE_SEC}))
+           AS window_start_sec
+  FROM ev
+)
+SELECT event_type, window_start_sec, count(*) AS n_events,
+       CAST(sum(val_c) AS BIGINT) AS sum_value_c
+FROM fanned GROUP BY event_type, window_start_sec"""
+
+_PIVOT_SQL = f"""
+WITH {_EV_CTE}
+SELECT ts_sec // 86400 AS day,
+       {", ".join(f"count(CASE WHEN event_type = '{t}' THEN 1 END) AS n_{t}" for t in EA.EVENT_TYPES)}
+FROM ev GROUP BY day"""
+
+_TRANSITION_SQL = f"""
+WITH {_EV_CTE},
+seq AS (
+  SELECT event_type AS next_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts_sec, event_id) AS prev_type
+  FROM ev
+),
+pairs AS (
+  SELECT prev_type, next_type, count(*) AS n_transitions
+  FROM seq WHERE prev_type IS NOT NULL GROUP BY prev_type, next_type
+)
+SELECT prev_type, next_type, n_transitions,
+       CAST((n_transitions * 1000000)
+            // sum(n_transitions) OVER (PARTITION BY prev_type)
+            AS BIGINT) AS prob_ppm
+FROM pairs"""
+
+
+events_queries_r6 = events_queries
+events_oracle_sql_r6 = events_oracle_sql
+
+
+def events_queries() -> dict[str, QueryFn]:  # noqa: F811
+    out = events_queries_r6()
+    out.update(
+        {
+            "events_hopping_rollup": q_hopping_rollup,
+            "events_type_day_pivot": q_type_day_pivot,
+            "events_transition_matrix": q_transition_matrix,
+        }
+    )
+    return out
+
+
+def events_oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = events_oracle_sql_r6()
+    out.update(
+        {
+            "events_hopping_rollup": _HOPPING_SQL,
+            "events_type_day_pivot": _PIVOT_SQL,
+            "events_transition_matrix": _TRANSITION_SQL,
+        }
+    )
+    return out

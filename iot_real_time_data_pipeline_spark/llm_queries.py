@@ -1519,3 +1519,35 @@ def llm_oracle_sql() -> dict[str, str]:  # noqa: F811
         }
     )
     return out
+
+
+def q_gram_matrix(spark, sf_dir):
+    return SIM.gram_matrix(_emb(spark, sf_dir))
+
+
+def _sql_gram_matrix() -> str:
+    return f"""
+WITH q AS (
+  SELECT list_transform(embedding,
+         x -> CAST(round(CAST(x AS DOUBLE) * {SIM.GRAM_SCALE}) AS BIGINT)) AS qv
+  FROM embeddings
+)
+SELECT a.i AS i, b.j AS j, CAST(sum(qv[a.i] * qv[b.j]) AS BIGINT) AS gram
+FROM q, range(1, {SIM.EMB_DIM} + 1) a(i), range(1, {SIM.EMB_DIM} + 1) b(j)
+GROUP BY a.i, b.j"""
+
+
+llm_queries_r6 = llm_queries
+llm_oracle_sql_r6 = llm_oracle_sql
+
+
+def llm_queries() -> dict[str, QueryFn]:  # noqa: F811
+    out = llm_queries_r6()
+    out["emb_gram_matrix"] = q_gram_matrix
+    return out
+
+
+def llm_oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = llm_oracle_sql_r6()
+    out["emb_gram_matrix"] = _sql_gram_matrix()
+    return out

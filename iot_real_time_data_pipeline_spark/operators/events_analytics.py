@@ -918,3 +918,105 @@ def interarrival_stats(events: DataFrame) -> DataFrame:
             F.expr("sum(gap_sec) * 1000 div count(*)").alias("mean_gap_milli"),
         )
     )
+
+
+HOP_SIZE_SEC = 3600  # hopping-window rollup: window size
+HOP_SLIDE_SEC = 900  # ... and slide (4 overlapping windows per event)
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def hopping_rollup(
+    events: DataFrame,
+    size_sec: int = HOP_SIZE_SEC,
+    slide_sec: int = HOP_SLIDE_SEC,
+) -> DataFrame:
+    """Hopping (sliding) window rollup: every event contributes to the
+    ``size/slide`` overlapping windows that contain it — the smoothed
+    dashboard-trend companion to the tumbling ``hourly_rollup``.
+
+    Integer window grid (``ts div slide``) rather than timestamp
+    structs, so the result is engine-exact; the fan-out is a bounded
+    explode (size/slide copies — here 4) fused into the scan stage,
+    then one partial-agged groupBy on (type, window_start). This is
+    exactly how Structured Streaming's sliding windows decompose; at
+    100 TB the shuffle carries size/slide x per-window partials, not
+    raw events.
+
+    Returns ``(event_type, window_start_sec, n_events, sum_value_c)``.
+    """
+    n = size_sec // slide_sec
+    starts = F.expr(
+        f"transform(sequence(0, {n - 1}),"
+        f" k -> (ts_sec div {slide_sec} - k) * {slide_sec})"
+    )
+    return (
+        events.select(
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("val_c"),
+            F.explode(starts).alias("window_start_sec"),
+        )
+        .groupBy("event_type", "window_start_sec")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("val_c").alias("sum_value_c"),
+        )
+    )
+
+
+def type_day_pivot(events: DataFrame) -> DataFrame:
+    """Day x event-type PIVOT: one row per epoch day, one count column
+    per (fixed, enumerated) event type — the wide cross-tab layout BI
+    tools expect.
+
+    The pivot value list is EXPLICIT: with an implicit list Spark must
+    first run a distinct scan to discover the columns, and the output
+    schema becomes data-dependent — both wrong at scale. With fixed
+    values the pivot compiles to one partial-agged groupBy(day) with
+    conditional counts (no extra pass, stable schema).
+
+    Returns ``(day, n_click, n_error, n_purchase, n_signup, n_view)``.
+    """
+    day = F.expr("ts_sec div 86400").alias("day")
+    pivoted = (
+        events.select(day, "event_type")
+        .groupBy("day")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "day",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+            for t in EVENT_TYPES
+        ],
+    )
+
+
+def transition_matrix(events: DataFrame) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    sequence: counts and row-normalized probabilities (ppm) of
+    ``prev_type -> next_type`` transitions — the behavioral-model
+    summary behind next-action prediction and anomaly scoring.
+
+    One shuffle on ``user_id`` for the lag window, then a groupBy on
+    the (prev, next) pair — 25 cells here, bounded by |types|^2 at any
+    scale, so the row-normalizing window runs on a constant-size table.
+
+    Returns ``(prev_type, next_type, n_transitions, prob_ppm)``.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+    pairs = (
+        events.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n_transitions"))
+    )
+    row = Window.partitionBy("prev_type")
+    return pairs.withColumn(
+        "row_total", F.sum("n_transitions").over(row)
+    ).select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        F.expr("n_transitions * 1000000 div row_total").alias("prob_ppm"),
+    )

@@ -726,3 +726,67 @@ def rand_projection(embs: DataFrame) -> DataFrame:
             F.round(dot(v, plane) * F.lit(1e6)).cast("long").alias(f"p{i}_micro")
         )
     return embs.select(*cols)
+
+
+GRAM_SCALE = 1000  # embedding coordinates quantized to integer milli
+
+
+def gram_matrix(embs: DataFrame) -> DataFrame:
+    """Integer-exact Gram matrix of the embedding column:
+    ``G[i][j] = sum over vectors of q_i * q_j`` with
+    ``q = round(v * GRAM_SCALE)`` — the distributed primitive under
+    PCA/SVD, whitening, and linear-probe training (the d x d
+    uncentered second-moment matrix; eigendecomposition of the tiny
+    result happens wherever you like).
+
+    Two-stage determinism design:
+
+    - QUANTIZATION happens as a JVM Column expression
+      (``round(x * 1000)`` to BIGINT — the engine's proven cross-engine
+      tie-away rounding), so the Python stage never touches a float;
+    - the per-partition partial Gram is ONE int64 ``Q.T @ Q`` matmul
+      per Arrow batch (``mapInPandas`` — the sanctioned vectorized
+      path), and integer partials sum under a groupBy in any order.
+
+    The shuffle therefore carries d^2-row partials per batch — never
+    vectors — and the result is bit-exact regardless of partitioning.
+    At 100 TB this is the textbook algebraic-aggregate shape: map-side
+    combine does almost all the work, reduce adds a few thousand
+    integers.
+
+    Returns ``(i, j, gram)`` with 1-based dims, d^2 rows.
+    """
+    import numpy as np
+    import pandas as pd
+
+    d = EMB_DIM
+
+    q = F.transform(
+        F.col("embedding"), lambda x: F.round(x.cast("double") * GRAM_SCALE).cast("long")
+    )
+    quant = embs.select(q.alias("q"))
+
+    def _partial(batches):
+        acc = np.zeros((d, d), dtype=np.int64)
+        seen = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Q = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["q"]])
+            acc += Q.T @ Q
+            seen = True
+        if seen:
+            ii, jj = np.indices((d, d))
+            yield pd.DataFrame(
+                {
+                    "i": (ii.ravel() + 1).astype("int64"),
+                    "j": (jj.ravel() + 1).astype("int64"),
+                    "partial": acc.ravel(),
+                }
+            )
+
+    return (
+        quant.mapInPandas(_partial, schema="i long, j long, partial long")
+        .groupBy("i", "j")
+        .agg(F.sum("partial").alias("gram"))
+    )

@@ -679,3 +679,66 @@ def test_interarrival_stats_gaps_and_single_event_user(spark):
     r = out[1]
     assert (r.n_gaps, r.min_gap_sec, r.max_gap_sec) == (2, 10, 15)
     assert r.mean_gap_milli == (25 * 1000) // 2
+
+
+# ---------------------------------------------------------------------------
+# Hopping rollup / pivot / transition matrix
+# ---------------------------------------------------------------------------
+
+
+def test_hopping_rollup_each_event_hits_all_overlapping_windows(spark):
+    rows = [(1, 1, "view", 2.0, 3700)]  # inside [900,4500),[1800,5400),[2700,6300),[3600,7200)
+    out = EA.hopping_rollup(_events(spark, rows)).collect()
+    starts = sorted(r.window_start_sec for r in out)
+    assert starts == [900, 1800, 2700, 3600]
+    assert all(r.n_events == 1 and r.sum_value_c == 200 for r in out)
+
+
+def test_hopping_rollup_sums_within_window(spark):
+    rows = [
+        (1, 1, "view", 1.0, 0),
+        (2, 1, "view", 2.0, 800),  # same slide bucket as ts=0
+        (3, 1, "view", 4.0, 950),  # next slide bucket
+    ]
+    out = {r.window_start_sec: r for r in EA.hopping_rollup(_events(spark, rows)).collect()}
+    # window starting at 0 contains all three events
+    assert out[0].n_events == 3 and out[0].sum_value_c == 700
+    # window starting at 900 contains only the third
+    assert out[900].n_events == 1 and out[900].sum_value_c == 400
+
+
+def test_type_day_pivot_zero_fills_missing_types(spark):
+    rows = [
+        (1, 1, "click", 1.0, 100),
+        (2, 2, "click", 1.0, 200),
+        (3, 1, "error", 1.0, 86400 + 5),
+    ]
+    out = {r.day: r for r in EA.type_day_pivot(_events(spark, rows)).collect()}
+    assert out[0].n_click == 2 and out[0].n_error == 0 and out[0].n_view == 0
+    assert out[1].n_click == 0 and out[1].n_error == 1
+    assert set(out[0].asDict()) == {
+        "day", "n_click", "n_error", "n_purchase", "n_signup", "n_view",
+    }
+
+
+def test_transition_matrix_counts_and_row_normalizes(spark):
+    rows = [
+        # user 1: view -> click -> view -> click
+        (1, 1, "view", 1.0, 0),
+        (2, 1, "click", 1.0, 10),
+        (3, 1, "view", 1.0, 20),
+        (4, 1, "click", 1.0, 30),
+        # user 2: view -> purchase (no cross-user transition from user
+        # 1's trailing click)
+        (5, 2, "view", 1.0, 0),
+        (6, 2, "purchase", 1.0, 10),
+    ]
+    out = {(r.prev_type, r.next_type): r for r in EA.transition_matrix(_events(spark, rows)).collect()}
+    assert out[("view", "click")].n_transitions == 2
+    assert out[("click", "view")].n_transitions == 1
+    assert out[("view", "purchase")].n_transitions == 1
+    assert ("click", "purchase") not in out  # would require crossing users
+    # row view -> {click: 2/3, purchase: 1/3}
+    assert out[("view", "click")].prob_ppm == (2 * 1_000_000) // 3
+    assert out[("view", "purchase")].prob_ppm == (1 * 1_000_000) // 3
+    assert out[("click", "view")].prob_ppm == 1_000_000

@@ -1268,3 +1268,36 @@ def test_rand_projection_signs_are_balanced(spark):
     # a heavily unbalanced sign matrix would break the JL distance
     # preservation this sketch exists for
     assert abs(sum(flat)) < len(flat) * 0.3
+
+
+# ---------------------------------------------------------------------------
+# Gram matrix
+# ---------------------------------------------------------------------------
+
+
+def test_gram_matrix_matches_numpy_and_is_partition_invariant(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    # milli-grid values: quantization is exact, so the reference is too
+    M = rng.integers(-2000, 2000, size=(30, SIM.EMB_DIM)).astype(np.float64) / 1000.0
+    embs = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(M)],
+        "vec_id long, embedding array<float>",
+    )
+    Q = np.rint(M * SIM.GRAM_SCALE).astype(np.int64)
+    ref = Q.T @ Q
+    out = SIM.gram_matrix(embs).collect()
+    assert len(out) == SIM.EMB_DIM * SIM.EMB_DIM
+    got = np.zeros_like(ref)
+    for r in out:
+        got[r.i - 1, r.j - 1] = r.gram
+    assert (got == ref).all()
+    assert (got == got.T).all()
+
+    # integer partials: any partitioning sums to the same matrix
+    out7 = SIM.gram_matrix(embs.repartition(7)).collect()
+    got7 = np.zeros_like(ref)
+    for r in out7:
+        got7[r.i - 1, r.j - 1] = r.gram
+    assert (got7 == ref).all()

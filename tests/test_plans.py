@@ -566,3 +566,36 @@ def test_abc_classification_windows_the_part_aggregate_not_lineitem(spark, wh_ta
     # HashAggregate that keys on l_partkey).
     agg = re.search(r"HashAggregate\(keys=\[l_partkey#\d+", plan)
     assert agg and plan.index("Window") < agg.start()
+
+
+def test_type_day_pivot_single_scan_no_discovery_pass(spark, events_t):
+    from iot_real_time_data_pipeline_spark.operators import events_analytics as EA
+
+    plan = plan_of(EA.type_day_pivot(events_t))
+    # Explicit pivot values compile to one conditional-agg groupBy; an
+    # implicit pivot would add a distinct-discovery scan (2 FileScans).
+    assert plan.count("FileScan") == 1
+    assert "Join" not in plan
+
+
+def test_hopping_rollup_is_explode_plus_one_aggregate(spark, events_t):
+    from iot_real_time_data_pipeline_spark.operators import events_analytics as EA
+
+    plan = plan_of(EA.hopping_rollup(events_t))
+    assert "Generate explode" in plan
+    assert "Join" not in plan
+    # single shuffle: the (type, window) hash exchange
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_gram_matrix_quantizes_before_python_and_aggregates_partials(spark, emb):
+    from iot_real_time_data_pipeline_spark.operators import similarity as SIM
+
+    df = SIM.gram_matrix(emb)
+    plan = plan_of(df)
+    assert "MapInPandas" in plan
+    # the Arrow stage's input is the already-quantized long array — the
+    # transform/round/cast must sit BELOW MapInPandas in the plan tree
+    # (printed after it top-down)
+    assert plan.index("MapInPandas") < plan.index("transform(")
+    assert "Join" not in plan
