@@ -221,6 +221,8 @@ def main() -> None:
         "docs_pareto_frontier",
         "emb_rand_projection",
         "emb_gram_matrix",
+        "docs_keyword_search",
+        "docs_canonical_best",
         "mm_image_features",
         "mm_frame_sample",
     ]:

@@ -723,3 +723,64 @@ def events_oracle_sql() -> dict[str, str]:  # noqa: F811
         }
     )
     return out
+
+
+def q_winsorized(spark, sf_dir):
+    return EA.winsorized_stats(_events(spark, sf_dir))
+
+
+_WINSOR_SQL = f"""
+WITH {_EV_CTE},
+base AS (
+  SELECT event_type, event_id, CAST(round(value * 100) AS BIGINT) AS val_c
+  FROM ev
+),
+ranked AS (
+  SELECT event_type, val_c,
+         row_number() OVER (PARTITION BY event_type ORDER BY val_c, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM base
+),
+cuts AS (
+  SELECT event_type,
+         CAST(min(val_c) AS BIGINT) AS cut_lo_c,
+         CAST(max(val_c) AS BIGINT) AS cut_hi_c
+  FROM ranked
+  WHERE rn = (n + {EA.WINSOR_TRIM_DIV - 1}) // {EA.WINSOR_TRIM_DIV}
+     OR rn = n + 1 - ((n + {EA.WINSOR_TRIM_DIV - 1}) // {EA.WINSOR_TRIM_DIV})
+  GROUP BY event_type
+),
+clipped AS (
+  SELECT b.event_type, b.val_c, c.cut_lo_c, c.cut_hi_c,
+         least(greatest(b.val_c, c.cut_lo_c), c.cut_hi_c) AS wv
+  FROM base b JOIN cuts c USING (event_type)
+),
+g AS (
+  SELECT event_type, count(*) AS n_events,
+         CAST(min(cut_lo_c) AS BIGINT) AS cut_lo_c,
+         CAST(max(cut_hi_c) AS BIGINT) AS cut_hi_c,
+         count(CASE WHEN val_c < cut_lo_c THEN 1 END) AS n_clipped_lo,
+         count(CASE WHEN val_c > cut_hi_c THEN 1 END) AS n_clipped_hi,
+         CAST(sum(wv) AS BIGINT) AS sum_winsor_c
+  FROM clipped GROUP BY event_type
+)
+SELECT event_type, n_events, cut_lo_c, cut_hi_c, n_clipped_lo, n_clipped_hi,
+       sum_winsor_c,
+       CAST((sum_winsor_c * 1000) // n_events AS BIGINT) AS winsor_mean_milli
+FROM g"""
+
+
+events_queries_r6b = events_queries
+events_oracle_sql_r6b = events_oracle_sql
+
+
+def events_queries() -> dict[str, QueryFn]:  # noqa: F811
+    out = events_queries_r6b()
+    out["events_winsorized"] = q_winsorized
+    return out
+
+
+def events_oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = events_oracle_sql_r6b()
+    out["events_winsorized"] = _WINSOR_SQL
+    return out

@@ -1551,3 +1551,80 @@ def llm_oracle_sql() -> dict[str, str]:  # noqa: F811
     out = llm_oracle_sql_r6()
     out["emb_gram_matrix"] = _sql_gram_matrix()
     return out
+
+
+def q_keyword_search(spark, sf_dir):
+    return TA.keyword_search(_docs(spark, sf_dir))
+
+
+def q_canonical_best(spark, sf_dir):
+    return DD.canonical_best(_docs(spark, sf_dir), threshold=JACCARD_THRESHOLD)
+
+
+def _sql_keyword_search() -> str:
+    terms = ", ".join(f"'{t}'" for t in TA.SEARCH_TERMS)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({TH.sql_tokens('text')}) AS tok FROM documents
+),
+hits AS (SELECT doc_id, tok FROM tok WHERE tok IN ({terms})),
+per_doc AS (
+  SELECT doc_id, count(DISTINCT tok) AS n_terms, count(*) AS n_hits
+  FROM hits GROUP BY doc_id
+)
+SELECT doc_id, n_hits FROM per_doc WHERE n_terms = {len(TA.SEARCH_TERMS)}"""
+
+
+def _sql_canonical_best() -> str:
+    # The dup_clusters recursive-CTE closure + an INDEPENDENT argmax
+    # formulation (row_number) of the longest-wins policy.
+    return f"""
+WITH RECURSIVE {_minhash_inter_ctes()},
+{_jaccard_ctes('inter')},
+pairs AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION ALL
+  SELECT doc_b AS s, doc_a AS d FROM pairs
+),
+reach(doc_id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.doc_id
+),
+clusters AS (
+  SELECT doc_id, CAST(min(r) AS BIGINT) AS cluster_id FROM reach GROUP BY doc_id
+),
+jm AS (
+  SELECT c.cluster_id, c.doc_id, length(d.text) AS n_chars
+  FROM clusters c JOIN documents d USING (doc_id)
+),
+ranked AS (
+  SELECT cluster_id, doc_id, n_chars,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY n_chars DESC, doc_id) AS rnk,
+         count(*) OVER (PARTITION BY cluster_id) AS n_members
+  FROM jm
+)
+SELECT cluster_id, doc_id AS best_doc_id,
+       CAST(n_chars AS BIGINT) AS best_n_chars,
+       CAST(n_members AS BIGINT) AS n_members
+FROM ranked WHERE rnk = 1"""
+
+
+llm_queries_r6b = llm_queries
+llm_oracle_sql_r6b = llm_oracle_sql
+
+
+def llm_queries() -> dict[str, QueryFn]:  # noqa: F811
+    out = llm_queries_r6b()
+    out["docs_keyword_search"] = q_keyword_search
+    out["docs_canonical_best"] = q_canonical_best
+    return out
+
+
+def llm_oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = llm_oracle_sql_r6b()
+    out["docs_keyword_search"] = _sql_keyword_search()
+    out["docs_canonical_best"] = _sql_canonical_best()
+    return out

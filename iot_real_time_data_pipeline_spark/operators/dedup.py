@@ -674,3 +674,41 @@ def decontaminated_corpus(
     return train.select(F.col(id_col).alias("doc_id")).join(
         F.broadcast(flagged), "doc_id", "left_anti"
     )
+
+
+def canonical_best(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Quality-aware canonical selection over the near-dup clusters:
+    instead of ``dup_clusters``' min-id survivor, each cluster keeps
+    its LONGEST member (ties -> smallest id) — the "keep the most
+    complete version" curation policy (a truncated crawl of a page
+    should lose to the full one).
+
+    The argmax is a single ``max(struct(n_chars, -id))`` partial
+    aggregate over the cluster id — no window, no self-join; cluster
+    cardinality bounds the group size. The oracle states the same
+    policy independently via ``row_number`` over the recursive-CTE
+    closure.
+
+    Returns ``(cluster_id, best_doc_id, best_n_chars, n_members)``.
+    """
+    clusters = dup_clusters(docs, text_col=text_col, id_col=id_col, threshold=threshold)
+    meta = docs.select(F.col(id_col).alias("doc_id"), F.length(F.col(text_col)).alias("n_chars"))
+    j = clusters.select("doc_id", "cluster_id").join(meta, "doc_id")
+    return (
+        j.groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.max(F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("neg_id"))).alias("b"),
+        )
+        .select(
+            "cluster_id",
+            (-F.col("b.neg_id")).alias("best_doc_id"),
+            F.col("b.n_chars").alias("best_n_chars"),
+            "n_members",
+        )
+    )

@@ -1020,3 +1020,60 @@ def transition_matrix(events: DataFrame) -> DataFrame:
         "n_transitions",
         F.expr("n_transitions * 1000000 div row_total").alias("prob_ppm"),
     )
+
+
+WINSOR_TRIM_DIV = 100  # trim 1/100 (1%) from each tail
+
+
+def winsorized_stats(events: DataFrame, trim_div: int = WINSOR_TRIM_DIV) -> DataFrame:
+    """Winsorized (clipped) robust statistics per event type: values
+    below the exact p(1/trim_div) / above the p(1-1/trim_div) order
+    statistic are clipped to those cutoffs before aggregating — the
+    outlier-robust mean every metrics pipeline needs next to the raw
+    one.
+
+    Cutoffs are EXACT order statistics (rank window on integer cents,
+    ``(ts, event_id)``-free deterministic tie-break on the value+id
+    order), computed per type and broadcast back; the clip itself is a
+    narrow map. The rank window is the same per-type sorted pass the
+    deciles/median operators already pay; at 100 TB the documented
+    swap-in is an approx-quantile cutoff with the identical downstream
+    plan.
+
+    Returns ``(event_type, n_events, cut_lo_c, cut_hi_c, n_clipped_lo,
+    n_clipped_hi, sum_winsor_c, winsor_mean_milli)``.
+    """
+    val_c = F.round(F.col("value") * 100).cast("long")
+    base = events.select("event_type", "event_id", val_c.alias("val_c"))
+    w = Window.partitionBy("event_type").orderBy("val_c", "event_id")
+    ranked = base.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(Window.partitionBy("event_type"))
+    )
+    lo_rank = F.expr(f"(n + {trim_div - 1}) div {trim_div}")
+    hi_rank = F.col("n") + 1 - lo_rank
+    cuts = (
+        ranked.filter((F.col("rn") == lo_rank) | (F.col("rn") == hi_rank))
+        .groupBy("event_type")
+        .agg(F.min("val_c").alias("cut_lo_c"), F.max("val_c").alias("cut_hi_c"))
+    )
+    clipped = base.join(F.broadcast(cuts), "event_type").select(
+        "event_type",
+        "val_c",
+        "cut_lo_c",
+        "cut_hi_c",
+        F.least(F.greatest(F.col("val_c"), F.col("cut_lo_c")), F.col("cut_hi_c")).alias(
+            "wv"
+        ),
+    )
+    return (
+        clipped.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("cut_lo_c").alias("cut_lo_c"),
+            F.max("cut_hi_c").alias("cut_hi_c"),
+            F.count(F.when(F.col("val_c") < F.col("cut_lo_c"), 1)).alias("n_clipped_lo"),
+            F.count(F.when(F.col("val_c") > F.col("cut_hi_c"), 1)).alias("n_clipped_hi"),
+            F.sum("wv").alias("sum_winsor_c"),
+        )
+        .withColumn("winsor_mean_milli", F.expr("sum_winsor_c * 1000 div n_events"))
+    )

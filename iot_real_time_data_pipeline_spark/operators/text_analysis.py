@@ -613,3 +613,38 @@ def ngram_diversity(
             ),
         )
     )
+
+
+SEARCH_TERMS = ("spark", "join", "window")
+
+
+def keyword_search(
+    docs: DataFrame,
+    terms: tuple[str, ...] = SEARCH_TERMS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Conjunctive (AND) keyword search: documents containing EVERY
+    query term, with the total hit count as a relevance signal — the
+    posting-list-intersection primitive under boolean retrieval.
+
+    Scan-side form: explode -> filter to the (tiny, literal) term set
+    -> per-doc distinct-term + hit counts -> ``n_terms == k``. The
+    filter prunes the explode to query-term rows only, so the shuffle
+    carries hits, not the corpus; the pre-built inverted-index variant
+    (``curation.write_corpus``-style postings partitioned by term)
+    serves the same plan from storage at 100 TB.
+
+    Returns ``(doc_id, n_hits)`` for matching docs.
+    """
+    tok = F.explode(TH.tokens(F.col(text_col))).alias("tok")
+    per_doc = (
+        docs.select(F.col(id_col).alias("doc_id"), tok)
+        .filter(F.col("tok").isin(*terms))
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("tok").alias("n_terms"),
+            F.count("*").alias("n_hits"),
+        )
+    )
+    return per_doc.filter(F.col("n_terms") == len(terms)).select("doc_id", "n_hits")

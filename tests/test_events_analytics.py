@@ -742,3 +742,38 @@ def test_transition_matrix_counts_and_row_normalizes(spark):
     assert out[("view", "click")].prob_ppm == (2 * 1_000_000) // 3
     assert out[("view", "purchase")].prob_ppm == (1 * 1_000_000) // 3
     assert out[("click", "view")].prob_ppm == 1_000_000
+
+
+def test_winsorized_stats_matches_python_reference(spark):
+    import random
+
+    rng = random.Random(21)
+    rows = []
+    for i in range(1, 301):
+        rows.append((i, 1, "view" if i % 2 else "click", rng.uniform(-50, 500), i))
+    out = {r.event_type: r for r in EA.winsorized_stats(_events(spark, rows)).collect()}
+
+    by_type = {}
+    for eid, _, t, v, _ in rows:
+        by_type.setdefault(t, []).append((round(v * 100), eid))
+    for t, vals in by_type.items():
+        vals.sort()
+        n = len(vals)
+        lo_rank = (n + 99) // 100
+        cut_lo = vals[lo_rank - 1][0]
+        cut_hi = vals[n - lo_rank][0]
+        clipped = [min(max(v, cut_lo), cut_hi) for v, _ in vals]
+        r = out[t]
+        assert (r.cut_lo_c, r.cut_hi_c) == (cut_lo, cut_hi)
+        assert r.n_clipped_lo == sum(1 for v, _ in vals if v < cut_lo)
+        assert r.n_clipped_hi == sum(1 for v, _ in vals if v > cut_hi)
+        assert r.sum_winsor_c == sum(clipped)
+        assert r.winsor_mean_milli == (sum(clipped) * 1000) // n
+
+
+def test_winsorized_stats_tiny_group_degenerates_to_min_max(spark):
+    rows = [(1, 1, "view", 1.0, 0), (2, 1, "view", 9.0, 10)]
+    out = EA.winsorized_stats(_events(spark, rows)).collect()[0]
+    # n=2: lo_rank=1, hi_rank=2 -> cutoffs are min/max, nothing clips
+    assert (out.cut_lo_c, out.cut_hi_c) == (100, 900)
+    assert out.n_clipped_lo == 0 and out.n_clipped_hi == 0

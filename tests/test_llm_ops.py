@@ -1301,3 +1301,47 @@ def test_gram_matrix_matches_numpy_and_is_partition_invariant(spark):
     for r in out7:
         got7[r.i - 1, r.j - 1] = r.gram
     assert (got7 == ref).all()
+
+
+# ---------------------------------------------------------------------------
+# Keyword search / canonical-best
+# ---------------------------------------------------------------------------
+
+
+def test_keyword_search_requires_all_terms_and_counts_hits(spark):
+    rows = [
+        (1, "spark join window spark", "en"),          # all 3, spark twice -> 4 hits
+        (2, "spark join", "en"),                        # missing 'window'
+        (3, "window the spark q join window", "en"),    # all 3 -> 4 hits
+        (4, "nothing relevant here", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r.doc_id: r.n_hits for r in TA.keyword_search(docs).collect()}
+    assert out == {1: 4, 3: 4}
+
+
+def test_canonical_best_keeps_longest_member_ties_to_min_id(spark):
+    rows = [
+        # docs 1-3: a near-dup cluster; 2 is the longest version
+        (1, "the quick brown fox jumps over the lazy dog", "en"),
+        (2, "the quick brown fox jumps over the lazy dog tonight again", "en"),
+        (3, "the quick brown fox jumps over the lazy dog tonight", "en"),
+        # singleton
+        (9, "completely unrelated text about spark engines", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r.cluster_id: r for r in DD.canonical_best(docs, threshold=0.5).collect()}
+    assert out[1].best_doc_id == 2 and out[1].n_members == 3
+    assert out[1].best_n_chars == len(rows[1][1])
+    assert out[9].best_doc_id == 9 and out[9].n_members == 1
+
+    # tie on length -> smallest doc_id wins
+    rows_tie = [
+        (5, "alpha beta gamma delta epsilon zeta eta theta", "en"),
+        (6, "alpha beta gamma delta epsilon zeta eta thetb", "en"),  # same length
+    ]
+    docs_tie = spark.createDataFrame(rows_tie, "doc_id long, text string, lang string")
+    out_tie = DD.canonical_best(docs_tie, threshold=0.5).collect()
+    best = {r.cluster_id: r.best_doc_id for r in out_tie}
+    if 5 in best and len(out_tie) == 1:  # clustered together
+        assert best[5] == 5
