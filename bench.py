@@ -223,6 +223,8 @@ def main() -> None:
         "emb_gram_matrix",
         "docs_keyword_search",
         "docs_canonical_best",
+        "docs_pagerank",
+        "docs_minhash_calibration",
         "mm_image_features",
         "mm_frame_sample",
     ]:

@@ -1628,3 +1628,110 @@ def llm_oracle_sql() -> dict[str, str]:  # noqa: F811
     out["docs_keyword_search"] = _sql_keyword_search()
     out["docs_canonical_best"] = _sql_canonical_best()
     return out
+
+
+def q_pagerank(spark, sf_dir):
+    return DD.pagerank(_docs(spark, sf_dir), threshold=JACCARD_THRESHOLD)
+
+
+def _sql_pagerank() -> str:
+    # The SAME integer recurrence as the Spark loop, UNROLLED as
+    # chained CTEs (fixed iteration count makes that possible — and
+    # proves the distributed loop equals the closed-form dataflow).
+    d, t = DD.PR_DAMP_MILLI, DD.PR_TELEPORT_PPM
+    steps = []
+    for i in range(DD.PR_ITERS):
+        steps.append(
+            f"""r{i + 1} AS (
+  SELECT n.doc_id,
+         CAST({t} + coalesce(sum(({d} * r.rank_ppm) // (1000 * dg.outdeg)), 0)
+              AS BIGINT) AS rank_ppm
+  FROM documents n
+  LEFT JOIN edges e ON e.dst = n.doc_id
+  LEFT JOIN r{i} r ON r.doc_id = e.src
+  LEFT JOIN deg dg ON dg.src = e.src
+  GROUP BY n.doc_id
+)"""
+        )
+    chain = ",\n".join(steps)
+    return f"""
+WITH {_minhash_inter_ctes()},
+{_jaccard_ctes('inter')},
+pairs AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+r0 AS (SELECT doc_id, CAST({DD.PR_INIT_PPM} AS BIGINT) AS rank_ppm FROM documents),
+{chain}
+SELECT doc_id, rank_ppm FROM r{DD.PR_ITERS}"""
+
+
+llm_queries_r6c = llm_queries
+llm_oracle_sql_r6c = llm_oracle_sql
+
+
+def llm_queries() -> dict[str, QueryFn]:  # noqa: F811
+    out = llm_queries_r6c()
+    out["docs_pagerank"] = q_pagerank
+    return out
+
+
+def llm_oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = llm_oracle_sql_r6c()
+    out["docs_pagerank"] = _sql_pagerank()
+    return out
+
+
+def q_minhash_calibration(spark, sf_dir):
+    return DD.minhash_calibration(_docs(spark, sf_dir), threshold=JACCARD_THRESHOLD)
+
+
+def _sql_minhash_calibration() -> str:
+    k = len(TH.MINHASH_AB)
+    sig_list = ", ".join(f"mh{i}" for i in range(k))
+    return f"""
+WITH {_minhash_inter_ctes()},
+sizes AS (SELECT doc_id, len(shl) AS n FROM sh),
+sigl AS (SELECT doc_id, [{sig_list}] AS sigv FROM sig),
+verified AS (
+  SELECT i.doc_a, i.doc_b, i.n_common,
+         sa.n + sb.n - i.n_common AS n_union
+  FROM inter i
+  JOIN sizes sa ON i.doc_a = sa.doc_id
+  JOIN sizes sb ON i.doc_b = sb.doc_id
+  WHERE i.n_common / CAST(sa.n + sb.n - i.n_common AS DOUBLE)
+        >= {JACCARD_THRESHOLD}
+),
+m AS (
+  SELECT v.doc_a, v.doc_b,
+         CAST((v.n_common * 1000000) // v.n_union AS BIGINT) AS jac_ppm,
+         CAST(len(list_filter(range(1, {k} + 1),
+              i -> a.sigv[i] = b.sigv[i])) AS BIGINT) AS est_match_k
+  FROM verified v
+  JOIN sigl a ON v.doc_a = a.doc_id
+  JOIN sigl b ON v.doc_b = b.doc_id
+)
+SELECT doc_a, doc_b, jac_ppm, est_match_k,
+       CAST((est_match_k * 1000000) // {k} AS BIGINT) AS est_ppm,
+       CAST(abs((est_match_k * 1000000) // {k} - jac_ppm) AS BIGINT)
+         AS abs_err_ppm
+FROM m"""
+
+
+llm_queries_r6d = llm_queries
+llm_oracle_sql_r6d = llm_oracle_sql
+
+
+def llm_queries() -> dict[str, QueryFn]:  # noqa: F811
+    out = llm_queries_r6d()
+    out["docs_minhash_calibration"] = q_minhash_calibration
+    return out
+
+
+def llm_oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = llm_oracle_sql_r6d()
+    out["docs_minhash_calibration"] = _sql_minhash_calibration()
+    return out

@@ -712,3 +712,140 @@ def canonical_best(
             "n_members",
         )
     )
+
+
+PR_ITERS = 5
+PR_DAMP_MILLI = 850  # damping factor in milli (0.85)
+PR_TELEPORT_PPM = 150_000  # (1 - d) in ppm of the unit rank
+PR_INIT_PPM = 1_000_000
+
+
+def pagerank(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    iters: int = PR_ITERS,
+) -> DataFrame:
+    """Integer-exact PageRank over the MinHash near-dup graph — a
+    centrality signal for canonical selection (the most-connected
+    version of a duplicated page is usually the authoritative one) and
+    the engine's iterative-graph-algorithm template beyond connected
+    components.
+
+    The recurrence is ALL-INTEGER so a fixed iteration count is
+    bit-reproducible on any engine: ranks in ppm, per-edge contribution
+    ``(850 * rank) div (1000 * degree)``, update
+    ``150000 + sum(contribs)`` (the standard simplified teleport; mass
+    lost to integer floors and dangling nodes is deliberately not
+    redistributed — determinism over stochastic purity). The oracle
+    UNROLLS the same recurrence as chained CTEs.
+
+    Each iteration is one edge-join + one groupBy(dst) — shuffle
+    proportional to edges, the same shape as ``connected_components``
+    — with ``localCheckpoint`` lineage truncation per round. Isolated
+    nodes converge to the teleport floor immediately.
+
+    Returns ``(doc_id, rank_ppm)`` for every document.
+    """
+    pairs = minhash_lsh_pairs(docs, text_col, id_col, threshold).select(
+        "doc_a", "doc_b"
+    )
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .persist()
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    nodes = docs.select(F.col(id_col).alias("doc_id"))
+    ranks = nodes.withColumn("rank_ppm", F.lit(PR_INIT_PPM).cast("long"))
+    for _ in range(iters):
+        contribs = (
+            edges.join(ranks, edges["src"] == ranks["doc_id"])
+            .join(deg, "src")
+            .select(
+                F.col("dst"),
+                F.expr(
+                    f"({PR_DAMP_MILLI} * rank_ppm) div (1000 * outdeg)"
+                ).alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("incoming"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes["doc_id"] == contribs["dst"], "left")
+            .select(
+                "doc_id",
+                (
+                    F.lit(PR_TELEPORT_PPM) + F.coalesce(F.col("incoming"), F.lit(0))
+                )
+                .cast("long")
+                .alias("rank_ppm"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    edges.unpersist()
+    return ranks
+
+
+def minhash_calibration(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Sketch-calibration report: for every verified near-dup pair,
+    the MinHash ESTIMATE of Jaccard (matching signature components /
+    k) next to the exact value — the measurement that justifies
+    trusting the sketch when the corpus outgrows exact verification.
+    E[matches/k] = J is the MinHash guarantee; this query measures the
+    realized error on live data.
+
+    All-integer outputs: exact Jaccard as ppm from shingle counts,
+    estimate as matches-of-32 and ppm, absolute error in ppm.
+
+    Returns ``(doc_a, doc_b, jac_ppm, est_match_k, est_ppm,
+    abs_err_ppm)``.
+    """
+    sh = _doc_shingles(docs, text_col, id_col)
+    sig = sh.select(
+        "doc_id", F.array(*TH.minhash_signature(F.col("sh"))).alias("sig")
+    )
+    pairs = minhash_lsh_pairs(docs, text_col, id_col, threshold).select(
+        "doc_a", "doc_b"
+    )
+    a_sh = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b_sh = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    a_sig = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    b_sig = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    j = pairs.join(a_sh, "doc_a").join(b_sh, "doc_b").join(a_sig, "doc_a").join(
+        b_sig, "doc_b"
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    est = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda v: v,
+        )
+    )
+    k = len(TH.MINHASH_AB)
+    return (
+        j.withColumn("n_common", inter)
+        .withColumn(
+            "n_union", F.size("sh_a") + F.size("sh_b") - F.col("n_common")
+        )
+        .withColumn("est_match_k", est.cast("long"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("n_common * 1000000 div n_union").alias("jac_ppm"),
+            "est_match_k",
+            F.expr(f"est_match_k * 1000000 div {k}").alias("est_ppm"),
+            F.expr(
+                f"abs(est_match_k * 1000000 div {k}"
+                " - n_common * 1000000 div n_union)"
+            ).alias("abs_err_ppm"),
+        )
+    )

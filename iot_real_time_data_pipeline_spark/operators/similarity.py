@@ -790,3 +790,50 @@ def gram_matrix(embs: DataFrame) -> DataFrame:
         .groupBy("i", "j")
         .agg(F.sum("partial").alias("gram"))
     )
+
+
+def pca_components(gram_rows, k: int = 4) -> list[list[float]]:
+    """Driver-side eigendecomposition of the (tiny, d x d) Gram matrix
+    produced by :func:`gram_matrix`: returns the top-``k`` eigenvectors
+    as plain float lists, descaled back to embedding units.
+
+    This is the sanctioned driver-side step of distributed PCA: the
+    cluster reduces 100 TB of vectors to d^2 integers; eigen-solving a
+    64 x 64 symmetric matrix is microseconds anywhere. Deterministic
+    up to eigenvector sign, which is fixed by forcing the
+    largest-magnitude coordinate positive.
+    """
+    import numpy as np
+
+    d = EMB_DIM
+    G = np.zeros((d, d), dtype=np.float64)
+    for r in gram_rows:
+        G[r["i"] - 1, r["j"] - 1] = r["gram"]
+    G /= float(GRAM_SCALE) ** 2
+    vals, vecs = np.linalg.eigh(G)
+    order = np.argsort(vals)[::-1][:k]
+    out = []
+    for idx in order:
+        v = vecs[:, idx]
+        pivot = int(np.argmax(np.abs(v)))
+        if v[pivot] < 0:
+            v = -v
+        out.append([float(x) for x in v])
+    return out
+
+
+def pca_project(embs: DataFrame, components: list[list[float]]) -> DataFrame:
+    """Distributed projection onto fixed principal components: the same
+    shuffle-free literal-constant plan as :func:`rand_projection`, fed
+    by :func:`pca_components` instead of random signs.
+
+    Returns ``(vec_id, c0_micro, ..., c{k-1}_micro)``.
+    """
+    v = as_double(F.col("embedding"))
+    cols = [F.col("vec_id")]
+    for i, comp in enumerate(components):
+        plane = F.array(*[F.lit(float(x)) for x in comp])
+        cols.append(
+            F.round(dot(v, plane) * F.lit(1e6)).cast("long").alias(f"c{i}_micro")
+        )
+    return embs.select(*cols)

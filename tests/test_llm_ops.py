@@ -1345,3 +1345,84 @@ def test_canonical_best_keeps_longest_member_ties_to_min_id(spark):
     best = {r.cluster_id: r.best_doc_id for r in out_tie}
     if 5 in best and len(out_tie) == 1:  # clustered together
         assert best[5] == 5
+
+
+# ---------------------------------------------------------------------------
+# PageRank / MinHash calibration / PCA
+# ---------------------------------------------------------------------------
+
+
+def test_pagerank_matches_python_integer_recurrence(spark, docs):
+    # independent reference: same integer recurrence over the same
+    # verified near-dup pair graph, run in plain Python
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in DD.minhash_lsh_pairs(docs, threshold=0.8).collect()
+    ]
+    node_ids = [r.doc_id for r in docs.select("doc_id").collect()]
+    adj, deg = {}, {}
+    for a, b in pairs:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    for n, ns in adj.items():
+        deg[n] = len(ns)
+    rank = {n: 1_000_000 for n in node_ids}
+    for _ in range(DD.PR_ITERS):
+        nxt = {}
+        for n in node_ids:
+            incoming = sum(
+                (DD.PR_DAMP_MILLI * rank[u]) // (1000 * deg[u])
+                for u in adj.get(n, [])
+            )
+            nxt[n] = DD.PR_TELEPORT_PPM + incoming
+        rank = nxt
+    out = {r.doc_id: r.rank_ppm for r in DD.pagerank(docs, threshold=0.8).collect()}
+    assert out == rank
+    # the dup pair (docs 1,2 are exact dups) must rank above isolated docs
+    if pairs:
+        a, b = pairs[0]
+        iso = [n for n in node_ids if n not in deg]
+        if iso:
+            assert out[a] > out[iso[0]]
+
+
+def test_minhash_calibration_exact_dup_estimates_exactly(spark, docs):
+    out = {(r.doc_a, r.doc_b): r for r in DD.minhash_calibration(docs, threshold=0.5).collect()}
+    # docs 1 and 2 are identical after normalization: every signature
+    # component matches and both ppm columns are exactly 1.0
+    r = out[(1, 2)]
+    assert r.est_match_k == 32
+    assert r.jac_ppm == 1_000_000 and r.est_ppm == 1_000_000
+    assert r.abs_err_ppm == 0
+    # every pair's error is bounded and consistent
+    for r in out.values():
+        assert r.abs_err_ppm == abs(r.est_ppm - r.jac_ppm)
+        assert 0 <= r.est_match_k <= 32
+
+
+def test_pca_recovers_dominant_direction(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    # data concentrated along a known axis pair
+    base = np.zeros((200, SIM.EMB_DIM))
+    base[:, 3] = rng.normal(0, 10.0, 200)
+    base[:, 17] = rng.normal(0, 3.0, 200)
+    base += rng.normal(0, 0.05, base.shape)
+    embs = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(base)],
+        "vec_id long, embedding array<float>",
+    )
+    gram = SIM.gram_matrix(embs).collect()
+    comps = SIM.pca_components(gram, k=2)
+    # top component aligned with axis 3, second with axis 17
+    assert abs(comps[0][3]) > 0.99
+    assert abs(comps[1][17]) > 0.99
+    proj = SIM.pca_project(embs, comps).collect()
+    assert len(proj) == 200 and set(proj[0].asDict()) == {"vec_id", "c0_micro", "c1_micro"}
+    # projection onto the dominant axis reproduces (quantized) coordinate 3
+    by_id = {r.vec_id: r for r in proj}
+    Q = np.array([[float(np.float32(x)) for x in row] for row in base])
+    for i in (0, 1, 2):
+        expect = sum(q * c for q, c in zip(Q[i], comps[0]))
+        assert abs(by_id[i].c0_micro - round(expect * 1e6)) <= 1
