@@ -784,3 +784,59 @@ def events_oracle_sql() -> dict[str, str]:  # noqa: F811
     out = events_oracle_sql_r6b()
     out["events_winsorized"] = _WINSOR_SQL
     return out
+
+
+def q_cusum(spark, sf_dir):
+    return EA.cusum_changepoint(_events(spark, sf_dir))
+
+
+_CUSUM_SQL = f"""
+WITH {_EV_CTE},
+daily AS (
+  SELECT event_type, ts_sec // 86400 AS day,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS daily_sum_c
+  FROM ev GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type, count(*) AS n_days,
+         CAST(sum(daily_sum_c) AS BIGINT) AS total_c
+  FROM daily GROUP BY event_type
+),
+dev AS (
+  SELECT d.event_type, d.day, s.n_days,
+         d.daily_sum_c * s.n_days - s.total_c AS dev_xd
+  FROM daily d JOIN stats s USING (event_type)
+),
+scored AS (
+  SELECT event_type, day, n_days,
+         CAST(sum(dev_xd) OVER (PARTITION BY event_type ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cusum_xd
+  FROM dev
+),
+ranked AS (
+  SELECT event_type, n_days, day, abs(cusum_xd) AS mag,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY abs(cusum_xd) DESC, day) AS rnk
+  FROM scored
+)
+SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+       CAST(day AS BIGINT) AS peak_day,
+       CAST(mag AS BIGINT) AS peak_abs_cusum_xd
+FROM ranked WHERE rnk = 1"""
+
+
+events_queries_r6c = events_queries
+events_oracle_sql_r6c = events_oracle_sql
+
+
+def events_queries() -> dict[str, QueryFn]:  # noqa: F811
+    out = events_queries_r6c()
+    out["events_cusum_changepoint"] = q_cusum
+    return out
+
+
+def events_oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = events_oracle_sql_r6c()
+    out["events_cusum_changepoint"] = _CUSUM_SQL
+    return out

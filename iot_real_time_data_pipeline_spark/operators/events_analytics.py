@@ -1077,3 +1077,96 @@ def winsorized_stats(events: DataFrame, trim_div: int = WINSOR_TRIM_DIV) -> Data
         )
         .withColumn("winsor_mean_milli", F.expr("sum_winsor_c * 1000 div n_events"))
     )
+
+
+def streaming_hopping_rollup(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark_delay: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming twin of :func:`hopping_rollup`: Spark's native sliding
+    event-time windows maintain the same overlapping (type, window)
+    grid incrementally, watermark-bounded. Epoch-aligned window starts
+    mean the streaming grid lands EXACTLY on the batch integer grid
+    (``ts div slide`` buckets) — proven by the parity test, so backfill
+    (batch) and live (stream) rollups are interchangeable.
+    """
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark(ts_col, watermark_delay)
+    value_c = F.round(F.col("value") * 100).cast("long")
+    return (
+        src.groupBy(F.window(ts_col, window, slide).alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(value_c).alias("sum_value_c"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value_c",
+        )
+    )
+
+
+def cusum_changepoint(events: DataFrame) -> DataFrame:
+    """CUSUM changepoint summary per event type: cumulative deviation
+    of the daily value totals from the per-type mean, reporting the day
+    where |CUSUM| peaks — the classic level-shift detector (where did
+    the metric's regime change?).
+
+    Rollup-first discipline: the CUSUM window runs on the per-(type,
+    day) aggregate, never raw events; deviations are exact integer
+    micro-cents (daily_sum * days - total, avoiding the division), so
+    the argmax day is engine-exact. The peak pick is one more bounded
+    aggregate (max over days), tie-broken to the earliest day.
+
+    Returns ``(event_type, n_days, peak_day, peak_abs_cusum_xd)`` where
+    the CUSUM unit is cents x days (the division-free deviation scale).
+    """
+    daily = (
+        events.select(
+            "event_type",
+            F.expr("ts_sec div 86400").alias("day"),
+            F.round(F.col("value") * 100).cast("long").alias("val_c"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("val_c").alias("daily_sum_c"))
+    )
+    per_type = Window.partitionBy("event_type")
+    run = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # deviation scaled by n_days: dev_xd = daily_sum * n_days - total
+    # (integer; equals (daily_sum - mean) * n_days exactly)
+    scored = (
+        daily.withColumn("n_days", F.count("*").over(per_type))
+        .withColumn("total_c", F.sum("daily_sum_c").over(per_type))
+        .withColumn(
+            "cusum_xd",
+            F.sum(
+                F.col("daily_sum_c") * F.col("n_days") - F.col("total_c")
+            ).over(run),
+        )
+    )
+    best = F.max(
+        F.struct(
+            F.abs(F.col("cusum_xd")).alias("mag"),
+            (-F.col("day")).alias("neg_day"),
+        )
+    )
+    return (
+        scored.groupBy("event_type")
+        .agg(F.max("n_days").alias("n_days"), best.alias("b"))
+        .select(
+            "event_type",
+            "n_days",
+            (-F.col("b.neg_day")).alias("peak_day"),
+            F.col("b.mag").alias("peak_abs_cusum_xd"),
+        )
+    )

@@ -833,3 +833,55 @@ def abc_classification(lineitem: DataFrame) -> DataFrame:
         .otherwise(F.lit("C"))
         .alias("abc_class"),
     )
+
+
+RFM_BINS = 5
+
+
+def customer_rfm(orders: DataFrame, bins: int = RFM_BINS) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation —
+    the marketing-analytics staple: per customer, days since last
+    order, order count, and lifetime cents, each scored into ``bins``
+    equal-frequency buckets, concatenated into the segment code
+    ("555" = best).
+
+    Plan: one partial-agged groupBy(custkey) reduces the order log to
+    |customer| rows; the three ntile windows run on that aggregate
+    (deterministic (metric, custkey) tie-breaks). Recency is integer
+    days against the corpus max date (broadcast 1-row aggregate).
+    Higher score always = better: recent, frequent, high-spend.
+
+    Returns ``(o_custkey, recency_days, frequency, monetary_c,
+    r_score, f_score, m_score, rfm_segment)``.
+    """
+    o = with_date_sec(orders, "o_orderdate")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_sec"),
+        F.count("*").alias("frequency"),
+        F.sum(cents(F.col("o_totalprice"))).alias("monetary_c"),
+    )
+    max_sec = per_cust.agg(F.max("last_sec").alias("corpus_max_sec"))
+    base = per_cust.crossJoin(F.broadcast(max_sec)).select(
+        "o_custkey",
+        F.expr("(corpus_max_sec - last_sec) div 86400").alias("recency_days"),
+        "frequency",
+        "monetary_c",
+    )
+    r_w = Window.orderBy(F.col("recency_days").desc(), F.col("o_custkey"))
+    f_w = Window.orderBy(F.col("frequency"), F.col("o_custkey"))
+    m_w = Window.orderBy(F.col("monetary_c"), F.col("o_custkey"))
+    scored = (
+        base.withColumn("r_score", F.ntile(bins).over(r_w).cast("long"))
+        .withColumn("f_score", F.ntile(bins).over(f_w).cast("long"))
+        .withColumn("m_score", F.ntile(bins).over(m_w).cast("long"))
+    )
+    return scored.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary_c",
+        "r_score",
+        "f_score",
+        "m_score",
+        F.concat_ws("", "r_score", "f_score", "m_score").alias("rfm_segment"),
+    )

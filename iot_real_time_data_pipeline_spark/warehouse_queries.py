@@ -580,3 +580,58 @@ def warehouse_oracle_sql() -> dict[str, str]:  # noqa: F811
     out = warehouse_oracle_sql_r5()
     out["wh_abc_classification"] = _ABC_SQL
     return out
+
+
+def q_rfm(spark, sf_dir):
+    return WH.customer_rfm(_t(spark, sf_dir, "orders"))
+
+
+_RFM_SQL = f"""
+WITH o AS (
+  SELECT o_custkey, {_esec('o_orderdate')} AS d_sec,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+  FROM orders
+),
+per_cust AS (
+  SELECT o_custkey, max(d_sec) AS last_sec, count(*) AS frequency,
+         CAST(sum(price_c) AS BIGINT) AS monetary_c
+  FROM o GROUP BY o_custkey
+),
+mx AS (SELECT max(last_sec) AS corpus_max_sec FROM per_cust),
+base AS (
+  SELECT o_custkey,
+         CAST((corpus_max_sec - last_sec) // 86400 AS BIGINT) AS recency_days,
+         frequency, monetary_c
+  FROM per_cust, mx
+),
+scored AS (
+  SELECT *,
+         CAST(ntile({WH.RFM_BINS}) OVER (ORDER BY recency_days DESC, o_custkey)
+              AS BIGINT) AS r_score,
+         CAST(ntile({WH.RFM_BINS}) OVER (ORDER BY frequency, o_custkey)
+              AS BIGINT) AS f_score,
+         CAST(ntile({WH.RFM_BINS}) OVER (ORDER BY monetary_c, o_custkey)
+              AS BIGINT) AS m_score
+  FROM base
+)
+SELECT o_custkey, recency_days, frequency, monetary_c,
+       r_score, f_score, m_score,
+       CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+         || CAST(m_score AS VARCHAR) AS rfm_segment
+FROM scored"""
+
+
+warehouse_queries_r6b = warehouse_queries
+warehouse_oracle_sql_r6b = warehouse_oracle_sql
+
+
+def warehouse_queries() -> dict[str, QueryFn]:  # noqa: F811
+    out = warehouse_queries_r6b()
+    out["wh_customer_rfm"] = q_rfm
+    return out
+
+
+def warehouse_oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = warehouse_oracle_sql_r6b()
+    out["wh_customer_rfm"] = _RFM_SQL
+    return out

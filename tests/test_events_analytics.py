@@ -777,3 +777,89 @@ def test_winsorized_stats_tiny_group_degenerates_to_min_max(spark):
     # n=2: lo_rank=1, hi_rank=2 -> cutoffs are min/max, nothing clips
     assert (out.cut_lo_c, out.cut_hi_c) == (100, 900)
     assert out.n_clipped_lo == 0 and out.n_clipped_hi == 0
+
+
+def test_streaming_hopping_rollup_matches_batch_grid(spark, tmp_path):
+    """The native sliding-window streaming rollup, drained with
+    availableNow, lands on exactly the batch integer hop grid."""
+    import datetime
+    import json as _json
+
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    for i, (etype, minutes, value) in enumerate(
+        [
+            ("view", 5, 1.25),
+            ("view", 59, 2.50),
+            ("view", 61, 10.0),
+            ("click", 10, 1.0),
+            ("click", 200, 3.0),
+        ]
+    ):
+        rows.append(
+            {
+                "event_id": i,
+                "user_id": 1,
+                "event_type": etype,
+                "value": value,
+                "ts": (base + datetime.timedelta(minutes=minutes)).isoformat(),
+            }
+        )
+    src = tmp_path / "hop_src"
+    src.mkdir()
+    (src / "part.json").write_text("\n".join(_json.dumps(r) for r in rows))
+
+    schema = "event_id long, user_id long, event_type string, value double, ts timestamp"
+    stream = spark.readStream.schema(schema).json(str(src))
+    q = (
+        EA.streaming_hopping_rollup(stream)
+        .writeStream.format("memory")
+        .queryName("hop_parity")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    live = {
+        (r.event_type, int(r.window_start.timestamp())): (r.n_events, r.sum_value_c)
+        for r in spark.sql("SELECT * FROM hop_parity").collect()
+    }
+
+    batch_events = spark.createDataFrame(
+        [(r["event_id"], r["user_id"], r["event_type"], r["value"],
+          int(datetime.datetime.fromisoformat(r["ts"]).replace(
+              tzinfo=datetime.timezone.utc).timestamp()))
+         for r in rows],
+        "event_id long, user_id long, event_type string, value double, ts_sec long",
+    )
+    batch = {
+        (r.event_type, r.window_start_sec): (r.n_events, r.sum_value_c)
+        for r in EA.hopping_rollup(batch_events).collect()
+    }
+    assert live == batch and live
+
+
+def test_cusum_changepoint_finds_level_shift(spark):
+    # 10 days at ~100, then 10 days at ~500: |CUSUM| peaks at the shift
+    rows = []
+    eid = 0
+    for day in range(20):
+        level = 1.0 if day < 10 else 5.0
+        for k in range(3):
+            eid += 1
+            rows.append((eid, 1, "view", level, day * 86400 + k * 100))
+    out = EA.cusum_changepoint(_events(spark, rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_days == 20
+    assert r.peak_day == 9  # last day of the old regime
+
+    # python reference for the exact magnitude
+    daily = {d: (300 if d < 10 else 1500) for d in range(20)}
+    total = sum(daily.values())
+    cusum, peak = 0, (0, -1)
+    for d in range(20):
+        cusum += daily[d] * 20 - total
+        if abs(cusum) > peak[0]:
+            peak = (abs(cusum), d)
+    assert (r.peak_abs_cusum_xd, r.peak_day) == peak

@@ -599,3 +599,22 @@ def test_gram_matrix_quantizes_before_python_and_aggregates_partials(spark, emb)
     # (printed after it top-down)
     assert plan.index("MapInPandas") < plan.index("transform(")
     assert "Join" not in plan
+
+
+def test_customer_rfm_windows_run_on_customer_aggregate(spark, wh_tables):
+    from iot_real_time_data_pipeline_spark.operators import warehouse as WH
+
+    df = WH.customer_rfm(wh_tables["orders"])
+    plan = plan_of(df)
+    import re
+
+    agg = re.search(r"HashAggregate\(keys=\[o_custkey#\d+", plan)
+    # ntile windows sit above the per-customer aggregate, never on raw
+    # orders rows
+    assert agg and plan.index("Window") < agg.start()
+    rows = df.collect()
+    n = len(rows)
+    best = [r for r in rows if r.rfm_segment == "555"]
+    assert best and len(best) <= n // 5 + 1
+    for r in rows[:50]:
+        assert r.rfm_segment == f"{r.r_score}{r.f_score}{r.m_score}"
