@@ -225,6 +225,7 @@ def main() -> None:
         "docs_canonical_best",
         "docs_pagerank",
         "docs_minhash_calibration",
+        "docs_bpe_train",
         "mm_image_features",
         "mm_frame_sample",
     ]:

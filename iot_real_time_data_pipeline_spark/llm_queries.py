@@ -1735,3 +1735,71 @@ def llm_oracle_sql() -> dict[str, str]:  # noqa: F811
     out = llm_oracle_sql_r6d()
     out["docs_minhash_calibration"] = _sql_minhash_calibration()
     return out
+
+
+def q_bpe_train(spark, sf_dir):
+    return TA.bpe_train(_docs(spark, sf_dir))
+
+
+def _sql_bpe_train() -> str:
+    # The ENTIRE training loop unrolled: per round, a pair-frequency
+    # CTE, a 1-row argmax CTE, and a list-fold merge application that
+    # references it — the same leftmost-first convention as the Spark
+    # fold. Proves the distributed iterative trainer end-to-end.
+    rounds = []
+    for r in range(TA.BPE_TRAIN_MERGES):
+        rounds.append(
+            f"""pf{r} AS (
+  SELECT p.a AS a, p.b AS b, CAST(sum(cnt) AS BIGINT) AS freq
+  FROM (
+    SELECT cnt,
+           unnest(list_transform(range(1, len(syms)),
+                  i -> {{'a': syms[i], 'b': syms[i+1]}})) AS p
+    FROM vocab{r} WHERE len(syms) >= 2
+  ) GROUP BY p.a, p.b
+),
+top{r} AS (SELECT a, b, freq FROM pf{r} ORDER BY freq DESC, a, b LIMIT 1),
+vocab{r + 1} AS (
+  SELECT cnt, list_reduce(
+    list_prepend(CAST([] AS VARCHAR[]), list_transform(syms, s -> [s])),
+    (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = t.a AND x[1] = t.b
+                THEN list_append(acc[1:len(acc)-1], t.a || t.b)
+                ELSE list_concat(acc, x) END
+  ) AS syms
+  FROM vocab{r}, top{r} t
+)"""
+        )
+    chain = ",\n".join(rounds)
+    finals = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS BIGINT) AS merge_rank, a, b, freq FROM top{r}"
+        for r in range(TA.BPE_TRAIN_MERGES)
+    )
+    return f"""
+WITH words AS (
+  SELECT tok AS w, count(*) AS cnt FROM (
+    SELECT unnest({TH.sql_tokens('text')}) AS tok FROM documents
+  ) WHERE len(tok) > 0 GROUP BY tok
+),
+vocab0 AS (
+  SELECT cnt,
+         list_transform(range(1, length(w) + 1), i -> substr(w, i, 1)) AS syms
+  FROM words
+),
+{chain}
+{finals}"""
+
+
+llm_queries_r6e = llm_queries
+llm_oracle_sql_r6e = llm_oracle_sql
+
+
+def llm_queries() -> dict[str, QueryFn]:  # noqa: F811
+    out = llm_queries_r6e()
+    out["docs_bpe_train"] = q_bpe_train
+    return out
+
+
+def llm_oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = llm_oracle_sql_r6e()
+    out["docs_bpe_train"] = _sql_bpe_train()
+    return out

@@ -648,3 +648,89 @@ def keyword_search(
         )
     )
     return per_doc.filter(F.col("n_terms") == len(terms)).select("doc_id", "n_hits")
+
+
+BPE_TRAIN_MERGES = 8
+
+
+def bpe_train(
+    docs: DataFrame, n_merges: int = BPE_TRAIN_MERGES, text_col: str = "text"
+) -> DataFrame:
+    """Distributed BPE tokenizer TRAINING: the iterative greedy-merge
+    loop itself (not just the first-round candidate counts of
+    :func:`bpe_merge_candidates`) — each round counts adjacent symbol
+    pairs over the word-frequency table, merges the most frequent pair
+    everywhere (leftmost-first fold, the HuggingFace/GPT-2 convention),
+    and repeats. The output merge table IS a trained tokenizer.
+
+    Scale shape: training runs on the DISTINCT-WORD table (|vocab|
+    rows, with corpus frequencies as weights), not the corpus — the
+    one groupBy over raw text happens once. Per round: one explode +
+    partial-agged pair count, a 1-ROW driver read (the argmax — the
+    same sanctioned scalar collect as the watermark), and a narrow
+    map (array fold) applying the merge; ``localCheckpoint`` caps the
+    iterated lineage. Ties break (freq DESC, a, b) so the merge
+    sequence is deterministic — which makes the whole LOOP
+    oracle-checkable: the DuckDB twin unrolls every round.
+
+    Returns ``(merge_rank, a, b, freq)`` — one row per learned merge.
+    """
+    spark = docs.sparkSession
+    words = (
+        docs.select(F.explode(TH.tokens(F.col(text_col))).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    vocab = words.select(
+        "cnt",
+        F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))").alias(
+            "syms"
+        ),
+    )
+    cur = vocab.localCheckpoint(eager=True)
+    merges: list[tuple[int, str, str, int]] = []
+    for r in range(n_merges):
+        pairs = (
+            cur.filter(F.size("syms") >= 2)
+            .select(
+                "cnt",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(0, size(syms)-2),"
+                        " i -> struct(syms[i] as a, syms[i+1] as b))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("cnt").alias("freq"))
+        )
+        top = pairs.orderBy(F.col("freq").desc(), "a", "b").limit(1).collect()
+        if not top:
+            break
+        a, b, freq = top[0]["a"], top[0]["b"], int(top[0]["freq"])
+        merged = a + b
+        init = F.expr("cast(array() as array<string>)")
+
+        def make_step(a: str, b: str, merged: str):
+            def step(acc, x):
+                hit = (
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == F.lit(a))
+                    & (x == F.lit(b))
+                )
+                return F.when(
+                    hit,
+                    F.concat(
+                        F.slice(acc, F.lit(1), F.size(acc) - 1),
+                        F.array(F.lit(merged)),
+                    ),
+                ).otherwise(F.concat(acc, F.array(x)))
+
+            return step
+
+        cur = cur.withColumn(
+            "syms", F.aggregate("syms", init, make_step(a, b, merged))
+        ).localCheckpoint(eager=True)
+        merges.append((r, a, b, freq))
+    return spark.createDataFrame(merges, "merge_rank long, a string, b string, freq long")

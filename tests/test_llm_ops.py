@@ -1426,3 +1426,48 @@ def test_pca_recovers_dominant_direction(spark):
     for i in (0, 1, 2):
         expect = sum(q * c for q, c in zip(Q[i], comps[0]))
         assert abs(by_id[i].c0_micro - round(expect * 1e6)) <= 1
+
+
+def test_bpe_train_matches_python_reference_trainer(spark):
+    rows = [
+        (1, "low low low low low lower lower newest newest newest", "en"),
+        (2, "newest newest newest widest widest widest", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = [
+        (r.merge_rank, r.a, r.b, r.freq)
+        for r in sorted(TA.bpe_train(docs, n_merges=6).collect(), key=lambda r: r.merge_rank)
+    ]
+
+    # plain-Python greedy BPE with the same (freq desc, a, b) tie-break
+    # and leftmost-first merge application
+    from collections import Counter
+
+    words = Counter()
+    for _, text, _ in rows:
+        for w in text.strip().lower().split():
+            words[w] += 1
+    vocab = {w: [c for c in w] for w in words}
+    expected = []
+    for rank in range(6):
+        pairs = Counter()
+        for w, syms in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += words[w]
+        if not pairs:
+            break
+        (a, b), freq = min(pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        expected.append((rank, a, b, freq))
+        for w, syms in vocab.items():
+            merged, i = [], 0
+            while i < len(syms):
+                if merged and merged[-1] == a and syms[i] == b:
+                    merged[-1] = a + b
+                else:
+                    merged.append(syms[i])
+                i += 1
+            vocab[w] = merged
+    assert out == expected
+    # the classic example: 'newest'/'widest' corpora learn 'est' pieces
+    learned = {a + b for _, a, b, _ in out}
+    assert any("es" in m or "est" in m or "lo" in m for m in learned)
