@@ -840,3 +840,62 @@ def events_oracle_sql() -> dict[str, str]:  # noqa: F811
     out = events_oracle_sql_r6c()
     out["events_cusum_changepoint"] = _CUSUM_SQL
     return out
+
+
+def q_scd2_lookup(spark, sf_dir):
+    return EA.scd2_lookup(_events(spark, sf_dir))
+
+
+# Containment stated as the NAIVE interval range join over the same
+# recursive-free SCD2 build — independent of the Spark as-of plan.
+_SCD2_LOOKUP_SQL = f"""
+WITH {_EV_CTE},
+flagged AS (
+  SELECT user_id, event_type, ts_sec, event_id,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                OR lag(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS is_change
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)
+),
+versioned AS (
+  SELECT user_id, event_type, ts_sec,
+         CAST(sum(is_change) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS version
+  FROM flagged
+),
+iv AS (
+  SELECT user_id, version, min(event_type) AS regime,
+         min(ts_sec) AS valid_from_sec
+  FROM versioned GROUP BY user_id, version
+),
+dim AS (
+  SELECT user_id, version, regime, valid_from_sec,
+         CAST(coalesce(lead(valid_from_sec)
+              OVER (PARTITION BY user_id ORDER BY version), -1) AS BIGINT)
+           AS valid_to_sec
+  FROM iv
+)
+SELECT e.event_id, e.user_id, e.ts_sec, d.version, d.regime
+FROM ev e JOIN dim d
+  ON e.user_id = d.user_id
+ AND e.ts_sec >= d.valid_from_sec
+ AND (d.valid_to_sec = -1 OR e.ts_sec < d.valid_to_sec)
+WHERE e.event_type = 'purchase'"""
+
+
+events_queries_r6d = events_queries
+events_oracle_sql_r6d = events_oracle_sql
+
+
+def events_queries() -> dict[str, QueryFn]:  # noqa: F811
+    out = events_queries_r6d()
+    out["events_scd2_lookup"] = q_scd2_lookup
+    return out
+
+
+def events_oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = events_oracle_sql_r6d()
+    out["events_scd2_lookup"] = _SCD2_LOOKUP_SQL
+    return out

@@ -1170,3 +1170,61 @@ def cusum_changepoint(events: DataFrame) -> DataFrame:
             F.col("b.mag").alias("peak_abs_cusum_xd"),
         )
     )
+
+
+def scd2_lookup(events: DataFrame, fact_type: str = "purchase") -> DataFrame:
+    """Point-in-time (as-was) dimension lookup: each ``fact_type``
+    event joined to the SCD2 version whose validity interval contains
+    its timestamp — "which regime was this user in when they
+    purchased". The correctness trap this operator exists for: joining
+    facts to the CURRENT dim row instead of the historical one.
+
+    Scalable shape: because SCD2 intervals PARTITION each user's
+    timeline, interval containment is equivalent to an as-of match on
+    ``valid_from`` — so the plan is the union+window as-of (no range
+    join, no interval explode): version-start rows and fact rows union,
+    one ordered window per user carries (version, regime) forward,
+    version rows sorting before facts at equal seconds and higher
+    versions last (so empty same-second intervals lose, exactly like
+    the containment contract). The oracle states containment as the
+    naive interval range join — an independent formulation.
+
+    Returns ``(event_id, user_id, ts_sec, version, regime)``.
+    """
+    dim = scd2_intervals(events)
+    v = dim.select(
+        "user_id",
+        F.col("valid_from_sec").alias("ts_sec"),
+        F.lit(0).alias("tag"),
+        "version",
+        F.col("event_type").alias("regime"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    f = events.filter(F.col("event_type") == fact_type).select(
+        "user_id",
+        "ts_sec",
+        F.lit(1).alias("tag"),
+        F.lit(None).cast("long").alias("version"),
+        F.lit(None).cast("string").alias("regime"),
+        "event_id",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_sec", "tag", "version", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried_v = F.last(F.when(F.col("tag") == 0, F.col("version")), ignorenulls=True)
+    carried_r = F.last(F.when(F.col("tag") == 0, F.col("regime")), ignorenulls=True)
+    return (
+        v.unionByName(f)
+        .withColumn("cur_version", carried_v.over(w))
+        .withColumn("cur_regime", carried_r.over(w))
+        .filter(F.col("tag") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "ts_sec",
+            F.col("cur_version").alias("version"),
+            F.col("cur_regime").alias("regime"),
+        )
+    )

@@ -863,3 +863,111 @@ def test_cusum_changepoint_finds_level_shift(spark):
         if abs(cusum) > peak[0]:
             peak = (abs(cusum), d)
     assert (r.peak_abs_cusum_xd, r.peak_day) == peak
+
+
+def test_scd2_lookup_assigns_containing_version(spark):
+    rows = [
+        # user 1 regimes: view [0,30) v1, click [30,60) v2, view [60,-) v3
+        (1, 1, "view", 1.0, 0),
+        (2, 1, "view", 1.0, 10),
+        (3, 1, "click", 1.0, 30),
+        (4, 1, "view", 1.0, 60),
+        # purchases: at 30 (same second as the click regime start ->
+        # belongs to the NEW regime per [from, to) containment)... but a
+        # purchase is itself a regime change, so build facts from a
+        # separate purchase-regime run at 45
+        (5, 1, "purchase", 1.0, 45),
+    ]
+    out = {r.event_id: r for r in EA.scd2_lookup(_events(spark, rows)).collect()}
+    r5 = out[5]
+    # the purchase at 45 creates its own regime run starting at 45
+    assert r5.regime == "purchase" and r5.ts_sec == 45
+    assert r5.version is not None
+
+
+def test_scd2_lookup_fuzz_matches_naive_containment(spark):
+    import random
+
+    rng = random.Random(31)
+    rows = []
+    eid = 0
+    for _ in range(300):
+        eid += 1
+        rows.append(
+            (
+                eid,
+                rng.randrange(6),
+                rng.choice(["view", "click", "purchase"]),
+                1.0,
+                rng.randrange(0, 50),  # dense: plenty of same-second ties
+            )
+        )
+    out = {
+        r.event_id: (r.version, r.regime)
+        for r in EA.scd2_lookup(_events(spark, rows)).collect()
+    }
+
+    # naive python: build runs, then containment lookup
+    by_user = {}
+    for eid_, u, t, _, s in rows:
+        by_user.setdefault(u, []).append((s, eid_, t))
+    expected = {}
+    for u, evs in by_user.items():
+        evs.sort()
+        runs = []  # (version, regime, from, to)
+        ver = 0
+        for s, eid_, t in evs:
+            if not runs or runs[-1][1] != t:
+                ver += 1
+                if runs:
+                    runs[-1] = (runs[-1][0], runs[-1][1], runs[-1][2], s)
+                runs.append((ver, t, s, None))
+        for s, eid_, t in evs:
+            if t != "purchase":
+                continue
+            for ver_, regime, fr, to in runs:
+                if s >= fr and (to is None or s < to):
+                    expected[eid_] = (ver_, regime)
+                    break
+    assert out == expected
+
+
+def test_asof_join_fuzz_matches_python_reference(spark):
+    import random
+
+    rng = random.Random(77)
+    rows = []
+    eid = 0
+    for _ in range(400):
+        eid += 1
+        rows.append(
+            (
+                eid,
+                rng.randrange(8),
+                rng.choice(["purchase", "click", "view"]),
+                1.0,
+                rng.randrange(0, 100),  # dense ties
+            )
+        )
+    out = {
+        r.event_id: (r.matched_event_id, r.matched_ts_sec)
+        for r in EA.asof_join_events(_events(spark, rows)).collect()
+    }
+    # python reference: per user, latest click with ts <= purchase ts;
+    # among same-ts clicks the max event_id
+    clicks = {}
+    for eid_, u, t, _, s in rows:
+        if t == "click":
+            clicks.setdefault(u, []).append((s, eid_))
+    expected = {}
+    for eid_, u, t, _, s in rows:
+        if t != "purchase":
+            continue
+        cands = [(cs, ce) for cs, ce in clicks.get(u, []) if cs <= s]
+        if not cands:
+            expected[eid_] = (None, None)
+        else:
+            best_s = max(cs for cs, _ in cands)
+            best_e = max(ce for cs, ce in cands if cs == best_s)
+            expected[eid_] = (best_e, best_s)
+    assert out == expected
