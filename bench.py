@@ -226,6 +226,7 @@ def main() -> None:
         "docs_pagerank",
         "docs_minhash_calibration",
         "docs_bpe_train",
+        "docs_profile",
         "mm_image_features",
         "mm_frame_sample",
     ]:

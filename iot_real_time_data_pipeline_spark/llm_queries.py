@@ -1803,3 +1803,36 @@ def llm_oracle_sql() -> dict[str, str]:  # noqa: F811
     out = llm_oracle_sql_r6e()
     out["docs_bpe_train"] = _sql_bpe_train()
     return out
+
+
+def q_profile(spark, sf_dir):
+    return CUR.profile_table(_docs(spark, sf_dir))
+
+
+def _sql_profile() -> str:
+    selects = [
+        "SELECT '*' AS col, CAST(0 AS BIGINT) AS n_nulls,"
+        " count(*) AS n_distinct FROM documents"
+    ]
+    for c in CUR.PROFILE_COLS:
+        selects.append(
+            f"SELECT '{c}', count(CASE WHEN {c} IS NULL THEN 1 END),"
+            f" count(DISTINCT {c}) FROM documents"
+        )
+    return "\nUNION ALL\n".join(selects)
+
+
+llm_queries_r6f = llm_queries
+llm_oracle_sql_r6f = llm_oracle_sql
+
+
+def llm_queries() -> dict[str, QueryFn]:  # noqa: F811
+    out = llm_queries_r6f()
+    out["docs_profile"] = q_profile
+    return out
+
+
+def llm_oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = llm_oracle_sql_r6f()
+    out["docs_profile"] = _sql_profile()
+    return out

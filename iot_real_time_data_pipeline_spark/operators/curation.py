@@ -684,3 +684,45 @@ def pareto_frontier(
         )
         .select("doc_id", "stop_milli", "n_tokens")
     )
+
+
+PROFILE_COLS = ("doc_id", "text", "lang", "source", "n_chars")
+
+
+def profile_table(docs: DataFrame, cols: tuple[str, ...] = PROFILE_COLS) -> DataFrame:
+    """Single-pass data profiler: per column, null count and exact
+    distinct count, plus the total row count — the ingest-gate summary
+    every corpus snapshot gets before entering the pipeline (schema
+    drift and null-rate regressions show up here first).
+
+    One aggregate over one scan; Spark compiles the multi-distinct
+    into a single Expand + aggregate pair (no per-column jobs). At
+    100 TB swap exact distinct counts for the KMV sketch in
+    ``sketches.py`` with the same output contract.
+
+    Returns ``(col, n_nulls, n_distinct)`` + one ``('*', 0, n_rows)``
+    row.
+    """
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs.append(F.count(F.when(F.col(c).isNull(), 1)).alias(f"{c}__nulls"))
+        aggs.append(F.countDistinct(F.col(c)).alias(f"{c}__distinct"))
+    wide = docs.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit("*").alias("col"),
+            F.lit(0).cast("long").alias("n_nulls"),
+            F.col("n_rows").cast("long").alias("n_distinct"),
+        )
+    ]
+    for c in cols:
+        rows.append(
+            F.struct(
+                F.lit(c).alias("col"),
+                F.col(f"{c}__nulls").cast("long").alias("n_nulls"),
+                F.col(f"{c}__distinct").cast("long").alias("n_distinct"),
+            )
+        )
+    return wide.select(F.explode(F.array(*rows)).alias("r")).select(
+        "r.col", "r.n_nulls", "r.n_distinct"
+    )

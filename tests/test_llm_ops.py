@@ -1471,3 +1471,21 @@ def test_bpe_train_matches_python_reference_trainer(spark):
     # the classic example: 'newest'/'widest' corpora learn 'est' pieces
     learned = {a + b for _, a, b, _ in out}
     assert any("es" in m or "est" in m or "lo" in m for m in learned)
+
+
+def test_profile_table_counts_nulls_and_distincts(spark):
+    rows = [
+        (1, "aa", "en", "web", 2),
+        (2, None, "en", "web", None),
+        (3, "bb", None, "book", 2),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {r.col: (r.n_nulls, r.n_distinct) for r in CUR.profile_table(docs).collect()}
+    assert out["*"] == (0, 3)
+    assert out["doc_id"] == (0, 3)
+    assert out["text"] == (1, 2)
+    assert out["lang"] == (1, 1)
+    assert out["source"] == (0, 2)
+    assert out["n_chars"] == (1, 1)
