@@ -899,3 +899,50 @@ def events_oracle_sql() -> dict[str, str]:  # noqa: F811
     out = events_oracle_sql_r6d()
     out["events_scd2_lookup"] = _SCD2_LOOKUP_SQL
     return out
+
+
+def q_funnel_within(spark, sf_dir):
+    return EA.funnel_within(_events(spark, sf_dir))
+
+
+def _funnel_within_sql() -> str:
+    t = EA.FUNNEL_WITHIN_SEC
+    return f"""
+WITH {_EV_CTE},
+s0 AS (
+  SELECT *, min(CASE WHEN event_type = 'view' THEN ts_sec END)
+         OVER (PARTITION BY user_id) AS t0 FROM ev
+),
+s1 AS (
+  SELECT *, min(CASE WHEN event_type = 'click' AND ts_sec > t0
+                     AND ts_sec <= t0 + {t} THEN ts_sec END)
+         OVER (PARTITION BY user_id) AS t1 FROM s0
+),
+s2 AS (
+  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts_sec > t1
+                     AND ts_sec <= t1 + {t} THEN ts_sec END)
+         OVER (PARTITION BY user_id) AS t2 FROM s1
+),
+u AS (SELECT DISTINCT user_id, t0, t1, t2 FROM s2),
+c AS (SELECT count(t0) AS n0, count(t1) AS n1, count(t2) AS n2 FROM u)
+SELECT CAST(0 AS BIGINT) AS stage_idx, 'view' AS stage, n0 AS n_users FROM c
+UNION ALL
+SELECT CAST(1 AS BIGINT), 'click', n1 FROM c
+UNION ALL
+SELECT CAST(2 AS BIGINT), 'purchase', n2 FROM c"""
+
+
+events_queries_r6e = events_queries
+events_oracle_sql_r6e = events_oracle_sql
+
+
+def events_queries() -> dict[str, QueryFn]:  # noqa: F811
+    out = events_queries_r6e()
+    out["events_funnel_within"] = q_funnel_within
+    return out
+
+
+def events_oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = events_oracle_sql_r6e()
+    out["events_funnel_within"] = _funnel_within_sql()
+    return out

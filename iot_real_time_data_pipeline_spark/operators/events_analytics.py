@@ -1228,3 +1228,55 @@ def scd2_lookup(events: DataFrame, fact_type: str = "purchase") -> DataFrame:
             F.col("cur_regime").alias("regime"),
         )
     )
+
+
+FUNNEL_WITHIN_SEC = 86400  # each stage must follow within 24 h
+
+
+def funnel_within(
+    events: DataFrame,
+    stages: tuple[str, ...] = FUNNEL_STAGES,
+    within_sec: int = FUNNEL_WITHIN_SEC,
+) -> DataFrame:
+    """Time-constrained conversion funnel: like :func:`funnel`, but
+    each stage must occur within ``within_sec`` seconds of the
+    previous stage's entry time — the form real conversion metrics use
+    ("purchased within 24 h of clicking"), which the unconstrained
+    funnel over-counts.
+
+    Same plan discipline as ``funnel``: one user shuffle, stacked
+    conditional-min windows over the same partition (the deadline is
+    one extra predicate in each stage's condition), distinct grid,
+    global counters.
+
+    Returns ``(stage_idx, stage, n_users)``.
+    """
+    w = Window.partitionBy("user_id")
+    df = events
+    prev_t = None
+    for i, stage in enumerate(stages):
+        cond = F.col("event_type") == stage
+        if prev_t is not None:
+            cond = (
+                cond
+                & (F.col("ts_sec") > F.col(prev_t))
+                & (F.col("ts_sec") <= F.col(prev_t) + within_sec)
+            )
+        t = f"_t{i}"
+        df = df.withColumn(t, F.min(F.when(cond, F.col("ts_sec"))).over(w))
+        prev_t = t
+    users = df.select("user_id", *[f"_t{i}" for i in range(len(stages))]).distinct()
+    counts = users.agg(
+        *[F.count(F.col(f"_t{i}")).alias(f"_n{i}") for i in range(len(stages))]
+    )
+    rows = [
+        F.struct(
+            F.lit(i).cast("long").alias("stage_idx"),
+            F.lit(stage).alias("stage"),
+            F.col(f"_n{i}").alias("n_users"),
+        )
+        for i, stage in enumerate(stages)
+    ]
+    return counts.select(F.explode(F.array(*rows)).alias("s")).select(
+        "s.stage_idx", "s.stage", "s.n_users"
+    )

@@ -971,3 +971,24 @@ def test_asof_join_fuzz_matches_python_reference(spark):
             best_e = max(ce for cs, ce in cands if cs == best_s)
             expected[eid_] = (best_e, best_s)
     assert out == expected
+
+
+def test_funnel_within_enforces_deadline(spark):
+    rows = [
+        # user 1: click 10s after view, purchase 10s after click -> full
+        (1, 1, "view", 1.0, 0),
+        (2, 1, "click", 1.0, 10),
+        (3, 1, "purchase", 1.0, 20),
+        # user 2: click 2 days after view -> stalls at view under 24h
+        (4, 2, "view", 1.0, 0),
+        (5, 2, "click", 1.0, 2 * 86400),
+        (6, 2, "purchase", 1.0, 2 * 86400 + 10),
+        # user 3: click at exactly the 24h boundary -> still converts
+        (7, 3, "view", 1.0, 0),
+        (8, 3, "click", 1.0, 86400),
+    ]
+    out = {r.stage: r.n_users for r in EA.funnel_within(_events(spark, rows)).collect()}
+    assert out == {"view": 3, "click": 2, "purchase": 1}
+    # the unconstrained funnel counts user 2's click too
+    loose = {r.stage: r.n_users for r in EA.funnel(_events(spark, rows)).collect()}
+    assert loose["click"] == 3
