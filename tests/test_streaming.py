@@ -556,3 +556,57 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
         for r in correlate_streams(r_batch, a_batch).collect()
     }
     assert batch == got
+
+
+def test_restart_from_checkpoint_is_exactly_once(spark, tmp_path):
+    """Stop a running sink and RESTART it from the same checkpoint with
+    new source files present: the restarted query must pick up only the
+    unseen offsets — no batch-1 reprocessing (no duplicate event_ids in
+    the sink), no batch-2 loss. This is the recovery contract every
+    production deployment leans on after an executor/driver crash."""
+    import json as _json
+
+    src = tmp_path / "restart_src"
+    sink = tmp_path / "restart_sink"
+    ckpt = tmp_path / "restart_ckpt"
+    src.mkdir()
+
+    def write_batch(name: str, ids: range) -> None:
+        (src / name).write_text(
+            "\n".join(
+                _json.dumps(
+                    {"event_id": i, "user_id": i % 3, "value": float(i),
+                     "ts": "2024-01-01T00:00:00"}
+                )
+                for i in ids
+            )
+        )
+
+    schema = "event_id long, user_id long, value double, ts timestamp"
+
+    def start():
+        return (
+            spark.readStream.schema(schema)
+            .json(str(src))
+            .writeStream.format("parquet")
+            .option("path", str(sink))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    write_batch("b1.json", range(0, 50))
+    q1 = start()
+    q1.awaitTermination(120)
+    first = spark.read.parquet(str(sink)).count()
+    assert first == 50
+
+    write_batch("b2.json", range(50, 80))
+    q2 = start()
+    q2.awaitTermination(120)
+
+    rows = spark.read.parquet(str(sink)).collect()
+    ids = [r.event_id for r in rows]
+    assert len(ids) == 80  # batch 1 not reprocessed, batch 2 not lost
+    assert len(set(ids)) == 80  # and no duplicates
+    assert set(ids) == set(range(80))
