@@ -227,6 +227,7 @@ def main() -> None:
         "docs_minhash_calibration",
         "docs_bpe_train",
         "docs_profile",
+        "docs_vocab_growth",
         "mm_image_features",
         "mm_frame_sample",
     ]:

@@ -1836,3 +1836,46 @@ def llm_oracle_sql() -> dict[str, str]:  # noqa: F811
     out = llm_oracle_sql_r6f()
     out["docs_profile"] = _sql_profile()
     return out
+
+
+def q_vocab_growth(spark, sf_dir):
+    return TA.vocab_growth(_docs(spark, sf_dir))
+
+
+def _sql_vocab_growth() -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({TH.sql_tokens('text')}) AS t FROM documents
+),
+first_seen AS (
+  SELECT doc_id, count(*) AS n_new_terms FROM (
+    SELECT t, min(doc_id) AS doc_id FROM tok GROUP BY t
+  ) GROUP BY doc_id
+),
+per_doc AS (SELECT doc_id, count(*) AS n_tokens FROM tok GROUP BY doc_id),
+base AS (
+  SELECT p.doc_id, p.n_tokens,
+         CAST(coalesce(f.n_new_terms, 0) AS BIGINT) AS n_new_terms
+  FROM per_doc p LEFT JOIN first_seen f USING (doc_id)
+)
+SELECT doc_id, n_tokens, n_new_terms,
+       CAST(sum(n_tokens) OVER w AS BIGINT) AS cum_tokens,
+       CAST(sum(n_new_terms) OVER w AS BIGINT) AS cum_vocab
+FROM base
+WINDOW w AS (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""
+
+
+llm_queries_r6g = llm_queries
+llm_oracle_sql_r6g = llm_oracle_sql
+
+
+def llm_queries() -> dict[str, QueryFn]:  # noqa: F811
+    out = llm_queries_r6g()
+    out["docs_vocab_growth"] = q_vocab_growth
+    return out
+
+
+def llm_oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = llm_oracle_sql_r6g()
+    out["docs_vocab_growth"] = _sql_vocab_growth()
+    return out

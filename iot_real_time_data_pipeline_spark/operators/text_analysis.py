@@ -734,3 +734,44 @@ def bpe_train(
         ).localCheckpoint(eager=True)
         merges.append((r, a, b, freq))
     return spark.createDataFrame(merges, "merge_rank long, a string, b string, freq long")
+
+
+def vocab_growth(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heaps'-law vocabulary growth curve: cumulative distinct terms vs
+    cumulative tokens in ``doc_id`` ingestion order — the corpus-health
+    curve that flattens early when a crawl collapses into template spam
+    and keeps climbing for genuinely diverse data.
+
+    Exact and distributed: each term attributes to the FIRST document
+    containing it (groupBy(term) -> min(doc_id) — the only corpus-size
+    shuffle), new-term counts and token counts reduce to the doc grain,
+    and the two running sums are windows over the |docs|-row aggregate,
+    never raw tokens.
+
+    Returns ``(doc_id, n_tokens, n_new_terms, cum_tokens, cum_vocab)``.
+    """
+    from pyspark.sql import Window
+
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(TH.tokens(F.col(text_col))).alias("t")
+    )
+    first_seen = (
+        tok.groupBy("t")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_new_terms"))
+    )
+    per_doc = tok.groupBy("doc_id").agg(F.count("*").alias("n_tokens"))
+    run = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        per_doc.join(first_seen, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_new_terms", F.lit(0)).cast("long").alias("n_new_terms"),
+        )
+        .withColumn("cum_tokens", F.sum("n_tokens").over(run).cast("long"))
+        .withColumn("cum_vocab", F.sum("n_new_terms").over(run).cast("long"))
+    )

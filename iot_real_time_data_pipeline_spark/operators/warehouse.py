@@ -885,3 +885,47 @@ def customer_rfm(orders: DataFrame, bins: int = RFM_BINS) -> DataFrame:
         "m_score",
         F.concat_ws("", "r_score", "f_score", "m_score").alias("rfm_segment"),
     )
+
+
+ORDER_PRIORITIES = ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+
+def priority_month_pivot(orders: DataFrame) -> DataFrame:
+    """Month x order-priority cross-tab: one row per calendar month,
+    one order-count column per (fixed, enumerated) priority — the
+    ops-review layout for order-mix drift.
+
+    Same pivot discipline as the events cross-tab: an EXPLICIT value
+    list compiles to one conditional-agg groupBy over one scan (no
+    distinct-discovery pass, schema stable at any scale). Months are
+    integer ``yyyymm`` derived from epoch-day arithmetic — no date
+    formatting, engine-exact.
+
+    Returns ``(month_num, n_urgent, n_high, n_medium, n_not_specified,
+    n_low)``.
+    """
+    o = with_date_sec(orders, "o_orderdate")
+    month = (
+        F.year(F.timestamp_seconds(F.col("o_orderdate"))) * 100
+        + F.month(F.timestamp_seconds(F.col("o_orderdate")))
+    ).cast("long")
+    safe = {
+        "1-URGENT": "n_urgent",
+        "2-HIGH": "n_high",
+        "3-MEDIUM": "n_medium",
+        "4-NOT SPECIFIED": "n_not_specified",
+        "5-LOW": "n_low",
+    }
+    pivoted = (
+        o.select(month.alias("month_num"), "o_orderpriority")
+        .groupBy("month_num")
+        .pivot("o_orderpriority", list(ORDER_PRIORITIES))
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "month_num",
+        *[
+            F.coalesce(F.col(f"`{p}`"), F.lit(0)).cast("long").alias(safe[p])
+            for p in ORDER_PRIORITIES
+        ],
+    )

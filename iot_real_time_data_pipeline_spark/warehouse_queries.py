@@ -635,3 +635,46 @@ def warehouse_oracle_sql() -> dict[str, str]:  # noqa: F811
     out = warehouse_oracle_sql_r6b()
     out["wh_customer_rfm"] = _RFM_SQL
     return out
+
+
+def q_priority_pivot(spark, sf_dir):
+    return WH.priority_month_pivot(_t(spark, sf_dir, "orders"))
+
+
+def _priority_pivot_sql() -> str:
+    safe = {
+        "1-URGENT": "n_urgent",
+        "2-HIGH": "n_high",
+        "3-MEDIUM": "n_medium",
+        "4-NOT SPECIFIED": "n_not_specified",
+        "5-LOW": "n_low",
+    }
+    cols = ",\n       ".join(
+        f"count(CASE WHEN o_orderpriority = '{p}' THEN 1 END) AS {safe[p]}"
+        for p in WH.ORDER_PRIORITIES
+    )
+    return f"""
+WITH o AS (
+  SELECT o_orderpriority,
+         epoch_ms(({_esec('o_orderdate')}) * 1000) AS ts
+  FROM orders
+)
+SELECT CAST(year(ts) * 100 + month(ts) AS BIGINT) AS month_num,
+       {cols}
+FROM o GROUP BY month_num"""
+
+
+warehouse_queries_r6c = warehouse_queries
+warehouse_oracle_sql_r6c = warehouse_oracle_sql
+
+
+def warehouse_queries() -> dict[str, QueryFn]:  # noqa: F811
+    out = warehouse_queries_r6c()
+    out["wh_priority_month_pivot"] = q_priority_pivot
+    return out
+
+
+def warehouse_oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = warehouse_oracle_sql_r6c()
+    out["wh_priority_month_pivot"] = _priority_pivot_sql()
+    return out

@@ -1489,3 +1489,23 @@ def test_profile_table_counts_nulls_and_distincts(spark):
     assert out["lang"] == (1, 1)
     assert out["source"] == (0, 2)
     assert out["n_chars"] == (1, 1)
+
+
+def test_vocab_growth_matches_python_scan(spark, docs):
+    out = sorted(TA.vocab_growth(docs).collect(), key=lambda r: r.doc_id)
+    seen, cum_t, cum_v = set(), 0, 0
+    rows = sorted(
+        (r.doc_id, r.text) for r in docs.select("doc_id", "text").collect()
+    )
+    expected = []
+    for did, text in rows:
+        toks = text.strip().lower().split()
+        new = {t for t in toks if t not in seen}
+        seen |= new
+        cum_t += len(toks)
+        cum_v += len(new)
+        expected.append((did, len(toks), len(new), cum_t, cum_v))
+    got = [(r.doc_id, r.n_tokens, r.n_new_terms, r.cum_tokens, r.cum_vocab) for r in out]
+    assert got == expected
+    # monotone, and vocabulary grows no faster than tokens
+    assert all(a.cum_vocab <= a.cum_tokens for a in out)

@@ -618,3 +618,19 @@ def test_customer_rfm_windows_run_on_customer_aggregate(spark, wh_tables):
     assert best and len(best) <= n // 5 + 1
     for r in rows[:50]:
         assert r.rfm_segment == f"{r.r_score}{r.f_score}{r.m_score}"
+
+
+def test_priority_month_pivot_single_scan(spark, wh_tables):
+    from iot_real_time_data_pipeline_spark.operators import warehouse as WH
+
+    df = WH.priority_month_pivot(wh_tables["orders"])
+    plan = plan_of(df)
+    assert plan.count("FileScan") == 1
+    assert "Join" not in plan
+    rows = df.collect()
+    # every month row's counts are complete (no NULL holes from the pivot)
+    for r in rows[:20]:
+        assert all(
+            getattr(r, c) >= 0
+            for c in ("n_urgent", "n_high", "n_medium", "n_not_specified", "n_low")
+        )
