@@ -63,6 +63,26 @@ def main() -> None:
     repeats: dict[str, dict[str, float]] = {}
     REPEAT_RUNS = 3
 
+    # Cache hygiene (opt-out via SPARK_GRAFT_BENCH_RELEASE=0): operator-
+    # internal persists (postings, band frames, fingerprints) deliberately
+    # outlive their operator (dedup.py's lazy-return rationale) — correct
+    # for a long-lived service, but across a 135-query session they pile
+    # up. At each family boundary, record how much storage memory the
+    # family left behind, then drop ALL SQL caches: the next family never
+    # reads the previous family's frames, so the only cost is the next
+    # family rebuilding its own caches (which its line items then honestly
+    # include). Peak storage per family lands in the detail JSON + PERF.md.
+    release_between_families = (
+        os.environ.get("SPARK_GRAFT_BENCH_RELEASE", "1") != "0"
+    )
+    storage_bytes_at_release: dict[str, int] = {}
+
+    def release_caches(tag: str) -> None:
+        infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        storage_bytes_at_release[tag] = int(sum(i.memSize() for i in infos))
+        if release_between_families:
+            spark.catalog.clearCache()
+
     def timed(name: str, fn):
         t0 = time.perf_counter()
         out = fn()
@@ -142,6 +162,15 @@ def main() -> None:
     star = timed("build_star", _star)
     fact = star["fact_sensor_readings"]
 
+    # S5 lake round-trip: write-once partitioned lake + pruned read-back
+    # (first run pays the write; the repeats measure the pruned scan).
+    from iot_real_time_data_pipeline_spark import driver_queries as DQ
+
+    timed_repeat(
+        "staging_from_lake",
+        lambda: DQ.q_staging_from_lake(spark, sf_dir).collect(),
+    )
+
     # --- dashboard queries over the cached star ---------------------------
     timed_repeat("d1_avg_temperature", lambda: D.avg_temperature(fact).collect())
     timed_repeat("d2_avg_humidity", lambda: D.avg_humidity(fact).collect())
@@ -158,6 +187,8 @@ def main() -> None:
           lambda: D.readings_by_location(fact, star["dim_location"]).collect())
     timed_repeat("d9_water_level_by_farm",
           lambda: D.water_level_by_farm(fact, star["dim_location"]).collect())
+
+    release_caches("after_iot_dashboard")
 
     # --- LLM-data operators ----------------------------------------------
     # Warm deployment model: the corpus tables are hot. Persisting the
@@ -209,6 +240,7 @@ def main() -> None:
         "emb_norm_stats",
         "emb_int8_quantize",
         "emb_int8_topk",
+        "emb_int8_rerank_topk",
         "emb_kmeans_assign",
         "emb_semantic_dedup",
         "docs_chunks",
@@ -234,17 +266,23 @@ def main() -> None:
         fn = LQ.llm_queries()[name]
         timed_repeat(name, lambda fn=fn: fn(spark, sf_dir).collect())
 
+    release_caches("after_llm")
+
     # --- clickstream analytics over the events table ----------------------
     from iot_real_time_data_pipeline_spark import events_queries as EQ
 
     for name, fn in EQ.events_queries().items():
         timed_repeat(name, lambda fn=fn: fn(spark, sf_dir).collect())
 
+    release_caches("after_events")
+
     # --- warehouse (TPC-H-shaped) analytics -------------------------------
     from iot_real_time_data_pipeline_spark import warehouse_queries as WQ
 
     for name, fn in WQ.warehouse_queries().items():
         timed_repeat(name, lambda fn=fn: fn(spark, sf_dir).collect())
+
+    release_caches("after_wh")
 
     total = round(
         sum(v for k, v in times.items() if k not in DIAGNOSTIC_ITEMS), 3
@@ -278,7 +316,27 @@ def main() -> None:
     median_comparable_r2 = round(
         sum(med(k) for k in times if k in R2_QUERY_SET), 3
     )
-    print(json.dumps({
+
+    # The driver captures only a ~2 KB tail of stdout (BENCH_r04 came
+    # back `parsed: null` because the full per-query dict outgrew it).
+    # So: print ONE COMPACT line — totals + per-family subtotals — and
+    # write the complete per-query detail to a checked-in repo file.
+    def _family(name: str) -> str:
+        if name in ("derive_staging", "build_star", "load_corpus_tables",
+                    "derive_staging_warm"):
+            return name
+        if name[0] == "d" and name[1].isdigit():
+            return "dashboard"
+        return name.split("_", 1)[0]  # docs / emb / mm / events / wh
+
+    fam_first: dict[str, float] = {}
+    fam_median: dict[str, float] = {}
+    for k, v in times.items():
+        fam = _family(k)
+        fam_first[fam] = round(fam_first.get(fam, 0.0) + v, 3)
+        fam_median[fam] = round(fam_median.get(fam, 0.0) + med(k), 3)
+
+    detail = {
         "metric": "end-to-end pipeline + analytics + llm-ops wall time",
         "value": total,
         "unit": "sec",
@@ -288,8 +346,35 @@ def main() -> None:
         "median_total": median_total,
         "median_comparable_r2_subtotal": median_comparable_r2,
         "comparable_r2_subtotal": comparable_r2,
+        "family_subtotals": fam_first,
+        "family_median_subtotals": fam_median,
+        "cache_release_between_families": release_between_families,
+        "storage_bytes_at_release": storage_bytes_at_release,
         "sf": sf,
-    }))
+    }
+    detail_name = "BENCH_DETAIL_r{}.json".format(
+        os.environ.get("SPARK_GRAFT_ROUND", "05")
+    )
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), detail_name)
+    try:
+        with open(detail_path, "w") as fh:
+            json.dump(detail, fh, indent=1, sort_keys=True)
+    except OSError:
+        pass  # read-only checkout: the printed summary still stands alone
+
+    print(json.dumps({
+        "metric": "pipeline+analytics+llm wall time",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(times),
+        "repeat_runs": REPEAT_RUNS,
+        "median_total": median_total,
+        "comparable_r2_subtotal": comparable_r2,
+        "median_comparable_r2_subtotal": median_comparable_r2,
+        "queries": fam_median,
+        "detail_file": detail_name,
+    }, separators=(",", ":")))
 
 
 if __name__ == "__main__":

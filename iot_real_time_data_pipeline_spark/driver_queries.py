@@ -20,6 +20,7 @@ Coverage map (SURVEY §2 row -> query):
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -58,6 +59,65 @@ def q_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_staging(spark: SparkSession, sf_dir: str) -> DataFrame:
     return iot_staging(spark, sf_dir)
+
+
+# staging_from_lake slicer literals — a loc+date window that provably
+# bites (drops loc_3/unknown and both Jan-2024 tails) so the pruned scan
+# exercises all three partition keys.
+LAKE_SLICE_DATE_FROM = "2024-01-05"
+LAKE_SLICE_DATE_TO = "2024-01-20"
+LAKE_SLICE_LOCS = ["loc_1", "loc_2"]
+
+
+def _lake_dir(sf_dir: str) -> str:
+    import tempfile
+
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    return os.path.join(tempfile.gettempdir(), f"spark_graft_lake{tag}")
+
+
+def q_staging_from_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 round-trip — the lake -> staging path through an ACTUAL
+    partitioned Parquet lake, not the in-memory frame: write the routed
+    lake once per (sf, tmpdir) with ``partitionBy(validation_status,
+    loc_part, date)`` (SURVEY §4's prunable layout — the reference's S3
+    lake, lamda.py:365-367, comments the date path out and can never
+    prune), then read it back under a status+loc+date slice and emit
+    the staging contract.
+
+    The three predicates are all PARTITION filters: Spark resolves them
+    against directory metadata, so the scan touches only the matching
+    leaf dirs — at 100 TB this is the difference between reading two
+    locations' two weeks and reading the lake.
+    ``test_staging_from_lake_scan_is_partition_pruned`` pins that plan.
+    """
+    from .operators.pipeline import staging_projection
+
+    lake_dir = _lake_dir(sf_dir)
+    if not os.path.exists(os.path.join(lake_dir, "_SUCCESS")):
+        lake = route(iot_processed(spark, sf_dir))["lake"]
+        typed = lake.select(
+            *staging_projection(),
+            F.coalesce(F.col("loc_id"), F.lit("unknown")).alias("loc_part"),
+            F.coalesce(
+                F.to_date(F.col("event_ts")), F.lit("1970-01-01").cast("date")
+            ).alias("date"),
+        )
+        (
+            typed.write.mode("overwrite")
+            .partitionBy("validation_status", "loc_part", "date")
+            .parquet(lake_dir)
+        )
+    scan = spark.read.parquet(lake_dir)
+    pruned = scan.filter(
+        F.col("validation_status").isin("VALID", "WARNING")
+        & F.col("loc_part").isin(*LAKE_SLICE_LOCS)
+        & (F.col("date") >= F.lit(LAKE_SLICE_DATE_FROM).cast("date"))
+        & (F.col("date") < F.lit(LAKE_SLICE_DATE_TO).cast("date"))
+    )
+    from .schemas import STAGING_COLUMNS
+
+    return pruned.select(*[name for name, _ in STAGING_COLUMNS])
 
 
 def _star_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -267,6 +327,7 @@ def iot_queries() -> dict[str, QueryFn]:
         "validation_status_counts": q_validation_status_counts,
         "route_counts": q_route_counts,
         "staging": q_staging,
+        "staging_from_lake": q_staging_from_lake,
         "dim_location": q_dim_location,
         "dim_time": q_dim_time,
         "dim_soil": q_dim_soil,
@@ -321,6 +382,17 @@ def iot_oracle_sql() -> dict[str, str]:
             FROM validated GROUP BY 1"""
         ),
         "staging": wp("SELECT * FROM staging"),
+        # Same rows the pruned lake scan must yield: the lake holds all
+        # three statuses, but staging is VALID/WARNING only, so the
+        # status prune is implicit in the staging CTE; loc/date slices
+        # are explicit. NULL timestamps fall out of the date range on
+        # both sides (Spark: 1970-01-01 partition; SQL: NULL compare).
+        "staging_from_lake": wp(
+            f"""SELECT * FROM staging
+            WHERE loc_id IN ({", ".join(repr(x) for x in LAKE_SLICE_LOCS)})
+              AND CAST(timestamp AS DATE) >= DATE '{LAKE_SLICE_DATE_FROM}'
+              AND CAST(timestamp AS DATE) < DATE '{LAKE_SLICE_DATE_TO}'"""
+        ),
         "dim_location": wp("SELECT * FROM dim_location", star=True),
         "dim_time": wp("SELECT * FROM dim_time", star=True),
         "dim_soil": wp("SELECT * FROM dim_soil", star=True),

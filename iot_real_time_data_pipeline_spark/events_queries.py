@@ -96,7 +96,15 @@ def q_key_skew(spark, sf_dir):
 
 
 def q_heavy_hitters(spark, sf_dir):
-    return EA.heavy_hitters(_events(spark, sf_dir))
+    # key=event_type, k=5 (report types holding > 1/5 of all traffic):
+    # the testdata's user_id distribution is near-uniform at every SF
+    # (max/mean ~ 1.3x), so any user-level phi is either vacuous or
+    # all-keys; the event-type mix hovers around 20% +- 0.4%, so the
+    # 20% threshold genuinely discriminates (2-3 of 5 types qualify at
+    # sf0.001/0.01/0.1) and the driver row carries real evidence.
+    # The skewed-key/planted-hitter path stays covered by
+    # test_heavy_hitters_exact_threshold.
+    return EA.heavy_hitters(_events(spark, sf_dir), key="event_type", k=5)
 
 
 def q_kmv(spark, sf_dir):
@@ -484,11 +492,11 @@ FROM g"""
 
 
 def _heavy_hitters_sql() -> str:
-    k = EA.HEAVY_HITTER_K
+    k = 5  # mirrors q_heavy_hitters: event_type share > 1/5
     return f"""
-WITH per_key AS (SELECT user_id, count(*) AS freq FROM events GROUP BY user_id),
+WITH per_key AS (SELECT event_type, count(*) AS freq FROM events GROUP BY event_type),
 t AS (SELECT CAST(sum(freq) AS BIGINT) AS n FROM per_key)
-SELECT user_id, freq, CAST((freq * 1000000) // n AS BIGINT) AS share_ppm
+SELECT event_type, freq, CAST((freq * 1000000) // n AS BIGINT) AS share_ppm
 FROM per_key, t WHERE freq * {k} > n"""
 
 

@@ -64,11 +64,19 @@ def q_containment(spark, sf_dir):
 
 
 def q_simhash(spark, sf_dir):
-    return DD.simhash_fingerprints(_docs(spark, sf_dir))
+    # bits=32: the cross-engine oracle mirror geometry. The production
+    # default (64-bit, 4 x 16-bit bands — DD.SIMHASH_BITS) is pinned by
+    # test_simhash64_dup_pairs_exhaustive_at_ham3 instead; its md5-word
+    # extraction has no DuckDB integer equivalent to oracle against.
+    return DD.simhash_fingerprints(_docs(spark, sf_dir), bits=DD.SIMHASH_ORACLE_BITS)
 
 
 def q_simhash_dup_pairs(spark, sf_dir):
-    return DD.simhash_dup_pairs(_docs(spark, sf_dir))
+    return DD.simhash_dup_pairs(
+        _docs(spark, sf_dir),
+        bits=DD.SIMHASH_ORACLE_BITS,
+        bands=DD.SIMHASH_ORACLE_BANDS,
+    )
 
 
 EVAL_MOD = 50  # doc_id % EVAL_MOD == 0 -> stand-in eval/benchmark set
@@ -213,6 +221,12 @@ def q_int8_topk(spark, sf_dir):
     return SIM.int8_topk(_emb(spark, sf_dir), _emb_queries(spark, sf_dir), k=5)
 
 
+def q_int8_rerank_topk(spark, sf_dir):
+    return SIM.int8_rerank_topk(
+        _emb(spark, sf_dir), _emb_queries(spark, sf_dir), k=3
+    )
+
+
 def q_semantic_dedup(spark, sf_dir):
     return SIM.semantic_dedup(_emb(spark, sf_dir))
 
@@ -292,7 +306,22 @@ def llm_queries() -> dict[str, QueryFn]:
         "emb_int8_quantize": q_int8_quantize,
         "emb_kmeans_assign": q_kmeans_assign,
         "emb_int8_topk": q_int8_topk,
+        "emb_int8_rerank_topk": q_int8_rerank_topk,
         "emb_semantic_dedup": q_semantic_dedup,
+        # round-6+ additions (callables defined below — resolved at
+        # call time, after the module has fully loaded)
+        "docs_hashed_classifier": q_hashed_classifier,
+        "docs_ngram_diversity": q_ngram_diversity,
+        "docs_pareto_frontier": q_pareto_frontier,
+        "emb_rand_projection": q_rand_projection,
+        "emb_gram_matrix": q_gram_matrix,
+        "docs_keyword_search": q_keyword_search,
+        "docs_canonical_best": q_canonical_best,
+        "docs_pagerank": q_pagerank,
+        "docs_minhash_calibration": q_minhash_calibration,
+        "docs_bpe_train": q_bpe_train,
+        "docs_profile": q_profile,
+        "docs_vocab_growth": q_vocab_growth,
     }
 
 
@@ -478,14 +507,16 @@ FROM reach GROUP BY doc_id"""
 
 def _simhash_fp_ctes() -> str:
     """CTE chain from documents through `fp` (doc_id, simhash) — shared
-    by the fingerprint and Hamming-pair oracles."""
+    by the fingerprint and Hamming-pair oracles. Mirrors the 32-bit
+    ORACLE geometry (the registered queries pass bits=32 explicitly;
+    the 64-bit production default has no clean DuckDB integer form)."""
     votes = ",\n         ".join(
         f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
-        for j in range(DD.SIMHASH_BITS)
+        for j in range(DD.SIMHASH_ORACLE_BITS)
     )
     fp = " + ".join(
         f"(CASE WHEN v{j} > 0 THEN CAST({2**j} AS BIGINT) ELSE 0 END)"
-        for j in range(DD.SIMHASH_BITS)
+        for j in range(DD.SIMHASH_ORACLE_BITS)
     )
     return f"""{_TOKS_CTE},
 th AS (
@@ -511,10 +542,11 @@ SELECT doc_id, simhash FROM fp"""
 def _sql_simhash_dup_pairs() -> str:
     # Mirrors simhash_dup_pairs: byte-wide Hamming bands -> candidate
     # pairs -> exact bit_count(xor) verify (exhaustive for ham <= 3).
-    mask = (1 << DD.SIMHASH_BAND_BITS) - 1
+    mask = (1 << DD.SIMHASH_ORACLE_BAND_BITS) - 1
     band_exprs = ", ".join(
-        f"({band << DD.SIMHASH_BAND_BITS} + ((simhash >> {band * DD.SIMHASH_BAND_BITS}) & {mask}))"
-        for band in range(DD.SIMHASH_BANDS)
+        f"({band << DD.SIMHASH_ORACLE_BAND_BITS}"
+        f" + ((simhash >> {band * DD.SIMHASH_ORACLE_BAND_BITS}) & {mask}))"
+        for band in range(DD.SIMHASH_ORACLE_BANDS)
     )
     return f"""
 WITH {_simhash_fp_ctes()},
@@ -530,7 +562,7 @@ SELECT doc_a, doc_b,
 FROM cand
 JOIN fp a ON doc_a = a.doc_id
 JOIN fp b ON doc_b = b.doc_id
-WHERE bit_count(xor(a.simhash, b.simhash)) <= {DD.SIMHASH_BANDS - 1}"""
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {DD.SIMHASH_ORACLE_BANDS - 1}"""
 
 
 def _sql_token_stats() -> str:
@@ -1172,6 +1204,65 @@ SELECT query_id, rank, neighbor_id, {TH.sql_quantized6('cosine')} AS cosine
 FROM r WHERE rank <= 5"""
 
 
+def _sql_int8_rerank_topk() -> str:
+    # Stage 1 mirrors _sql_int8_topk's integer scoring (rank <= M via
+    # the same DESC cosine + neighbor_id tie-break as the Spark window);
+    # stage 2 re-scores the M survivors with the exact double cosine.
+    m, k = SIM.RERANK_M, 3
+    codes = (
+        "list_transform(v, x -> CASE WHEN scale = 0 THEN CAST(0 AS BIGINT) "
+        "ELSE CAST(round(x / scale * 127) AS BIGINT) END)"
+    )
+    isum = lambda arr: (  # noqa: E731
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), {arr}), (a, x) -> a + x)"
+    )
+    dot_i = isum("list_transform(range(1, len(qc) + 1), i -> qc[i] * cc[i])")
+    n2 = lambda col: isum(f"list_transform({col}, x -> x * x)")  # noqa: E731
+    dsum = lambda arr: (  # noqa: E731
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {arr}), (a, x) -> a + x)"
+    )
+    dot_d = dsum("list_transform(range(1, len(qv) + 1), i -> qv[i] * cv[i])")
+    nrm = lambda col: (  # noqa: E731
+        f"sqrt({dsum(f'list_transform({col}, x -> x * x)')})"
+    )
+    return f"""
+WITH {_EMB_CTE},
+coded AS (
+  SELECT vec_id, {codes.replace('scale', 'list_max(list_transform(v, x -> abs(x)))')} AS c
+  FROM e
+),
+q AS (SELECT vec_id AS query_id, c AS qc FROM coded WHERE vec_id % {QUERY_MOD} = 0),
+coarse AS (
+  SELECT query_id, coded.vec_id AS neighbor_id,
+         CAST({dot_i} AS DOUBLE)
+           / (sqrt(CAST({n2('qc')} AS DOUBLE)) * sqrt(CAST({n2('cc')} AS DOUBLE)))
+           AS approx_cosine
+  FROM q, (SELECT vec_id, c AS cc FROM coded) AS coded
+  WHERE query_id <> coded.vec_id
+),
+cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY approx_cosine DESC, neighbor_id) AS crank
+    FROM coarse
+  ) WHERE crank <= {m}
+),
+ex AS (
+  SELECT c.query_id, c.neighbor_id,
+         {dot_d} / ({nrm('qv')} * {nrm('cv')}) AS cosine
+  FROM cand c
+  JOIN (SELECT vec_id, v AS qv FROM e) a ON c.query_id = a.vec_id
+  JOIN (SELECT vec_id, v AS cv FROM e) b ON c.neighbor_id = b.vec_id
+),
+r AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+  FROM ex
+)
+SELECT query_id, rank, neighbor_id, {TH.sql_quantized6('cosine')} AS cosine
+FROM r WHERE rank <= {k}"""
+
+
 def _kmeans_ctes() -> str:
     """Shared CTE chain: deterministic-seed k-means assignment
     (mirrors ``similarity.kmeans_assign``). Terminal CTE ``kassign`` is
@@ -1356,6 +1447,7 @@ def llm_oracle_sql() -> dict[str, str]:
         "mm_frame_sample": _sql_frame_sample(),
         "emb_kmeans_assign": _sql_kmeans_assign(),
         "emb_int8_topk": _sql_int8_topk(),
+        "emb_int8_rerank_topk": _sql_int8_rerank_topk(),
         "emb_semantic_dedup": _sql_semantic_dedup(),
         "docs_train_split": _sql_train_split(),
         "docs_chunks": _sql_chunks(),
@@ -1381,6 +1473,19 @@ def llm_oracle_sql() -> dict[str, str]:
         "emb_norm_stats": _sql_emb_norm_stats(),
         "emb_int8_quantize": _sql_int8_quantize(),
         "mm_image_features": _sql_multimodal(),
+        # round-6+ additions (builders defined below)
+        "docs_hashed_classifier": _sql_hashed_classifier(),
+        "docs_ngram_diversity": _sql_ngram_diversity(),
+        "docs_pareto_frontier": _sql_pareto_frontier(),
+        "emb_rand_projection": _sql_rand_projection(),
+        "emb_gram_matrix": _sql_gram_matrix(),
+        "docs_keyword_search": _sql_keyword_search(),
+        "docs_canonical_best": _sql_canonical_best(),
+        "docs_pagerank": _sql_pagerank(),
+        "docs_minhash_calibration": _sql_minhash_calibration(),
+        "docs_bpe_train": _sql_bpe_train(),
+        "docs_profile": _sql_profile(),
+        "docs_vocab_growth": _sql_vocab_growth(),
     }
 
 
@@ -1491,36 +1596,6 @@ SELECT vec_id,
 FROM e"""
 
 
-llm_queries_r5 = llm_queries
-llm_oracle_sql_r5 = llm_oracle_sql
-
-
-def llm_queries() -> dict[str, QueryFn]:  # noqa: F811
-    out = llm_queries_r5()
-    out.update(
-        {
-            "docs_hashed_classifier": q_hashed_classifier,
-            "docs_ngram_diversity": q_ngram_diversity,
-            "docs_pareto_frontier": q_pareto_frontier,
-            "emb_rand_projection": q_rand_projection,
-        }
-    )
-    return out
-
-
-def llm_oracle_sql() -> dict[str, str]:  # noqa: F811
-    out = llm_oracle_sql_r5()
-    out.update(
-        {
-            "docs_hashed_classifier": _sql_hashed_classifier(),
-            "docs_ngram_diversity": _sql_ngram_diversity(),
-            "docs_pareto_frontier": _sql_pareto_frontier(),
-            "emb_rand_projection": _sql_rand_projection(),
-        }
-    )
-    return out
-
-
 def q_gram_matrix(spark, sf_dir):
     return SIM.gram_matrix(_emb(spark, sf_dir))
 
@@ -1535,22 +1610,6 @@ WITH q AS (
 SELECT a.i AS i, b.j AS j, CAST(sum(qv[a.i] * qv[b.j]) AS BIGINT) AS gram
 FROM q, range(1, {SIM.EMB_DIM} + 1) a(i), range(1, {SIM.EMB_DIM} + 1) b(j)
 GROUP BY a.i, b.j"""
-
-
-llm_queries_r6 = llm_queries
-llm_oracle_sql_r6 = llm_oracle_sql
-
-
-def llm_queries() -> dict[str, QueryFn]:  # noqa: F811
-    out = llm_queries_r6()
-    out["emb_gram_matrix"] = q_gram_matrix
-    return out
-
-
-def llm_oracle_sql() -> dict[str, str]:  # noqa: F811
-    out = llm_oracle_sql_r6()
-    out["emb_gram_matrix"] = _sql_gram_matrix()
-    return out
 
 
 def q_keyword_search(spark, sf_dir):
@@ -1612,24 +1671,6 @@ SELECT cluster_id, doc_id AS best_doc_id,
 FROM ranked WHERE rnk = 1"""
 
 
-llm_queries_r6b = llm_queries
-llm_oracle_sql_r6b = llm_oracle_sql
-
-
-def llm_queries() -> dict[str, QueryFn]:  # noqa: F811
-    out = llm_queries_r6b()
-    out["docs_keyword_search"] = q_keyword_search
-    out["docs_canonical_best"] = q_canonical_best
-    return out
-
-
-def llm_oracle_sql() -> dict[str, str]:  # noqa: F811
-    out = llm_oracle_sql_r6b()
-    out["docs_keyword_search"] = _sql_keyword_search()
-    out["docs_canonical_best"] = _sql_canonical_best()
-    return out
-
-
 def q_pagerank(spark, sf_dir):
     return DD.pagerank(_docs(spark, sf_dir), threshold=JACCARD_THRESHOLD)
 
@@ -1669,22 +1710,6 @@ r0 AS (SELECT doc_id, CAST({DD.PR_INIT_PPM} AS BIGINT) AS rank_ppm FROM document
 SELECT doc_id, rank_ppm FROM r{DD.PR_ITERS}"""
 
 
-llm_queries_r6c = llm_queries
-llm_oracle_sql_r6c = llm_oracle_sql
-
-
-def llm_queries() -> dict[str, QueryFn]:  # noqa: F811
-    out = llm_queries_r6c()
-    out["docs_pagerank"] = q_pagerank
-    return out
-
-
-def llm_oracle_sql() -> dict[str, str]:  # noqa: F811
-    out = llm_oracle_sql_r6c()
-    out["docs_pagerank"] = _sql_pagerank()
-    return out
-
-
 def q_minhash_calibration(spark, sf_dir):
     return DD.minhash_calibration(_docs(spark, sf_dir), threshold=JACCARD_THRESHOLD)
 
@@ -1719,22 +1744,6 @@ SELECT doc_a, doc_b, jac_ppm, est_match_k,
        CAST(abs((est_match_k * 1000000) // {k} - jac_ppm) AS BIGINT)
          AS abs_err_ppm
 FROM m"""
-
-
-llm_queries_r6d = llm_queries
-llm_oracle_sql_r6d = llm_oracle_sql
-
-
-def llm_queries() -> dict[str, QueryFn]:  # noqa: F811
-    out = llm_queries_r6d()
-    out["docs_minhash_calibration"] = q_minhash_calibration
-    return out
-
-
-def llm_oracle_sql() -> dict[str, str]:  # noqa: F811
-    out = llm_oracle_sql_r6d()
-    out["docs_minhash_calibration"] = _sql_minhash_calibration()
-    return out
 
 
 def q_bpe_train(spark, sf_dir):
@@ -1789,22 +1798,6 @@ vocab0 AS (
 {finals}"""
 
 
-llm_queries_r6e = llm_queries
-llm_oracle_sql_r6e = llm_oracle_sql
-
-
-def llm_queries() -> dict[str, QueryFn]:  # noqa: F811
-    out = llm_queries_r6e()
-    out["docs_bpe_train"] = q_bpe_train
-    return out
-
-
-def llm_oracle_sql() -> dict[str, str]:  # noqa: F811
-    out = llm_oracle_sql_r6e()
-    out["docs_bpe_train"] = _sql_bpe_train()
-    return out
-
-
 def q_profile(spark, sf_dir):
     return CUR.profile_table(_docs(spark, sf_dir))
 
@@ -1820,22 +1813,6 @@ def _sql_profile() -> str:
             f" count(DISTINCT {c}) FROM documents"
         )
     return "\nUNION ALL\n".join(selects)
-
-
-llm_queries_r6f = llm_queries
-llm_oracle_sql_r6f = llm_oracle_sql
-
-
-def llm_queries() -> dict[str, QueryFn]:  # noqa: F811
-    out = llm_queries_r6f()
-    out["docs_profile"] = q_profile
-    return out
-
-
-def llm_oracle_sql() -> dict[str, str]:  # noqa: F811
-    out = llm_oracle_sql_r6f()
-    out["docs_profile"] = _sql_profile()
-    return out
 
 
 def q_vocab_growth(spark, sf_dir):
@@ -1865,17 +1842,3 @@ FROM base
 WINDOW w AS (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""
 
 
-llm_queries_r6g = llm_queries
-llm_oracle_sql_r6g = llm_oracle_sql
-
-
-def llm_queries() -> dict[str, QueryFn]:  # noqa: F811
-    out = llm_queries_r6g()
-    out["docs_vocab_growth"] = q_vocab_growth
-    return out
-
-
-def llm_oracle_sql() -> dict[str, str]:  # noqa: F811
-    out = llm_oracle_sql_r6g()
-    out["docs_vocab_growth"] = _sql_vocab_growth()
-    return out

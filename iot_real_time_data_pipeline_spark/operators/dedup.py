@@ -13,7 +13,8 @@ expressed as native DataFrame plans (no UDFs, no driver-side loops):
                             only docs sharing a band bucket are paired,
                             then verified with exact Jaccard. The 100 TB
                             path: cost is O(candidates), not O(n²).
-- ``simhash_fingerprints``: 32-bit SimHash per doc (frequency-weighted),
+- ``simhash_fingerprints``: 64-bit SimHash per doc (frequency-weighted;
+                            32-bit oracle-mirror variant retained),
                             for hamming-distance bucketing.
 - ``simhash_dup_pairs``   : Hamming-banded SimHash near-dup pairs. With
                             ``max_hamming <= SIMHASH_BANDS - 1`` the band
@@ -52,9 +53,19 @@ from ..functions import texthash as TH
 
 logger = logging.getLogger(__name__)
 
-SIMHASH_BITS = 32
+# Production default: 64-bit fingerprints in 4 x 16-bit Hamming bands
+# (Manku et al.'s web-scale near-dup geometry). Band occupancy measured
+# at sf0.01: 0.4% of all pairs become candidates at 64/16-bit vs 89% at
+# 32/8-bit (PERF.md) — at corpus scale the narrow bands are the
+# difference between a candidate join and an accidental all-pairs.
+SIMHASH_BITS = 64
 SIMHASH_BANDS = 4
-SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS  # 8
+# Cross-engine oracle mirror: 32-bit prints from the shared 31-bit
+# token hash (the DuckDB twin reproduces these bit-exactly; md5-word
+# extraction for the 64-bit path has no clean DuckDB integer form).
+SIMHASH_ORACLE_BITS = 32
+SIMHASH_ORACLE_BANDS = 4
+SIMHASH_ORACLE_BAND_BITS = SIMHASH_ORACLE_BITS // SIMHASH_ORACLE_BANDS  # 8
 
 
 def normalized(text: F.Column) -> F.Column:
@@ -307,13 +318,13 @@ def simhash_fingerprints(
     Explode + groupBy(doc) — partial aggregation compresses the shuffle
     to one row per (doc, ``bits`` counters).
 
-    ``bits=32`` (default) votes from the 31-bit cross-engine token hash
-    and is what the DuckDB oracle mirrors. ``bits=64`` is the
-    production web-scale geometry (Manku et al.'s near-duplicate
-    layout): votes come from two independent 32-bit md5 words per
-    token, and the fingerprint is assembled with shift-OR (bit 63 has
-    no positive power-of-two long, so additive assembly would
-    overflow).
+    ``bits=64`` (default) is the production web-scale geometry (Manku
+    et al.'s near-duplicate layout): votes come from two independent
+    32-bit md5 words per token, and the fingerprint is assembled with
+    shift-OR (bit 63 has no positive power-of-two long, so additive
+    assembly would overflow). ``bits=32`` votes from the 31-bit
+    cross-engine token hash and is what the DuckDB oracle mirrors
+    (``SIMHASH_ORACLE_BITS`` — kept for the correctness gate).
     """
     if bits == 64:
         m = F.md5(F.col("_tok"))
@@ -330,7 +341,7 @@ def simhash_fingerprints(
         )
         word = lambda j: F.col("w_lo") if j < 32 else F.col("w_hi")  # noqa: E731
         bit_of = lambda j: F.shiftright(word(j), j % 32).bitwiseAND(F.lit(1))  # noqa: E731
-    elif bits == SIMHASH_BITS:
+    elif bits == SIMHASH_ORACLE_BITS:
         toks = docs.select(
             F.col(id_col).alias("doc_id"),
             F.explode(TH.token_hashes(TH.tokens(F.col(text_col)))).alias("h"),
@@ -371,13 +382,13 @@ def simhash_dup_pairs(
     ``max_hamming = bands - 1`` the candidate set is *exhaustive* and
     the result is exact — banding only prunes, never misses.
 
-    Geometries: the default 32-bit / 4 x 8-bit-band layout is what the
-    DuckDB oracle mirrors; ``bits=64, bands=4`` is the production
+    Geometries: the default ``bits=64, bands=4`` is the production
     web-scale layout (Manku et al.) — 16-bit bands give 2^16 buckets
     per band, so random collisions (candidate occupancy) drop by ~2^8
-    per band while the ham<=3 pigeonhole exactness is unchanged.
-    Measured at sf0.01: 19.6%% of all pairs are candidates at 32/8-bit
-    vs 0.4%% at 64/16-bit (see PERF.md).
+    per band while the ham<=3 pigeonhole exactness is unchanged. The
+    32-bit / 4 x 8-bit-band layout survives as the DuckDB oracle mirror
+    (``SIMHASH_ORACLE_*``). Measured at sf0.01: 89%% of all pairs are
+    candidates at 32/8-bit vs 0.4%% at 64/16-bit (see PERF.md).
 
     Scale: fingerprints are one long per doc; the only join runs on a
     small integer band key (band index * 2^band_bits + band value),
@@ -751,12 +762,18 @@ def pagerank(
     pairs = minhash_lsh_pairs(docs, text_col, id_col, threshold).select(
         "doc_a", "doc_b"
     )
+    # Eager localCheckpoint MATERIALIZES the edge list now (one job) and
+    # truncates its lineage, so the LSH pair pipeline behind it runs
+    # exactly once no matter how lazily the returned ranks are consumed.
+    # (A plain persist() here never took effect: nothing below triggers
+    # an action before the function returns, so unpersisting on exit
+    # dropped the marker before any evaluation could populate it.)
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(
             pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
         )
-        .persist()
+        .localCheckpoint(eager=True)
     )
     deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
     nodes = docs.select(F.col(id_col).alias("doc_id"))
@@ -786,7 +803,6 @@ def pagerank(
             )
             .localCheckpoint(eager=False)
         )
-    edges.unpersist()
     return ranks
 
 

@@ -120,20 +120,10 @@ def route(processed: DataFrame) -> dict[str, DataFrame]:
     return {"lake": lake, "dead_letter": dead}
 
 
-def to_staging(processed: DataFrame) -> DataFrame:
-    """Processed events -> the ``valid_readings`` staging contract.
-
-    Column names follow the SQL contract exactly (``DWH - Redshift/
-    Transforming Tables.sql:59-102``): sensor columns lose their
-    ``sensor_data_`` prefix, weather columns keep a ``weather_`` prefix.
-    INVALID rows never reach staging; VALID and WARNING both do
-    (lamda.py:474-479 routing + Dashboard donut, SURVEY §7.3).
-    """
-    ok = processed.filter(
-        ~F.col("json_decode_error")
-        & ~F.col("dead_letter")
-        & F.col("validation_status").isin("VALID", "WARNING")
-    )
+def staging_projection() -> list[Column]:
+    """The ``valid_readings`` staging column list (shared by
+    ``to_staging`` and the partitioned-lake writer, so the lake's typed
+    rows and the staging contract can never drift apart)."""
     sel = [
         F.col("event_id"),
         F.col("event_ts").alias("timestamp"),
@@ -152,7 +142,24 @@ def to_staging(processed: DataFrame) -> DataFrame:
         F.col("weather_data.surface_pressure").alias("weather_surface_pressure"),
         F.col("validation_status"),
     ]
-    staged = ok.select(*sel)
+    return sel
+
+
+def to_staging(processed: DataFrame) -> DataFrame:
+    """Processed events -> the ``valid_readings`` staging contract.
+
+    Column names follow the SQL contract exactly (``DWH - Redshift/
+    Transforming Tables.sql:59-102``): sensor columns lose their
+    ``sensor_data_`` prefix, weather columns keep a ``weather_`` prefix.
+    INVALID rows never reach staging; VALID and WARNING both do
+    (lamda.py:474-479 routing + Dashboard donut, SURVEY §7.3).
+    """
+    ok = processed.filter(
+        ~F.col("json_decode_error")
+        & ~F.col("dead_letter")
+        & F.col("validation_status").isin("VALID", "WARNING")
+    )
+    staged = ok.select(*staging_projection())
     assert [f[0] for f in STAGING_COLUMNS] == staged.columns
     return staged
 

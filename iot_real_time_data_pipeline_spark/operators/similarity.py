@@ -636,6 +636,109 @@ def _fold_sum2(codes: F.Column) -> F.Column:
     )
 
 
+RERANK_M = 16  # candidates per query surviving the int8 first pass
+
+
+def int8_rerank_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    m: int = RERANK_M,
+) -> DataFrame:
+    """Two-stage top-k: int8-compressed first pass over the corpus,
+    exact full-precision re-rank of the ``m`` survivors per query.
+
+    WHY this is the production ANN path for this corpus: the testdata
+    embeddings are ISOTROPIC (measured at sf0.1 — top-1 neighbor cosine
+    0.41 vs bulk p99 0.287, labels uncorrelated with neighbors), so any
+    partition-pruning index saturates: the measured grid over sign-bit
+    IVF geometries tops out at recall@3 0.48 at a 23% scan and k-means
+    IVF at 0.55 at 19% (PERF.md). On clusterless data the honest scale
+    lever is bytes-per-candidate, not candidates-pruned: stage 1 scans
+    every vector but on 4x-compressed integer codes (the identity in
+    :func:`int8_topk` — scales cancel, the hot loop is an integer dot),
+    stage 2 pays full-precision cost for only ``m``/corpus rows.
+    Measured: recall@3 = 1.000 at sf0.01 AND sf0.1 with m=16 (an 0.8%
+    exact-scan fraction at sf0.1), vs 0.73 for the best bucketed IVF at
+    a 50% scan. For corpora that DO cluster, ``ivf_topk`` /
+    ``ivf_index_topk`` remain the partition-pruned path and compose
+    with this re-rank.
+
+    Both stages are deterministic cross-engine (integer stage-1 scores,
+    neighbor_id tie-breaks), so the whole operator has an exact DuckDB
+    oracle twin.
+
+    Returns ``(query_id, rank, neighbor_id, cosine)`` — exact cosine on
+    the 1e-6 grid, ranks 1..k.
+    """
+    from pyspark.sql import Window
+
+    c = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"),
+        _int8_codes(F.col("embedding")).alias("cc"),
+    ).withColumn("cn2", _fold_sum2(F.col("cc")))
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        _int8_codes(F.col("embedding")).alias("qc"),
+    ).withColumn("qn2", _fold_sum2(F.col("qc")))
+    dot_i = F.aggregate(
+        F.zip_with(F.col("qc"), F.col("cc"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    coarse = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "approx_cosine",
+            dot_i.cast("double")
+            / (
+                F.sqrt(F.col("qn2").cast("double"))
+                * F.sqrt(F.col("cn2").cast("double"))
+            ),
+        )
+        .select("query_id", "neighbor_id", "approx_cosine")
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("approx_cosine").desc(), F.col("neighbor_id")
+    )
+    cand = (
+        coarse.withColumn("crank", F.row_number().over(wc))
+        .filter(F.col("crank") <= m)
+        .select("query_id", "neighbor_id")
+    )
+    # Stage 2: exact cosine on the m survivors only. The candidate set
+    # is tiny (|queries| * m rows), so both vector joins broadcast it.
+    full = embeddings.select(
+        F.col("vec_id"), as_double(F.col("embedding")).alias("fv")
+    ).withColumn("fn", norm(F.col("fv")))
+    exact = (
+        F.broadcast(cand)
+        .join(
+            full.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("fv").alias("qe"),
+                F.col("fn").alias("qn"),
+            ),
+            "query_id",
+        )
+        .join(
+            full.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("fv").alias("ce"),
+                F.col("fn").alias("cn"),
+            ),
+            "neighbor_id",
+        )
+        .withColumn(
+            "cosine",
+            dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn")),
+        )
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    return _topk(exact, k)
+
+
 SEMDEDUP_THRESHOLD = 0.45
 
 

@@ -72,10 +72,18 @@ def test_minhash_agrees_with_exact_on_high_sim(docs):
 
 
 def test_simhash_identical_docs_same_fingerprint(docs):
+    # default geometry is now the 64-bit production layout
     fp = {r.doc_id: r.simhash for r in DD.simhash_fingerprints(docs).collect()}
     assert fp[1] == fp[2]
     assert fp[1] != fp[4]
-    assert all(0 <= v < 2**32 for v in fp.values())
+    assert all(-(2**63) <= v < 2**63 for v in fp.values())
+    # oracle-mirror variant stays 32-bit non-negative
+    fp32 = {
+        r.doc_id: r.simhash
+        for r in DD.simhash_fingerprints(docs, bits=32).collect()
+    }
+    assert fp32[1] == fp32[2] and fp32[1] != fp32[4]
+    assert all(0 <= v < 2**32 for v in fp32.values())
 
 
 def test_token_stats(docs):
@@ -214,6 +222,37 @@ def test_ivf_multi_probe_recall_vs_exact(spark):
     # the floor leaves slack for data regen. Round-3's radius-1 default
     # measured 0.67 — the wider probe is what bought the recall.
     assert len(ivf & exact) / len(exact) >= 0.8
+    emb.unpersist()
+
+
+def test_int8_rerank_recall_vs_exact(spark):
+    """The production ANN operating point for this (isotropic) corpus:
+    int8 first pass + exact re-rank of RERANK_M survivors. Measured
+    recall@3 = 1.000 at sf0.01 AND sf0.1 with m=16 (0.8% exact-scan
+    fraction at sf0.1) — vs 0.73 recall at a 50% scan for the best
+    bucketed IVF geometry (PERF.md grid). Floor at 0.95 leaves slack
+    for data regen only; a real regression (e.g. m too small, stage-1
+    tie-break drift) lands well below it."""
+    from iot_real_time_data_pipeline_spark.entrypoints import read_table
+    from pyspark.sql import functions as F
+
+    emb = read_table(spark, "/root/testdata/sf0.01", "embeddings").persist()
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    exact = {(r.query_id, r.neighbor_id) for r in SIM.cosine_topk(emb, q, k=3).collect()}
+    rr = {(r.query_id, r.neighbor_id) for r in SIM.int8_rerank_topk(emb, q, k=3).collect()}
+    assert len(rr & exact) / len(exact) >= 0.95
+    # exact re-rank -> reported cosines are TRUE cosines: the surviving
+    # top-k must carry identical (pair -> cosine) values as brute force
+    exact_cos = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in SIM.cosine_topk(emb, q, k=3).collect()
+    }
+    rr_cos = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in SIM.int8_rerank_topk(emb, q, k=3).collect()
+    }
+    for pair in rr & exact:
+        assert rr_cos[pair] == exact_cos[pair]
     emb.unpersist()
 
 
@@ -394,17 +433,25 @@ def test_bpe_merge_candidates_counts_unicode_pairs(spark):
 
 
 def test_simhash_dup_pairs_exhaustive_at_ham3(docs):
-    # Pigeonhole: 4 byte-bands over 32 bits guarantee every pair with
-    # Hamming <= 3 collides in at least one band, so the banded result
-    # must equal the brute-force enumeration exactly.
-    fp = {r.doc_id: r.simhash for r in DD.simhash_fingerprints(docs).collect()}
+    # Pigeonhole on the 32-bit ORACLE geometry: 4 byte-bands over 32
+    # bits guarantee every pair with Hamming <= 3 collides in at least
+    # one band, so the banded result must equal brute force exactly.
+    # (The 64-bit production default gets the same treatment in
+    # test_simhash64_dup_pairs_exhaustive_at_ham3.)
+    fp = {
+        r.doc_id: r.simhash
+        for r in DD.simhash_fingerprints(docs, bits=32).collect()
+    }
     expect = {
         (a, b): bin(fp[a] ^ fp[b]).count("1")
         for a in fp
         for b in fp
         if a < b and bin(fp[a] ^ fp[b]).count("1") <= 3
     }
-    got = {(r.doc_a, r.doc_b): r.hamming for r in DD.simhash_dup_pairs(docs).collect()}
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in DD.simhash_dup_pairs(docs, bits=32, bands=4).collect()
+    }
     assert got == expect
     assert got[(1, 2)] == 0  # identical-modulo-whitespace docs
 

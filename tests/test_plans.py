@@ -634,3 +634,21 @@ def test_priority_month_pivot_single_scan(spark, wh_tables):
             getattr(r, c) >= 0
             for c in ("n_urgent", "n_high", "n_medium", "n_not_specified", "n_low")
         )
+
+
+def test_staging_from_lake_scan_is_partition_pruned(spark):
+    """The lake round-trip's status+loc+date slice must resolve as
+    PARTITION filters (directory-level pruning), not data filters — at
+    100 TB this scan reads two locations' two weeks, not the lake."""
+    from iot_real_time_data_pipeline_spark import driver_queries as DQ
+
+    df = DQ.q_staging_from_lake(spark, SF_DIR)
+    plan = plan_of(df)
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters:")[1].split("]", 1)[0]
+    for key in ("validation_status", "loc_part", "date"):
+        assert key in pf, (key, pf)
+    # and none of the three keys degrade to post-scan data filters
+    assert "PushedFilters: []" in plan or "loc_part" not in plan.split(
+        "PushedFilters:"
+    )[1].split("]", 1)[0]
