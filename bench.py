@@ -260,6 +260,10 @@ def main() -> None:
         "docs_bpe_train",
         "docs_profile",
         "docs_vocab_growth",
+        "docs_winnow_fingerprints",
+        "docs_winnow_matches",
+        "docs_repeated_spans",
+        "docs_quality_sweep",
         "mm_image_features",
         "mm_frame_sample",
     ]:

@@ -322,6 +322,10 @@ def llm_queries() -> dict[str, QueryFn]:
         "docs_bpe_train": q_bpe_train,
         "docs_profile": q_profile,
         "docs_vocab_growth": q_vocab_growth,
+        "docs_winnow_fingerprints": q_winnow_fingerprints,
+        "docs_winnow_matches": q_winnow_matches,
+        "docs_repeated_spans": q_repeated_spans,
+        "docs_quality_sweep": q_quality_sweep,
     }
 
 
@@ -1486,6 +1490,10 @@ def llm_oracle_sql() -> dict[str, str]:
         "docs_bpe_train": _sql_bpe_train(),
         "docs_profile": _sql_profile(),
         "docs_vocab_growth": _sql_vocab_growth(),
+        "docs_winnow_fingerprints": _sql_winnow_fingerprints(),
+        "docs_winnow_matches": _sql_winnow_matches(),
+        "docs_repeated_spans": _sql_repeated_spans(),
+        "docs_quality_sweep": _sql_quality_sweep(),
     }
 
 
@@ -1817,6 +1825,112 @@ def _sql_profile() -> str:
 
 def q_vocab_growth(spark, sf_dir):
     return TA.vocab_growth(_docs(spark, sf_dir))
+
+
+# --- round-5 additions: winnowing, repeated spans, retention sweep --------
+
+
+def q_winnow_fingerprints(spark, sf_dir):
+    return TA.winnow_fingerprints(_docs(spark, sf_dir))
+
+
+def q_winnow_matches(spark, sf_dir):
+    return TA.winnow_matches(_docs(spark, sf_dir))
+
+
+def q_repeated_spans(spark, sf_dir):
+    return TA.repeated_ngram_spans(_docs(spark, sf_dir))
+
+
+def q_quality_sweep(spark, sf_dir):
+    return CUR.quality_retention_sweep(_docs(spark, sf_dir))
+
+
+def _sql_kgram_list(th_col: str, k: int) -> str:
+    """Ordered (duplicates kept) k-gram rolling hashes over a stored
+    token-hash list — the non-distinct sibling of sql_shingle_hashes."""
+    acc = f"coalesce({th_col}[i], 0)"
+    for j in range(1, k):
+        acc = f"(({acc}) * {TH.DOC_B} + coalesce({th_col}[i+{j}], 0)) % {TH.HASH_P}"
+    return (
+        f"list_transform(range(1, greatest(len({th_col}) - {k - 1}, 1) + 1), "
+        f"i -> {acc})"
+    )
+
+
+def _winnow_ctes() -> str:
+    k, w = TA.WINNOW_K, TA.WINNOW_W
+    return f"""{_TOKS_CTE},
+th AS (
+  SELECT doc_id, list_transform(t, tok -> {TH.sql_token_hash('tok')}) AS thl
+  FROM toks
+),
+kg AS (SELECT doc_id, {_sql_kgram_list('thl', k)} AS kh FROM th),
+fp AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(range(1, greatest(len(kh) - {w - 1}, 1) + 1),
+                   i -> list_min(kh[i:i+{w - 1}]))
+  )) AS fp_hash
+  FROM kg
+)"""
+
+
+def _sql_winnow_fingerprints() -> str:
+    return f"""
+WITH {_winnow_ctes()}
+SELECT doc_id, fp_hash FROM fp"""
+
+
+def _sql_winnow_matches() -> str:
+    return f"""
+WITH {_winnow_ctes()}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+FROM fp a JOIN fp b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= {TA.WINNOW_MIN_SHARED}"""
+
+
+def _sql_repeated_spans() -> str:
+    n = TA.SPAN_N
+    return f"""
+WITH {_TOKS_CTE},
+th AS (
+  SELECT doc_id, list_transform(t, tok -> {TH.sql_token_hash('tok')}) AS thl
+  FROM toks
+),
+posts AS (
+  SELECT doc_id, unnest({_sql_kgram_list('thl', n)}) AS gram_hash FROM th
+)
+SELECT gram_hash, count(DISTINCT doc_id) AS n_docs,
+       count(*) AS n_occurrences
+FROM posts GROUP BY gram_hash
+HAVING count(DISTINCT doc_id) >= {TA.SPAN_MIN_DOCS}"""
+
+
+def _sql_quality_sweep() -> str:
+    en = ", ".join(f"'{s}'" for s in TA.STOPWORDS["en"])
+    b = CUR.SWEEP_BUCKET_MILLI
+    return f"""
+WITH d AS (
+  SELECT doc_id, {TH.sql_tokens('text')} AS t FROM documents
+),
+per_doc AS (
+  SELECT doc_id, len(t) AS n_tokens,
+         (((len(list_filter(t, x -> x IN ({en}))) * 1000) // len(t)) // {b})
+           * {b} AS bucket_milli
+  FROM d
+),
+buckets AS (
+  SELECT bucket_milli, count(*) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+  FROM per_doc GROUP BY bucket_milli
+)
+SELECT bucket_milli, n_docs, n_tokens,
+       CAST(sum(n_docs) OVER w AS BIGINT) AS cum_docs_ge,
+       CAST(sum(n_tokens) OVER w AS BIGINT) AS cum_tokens_ge
+FROM buckets
+WINDOW w AS (ORDER BY bucket_milli DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""
 
 
 def _sql_vocab_growth() -> str:

@@ -726,3 +726,59 @@ def profile_table(docs: DataFrame, cols: tuple[str, ...] = PROFILE_COLS) -> Data
     return wide.select(F.explode(F.array(*rows)).alias("r")).select(
         "r.col", "r.n_nulls", "r.n_distinct"
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 addition: quality-threshold retention sweep
+# ---------------------------------------------------------------------------
+
+SWEEP_BUCKET_MILLI = 100  # stopword-ratio deciles
+
+
+def quality_retention_sweep(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Retention curve for a quality threshold: for each stopword-ratio
+    decile, how many documents and tokens a >= cut at that decile keeps.
+    This is the query run BEFORE picking a filter threshold on a new
+    corpus — the knee of (threshold -> tokens retained) is the operating
+    point, and eyeballing it needs the whole curve, not one cut.
+
+    All-integer: the per-doc score is stopword-hits-per-mille of tokens
+    (integer div), bucketed to deciles; the curve is a cumulative
+    window DOWN the (<= 11)-row bucket aggregate, so the corpus is
+    scanned once and the window runs on a trivially small frame.
+
+    Returns ``(bucket_milli, n_docs, n_tokens, cum_docs_ge,
+    cum_tokens_ge)`` — ``cum_*_ge`` = what a ``score >= bucket`` filter
+    would retain.
+    """
+    toks = TH.tokens(F.col(text_col))
+    stop_hits = F.size(
+        F.filter(toks, lambda t: t.isin(*TA.STOPWORDS["en"]))
+    )
+    per_doc = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).alias("n_tokens"),
+        stop_hits.alias("stop_hits"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        (
+            F.expr(f"((stop_hits * 1000) div n_tokens) div {SWEEP_BUCKET_MILLI}")
+            * SWEEP_BUCKET_MILLI
+        ).alias("bucket_milli"),
+    )
+    buckets = per_doc.groupBy("bucket_milli").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tokens").alias("n_tokens")
+    )
+    w = Window.orderBy(F.col("bucket_milli").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return buckets.select(
+        "bucket_milli",
+        "n_docs",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.sum("n_docs").over(w).cast("long").alias("cum_docs_ge"),
+        F.sum("n_tokens").over(w).cast("long").alias("cum_tokens_ge"),
+    )

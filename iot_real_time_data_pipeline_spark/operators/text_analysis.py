@@ -775,3 +775,147 @@ def vocab_growth(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
         .withColumn("cum_tokens", F.sum("n_tokens").over(run).cast("long"))
         .withColumn("cum_vocab", F.sum("n_new_terms").over(run).cast("long"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 additions: winnowing fingerprints + cross-doc repeated spans
+# ---------------------------------------------------------------------------
+
+WINNOW_K = 4  # tokens per k-gram
+WINNOW_W = 5  # k-grams per winnowing window
+
+
+def _ordered_kgram_hashes(
+    docs: DataFrame, text_col: str, id_col: str, k: int
+) -> DataFrame:
+    """(doc_id, kh): the IN-ORDER k-gram rolling hashes of each doc
+    (positions kept, duplicates kept — unlike the distinct shingle sets
+    the Jaccard family uses). Two projections on purpose: the
+    token-hash array must be a stored column before the sliding-window
+    combine indexes into it (texthash.shingle_hashes_from's warning).
+    """
+    th = docs.select(
+        F.col(id_col).alias("doc_id"),
+        TH.token_hashes(TH.tokens(F.col(text_col))).alias("_th"),
+    )
+    idx = F.sequence(
+        F.lit(1), F.greatest(F.size(F.col("_th")) - (k - 1), F.lit(1))
+    )
+
+    def combine(i):
+        acc = F.coalesce(F.element_at(F.col("_th"), i), F.lit(0))
+        for j in range(1, k):
+            nxt = F.coalesce(F.element_at(F.col("_th"), i + j), F.lit(0))
+            acc = (acc * TH.DOC_B + nxt) % TH.HASH_P
+        return acc
+
+    return th.select("doc_id", F.transform(idx, combine).alias("kh"))
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    SIGMOD 2003 — the MOSS algorithm): slide a ``w``-wide window over
+    the in-order k-gram hashes and keep each window's MINIMUM; the
+    distinct kept values are the doc's fingerprints.
+
+    The winnowing guarantee: any substring match of at least
+    ``w + k - 1`` tokens (8 here) between two documents produces at
+    least one SHARED fingerprint — so fingerprint postings detect
+    partial overlap/excerpting that whole-doc hashes miss, at a
+    guaranteed density of ~2/(w+1) of positions instead of every
+    k-gram. Selecting the min VALUE per window (not the canonical
+    rightmost-position rule) keeps the same guarantee — the shared
+    window selects the same value on both docs — and makes the
+    operator order-insensitive within the window, hence exactly
+    SQL-expressible on both engines.
+
+    Pure narrow map per doc (two array transforms + explode); the only
+    shuffle is the final distinct postings output. Returns
+    ``(doc_id, fp_hash)`` long form.
+    """
+    kg = _ordered_kgram_hashes(docs, text_col, id_col, k)
+    widx = F.sequence(
+        F.lit(1), F.greatest(F.size(F.col("kh")) - (w - 1), F.lit(1))
+    )
+    mins = F.transform(widx, lambda i: F.array_min(F.slice(F.col("kh"), i, w)))
+    return (
+        kg.select("doc_id", F.explode(F.array_distinct(mins)).alias("fp_hash"))
+    )
+
+
+WINNOW_MIN_SHARED = 2
+
+
+def winnow_matches(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    min_shared: int = WINNOW_MIN_SHARED,
+) -> DataFrame:
+    """Document pairs sharing >= ``min_shared`` winnowing fingerprints —
+    the plagiarism/excerpt detector built on :func:`winnow_fingerprints`.
+
+    Postings self-join on the fingerprint hash (the shingle-Jaccard
+    plan shape: only pairs sharing a fingerprint are ever materialized,
+    shuffle ∝ postings), then a count-HAVING per pair. Returns
+    ``(doc_a, doc_b, n_shared)``.
+    """
+    fp = winnow_fingerprints(docs, text_col, id_col, k, w)
+    a = fp.select(F.col("doc_id").alias("doc_a"), "fp_hash")
+    b = fp.select(F.col("doc_id").alias("doc_b"), "fp_hash")
+    return (
+        a.join(b, "fp_hash")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+SPAN_N = 8  # tokens per span-gram
+SPAN_MIN_DOCS = 2
+
+
+def repeated_ngram_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = SPAN_N,
+    min_docs: int = SPAN_MIN_DOCS,
+) -> DataFrame:
+    """Cross-document repeated n-gram spans — the memorization /
+    boilerplate signal from Lee et al. 2022 (arXiv:2107.06499,
+    "Deduplicating Training Data Makes Language Models Better"): long
+    token spans appearing in more than one document are exactly what a
+    model memorizes verbatim, and substring-level dedup targets them.
+
+    This is the counting pass: in-order n-gram hashes (duplicates
+    kept), exploded to postings, aggregated per gram — shuffle ∝
+    total n-grams with map-side partial aggregation; the ``min_docs``
+    HAVING cut keeps only cross-doc spans. The full suffix-array
+    machinery of the paper is I/O-equivalent to this posting aggregate
+    for fixed n.
+
+    Returns ``(gram_hash, n_docs, n_occurrences)``.
+    """
+    kg = _ordered_kgram_hashes(docs, text_col, id_col, n)
+    # docs shorter than n tokens emit one zero-padded gram each — two
+    # such docs collide only if their full text matches, which IS a
+    # repeated span; no special-casing needed on either engine.
+    posts = kg.select("doc_id", F.explode("kh").alias("gram_hash"))
+    return (
+        posts.groupBy("gram_hash")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )

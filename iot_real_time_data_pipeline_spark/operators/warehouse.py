@@ -929,3 +929,311 @@ def priority_month_pivot(orders: DataFrame) -> DataFrame:
             for p in ORDER_PRIORITIES
         ],
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 additions: the remaining TPC-H plan shapes (Q2/Q11/Q12/Q16/
+# Q20/Q21), adapted to this corpus's schema — there is no partsupp
+# table and lineitem carries no commit/receipt dates or ship modes, so
+# each query keeps the CANONICAL plan shape (the thing that matters at
+# 100 TB) over the columns that exist.
+# ---------------------------------------------------------------------------
+
+Q2_REGION = "ASIA"
+Q2_MIN_SIZE = 40
+
+
+def q2_min_cost_supplier(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+) -> DataFrame:
+    """Q2 shape (adapted): cheapest regional supplier per large part —
+    the correlated-min-subquery pattern (``WHERE cost = (SELECT min …
+    WHERE same part)``), decomposed into aggregate-then-equality-rejoin.
+
+    Without partsupp, the observed offer book is lineitem itself: a
+    supplier's unit price for a part is the MIN over its lines of
+    ``extendedprice / quantity``, lowered to integer centi-cents by
+    integer division (``price_c * 100 div qty_c``) so the min and the
+    equality rejoin are exact on both engines. Suppliers prune to the
+    region FIRST (broadcast dim chain), so the offers aggregate only
+    carries regional lines; the per-part min is a second aggregate of
+    the first (shuffle ∝ |part×supp pairs|, then ∝ |parts|), and ties
+    pick the lowest suppkey — deterministic.
+
+    Returns ``(p_partkey, p_name, best_suppkey, s_name, n_name,
+    s_acctbal_c, min_unit_cc)``.
+    """
+    sup = (
+        supplier.join(
+            F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+        )
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == Q2_REGION)),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(
+            "s_suppkey",
+            "s_name",
+            "n_name",
+            cents(F.col("s_acctbal")).alias("s_acctbal_c"),
+        )
+    )
+    # integer division (div), NOT double /: matches DuckDB's // exactly
+    offers = (
+        lineitem.join(
+            F.broadcast(sup.select("s_suppkey")),
+            lineitem.l_suppkey == F.col("s_suppkey"),
+        )
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            (
+                (cents(F.col("l_extendedprice")) * 100)
+                .cast("long")
+                .alias("price100_c")
+            ),
+            cents(F.col("l_quantity")).alias("qty_c"),
+        )
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            F.expr("price100_c div qty_c").alias("unit_cc"),
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("unit_cc").alias("unit_cc"))
+    )
+    # rename the agg side's key: offers/best share lineage, and a raw
+    # equi-join on the same attribute trips the ambiguous-self-join check
+    best = offers.groupBy(F.col("l_partkey").alias("bpk")).agg(
+        F.min("unit_cc").alias("min_unit_cc")
+    )
+    pick = (
+        offers.join(
+            best,
+            (F.col("l_partkey") == F.col("bpk"))
+            & (F.col("unit_cc") == F.col("min_unit_cc")),
+        )
+        .groupBy("l_partkey", "min_unit_cc")
+        .agg(F.min("l_suppkey").alias("best_suppkey"))
+    )
+    p = part.filter(F.col("p_size") >= Q2_MIN_SIZE).select("p_partkey", "p_name")
+    return (
+        pick.join(p, pick.l_partkey == p.p_partkey)
+        .join(F.broadcast(sup), pick.best_suppkey == sup.s_suppkey)
+        .select(
+            "p_partkey", "p_name", "best_suppkey", "s_name", "n_name",
+            "s_acctbal_c", "min_unit_cc",
+        )
+    )
+
+
+# keep parts whose revenue share exceeds 1.3x the mean part share
+Q11_NUM, Q11_DEN = 13, 10
+
+
+def q11_important_parts(lineitem: DataFrame) -> DataFrame:
+    """Q11 shape (adapted): parts whose revenue exceeds a fraction of
+    the GLOBAL total — the group-HAVING-against-global-scalar pattern
+    (``HAVING sum(...) > (SELECT sum(...) * f)``).
+
+    Without partsupp value, part importance is lineitem revenue. The
+    per-part aggregate computes once; the global total is a 1-row
+    aggregate OF THAT RESULT (never a second fact scan), broadcast back
+    as a cross-multiplied integer comparison
+    ``rev_c * n_parts * 10 > total_c * 13`` (> 1.3x the mean share) —
+    no double division crosses engines. Measured: keeps 12/167/1601 of
+    200/2K/20K parts at sf0.001/0.01/0.1.
+
+    Returns ``(l_partkey, revenue_c, share_ppm)``.
+    """
+    per_part = (
+        lineitem.select("l_partkey", _revenue_c().alias("rev_c"))
+        .groupBy("l_partkey")
+        .agg(F.sum("rev_c").alias("revenue_c"))
+    )
+    tot = per_part.agg(
+        F.sum("revenue_c").alias("total_c"), F.count("*").alias("n_parts")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("revenue_c") * F.col("n_parts") * Q11_DEN
+            > F.col("total_c") * Q11_NUM
+        )
+        .select(
+            "l_partkey",
+            "revenue_c",
+            F.expr("(revenue_c * CAST(1000000 AS BIGINT)) div total_c").alias(
+                "share_ppm"
+            ),
+        )
+    )
+
+
+Q12_LATE_DAYS = 90
+
+
+def q12_late_shipments(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+    """Q12 shape (adapted): shipping-latency accounting per order
+    priority — the fact-to-fact join + dual conditional aggregate
+    pattern (canonical Q12 counts high/low-priority lines per ship
+    mode; this corpus has no ship mode or commit/receipt dates, so the
+    bucket is the priority itself and "late" is shipped > 90 days after
+    the order date).
+
+    One shuffle join on orderkey, then a single partial-aggregated
+    groupBy with two conditional counts — the fact tables are each
+    scanned once, and the lateness predicate is integer epoch-second
+    arithmetic (identical on both engines).
+
+    Returns ``(o_orderpriority, n_lines, n_late, n_late_highprio)``.
+    """
+    li = with_date_sec(lineitem, "l_shipdate").select(
+        "l_orderkey", F.col("l_shipdate").alias("ship_sec")
+    )
+    o = with_date_sec(orders, "o_orderdate").select(
+        "o_orderkey", "o_orderpriority", F.col("o_orderdate").alias("ord_sec")
+    )
+    late = F.col("ship_sec") - F.col("ord_sec") > Q12_LATE_DAYS * 86400
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.count(F.when(late, 1)).alias("n_late"),
+            F.count(F.when(late & high, 1)).alias("n_late_highprio"),
+        )
+    )
+
+
+Q16_SIZES = (1, 14, 23, 45)
+Q16_EXCLUDED_TYPE_PREFIX = "ECONOMY"
+
+
+def q16_supplier_part_counts(
+    lineitem: DataFrame, part: DataFrame, supplier: DataFrame
+) -> DataFrame:
+    """Q16 shape (adapted): distinct supplier counts per part attribute
+    group, excluding a supplier blacklist — COUNT DISTINCT over a
+    NOT-IN anti-join (canonical Q16's complaint suppliers become
+    negative-balance suppliers; partsupp becomes the observed lineitem
+    supplier-part pairs).
+
+    The part filter prunes the broadcast side before the join; the
+    blacklist collapses to a broadcast LEFT ANTI (NULL-safe by
+    construction: keys are non-null bigints). count(DISTINCT) runs on
+    (brand, size)-partitioned data after the joins — one expand, no
+    second fact scan.
+
+    Returns ``(p_brand, p_size, supplier_cnt)``.
+    """
+    p = part.filter(
+        F.col("p_size").isin(*Q16_SIZES)
+        & ~F.col("p_type").startswith(Q16_EXCLUDED_TYPE_PREFIX)
+    ).select("p_partkey", "p_brand", F.col("p_size").cast("long").alias("p_size"))
+    excl = supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        lineitem.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .join(
+            F.broadcast(excl), F.col("l_suppkey") == excl.s_suppkey, "left_anti"
+        )
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )
+
+
+Q20_NAME_FRAGMENT = "widget"
+Q20_LO = sec("1996-01-01")
+Q20_QTY_C = 8000  # > 80 units of one widget part since 1996
+
+
+def q20_excess_shippers(
+    lineitem: DataFrame, part: DataFrame, supplier: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """Q20 shape (adapted): suppliers who moved excess volume of a
+    part family — the nested-semi-join-chain pattern (part name filter
+    -> quantity aggregate HAVING -> DISTINCT supplier -> dim join).
+
+    The part-name filter broadcasts into the fact scan; the per
+    (supplier, part) quantity aggregate is the only shuffle; the HAVING
+    cut and DISTINCT collapse it to a handful of supplier keys that
+    broadcast into the supplier/nation dims. Threshold measured to
+    discriminate: 10/58/87 suppliers qualify of 10/100/1000 at
+    sf0.001/0.01/0.1.
+
+    Returns ``(s_suppkey, s_name, n_name)``.
+    """
+    wparts = part.filter(
+        F.col("p_name").contains(Q20_NAME_FRAGMENT)
+    ).select("p_partkey")
+    li = date_bounds(lineitem, "l_shipdate", lo_sec=Q20_LO)
+    heavy = (
+        li.join(F.broadcast(wparts), li.l_partkey == wparts.p_partkey)
+        .select("l_suppkey", "l_partkey", cents(F.col("l_quantity")).alias("q_c"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("q_c").alias("qty_c"))
+        .filter(F.col("qty_c") > Q20_QTY_C)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        heavy.join(supplier, heavy.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
+def q21_waiting_suppliers(lineitem: DataFrame, supplier: DataFrame) -> DataFrame:
+    """Q21 shape (adapted): the supplier who kept each multi-supplier
+    order waiting — the exists/not-exists self-join pattern, expressed
+    as one two-level aggregate + window (same semantics: there EXISTS
+    another supplier on the order, and NOT EXISTS one who shipped
+    later or tied).
+
+    Level 1 collapses lineitem to (order, supplier, last_ship) —
+    shuffle ∝ distinct pairs. One window over the order key then marks
+    the strict-max supplier of each >= 2-supplier order; the blame
+    count per supplier is a final tiny aggregate. The fact table never
+    self-joins row-to-row: the window form carries one row per (order,
+    supplier), which is why it survives 100 TB where the textbook
+    correlated EXISTS would re-scan lineitem twice.
+
+    Returns ``(s_suppkey, s_name, n_waiting_orders)``.
+    """
+    per = (
+        with_date_sec(lineitem, "l_shipdate")
+        .select("l_orderkey", "l_suppkey", F.col("l_shipdate").alias("ship_sec"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("ship_sec").alias("last_sec"))
+    )
+    w = Window.partitionBy("l_orderkey")
+    marked = (
+        per.withColumn("o_max", F.max("last_sec").over(w))
+        .withColumn("n_supps", F.count("*").over(w))
+        .withColumn(
+            "n_at_max",
+            F.count(F.when(F.col("last_sec") == F.col("o_max"), 1)).over(w),
+        )
+    )
+    blamed = (
+        marked.filter(
+            (F.col("n_supps") >= 2)
+            & (F.col("last_sec") == F.col("o_max"))
+            & (F.col("n_at_max") == 1)
+        )
+        .groupBy("l_suppkey")
+        .agg(F.count("*").alias("n_waiting_orders"))
+    )
+    return (
+        blamed.join(
+            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            blamed.l_suppkey == F.col("s_suppkey"),
+        )
+        .select("s_suppkey", "s_name", "n_waiting_orders")
+    )

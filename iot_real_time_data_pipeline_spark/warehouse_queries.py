@@ -83,6 +83,8 @@ def q_q14(spark, sf_dir):
 
 
 def warehouse_queries() -> dict[str, QueryFn]:
+    # Single literal registry (callables defined throughout the module
+    # — resolved at call time, after the module has fully loaded).
     return {
         "wh_q1_pricing_summary": q_q1,
         "wh_q3_shipping_priority": q_q3,
@@ -94,6 +96,24 @@ def warehouse_queries() -> dict[str, QueryFn]:
         "wh_q6_forecast_revenue": q_q6,
         "wh_q13_order_distribution": q_q13,
         "wh_q14_promo_revenue": q_q14,
+        "wh_sales_cube": q_cube,
+        "wh_q7_nation_volume": q_q7,
+        "wh_q8_market_share": q_q8,
+        "wh_q9_product_profit": q_q9,
+        "wh_q15_top_supplier": q_q15,
+        "wh_q17_small_qty_revenue": q_q17,
+        "wh_q18_large_volume_customers": q_q18,
+        "wh_q19_disjunctive_revenue": q_q19,
+        "wh_q22_dormant_customers": q_q22,
+        "wh_abc_classification": q_abc,
+        "wh_customer_rfm": q_rfm,
+        "wh_priority_month_pivot": q_priority_pivot,
+        "wh_q2_min_cost_supplier": q_q2,
+        "wh_q11_important_parts": q_q11,
+        "wh_q12_late_shipments": q_q12,
+        "wh_q16_supplier_part_counts": q_q16,
+        "wh_q20_excess_shippers": q_q20,
+        "wh_q21_waiting_suppliers": q_q21,
     }
 
 
@@ -249,6 +269,26 @@ def warehouse_oracle_sql() -> dict[str, str]:
         "wh_q6_forecast_revenue": _Q6_SQL,
         "wh_q13_order_distribution": _Q13_SQL,
         "wh_q14_promo_revenue": _Q14_SQL,
+        # later additions (constants/builders defined below — evaluated
+        # when this function is CALLED, after the module has loaded)
+        "wh_sales_cube": _CUBE_SQL,
+        "wh_q7_nation_volume": _Q7_SQL,
+        "wh_q8_market_share": _Q8_SQL,
+        "wh_q9_product_profit": _Q9_SQL,
+        "wh_q15_top_supplier": _Q15_SQL,
+        "wh_q17_small_qty_revenue": _Q17_SQL,
+        "wh_q18_large_volume_customers": _Q18_SQL,
+        "wh_q19_disjunctive_revenue": _q19_sql(),
+        "wh_q22_dormant_customers": _Q22_SQL,
+        "wh_abc_classification": _ABC_SQL,
+        "wh_customer_rfm": _RFM_SQL,
+        "wh_priority_month_pivot": _priority_pivot_sql(),
+        "wh_q2_min_cost_supplier": _Q2_SQL,
+        "wh_q11_important_parts": _Q11_SQL,
+        "wh_q12_late_shipments": _Q12_SQL,
+        "wh_q16_supplier_part_counts": _Q16_SQL,
+        "wh_q20_excess_shippers": _Q20_SQL,
+        "wh_q21_waiting_suppliers": _Q21_SQL,
     }
 
 
@@ -322,27 +362,6 @@ def q_q22(spark, sf_dir):
     return WH.q22_dormant_customers(
         _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "customer")
     )
-
-
-warehouse_queries_r4 = warehouse_queries
-
-
-def warehouse_queries() -> dict[str, QueryFn]:  # noqa: F811
-    out = warehouse_queries_r4()
-    out.update(
-        {
-            "wh_sales_cube": q_cube,
-            "wh_q7_nation_volume": q_q7,
-            "wh_q8_market_share": q_q8,
-            "wh_q9_product_profit": q_q9,
-            "wh_q15_top_supplier": q_q15,
-            "wh_q17_small_qty_revenue": q_q17,
-            "wh_q18_large_volume_customers": q_q18,
-            "wh_q19_disjunctive_revenue": q_q19,
-            "wh_q22_dormant_customers": q_q22,
-        }
-    )
-    return out
 
 
 def _esec(col: str) -> str:
@@ -521,27 +540,6 @@ WHERE NOT EXISTS (SELECT 1 FROM recent WHERE o_custkey = rich.c_custkey)
 GROUP BY c_nationkey"""
 
 
-warehouse_oracle_sql_r4 = warehouse_oracle_sql
-
-
-def warehouse_oracle_sql() -> dict[str, str]:  # noqa: F811
-    out = warehouse_oracle_sql_r4()
-    out.update(
-        {
-            "wh_sales_cube": _CUBE_SQL,
-            "wh_q7_nation_volume": _Q7_SQL,
-            "wh_q8_market_share": _Q8_SQL,
-            "wh_q9_product_profit": _Q9_SQL,
-            "wh_q15_top_supplier": _Q15_SQL,
-            "wh_q17_small_qty_revenue": _Q17_SQL,
-            "wh_q18_large_volume_customers": _Q18_SQL,
-            "wh_q19_disjunctive_revenue": _q19_sql(),
-            "wh_q22_dormant_customers": _Q22_SQL,
-        }
-    )
-    return out
-
-
 def q_abc(spark, sf_dir):
     return WH.abc_classification(_t(spark, sf_dir, "lineitem"))
 
@@ -564,22 +562,6 @@ SELECT l_partkey, revenue_c, cum_share_ppm,
             WHEN cum_share_ppm <= {WH.ABC_B_PPM} THEN 'B'
             ELSE 'C' END AS abc_class
 FROM c"""
-
-
-warehouse_queries_r5 = warehouse_queries
-warehouse_oracle_sql_r5 = warehouse_oracle_sql
-
-
-def warehouse_queries() -> dict[str, QueryFn]:  # noqa: F811
-    out = warehouse_queries_r5()
-    out["wh_abc_classification"] = q_abc
-    return out
-
-
-def warehouse_oracle_sql() -> dict[str, str]:  # noqa: F811
-    out = warehouse_oracle_sql_r5()
-    out["wh_abc_classification"] = _ABC_SQL
-    return out
 
 
 def q_rfm(spark, sf_dir):
@@ -621,22 +603,6 @@ SELECT o_custkey, recency_days, frequency, monetary_c,
 FROM scored"""
 
 
-warehouse_queries_r6b = warehouse_queries
-warehouse_oracle_sql_r6b = warehouse_oracle_sql
-
-
-def warehouse_queries() -> dict[str, QueryFn]:  # noqa: F811
-    out = warehouse_queries_r6b()
-    out["wh_customer_rfm"] = q_rfm
-    return out
-
-
-def warehouse_oracle_sql() -> dict[str, str]:  # noqa: F811
-    out = warehouse_oracle_sql_r6b()
-    out["wh_customer_rfm"] = _RFM_SQL
-    return out
-
-
 def q_priority_pivot(spark, sf_dir):
     return WH.priority_month_pivot(_t(spark, sf_dir, "orders"))
 
@@ -664,17 +630,164 @@ SELECT CAST(year(ts) * 100 + month(ts) AS BIGINT) AS month_num,
 FROM o GROUP BY month_num"""
 
 
-warehouse_queries_r6c = warehouse_queries
-warehouse_oracle_sql_r6c = warehouse_oracle_sql
+# ---------------------------------------------------------------------------
+# Round-5 additions: the remaining TPC-H plan shapes (Q2/Q11/Q12/Q16/
+# Q20/Q21), adapted — see operators/warehouse.py for the shape notes.
+# ---------------------------------------------------------------------------
 
 
-def warehouse_queries() -> dict[str, QueryFn]:  # noqa: F811
-    out = warehouse_queries_r6c()
-    out["wh_priority_month_pivot"] = q_priority_pivot
-    return out
+def q_q2(spark, sf_dir):
+    return WH.q2_min_cost_supplier(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "part"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "region"),
+    )
 
 
-def warehouse_oracle_sql() -> dict[str, str]:  # noqa: F811
-    out = warehouse_oracle_sql_r6c()
-    out["wh_priority_month_pivot"] = _priority_pivot_sql()
-    return out
+def q_q11(spark, sf_dir):
+    return WH.q11_important_parts(_t(spark, sf_dir, "lineitem"))
+
+
+def q_q12(spark, sf_dir):
+    return WH.q12_late_shipments(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders")
+    )
+
+
+def q_q16(spark, sf_dir):
+    return WH.q16_supplier_part_counts(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "part"),
+        _t(spark, sf_dir, "supplier"),
+    )
+
+
+def q_q20(spark, sf_dir):
+    return WH.q20_excess_shippers(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "part"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
+def q_q21(spark, sf_dir):
+    return WH.q21_waiting_suppliers(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "supplier")
+    )
+
+
+_Q2_SQL = f"""
+WITH sup AS (
+  SELECT s_suppkey, s_name, CAST(round(s_acctbal * 100) AS BIGINT) AS s_acctbal_c,
+         n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = '{WH.Q2_REGION}'
+),
+offers AS (
+  SELECT l_partkey, l_suppkey,
+         min((CAST(round(l_extendedprice * 100) AS BIGINT) * 100)
+             // CAST(round(l_quantity * 100) AS BIGINT)) AS unit_cc
+  FROM lineitem JOIN sup ON l_suppkey = s_suppkey
+  GROUP BY l_partkey, l_suppkey
+),
+best AS (
+  SELECT l_partkey, min(unit_cc) AS min_unit_cc FROM offers GROUP BY l_partkey
+),
+pick AS (
+  SELECT o.l_partkey, min(o.l_suppkey) AS best_suppkey, b.min_unit_cc
+  FROM offers o
+  JOIN best b ON o.l_partkey = b.l_partkey AND o.unit_cc = b.min_unit_cc
+  GROUP BY o.l_partkey, b.min_unit_cc
+)
+SELECT p_partkey, p_name, best_suppkey, s_name, n_name, s_acctbal_c, min_unit_cc
+FROM pick
+JOIN part ON l_partkey = p_partkey AND p_size >= {WH.Q2_MIN_SIZE}
+JOIN sup ON best_suppkey = s_suppkey"""
+
+
+_Q11_SQL = f"""
+WITH per_part AS (
+  SELECT l_partkey, CAST(sum({_REV}) AS BIGINT) AS revenue_c
+  FROM lineitem GROUP BY l_partkey
+),
+t AS (SELECT CAST(sum(revenue_c) AS BIGINT) AS total_c,
+             count(*) AS n_parts FROM per_part)
+SELECT l_partkey, revenue_c,
+       CAST((revenue_c * 1000000) // total_c AS BIGINT) AS share_ppm
+FROM per_part, t
+WHERE revenue_c * n_parts * {WH.Q11_DEN} > total_c * {WH.Q11_NUM}"""
+
+
+_Q12_SQL = f"""
+SELECT o_orderpriority, count(*) AS n_lines,
+       CAST(count(CASE WHEN {_esec('l_shipdate')} - {_esec('o_orderdate')}
+                       > {WH.Q12_LATE_DAYS} * 86400 THEN 1 END) AS BIGINT)
+         AS n_late,
+       CAST(count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                       AND {_esec('l_shipdate')} - {_esec('o_orderdate')}
+                       > {WH.Q12_LATE_DAYS} * 86400 THEN 1 END) AS BIGINT)
+         AS n_late_highprio
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority"""
+
+
+def _q16_sql() -> str:
+    sizes = ", ".join(str(s) for s in WH.Q16_SIZES)
+    return f"""
+WITH excl AS (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+SELECT p_brand, CAST(p_size AS BIGINT) AS p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_size IN ({sizes})
+  AND p_type NOT LIKE '{WH.Q16_EXCLUDED_TYPE_PREFIX}%'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM excl)
+GROUP BY p_brand, p_size"""
+
+
+_Q20_SQL = f"""
+WITH wparts AS (
+  SELECT p_partkey FROM part WHERE p_name LIKE '%{WH.Q20_NAME_FRAGMENT}%'
+),
+shipped AS (
+  SELECT l_suppkey, l_partkey,
+         CAST(sum(round(l_quantity * 100)) AS BIGINT) AS qty_c
+  FROM lineitem JOIN wparts ON l_partkey = p_partkey
+  WHERE {_esec('l_shipdate')} >= {WH.Q20_LO}
+  GROUP BY l_suppkey, l_partkey
+),
+heavy AS (SELECT DISTINCT l_suppkey FROM shipped WHERE qty_c > {WH.Q20_QTY_C})
+SELECT s_suppkey, s_name, n_name
+FROM heavy
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey"""
+
+
+_Q21_SQL = f"""
+WITH per AS (
+  SELECT l_orderkey, l_suppkey, max({_esec('l_shipdate')}) AS last_sec
+  FROM lineitem GROUP BY l_orderkey, l_suppkey
+),
+w1 AS (
+  SELECT *, max(last_sec) OVER (PARTITION BY l_orderkey) AS o_max,
+         count(*) OVER (PARTITION BY l_orderkey) AS n_supps
+  FROM per
+),
+w2 AS (
+  SELECT *, count(CASE WHEN last_sec = o_max THEN 1 END)
+              OVER (PARTITION BY l_orderkey) AS n_at_max
+  FROM w1
+),
+blamed AS (
+  SELECT l_suppkey, count(*) AS n_waiting_orders
+  FROM w2 WHERE n_supps >= 2 AND last_sec = o_max AND n_at_max = 1
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(n_waiting_orders AS BIGINT) AS n_waiting_orders
+FROM blamed JOIN supplier ON l_suppkey = s_suppkey"""
+
+
+_Q16_SQL = _q16_sql()

@@ -1556,3 +1556,42 @@ def test_vocab_growth_matches_python_scan(spark, docs):
     assert got == expected
     # monotone, and vocabulary grows no faster than tokens
     assert all(a.cum_vocab <= a.cum_tokens for a in out)
+
+
+def test_winnowing_guarantee(spark):
+    # Winnowing theorem: a shared token run of >= w + k - 1 = 8 tokens
+    # must yield at least one shared fingerprint; disjoint vocabularies
+    # must yield none.
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    rows = [
+        (1, f"intro words here {shared} trailing one", "en"),
+        (2, f"{shared} completely different ending tokens now", "en"),
+        (3, "unrelated content with wholly distinct vocabulary terms", "en"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    fp = TA.winnow_fingerprints(df).collect()
+    by_doc = {}
+    for r in fp:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp_hash)
+    assert by_doc[1] & by_doc[2], "shared 8-token run must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3])
+    assert not (by_doc[2] & by_doc[3])
+    # density: fingerprints per doc are far fewer than k-gram count
+    n_tokens_doc1 = len(rows[0][1].split())
+    assert len(by_doc[1]) < n_tokens_doc1 - TA.WINNOW_K + 1
+    matches = {(r.doc_a, r.doc_b) for r in TA.winnow_matches(df, min_shared=1).collect()}
+    assert (1, 2) in matches and (1, 3) not in matches
+
+
+def test_repeated_spans_planted(spark):
+    span = "one two three four five six seven eight"  # exactly SPAN_N tokens
+    rows = [
+        (1, f"{span} plus unique suffix alpha", "en"),
+        (2, f"prefix beta then {span} end", "en"),
+        (3, "totally disjoint filler text goes here now okay", "en"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = TA.repeated_ngram_spans(df).collect()
+    # exactly one 8-gram (the planted span) crosses documents
+    assert len(out) == 1
+    assert out[0].n_docs == 2 and out[0].n_occurrences == 2

@@ -652,3 +652,31 @@ def test_staging_from_lake_scan_is_partition_pruned(spark):
     assert "PushedFilters: []" in plan or "loc_part" not in plan.split(
         "PushedFilters:"
     )[1].split("]", 1)[0]
+
+
+def test_q11_global_scalar_reuses_fact_aggregate_exchange(spark, wh_tables):
+    """Q11 references the per-part aggregate twice (group rows + global
+    total). The fact table must still be scanned/shuffled ONCE: AQE's
+    exchange reuse must stitch the second reference to the first stage."""
+    from iot_real_time_data_pipeline_spark.operators import warehouse as WH
+
+    df = WH.q11_important_parts(wh_tables["lineitem"])
+    df.collect()  # finalize the AQE plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan or "ReusedQueryStage" in plan, plan[:800]
+
+
+def test_q21_no_fact_self_join(spark, wh_tables):
+    """Q21's exists/not-exists semantics must come from ONE two-level
+    aggregate + window over (order, supplier) rows — never a row-level
+    lineitem self-join."""
+    from iot_real_time_data_pipeline_spark.operators import warehouse as WH
+
+    df = WH.q21_waiting_suppliers(wh_tables["lineitem"], wh_tables["supplier"])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") == 2  # lineitem once + supplier once
+    assert "Window" in plan
+    rows = df.collect()
+    assert rows, "multi-supplier orders exist at sf0.001"
+    # every blamed supplier strictly won at least one >=2-supplier order
+    assert all(r.n_waiting_orders >= 1 for r in rows)
