@@ -264,6 +264,9 @@ def main() -> None:
         "docs_winnow_matches",
         "docs_repeated_spans",
         "docs_quality_sweep",
+        "emb_pq_codes",
+        "emb_pq_topk",
+        "docs_token_budget",
         "mm_image_features",
         "mm_frame_sample",
     ]:

@@ -326,6 +326,9 @@ def llm_queries() -> dict[str, QueryFn]:
         "docs_winnow_matches": q_winnow_matches,
         "docs_repeated_spans": q_repeated_spans,
         "docs_quality_sweep": q_quality_sweep,
+        "emb_pq_codes": q_pq_codes,
+        "emb_pq_topk": q_pq_topk,
+        "docs_token_budget": q_token_budget,
     }
 
 
@@ -1494,6 +1497,9 @@ def llm_oracle_sql() -> dict[str, str]:
         "docs_winnow_matches": _sql_winnow_matches(),
         "docs_repeated_spans": _sql_repeated_spans(),
         "docs_quality_sweep": _sql_quality_sweep(),
+        "emb_pq_codes": _sql_pq_codes(),
+        "emb_pq_topk": _sql_pq_topk(),
+        "docs_token_budget": _sql_token_budget(),
     }
 
 
@@ -1844,6 +1850,106 @@ def q_repeated_spans(spark, sf_dir):
 
 def q_quality_sweep(spark, sf_dir):
     return CUR.quality_retention_sweep(_docs(spark, sf_dir))
+
+
+def q_pq_codes(spark, sf_dir):
+    return SIM.pq_codes(_emb(spark, sf_dir))
+
+
+def q_pq_topk(spark, sf_dir):
+    return SIM.pq_topk(_emb(spark, sf_dir), _emb_queries(spark, sf_dir), k=3)
+
+
+def q_token_budget(spark, sf_dir):
+    return CUR.token_budget_plan(_docs(spark, sf_dir))
+
+
+def _pq_ctes() -> str:
+    """Shared PQ CTE chain through ``codes`` (vec_id, subspace, code) —
+    mirrors similarity.pq_codebook/pq_codes (deterministic first-K
+    seeds, integer-micro distances, lowest-code tiebreak)."""
+    m, sub, k = SIM.PQ_M, SIM.PQ_SUB, SIM.PQ_K
+    d2m = (
+        "CAST(round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, {sub} + 1), "
+        "j -> (sub[j] - centroid[j]) * (sub[j] - centroid[j]))), "
+        "(a, x) -> a + x) * 1e6) AS BIGINT)"
+    )
+    return f"""{_EMB_CTE},
+ms AS (SELECT CAST(unnest(range({m})) AS BIGINT) AS subspace),
+seeds AS (
+  SELECT v, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS code
+  FROM (SELECT * FROM e ORDER BY vec_id LIMIT {k})
+),
+cb AS (
+  SELECT code, subspace,
+         list_slice(v, subspace * {sub} + 1, subspace * {sub} + {sub}) AS centroid
+  FROM seeds, ms
+),
+subs AS (
+  SELECT vec_id, subspace,
+         list_slice(v, subspace * {sub} + 1, subspace * {sub} + {sub}) AS sub
+  FROM e, ms
+),
+pqscored AS (
+  SELECT vec_id, s.subspace, cb.code, {d2m} AS d2m
+  FROM subs s JOIN cb ON s.subspace = cb.subspace
+),
+codes AS (
+  SELECT vec_id, subspace, code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
+              ORDER BY d2m, code) AS rn
+    FROM pqscored
+  ) WHERE rn = 1
+)"""
+
+
+def _sql_pq_codes() -> str:
+    return f"""
+WITH {_pq_ctes()}
+SELECT vec_id, subspace, code FROM codes"""
+
+
+def _sql_pq_topk() -> str:
+    return f"""
+WITH {_pq_ctes()},
+dtab AS (
+  SELECT vec_id AS query_id, subspace, code, d2m AS d2_micro
+  FROM pqscored WHERE vec_id % {QUERY_MOD} = 0
+),
+adc AS (
+  SELECT query_id, c.vec_id AS neighbor_id,
+         CAST(sum(d2_micro) AS BIGINT) AS adc_micro
+  FROM codes c
+  JOIN dtab d ON c.subspace = d.subspace AND c.code = d.code
+  WHERE d.query_id <> c.vec_id
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY adc_micro, neighbor_id) AS BIGINT) AS rank
+  FROM adc
+)
+SELECT query_id, rank, neighbor_id, adc_micro FROM r WHERE rank <= 3"""
+
+
+def _sql_token_budget() -> str:
+    b = CUR.BUDGET_PERMILLE
+    return f"""
+WITH d AS (
+  SELECT source, len({TH.sql_tokens('text')}) AS n_toks FROM documents
+),
+per_source AS (
+  SELECT source, count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS n_tokens
+  FROM d GROUP BY source
+),
+t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS corpus_tokens,
+             count(*) AS n_sources FROM per_source)
+SELECT source, n_docs, n_tokens,
+       CAST(corpus_tokens * {b} // 1000 // n_sources AS BIGINT) AS target_tokens,
+       CAST((corpus_tokens * {b} // 1000 // n_sources) * 1000 // n_tokens
+            AS BIGINT) AS epochs_milli
+FROM per_source, t"""
 
 
 def _sql_kgram_list(th_col: str, k: int) -> str:

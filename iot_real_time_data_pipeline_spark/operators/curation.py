@@ -782,3 +782,59 @@ def quality_retention_sweep(
         F.sum("n_docs").over(w).cast("long").alias("cum_docs_ge"),
         F.sum("n_tokens").over(w).cast("long").alias("cum_tokens_ge"),
     )
+
+
+# budget = this per-mille of the corpus's total tokens, split uniformly
+# across sources (relative budget -> the plan is meaningful at any SF)
+BUDGET_PERMILLE = 500
+
+
+def token_budget_plan(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    budget_permille: int = BUDGET_PERMILLE,
+) -> DataFrame:
+    """Training-mix planner: given a global token budget (a fraction of
+    the corpus) split uniformly across sources, how hard must each
+    source be down-sampled — or repeated — to hit its share?
+
+    ``epochs_milli`` is the knob a data pipeline actually turns:
+    < 1000 means sample that fraction of the source once, > 1000 means
+    repeat the source (epochs_milli/1000 passes) — the
+    repeat-vs-subsample decision from data-constrained scaling work
+    (Muennighoff et al. 2023, arXiv:2305.16264). All integer: per-source
+    token counts aggregate once (shuffle ∝ sources), the budget is a
+    broadcast 1-row scalar, and every derived figure is an integer
+    div — bit-identical on any engine.
+
+    Returns ``(source, n_docs, n_tokens, target_tokens, epochs_milli)``.
+    """
+    toks = TH.tokens(F.col(text_col))
+    per_source = (
+        docs.select(F.col(source_col).alias("source"), F.size(toks).alias("n_toks"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+        )
+    )
+    totals = per_source.agg(
+        F.sum("n_tokens").alias("corpus_tokens"),
+        F.count("*").alias("n_sources"),
+    )
+    return (
+        per_source.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.expr(
+                f"(corpus_tokens * {budget_permille} div 1000) div n_sources"
+            ).alias("target_tokens"),
+            F.expr(
+                f"(((corpus_tokens * {budget_permille} div 1000) div n_sources)"
+                " * 1000) div n_tokens"
+            ).alias("epochs_milli"),
+        )
+    )

@@ -940,3 +940,154 @@ def pca_project(embs: DataFrame, components: list[list[float]]) -> DataFrame:
             F.round(dot(v, plane) * F.lit(1e6)).cast("long").alias(f"c{i}_micro")
         )
     return embs.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 addition: product quantization (PQ) — the codebook compression
+# family that completes the ANN set (exact / IVF / int8 scalar / int8+
+# re-rank / PQ+ADC).
+# ---------------------------------------------------------------------------
+
+PQ_M = 8                    # subspaces
+PQ_SUB = EMB_DIM // PQ_M    # dims per subspace (8)
+PQ_K = 16                   # centroids per subspace -> 4-bit codes
+
+
+def _sub_d2_micro(a: F.Column, b: F.Column) -> F.Column:
+    """Squared L2 between two equal-length double arrays, quantized to
+    integer micro-units. The integer form makes every downstream SUM
+    accumulation-order-independent — the reason ADC distances below can
+    aggregate with a plain groupBy on any engine."""
+    d2 = F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.round(d2 * F.lit(1e6)).cast("long")
+
+
+def pq_codebook(embeddings: DataFrame) -> DataFrame:
+    """Deterministic PQ codebook: the PQ_K lowest-vec_id vectors, each
+    split into PQ_M subvectors (the same deterministic-seed convention
+    as :func:`kmeans_assign` — the cross-engine analogue of a fixed
+    random init; production would Lloyd-iterate per subspace, which
+    changes the centroid VALUES but not one line of this plan).
+
+    Returns ``(code, subspace, centroid)`` — PQ_K x PQ_M rows.
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy("vec_id")
+    seeds = (
+        embeddings.orderBy("vec_id")
+        .limit(PQ_K)
+        .select("vec_id", as_double(F.col("embedding")).alias("v"))
+        .withColumn("code", (F.row_number().over(w) - 1).cast("long"))
+    )
+    sub = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(m).cast("long").alias("subspace"),
+                F.slice(F.col("v"), m * PQ_SUB + 1, PQ_SUB).alias("centroid"),
+            )
+            for m in range(PQ_M)
+        ])
+    )
+    return seeds.select("code", sub.alias("s")).select(
+        "code", "s.subspace", "s.centroid"
+    )
+
+
+def _subvectors(df: DataFrame, id_out: str) -> DataFrame:
+    """(id, subspace, sub): every vector split into its M subvectors."""
+    sub = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(m).cast("long").alias("subspace"),
+                F.slice(F.col("v"), m * PQ_SUB + 1, PQ_SUB).alias("sub"),
+            )
+            for m in range(PQ_M)
+        ])
+    )
+    return (
+        df.select(F.col("vec_id").alias(id_out), as_double(F.col("embedding")).alias("v"))
+        .select(id_out, sub.alias("s"))
+        .select(id_out, "s.subspace", "s.sub")
+    )
+
+
+def pq_codes(embeddings: DataFrame, codebook: DataFrame | None = None) -> DataFrame:
+    """PQ encoding: each vector becomes PQ_M 4-bit codes (nearest
+    centroid per subspace) — 64 doubles compress to 8 nibbles, a 64x
+    storage cut vs float64.
+
+    Plan: subvector explode (narrow, Mx rows) -> broadcast join with
+    the PQ_K x PQ_M codebook -> per (vec, subspace) argmin via
+    ``min(struct(d2, code))`` — a PARTIAL-aggregable min, so the Mx
+    blowup collapses map-side before any shuffle. Ties break to the
+    lowest code on both engines (struct ordering / ORDER BY d2, code).
+
+    Returns ``(vec_id, subspace, code)`` long form.
+    """
+    cb = codebook if codebook is not None else pq_codebook(embeddings)
+    j = _subvectors(embeddings, "vec_id").join(F.broadcast(cb), "subspace")
+    best = (
+        j.select(
+            "vec_id",
+            "subspace",
+            F.struct(
+                _sub_d2_micro(F.col("sub"), F.col("centroid")).alias("d"),
+                F.col("code").alias("c"),
+            ).alias("dc"),
+        )
+        .groupBy("vec_id", "subspace")
+        .agg(F.min("dc").alias("b"))
+    )
+    return best.select("vec_id", "subspace", F.col("b.c").alias("code"))
+
+
+def pq_topk(embeddings: DataFrame, queries: DataFrame, k: int = 3) -> DataFrame:
+    """PQ asymmetric-distance (ADC) top-k: queries stay full-precision,
+    the corpus is scanned as 8-nibble codes; each query precomputes a
+    PQ_M x PQ_K distance table and a corpus vector's distance is the
+    sum of 8 table lookups (Jegou, Douze, Schmid 2011, "Product
+    Quantization for Nearest Neighbor Search").
+
+    Distances are integer micro-units end-to-end (``_sub_d2_micro``),
+    so the per-(query, vec) SUM is order-independent — a plain
+    partial-agged groupBy, no fold-order caveat. The distance table
+    (|q| x M x K rows) broadcasts; the code table streams. Like int8,
+    this is a compressed FULL scan (bytes-per-candidate lever, honest
+    on this isotropic corpus — see PERF.md); compose with
+    :func:`int8_rerank_topk`-style exact re-rank for production recall.
+
+    Returns ``(query_id, rank, neighbor_id, adc_micro)``.
+    """
+    from pyspark.sql import Window
+
+    cb = pq_codebook(embeddings)
+    codes = pq_codes(embeddings, cb)
+    dtab = (
+        _subvectors(queries, "query_id")
+        .join(F.broadcast(cb), "subspace")
+        .select(
+            "query_id",
+            "subspace",
+            "code",
+            _sub_d2_micro(F.col("sub"), F.col("centroid")).alias("d2_micro"),
+        )
+    )
+    adc = (
+        codes.join(F.broadcast(dtab), ["subspace", "code"])
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("d2_micro").alias("adc_micro"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_micro").asc(), F.col("neighbor_id")
+    )
+    return (
+        adc.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "adc_micro")
+    )

@@ -1595,3 +1595,49 @@ def test_repeated_spans_planted(spark):
     # exactly one 8-gram (the planted span) crosses documents
     assert len(out) == 1
     assert out[0].n_docs == 2 and out[0].n_occurrences == 2
+
+
+def test_pq_codes_shape_and_self_coding(spark):
+    from iot_real_time_data_pipeline_spark.entrypoints import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings").persist()
+    n = emb.count()
+    codes = SIM.pq_codes(emb).collect()
+    # every vector gets exactly PQ_M codes, each in [0, PQ_K)
+    assert len(codes) == n * SIM.PQ_M
+    assert all(0 <= r.code < SIM.PQ_K for r in codes)
+    # the seed vectors (the codebook itself) must encode to their own
+    # centroid in every subspace: distance 0 beats every other centroid
+    # (ties break to the lowest code, and seed subvectors can only tie
+    # when two seeds share a subvector - not the case in this data)
+    seed_ids = [r.vec_id for r in emb.orderBy("vec_id").limit(SIM.PQ_K).collect()]
+    own = {i: code for i, code in enumerate(seed_ids)}
+    for r in codes:
+        if r.vec_id in own.values():
+            rank = seed_ids.index(r.vec_id)
+            assert r.code == rank, (r.vec_id, r.subspace, r.code, rank)
+    emb.unpersist()
+
+
+def test_pq_topk_recall_vs_exact(spark):
+    """PQ/ADC is a lossy 64x compression; on this isotropic corpus its
+    job is candidate generation, not final ranking (compose with exact
+    re-rank for that - int8_rerank pattern). Floor asserts the ADC
+    ordering is far better than chance: exact top-3 recall within the
+    ADC top-10 candidates."""
+    from iot_real_time_data_pipeline_spark.entrypoints import read_table
+    from pyspark.sql import functions as F
+
+    emb = read_table(spark, "/root/testdata/sf0.01", "embeddings").persist()
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    exact = {}
+    for r in SIM.cosine_topk(emb, q, k=3).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    cand = {}
+    for r in SIM.pq_topk(emb, q, k=10).collect():
+        cand.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(len(exact[qid] & cand.get(qid, set())) for qid in exact)
+    total = sum(len(v) for v in exact.values())
+    # chance recall of 10-of-499 candidates is ~0.02; require >= 10x that
+    assert hits / total >= 0.2, (hits, total)
+    emb.unpersist()
