@@ -269,6 +269,7 @@ def main() -> None:
         "docs_token_budget",
         "mm_image_features",
         "mm_frame_sample",
+        "mm_payload_sniff",
     ]:
         fn = LQ.llm_queries()[name]
         timed_repeat(name, lambda fn=fn: fn(spark, sf_dir).collect())

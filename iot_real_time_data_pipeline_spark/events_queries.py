@@ -115,6 +115,10 @@ def q_cms(spark, sf_dir):
     return SK.cms_table(_events(spark, sf_dir))
 
 
+def q_kmv_daily_merge(spark, sf_dir):
+    return SK.kmv_daily_merge(_events(spark, sf_dir))
+
+
 def events_queries() -> dict[str, QueryFn]:
     return {
         "events_sessionize": q_sessionize,
@@ -138,6 +142,7 @@ def events_queries() -> dict[str, QueryFn]:
         "events_heavy_hitters": q_heavy_hitters,
         "events_kmv_distinct": q_kmv,
         "events_cms_table": q_cms,
+        "events_kmv_daily_merge": q_kmv_daily_merge,
     }
 
 
@@ -500,6 +505,40 @@ SELECT event_type, freq, CAST((freq * 1000000) // n AS BIGINT) AS share_ppm
 FROM per_key, t WHERE freq * {k} > n"""
 
 
+def _kmv_daily_merge_sql() -> str:
+    p, k = SK.HASH_P, SK.KMV_K
+    return f"""
+WITH hashed AS (
+  SELECT DISTINCT ((epoch_ns(ts) // 1000000000) // 86400) AS day, event_type,
+         ({SK.KMV_A} * (user_id % {p}) + {SK.KMV_B}) % {p} AS h
+  FROM events
+),
+daily AS (
+  SELECT day, event_type, h FROM (
+    SELECT *, row_number() OVER (PARTITION BY day, event_type ORDER BY h) AS rn
+    FROM hashed
+  ) WHERE rn <= {k}
+),
+nd AS (SELECT event_type, count(DISTINCT day) AS n_days FROM daily GROUP BY 1),
+u AS (SELECT DISTINCT event_type, h FROM daily),
+topk AS (
+  SELECT event_type, h FROM (
+    SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+    FROM u
+  ) WHERE rn <= {k}
+),
+g AS (
+  SELECT event_type, count(*) AS n_hashes_kept, max(h) AS m_k
+  FROM topk GROUP BY event_type
+)
+SELECT g.event_type, CAST(nd.n_days AS BIGINT) AS n_days,
+       g.n_hashes_kept,
+       CAST(CASE WHEN g.n_hashes_kept < {k} THEN g.n_hashes_kept
+                 ELSE ({k - 1} * CAST({p} AS BIGINT)) // m_k END AS BIGINT)
+         AS kmv_estimate
+FROM g JOIN nd ON g.event_type = nd.event_type"""
+
+
 def _kmv_sql() -> str:
     p, k = SK.HASH_P, SK.KMV_K
     return f"""
@@ -562,6 +601,7 @@ def events_oracle_sql() -> dict[str, str]:
         "events_heavy_hitters": _heavy_hitters_sql(),
         "events_kmv_distinct": _kmv_sql(),
         "events_cms_table": _cms_sql(),
+        "events_kmv_daily_merge": _kmv_daily_merge_sql(),
     }
 
 

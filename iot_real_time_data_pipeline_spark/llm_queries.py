@@ -185,6 +185,39 @@ def q_frame_sample(spark, sf_dir):
     return MM.sample_frames(MM.with_binary_payload(_docs(spark, sf_dir)))
 
 
+def q_payload_sniff(spark, sf_dir):
+    return MM.payload_sniff(MM.with_binary_payload(_docs(spark, sf_dir)))
+
+
+def _sql_payload_sniff() -> str:
+    # hex of the first utf-8 BYTE (prefix of the encoded blob) — the
+    # Spark side hexes substring(payload, 1, 1).
+    return """
+WITH enc AS (
+  SELECT CAST(octet_length(encode(text)) AS BIGINT) AS blen,
+         substr(hex(encode(text)), 1, 2) AS h
+  FROM documents
+),
+cls AS (
+  SELECT blen,
+         CASE WHEN blen = 0 THEN 'empty'
+              WHEN h = '7B' THEN 'json-like'
+              WHEN h = '3C' THEN 'markup-like'
+              WHEN h BETWEEN '30' AND '39' THEN 'digit-led'
+              WHEN h BETWEEN '41' AND '5A' THEN 'upper-led'
+              WHEN h BETWEEN '61' AND '66' THEN 'lower-af'
+              WHEN h BETWEEN '67' AND '6D' THEN 'lower-gm'
+              WHEN h BETWEEN '6E' AND '73' THEN 'lower-ns'
+              WHEN h BETWEEN '74' AND '7A' THEN 'lower-tz'
+              ELSE 'other' END AS content_class
+  FROM enc
+)
+SELECT content_class, count(*) AS n_items,
+       CAST(sum(blen) AS BIGINT) AS total_bytes,
+       CAST(max(blen) AS BIGINT) AS max_bytes
+FROM cls GROUP BY content_class"""
+
+
 def q_boilerplate_scrub(spark, sf_dir):
     return CUR.boilerplate_scrub(_docs(spark, sf_dir))
 
@@ -264,6 +297,7 @@ def llm_queries() -> dict[str, QueryFn]:
     return {
         "mm_image_features": q_multimodal_features,
         "mm_frame_sample": q_frame_sample,
+        "mm_payload_sniff": q_payload_sniff,
         "docs_exact_dedup": q_exact_dedup,
         "docs_shingle_jaccard_pairs": q_shingle_jaccard,
         "docs_minhash_lsh_pairs": q_minhash_lsh,
@@ -1452,6 +1486,7 @@ def llm_oracle_sql() -> dict[str, str]:
         "docs_source_lang_matrix": _sql_source_lang_matrix(),
         "docs_rebalanced_sample": _sql_rebalanced_sample(),
         "mm_frame_sample": _sql_frame_sample(),
+        "mm_payload_sniff": _sql_payload_sniff(),
         "emb_kmeans_assign": _sql_kmeans_assign(),
         "emb_int8_topk": _sql_int8_topk(),
         "emb_int8_rerank_topk": _sql_int8_rerank_topk(),

@@ -176,3 +176,57 @@ def approx_user_stats(events: DataFrame) -> DataFrame:
         F.percentile_approx("value", 0.5).alias("p50"),
         F.percentile_approx("value", 0.95).alias("p95"),
     )
+
+
+def kmv_daily_merge(events: DataFrame, k: int = KMV_K) -> DataFrame:
+    """KMV mergability, demonstrated end-to-end: build an independent
+    k-minimum-values sketch PER DAY, then merge the day sketches
+    (k-smallest over the union of kept hashes) into one global
+    estimate. The merge theorem — k-min of the per-partition k-mins
+    equals k-min of everything, because a hash beaten by k smaller
+    hashes in its own day is beaten by the same k globally — is what
+    makes KMV a distributed-aggregation-safe sketch; the pytest twin
+    asserts merged == direct (`kmv_distinct`) exactly.
+
+    Plan: distinct (day, type, hash) partial-aggregates map-side; the
+    per-day window keeps <= k rows per (day, type); the merge is a
+    second window over at most ``days x k`` rows per type. At 100 TB
+    the first stage is the only row-volume stage — exactly the shape of
+    a daily-rollup pipeline that stores per-day sketches and answers
+    "distinct over any date range" by merging.
+
+    Returns ``(event_type, n_days, n_hashes_kept, kmv_estimate)``.
+    """
+    # integer day number from the epoch-second column (with_ts_sec) —
+    # cross-engine exact, independent of the nanos-vs-timestamp read path
+    hashed = (
+        events.select(
+            F.expr("ts_sec div 86400").alias("day"),
+            "event_type",
+            _hash_long(F.col("user_id"), KMV_A, KMV_B).alias("h"),
+        )
+        .distinct()
+    )
+    wd = Window.partitionBy("day", "event_type").orderBy("h")
+    daily = hashed.withColumn("rn", F.row_number().over(wd)).filter(F.col("rn") <= k)
+    n_days = daily.groupBy("event_type").agg(
+        F.count_distinct("day").alias("n_days")
+    )
+    union = daily.select("event_type", "h").distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    topk = union.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    est = (
+        topk.groupBy("event_type")
+        .agg(F.count("*").alias("n_hashes_kept"), F.max("h").alias("m_k"))
+        .select(
+            "event_type",
+            "n_hashes_kept",
+            F.when(F.col("n_hashes_kept") < k, F.col("n_hashes_kept"))
+            .otherwise(F.expr(f"(CAST({k - 1} AS BIGINT) * {HASH_P}) div m_k"))
+            .cast("long")
+            .alias("kmv_estimate"),
+        )
+    )
+    return est.join(n_days, "event_type").select(
+        "event_type", "n_days", "n_hashes_kept", "kmv_estimate"
+    )

@@ -106,3 +106,19 @@ def test_approx_user_stats_error_bounds(spark, events):
         # approx_percentile returns a real data value near the median
         spread = exact_med[t] * 0.25 + 1
         assert abs(r.p50 - exact_med[t]) <= spread
+
+
+def test_kmv_merge_equals_direct(spark):
+    """The KMV merge theorem, asserted exactly: k-min over the union of
+    per-day k-min sets == k-min over all hashes, so the merged estimate
+    must EQUAL the direct single-pass sketch for every event type."""
+    from iot_real_time_data_pipeline_spark.entrypoints import read_table
+    from iot_real_time_data_pipeline_spark.operators import events_analytics as EA
+    from iot_real_time_data_pipeline_spark.operators import sketches as SK
+
+    ev = EA.with_ts_sec(read_table(spark, "/root/testdata/sf0.01", "events"))
+    direct = {r.event_type: r.kmv_estimate for r in SK.kmv_distinct(ev).collect()}
+    merged = {r.event_type: r.kmv_estimate for r in SK.kmv_daily_merge(ev).collect()}
+    assert merged == direct
+    days = {r.event_type: r.n_days for r in SK.kmv_daily_merge(ev).collect()}
+    assert all(v > 1 for v in days.values()), "needs multiple days to be a merge"
