@@ -267,6 +267,8 @@ def main() -> None:
         "emb_pq_codes",
         "emb_pq_topk",
         "docs_token_budget",
+        "docs_incremental_dedup",
+        "docs_contamination_score",
         "mm_image_features",
         "mm_frame_sample",
         "mm_payload_sniff",

@@ -363,6 +363,8 @@ def llm_queries() -> dict[str, QueryFn]:
         "emb_pq_codes": q_pq_codes,
         "emb_pq_topk": q_pq_topk,
         "docs_token_budget": q_token_budget,
+        "docs_incremental_dedup": q_incremental_dedup,
+        "docs_contamination_score": q_contamination_score,
     }
 
 
@@ -1535,6 +1537,8 @@ def llm_oracle_sql() -> dict[str, str]:
         "emb_pq_codes": _sql_pq_codes(),
         "emb_pq_topk": _sql_pq_topk(),
         "docs_token_budget": _sql_token_budget(),
+        "docs_incremental_dedup": _sql_incremental_dedup(),
+        "docs_contamination_score": _sql_contamination_score(),
     }
 
 
@@ -1885,6 +1889,98 @@ def q_repeated_spans(spark, sf_dir):
 
 def q_quality_sweep(spark, sf_dir):
     return CUR.quality_retention_sweep(_docs(spark, sf_dir))
+
+
+DELTA_MOD = 10  # doc_id % DELTA_MOD == 0 -> stand-in incoming crawl drop
+
+
+def q_incremental_dedup(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return DD.incremental_dedup(
+        docs.filter(F.col("doc_id") % DELTA_MOD != 0),
+        docs.filter(F.col("doc_id") % DELTA_MOD == 0),
+        threshold=JACCARD_THRESHOLD,
+    )
+
+
+def q_contamination_score(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return DD.contamination_score(
+        docs.filter(F.col("doc_id") % EVAL_MOD != 0),
+        docs.filter(F.col("doc_id") % EVAL_MOD == 0),
+    )
+
+
+def _sql_incremental_dedup() -> str:
+    mh_exprs = ",\n         ".join(
+        f"{TH.sql_minhash('shl', a, b)} AS mh{i}"
+        for i, (a, b) in enumerate(TH.MINHASH_AB)
+    )
+    band_keys = ", ".join(
+        "concat_ws(':', '{b}', {cols})".format(
+            b=band,
+            cols=", ".join(
+                f"mh{band * TH.LSH_ROWS + r}" for r in range(TH.LSH_ROWS)
+            ),
+        )
+        for band in range(TH.LSH_BANDS)
+    )
+    t = JACCARD_THRESHOLD
+    return f"""
+WITH {_TOKS_CTE}, {_SHINGLE_CTE},
+sig AS (
+  SELECT doc_id,
+         {mh_exprs}
+  FROM sh
+),
+bands AS (
+  SELECT doc_id, unnest([{band_keys}]) AS band_key FROM sig
+),
+cand AS (
+  SELECT DISTINCT d.doc_id AS delta_doc_id, b.doc_id AS base_doc_id
+  FROM bands d JOIN bands b ON d.band_key = b.band_key
+  WHERE d.doc_id % {DELTA_MOD} = 0 AND b.doc_id % {DELTA_MOD} != 0
+),
+ex AS (
+  SELECT c.delta_doc_id, c.base_doc_id,
+         len(list_intersect(a.shl, b.shl)) AS n_common,
+         len(a.shl) AS n_d, len(b.shl) AS n_b
+  FROM cand c
+  JOIN sh a ON c.delta_doc_id = a.doc_id
+  JOIN sh b ON c.base_doc_id = b.doc_id
+),
+jc AS (
+  SELECT delta_doc_id, base_doc_id,
+         n_common / CAST(n_d + n_b - n_common AS DOUBLE) AS jaccard
+  FROM ex
+)
+SELECT delta_doc_id, base_doc_id, {TH.sql_quantized6('jaccard')} AS jaccard
+FROM jc WHERE jaccard >= {t}"""
+
+
+def _sql_contamination_score() -> str:
+    return f"""
+WITH {_TOKS_CTE}, {_SHINGLE_CTE},
+tp AS (
+  SELECT doc_id, unnest(shl) AS h FROM sh WHERE doc_id % {EVAL_MOD} != 0
+),
+ev AS (
+  SELECT DISTINCT h FROM (
+    SELECT unnest(shl) AS h FROM sh WHERE doc_id % {EVAL_MOD} = 0
+  )
+),
+shared AS (
+  SELECT doc_id, count(*) AS n_shared FROM tp JOIN ev USING (h) GROUP BY doc_id
+),
+sizes AS (
+  SELECT doc_id, CAST(len(shl) AS BIGINT) AS n_shingles
+  FROM sh WHERE doc_id % {EVAL_MOD} != 0
+)
+SELECT s.doc_id, s.n_shingles,
+       CAST(coalesce(sh2.n_shared, 0) AS BIGINT) AS n_shared,
+       CAST((coalesce(sh2.n_shared, 0) * 1000000) // s.n_shingles AS BIGINT)
+         AS shared_ppm
+FROM sizes s LEFT JOIN shared sh2 ON s.doc_id = sh2.doc_id"""
 
 
 def q_pq_codes(spark, sf_dir):

@@ -865,3 +865,119 @@ def minhash_calibration(
             ).alias("abs_err_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 additions: delta-vs-corpus dedup + per-doc contamination score
+# ---------------------------------------------------------------------------
+
+
+def _band_frame(sh: DataFrame) -> DataFrame:
+    """(doc_id, band_key) from a shingle frame — the minhash_lsh_pairs
+    banding (8 bands x 4 rows, string-packed keys), factored so
+    delta-vs-base dedup bands BOTH sides with identical keys."""
+    sig = sh.select("doc_id", *[
+        m.alias(f"mh{i}") for i, m in enumerate(TH.minhash_signature(F.col("sh")))
+    ])
+    band_keys = F.array(*[
+        F.concat_ws(
+            ":",
+            F.lit(str(band)),
+            *[F.col(f"mh{band * TH.LSH_ROWS + r}") for r in range(TH.LSH_ROWS)],
+        )
+        for band in range(TH.LSH_BANDS)
+    ])
+    return sig.select("doc_id", F.explode(band_keys).alias("band_key"))
+
+
+def incremental_dedup(
+    base: DataFrame,
+    delta: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Delta-vs-corpus near-dup detection — the DAILY-CRAWL shape: a
+    new document batch (delta) checks itself against the accumulated
+    corpus (base) WITHOUT re-pairing the corpus against itself.
+
+    This is how dedup actually runs at 100 TB: the base corpus's
+    signatures/bands are computed once and stored (here recomputed —
+    the plan is identical when they come off parquet); the delta bands
+    (tiny) hash-join against the base bands, so per-drop cost is
+    O(delta x collision rate), never O(corpus^2) and never even
+    O(corpus) shuffle — the base side shuffles only its band keys.
+    Candidates verify with exact shingle Jaccard, same as
+    :func:`minhash_lsh_pairs`.
+
+    Returns ``(delta_doc_id, base_doc_id, jaccard)``.
+    """
+    bsh = _doc_shingles(base, text_col, id_col).persist()
+    dsh = _doc_shingles(delta, text_col, id_col).persist()
+    bb = _band_frame(bsh).select(
+        F.col("doc_id").alias("base_doc_id"), "band_key"
+    )
+    db = _band_frame(dsh).select(
+        F.col("doc_id").alias("delta_doc_id"), "band_key"
+    )
+    cand = db.join(bb, "band_key").select("delta_doc_id", "base_doc_id").distinct()
+    da = dsh.select(F.col("doc_id").alias("delta_doc_id"), F.col("sh").alias("sh_d"))
+    ba = bsh.select(F.col("doc_id").alias("base_doc_id"), F.col("sh").alias("sh_b"))
+    return (
+        cand.join(da, "delta_doc_id")
+        .join(ba, "base_doc_id")
+        .withColumn("n_common", F.size(F.array_intersect("sh_d", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.size("sh_d") + F.size("sh_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            "delta_doc_id", "base_doc_id",
+            TH.quantized6(F.col("jaccard")).alias("jaccard"),
+        )
+    )
+
+
+def contamination_score(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Graded contamination: the fraction (ppm) of each training doc's
+    distinct shingles that appear ANYWHERE in the eval set —
+    :func:`decontaminate`'s binary verdict generalized to a score, so
+    curation can cut at a chosen severity instead of all-or-nothing.
+
+    The eval shingle SET (not postings) broadcasts; the corpus postings
+    stream through one broadcast semi-join + per-doc count. Every doc
+    is reported (LEFT join — zero-score rows included), all-integer.
+
+    Returns ``(doc_id, n_shingles, n_shared, shared_ppm)``.
+    """
+    train = _doc_shingles(docs, text_col, id_col)
+    ev_set = (
+        _doc_shingles(eval_docs, text_col, id_col)
+        .select(F.explode("sh").alias("h"))
+        .distinct()
+    )
+    tp = train.select("doc_id", F.explode("sh").alias("h"))
+    shared = (
+        tp.join(F.broadcast(ev_set), "h")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sizes = train.select("doc_id", F.size("sh").alias("n_shingles"))
+    return (
+        sizes.join(shared, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+            F.coalesce("n_shared", F.lit(0)).cast("long").alias("n_shared"),
+            F.expr(
+                "(coalesce(n_shared, 0) * CAST(1000000 AS BIGINT)) div n_shingles"
+            ).alias("shared_ppm"),
+        )
+    )
