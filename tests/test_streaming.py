@@ -610,3 +610,41 @@ def test_restart_from_checkpoint_is_exactly_once(spark, tmp_path):
     assert len(ids) == 80  # batch 1 not reprocessed, batch 2 not lost
     assert len(set(ids)) == 80  # and no duplicates
     assert set(ids) == set(range(80))
+
+
+def test_lake_compaction_preserves_rows_and_bounds_files(spark, tmp_path):
+    """Small-file compaction: a lake written in many appends collapses
+    to <= target files per partition with IDENTICAL row content, and a
+    second pass is a no-op (idempotent)."""
+    from pyspark.sql import functions as F
+
+    from iot_real_time_data_pipeline_spark.operators import maintenance as MX
+
+    root = str(tmp_path / "lake")
+    df = spark.range(0, 300).select(
+        F.col("id"),
+        (F.col("id") % 3).cast("string").alias("part"),
+        (F.col("id") * 7).alias("val"),
+    )
+    # 5 appends x repartition(4) -> up to 20 files per partition dir
+    for _ in range(5):
+        df.repartition(4).write.mode("append").partitionBy("part").parquet(root)
+
+    before = {r.partition: r.n_files for r in MX.lake_file_stats(spark, root).collect()}
+    assert all(n > 1 for n in before.values())
+    rows_before = sorted(
+        (r.id, r.part, r.val) for r in spark.read.parquet(root).collect()
+    )
+
+    report = MX.compact_lake(spark, root, target_files=1)
+    assert all(e["action"] == "compacted" for e in report)
+    after = {r.partition: r.n_files for r in MX.lake_file_stats(spark, root).collect()}
+    assert set(after) == set(before) and all(n == 1 for n in after.values())
+    rows_after = sorted(
+        (r.id, r.part, r.val) for r in spark.read.parquet(root).collect()
+    )
+    assert rows_after == rows_before
+
+    # idempotent second pass
+    report2 = MX.compact_lake(spark, root, target_files=1)
+    assert all(e["action"] == "skip" for e in report2)
