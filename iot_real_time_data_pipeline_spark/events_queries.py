@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .driver_queries import QueryFn
 from .entrypoints import read_table
+from .functions import texthash as TH
 from .operators import events_analytics as EA
 from .operators import sketches as SK
 
@@ -119,6 +120,10 @@ def q_kmv_daily_merge(spark, sf_dir):
     return SK.kmv_daily_merge(_events(spark, sf_dir))
 
 
+def q_hll_distinct(spark, sf_dir):
+    return SK.hll_distinct(_events(spark, sf_dir))
+
+
 def events_queries() -> dict[str, QueryFn]:
     return {
         "events_sessionize": q_sessionize,
@@ -143,6 +148,7 @@ def events_queries() -> dict[str, QueryFn]:
         "events_kmv_distinct": q_kmv,
         "events_cms_table": q_cms,
         "events_kmv_daily_merge": q_kmv_daily_merge,
+        "events_hll_distinct": q_hll_distinct,
     }
 
 
@@ -505,6 +511,55 @@ SELECT event_type, freq, CAST((freq * 1000000) // n AS BIGINT) AS share_ppm
 FROM per_key, t WHERE freq * {k} > n"""
 
 
+def _hll_sql() -> str:
+    w, m, sc = SK.HLL_W, SK.HLL_M, SK.HLL_SCALE
+    # same integer CASE ladder as sketches._rho_ladder
+    arms = " ".join(
+        f"WHEN rem >= {1 << (w - k)} THEN {k}" for k in range(1, w + 1)
+    )
+    return f"""
+WITH h AS (
+  SELECT event_type,
+         {TH.sql_token_hash('CAST(user_id AS VARCHAR)')} AS hv
+  FROM events
+),
+b AS (
+  SELECT event_type, hv // {1 << w} AS bucket, hv % {1 << w} AS rem FROM h
+),
+r AS (
+  SELECT event_type, bucket,
+         (CASE {arms} ELSE {w + 1} END) AS rho
+  FROM b
+),
+regs AS (
+  SELECT event_type, bucket, max(rho) AS rho FROM r GROUP BY 1, 2
+),
+pt AS (
+  SELECT event_type, count(*) AS n_buckets_hit,
+         CAST(sum(CAST(1 AS BIGINT) << ({sc} - rho)) AS BIGINT) AS sum_hit
+  FROM regs GROUP BY event_type
+),
+est AS (
+  SELECT event_type, n_buckets_hit,
+         CAST(sum_hit + ({m} - n_buckets_hit) * (CAST(1 AS BIGINT) << {sc})
+              AS BIGINT) AS sum_scaled
+  FROM pt
+),
+raw AS (
+  SELECT *,
+         CAST((CAST({SK.HLL_ALPHA_NUM} AS BIGINT) * {m} * {m}
+               * (CAST(1 AS BIGINT) << {sc}))
+              // ({SK.HLL_ALPHA_DEN} * sum_scaled) AS BIGINT)
+           AS hll_raw_estimate
+  FROM est
+)
+SELECT event_type, n_buckets_hit, sum_scaled, hll_raw_estimate,
+       CASE WHEN hll_raw_estimate * 2 < {5 * m} AND n_buckets_hit < {m}
+            THEN {TH.sql_quantized6(f"{float(m)} * ln({m} / CAST({m} - n_buckets_hit AS DOUBLE))")}
+            ELSE CAST(hll_raw_estimate AS DOUBLE) END AS hll_estimate
+FROM raw"""
+
+
 def _kmv_daily_merge_sql() -> str:
     p, k = SK.HASH_P, SK.KMV_K
     return f"""
@@ -602,6 +657,7 @@ def events_oracle_sql() -> dict[str, str]:
         "events_kmv_distinct": _kmv_sql(),
         "events_cms_table": _cms_sql(),
         "events_kmv_daily_merge": _kmv_daily_merge_sql(),
+        "events_hll_distinct": _hll_sql(),
     }
 
 

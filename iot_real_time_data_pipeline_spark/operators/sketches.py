@@ -230,3 +230,94 @@ def kmv_daily_merge(events: DataFrame, k: int = KMV_K) -> DataFrame:
     return est.join(n_days, "event_type").select(
         "event_type", "n_days", "n_hashes_kept", "kmv_estimate"
     )
+
+
+# HyperLogLog geometry: 2^HLL_B registers over the 31-bit hash; the
+# remainder carries HLL_W bits, so rho in [1, HLL_W + 1]. SCALE makes
+# every 2^-rho term an exact BIGINT (2^(SCALE - rho), SCALE > max rho).
+HLL_B = 6            # 64 registers
+HLL_M = 1 << HLL_B
+HLL_W = 31 - HLL_B   # 25 remainder bits
+HLL_SCALE = 30
+# alpha_64 = 0.709 (Flajolet et al. 2007) as an integer ratio
+HLL_ALPHA_NUM, HLL_ALPHA_DEN = 709, 1000
+# NO linear (a*x+b) mod p hash here: HLL reads the BIT PATTERN of the
+# hash (leading zeros), and a linear map of sequential ids produces an
+# arithmetic progression whose leading-zero counts are wildly
+# non-geometric (measured: estimate 294 for a true 150). KMV/CMS only
+# need rank/slot uniformity and tolerate it; HLL needs the md5 mixer.
+
+
+def _rho_ladder(rem: F.Column) -> F.Column:
+    """Position of the leftmost 1-bit of the HLL_W-bit remainder
+    (1-based; all-zero remainder -> HLL_W + 1). A pure integer CASE
+    ladder — no log2/clz, so Spark and the SQL oracle agree bit-exactly."""
+    expr = F.lit(HLL_W + 1)
+    for k in range(HLL_W, 0, -1):
+        # descending thresholds: k=1 <=> rem >= 2^(HLL_W-1)
+        expr = F.when(rem >= F.lit(1 << (HLL_W - k)), F.lit(k)).otherwise(expr)
+    return expr
+
+
+def hll_distinct(events: DataFrame) -> DataFrame:
+    """HyperLogLog distinct-count per event type with an INTEGER-EXACT
+    core (Flajolet, Fusy, Gandouet, Meunier 2007): bucket = top
+    ``HLL_B`` hash bits, register = max leftmost-1-bit position of the
+    remainder, and the harmonic-mean denominator ``sum(2^-rho_j)`` is
+    scaled by 2^HLL_SCALE so every term — and therefore the SUM, in any
+    accumulation order — is an exact BIGINT. The raw estimate
+    ``alpha * m^2 / sum`` is then one integer division: the whole
+    estimate sits in the cross-engine correctness gate, like KMV and
+    unlike any native HLL implementation. The standard small-range
+    linear-counting correction (``m * ln(m / V)`` when the raw estimate
+    is under 2.5m and empty registers exist) is the one real-valued
+    output, reported on the 1e-6 grid.
+
+    Plan: one partial-aggregated groupBy((type, bucket)) -> max(rho) —
+    shuffle carries at most ``m`` rows per type — then a per-type
+    m-row aggregate. Registers merge by MAX, so the sketch is
+    algebraic and daily-merge-safe exactly like ``kmv_daily_merge``.
+
+    Returns ``(event_type, n_buckets_hit, sum_scaled, hll_raw_estimate,
+    hll_estimate)``.
+    """
+    from ..functions import texthash as TH
+
+    h = TH.token_hash(F.col("user_id").cast("string"))
+    bucketed = events.select(
+        "event_type",
+        F.shiftright(h, HLL_W).alias("bucket"),
+        h.bitwiseAND(F.lit((1 << HLL_W) - 1)).alias("rem"),
+    ).select("event_type", "bucket", _rho_ladder(F.col("rem")).alias("rho"))
+    regs = bucketed.groupBy("event_type", "bucket").agg(F.max("rho").alias("rho"))
+    per_type = regs.groupBy("event_type").agg(
+        F.count("*").alias("n_buckets_hit"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_SCALE} - rho)")).alias(
+            "sum_hit"
+        ),
+    )
+    m, sc = HLL_M, HLL_SCALE
+    sum_scaled = (
+        F.col("sum_hit")
+        + (F.lit(m) - F.col("n_buckets_hit")) * F.lit(1 << sc)
+    ).cast("long")
+    raw = F.expr(
+        f"(CAST({HLL_ALPHA_NUM} AS BIGINT) * {m} * {m} * CAST({1 << sc} AS BIGINT))"
+        f" div ({HLL_ALPHA_DEN} * sum_scaled)"
+    )
+    zeros = F.lit(m) - F.col("n_buckets_hit")
+    corrected = F.when(
+        (F.col("hll_raw_estimate") * 2 < F.lit(5 * m)) & (zeros > 0),
+        TH.quantized6(F.lit(float(m)) * F.log(F.lit(m).cast("double") / zeros.cast("double"))),
+    ).otherwise(F.col("hll_raw_estimate").cast("double"))
+    return (
+        per_type.withColumn("sum_scaled", sum_scaled)
+        .withColumn("hll_raw_estimate", raw.cast("long"))
+        .select(
+            "event_type",
+            "n_buckets_hit",
+            "sum_scaled",
+            "hll_raw_estimate",
+            corrected.alias("hll_estimate"),
+        )
+    )

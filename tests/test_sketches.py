@@ -122,3 +122,25 @@ def test_kmv_merge_equals_direct(spark):
     assert merged == direct
     days = {r.event_type: r.n_days for r in SK.kmv_daily_merge(ev).collect()}
     assert all(v > 1 for v in days.values()), "needs multiple days to be a merge"
+
+
+def test_hll_estimate_within_standard_error(spark):
+    """HLL with m=64 registers has relative standard error
+    1.04/sqrt(64) = 13%; assert the oracle-exact estimate lands within
+    3 sigma of the true distinct count per event type."""
+    from iot_real_time_data_pipeline_spark.entrypoints import read_table
+    from iot_real_time_data_pipeline_spark.operators import events_analytics as EA
+    from iot_real_time_data_pipeline_spark.operators import sketches as SK
+    from pyspark.sql import functions as F
+
+    ev = EA.with_ts_sec(read_table(spark, "/root/testdata/sf0.01", "events"))
+    truth = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    est = {r.event_type: r.hll_estimate for r in SK.hll_distinct(ev).collect()}
+    assert set(est) == set(truth)
+    for t, n in truth.items():
+        assert abs(est[t] - n) <= 3 * 0.13 * n + 2, (t, est[t], n)
