@@ -838,3 +838,28 @@ def token_budget_plan(
             ).alias("epochs_milli"),
         )
     )
+
+
+def split_leakage(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
+    """Split-leakage detector: near-duplicate document pairs whose
+    members landed in DIFFERENT train/val/test splits — the silent eval
+    inflation a hash split cannot prevent (splits are per-document;
+    near-dups are cross-document). Run after any split re-cut; a clean
+    corpus (dedup BEFORE splitting) returns zero rows.
+
+    Composition: the MinHash-LSH pair generator (banded candidates +
+    exact Jaccard verify, shuffle ∝ band collisions) joined to the
+    broadcast split assignment on both endpoints, keeping pairs that
+    straddle splits. Returns ``(doc_a, doc_b, split_a, split_b,
+    jaccard)``.
+    """
+    pairs = DD.minhash_lsh_pairs(docs, threshold=threshold)
+    splits = train_split(docs).select("doc_id", "split")
+    sa = splits.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a"))
+    sb = splits.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b"))
+    return (
+        pairs.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("doc_a", "doc_b", "split_a", "split_b", "jaccard")
+    )
