@@ -85,6 +85,13 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # width — a few-MB shuffle locally. At production scale the scan
     # already yields >= parallelism splits and this is a no-op (never a
     # coalesce: guarded, so a 100 TB scan keeps its thousands of splits).
+    # The no-op branch matters beyond partitioning: an injected
+    # repartition above the scan BLOCKS Spark's runtime row-level bloom
+    # filter (InjectRuntimeFilter matches filters directly over the
+    # scan subtree — measured: might_contain() appears on a bare scan,
+    # disappears behind this repartition). At production split counts
+    # the branch doesn't fire and shuffle joins keep their runtime
+    # filters; pinned by test_runtime_bloom_filter_injects_on_bare_scans.
     parallelism = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < parallelism:
         df = df.repartition(parallelism)

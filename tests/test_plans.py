@@ -680,3 +680,40 @@ def test_q21_no_fact_self_join(spark, wh_tables):
     assert rows, "multi-supplier orders exist at sf0.001"
     # every blamed supplier strictly won at least one >=2-supplier order
     assert all(r.n_waiting_orders >= 1 for r in rows)
+
+
+def test_runtime_bloom_filter_injects_on_bare_scans(spark):
+    """Spark's runtime row-level bloom filter (the 100 TB shuffle-join
+    reducer): with a selective creation side, the optimizer must inject
+    `might_contain(...)` onto the fact side's join key. Pinned on BARE
+    scans — `read_table`'s test-scale repartition branch blocks the
+    injection pattern, which is exactly why that branch is a no-op at
+    production split counts (documented in entrypoints.read_table)."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        o = spark.read.parquet(f"{SF_DIR}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = plan_of(j)
+        assert "might_contain" in plan.lower(), plan[:800]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
