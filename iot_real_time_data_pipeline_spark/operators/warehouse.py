@@ -1237,3 +1237,103 @@ def q21_waiting_suppliers(lineitem: DataFrame, supplier: DataFrame) -> DataFrame
         )
         .select("s_suppkey", "s_name", "n_waiting_orders")
     )
+
+
+BLOOM_BITS = 65536  # 8 KB bitmap; ~22 bits/key at sf0.01
+BLOOM_K = 3
+
+
+def _bloom_positions(key: F.Column, k: int = BLOOM_K, m: int = BLOOM_BITS) -> F.Column:
+    """k bit positions for a BIGINT key — md5-mixed (independent salted
+    digests), cross-engine exact. Returns array<long> of length k."""
+    pos = []
+    for i in range(k):
+        digest = F.md5(F.concat(F.lit(f"bl{i}:"), key.cast("string")))
+        pos.append(
+            (F.conv(F.substring(digest, 1, 8), 16, 10).cast("long") % m).alias(
+                f"p{i}"
+            )
+        )
+    return F.array(*pos)
+
+
+def bloom_prejoin_audit(
+    lineitem: DataFrame, orders: DataFrame, k: int = BLOOM_K, m: int = BLOOM_BITS
+) -> DataFrame:
+    """First-class Bloom pre-join with exact false-positive accounting —
+    the row-reduction audit for the 100 TB shuffle-join pattern (build a
+    bloom over the selective side's join keys, probe the fact side
+    BEFORE shuffling; Spark's own injected runtime filter does this
+    opaquely — `test_runtime_bloom_filter_injects_on_bare_scans` — this
+    operator makes the mechanism measurable and oracle-checkable).
+
+    Creation side: urgent-priority orders' keys -> k md5-salted bit
+    positions each; the DISTINCT set bits are the filter (broadcast —
+    at most ``m`` rows). Probe side: a fact row passes iff ALL k of its
+    positions are set, computed as a broadcast join on the bit position
+    + a per-row match count == k. Exact truth via a second broadcast
+    semi-join on the real key. Everything is integer/md5 arithmetic, so
+    the pass/fail of every row — and therefore the FP count — is
+    bit-identical on both engines.
+
+    Returns one row ``(n_fact_rows, n_keys, n_bits_set, n_pass_bloom,
+    n_true_match, n_false_positive)`` — the numbers that justify (or
+    veto) enabling the pre-filter for a given key distribution.
+    """
+    keys = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("key"))
+        .distinct()
+    )
+    bits = (
+        keys.select(F.explode(_bloom_positions(F.col("key"), k, m)).alias("bit"))
+        .distinct()
+    )
+    # Probe DISTINCT fact keys (a key's bloom outcome is a pure
+    # function of the key), carrying each key's row multiplicity —
+    # probe work ∝ distinct keys, row counts recovered by weighting.
+    fact_keys = (
+        lineitem.groupBy(F.col("l_orderkey").alias("fkey"))
+        .agg(F.count("*").alias("n_rows"))
+    )
+    probes = fact_keys.select(
+        "fkey",
+        "n_rows",
+        F.explode(_bloom_positions(F.col("fkey"), k, m)).alias("bit"),
+    )
+    passed = (
+        probes.join(F.broadcast(bits), "bit")
+        .groupBy("fkey", "n_rows")
+        .agg(F.count("*").alias("n_hit"))
+        .filter(F.col("n_hit") == k)
+    )
+    truth = passed.join(
+        F.broadcast(keys), passed.fkey == keys.key, "left"
+    ).select("n_rows", F.col("key").isNotNull().alias("is_match"))
+    totals = fact_keys.agg(
+        F.sum("n_rows").alias("n_fact_rows_t"),
+    )
+    scalars = keys.agg(F.count("*").alias("n_keys_t")).crossJoin(
+        F.broadcast(bits.agg(F.count("*").alias("n_bits_t")))
+    )
+    return (
+        truth.agg(
+            F.coalesce(F.sum("n_rows"), F.lit(0)).cast("long").alias("n_pass_bloom"),
+            F.coalesce(F.sum(F.when(F.col("is_match"), F.col("n_rows"))), F.lit(0))
+            .cast("long")
+            .alias("n_true_match"),
+            F.coalesce(F.sum(F.when(~F.col("is_match"), F.col("n_rows"))), F.lit(0))
+            .cast("long")
+            .alias("n_false_positive"),
+        )
+        .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(scalars))
+        .select(
+            F.col("n_fact_rows_t").cast("long").alias("n_fact_rows"),
+            F.col("n_keys_t").cast("long").alias("n_keys"),
+            F.col("n_bits_t").cast("long").alias("n_bits_set"),
+            "n_pass_bloom",
+            "n_true_match",
+            "n_false_positive",
+        )
+    )

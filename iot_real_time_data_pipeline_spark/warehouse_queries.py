@@ -114,6 +114,7 @@ def warehouse_queries() -> dict[str, QueryFn]:
         "wh_q16_supplier_part_counts": q_q16,
         "wh_q20_excess_shippers": q_q20,
         "wh_q21_waiting_suppliers": q_q21,
+        "wh_bloom_prejoin_audit": q_bloom,
     }
 
 
@@ -289,6 +290,7 @@ def warehouse_oracle_sql() -> dict[str, str]:
         "wh_q16_supplier_part_counts": _Q16_SQL,
         "wh_q20_excess_shippers": _Q20_SQL,
         "wh_q21_waiting_suppliers": _Q21_SQL,
+        "wh_bloom_prejoin_audit": _bloom_sql(),
     }
 
 
@@ -788,6 +790,54 @@ blamed AS (
 )
 SELECT s_suppkey, s_name, CAST(n_waiting_orders AS BIGINT) AS n_waiting_orders
 FROM blamed JOIN supplier ON l_suppkey = s_suppkey"""
+
+
+def q_bloom(spark, sf_dir):
+    return WH.bloom_prejoin_audit(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders")
+    )
+
+
+def _bloom_sql() -> str:
+    k, m = WH.BLOOM_K, WH.BLOOM_BITS
+
+    def pos(i: int, key_expr: str) -> str:
+        return (
+            f"(CAST(('0x' || substr(md5('bl{i}:' || CAST({key_expr} AS VARCHAR)),"
+            f" 1, 8)) AS BIGINT) % {m})"
+        )
+
+    key_bits = ", ".join(pos(i, "key") for i in range(k))
+    fkey_bits = ", ".join(pos(i, "fkey") for i in range(k))
+    return f"""
+WITH keys AS (
+  SELECT DISTINCT o_orderkey AS key FROM orders
+  WHERE o_orderpriority = '1-URGENT'
+),
+bits AS (SELECT DISTINCT unnest([{key_bits}]) AS bit FROM keys),
+fact_keys AS (
+  SELECT l_orderkey AS fkey, count(*) AS n_rows FROM lineitem GROUP BY 1
+),
+probes AS (
+  SELECT fkey, n_rows, unnest([{fkey_bits}]) AS bit FROM fact_keys
+),
+passed AS (
+  SELECT fkey, n_rows FROM probes JOIN bits USING (bit)
+  GROUP BY fkey, n_rows HAVING count(*) = {k}
+),
+truth AS (
+  SELECT p.n_rows, (kk.key IS NOT NULL) AS is_match
+  FROM passed p LEFT JOIN keys kk ON p.fkey = kk.key
+)
+SELECT (SELECT CAST(sum(n_rows) AS BIGINT) FROM fact_keys) AS n_fact_rows,
+       (SELECT count(*) FROM keys) AS n_keys,
+       (SELECT count(*) FROM bits) AS n_bits_set,
+       CAST(coalesce(sum(n_rows), 0) AS BIGINT) AS n_pass_bloom,
+       CAST(coalesce(sum(CASE WHEN is_match THEN n_rows END), 0) AS BIGINT)
+         AS n_true_match,
+       CAST(coalesce(sum(CASE WHEN NOT is_match THEN n_rows END), 0) AS BIGINT)
+         AS n_false_positive
+FROM truth"""
 
 
 _Q16_SQL = _q16_sql()
