@@ -1337,3 +1337,147 @@ def bloom_prejoin_audit(
             "n_false_positive",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Lakehouse MERGE (upsert / delete / insert) — shuffle-free at 100 TB
+# ---------------------------------------------------------------------------
+
+MERGE_UPDATE_MOD = 3  # o_orderkey % 10 == 3 → price bumped by $1.00
+MERGE_DELETE_MOD = 7  # o_orderkey % 10 == 7 → row removed
+MERGE_INSERT_MOD = 1  # o_orderkey % 10 == 1 → cloned insert at key+offset
+MERGE_INSERT_OFFSET = 1_000_000_000
+
+
+def merge_upsert_summary(orders: DataFrame) -> DataFrame:
+    """MERGE INTO snapshot USING changes — the lakehouse upsert, planned
+    so NO stage shuffles the big side (the pattern Delta/Iceberg MERGE
+    compiles to, made explicit):
+
+    - WHEN MATCHED ``op='U'`` THEN UPDATE (totalprice += $1.00), and
+      WHEN MATCHED ``op='D'`` THEN DELETE: one map-side pass over the
+      snapshot with the (small) change set **broadcast** into a left
+      join — no snapshot shuffle.
+    - WHEN NOT MATCHED THEN INSERT: the naive ``changes ANTI JOIN
+      snapshot`` would shuffle the snapshot; instead the matched-key
+      set is first reduced via ``snapshot SEMI broadcast(changes)``
+      (map-side, output ≤ |changes|), and the inserts anti-join that
+      **small broadcast** set. Net: two broadcasts, zero wide
+      exchanges before the final 3-row aggregate.
+
+    The change set is derived deterministically from the snapshot
+    itself (keys mod 10: 3→update, 7→delete, 1→insert clone at
+    key+1e9), so both engines construct the identical batch. Money is
+    integer cents end-to-end. Returns the post-merge per-status summary
+    ``(o_orderstatus, n_orders, sum_totalprice_c)``.
+    """
+    snap = orders.select(
+        F.col("o_orderkey").alias("key"),
+        F.col("o_orderstatus").alias("status"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_c"),
+    )
+    upd_keys = snap.filter(F.col("key") % 10 == MERGE_UPDATE_MOD).select("key")
+    del_keys = snap.filter(F.col("key") % 10 == MERGE_DELETE_MOD).select("key")
+    inserts = snap.filter(F.col("key") % 10 == MERGE_INSERT_MOD).select(
+        (F.col("key") + MERGE_INSERT_OFFSET).alias("key"), "status", "price_c"
+    )
+
+    # WHEN MATCHED: one broadcast left join carries both the update
+    # flag and the delete flag (flag columns, not two joins).
+    flags = upd_keys.withColumn("is_upd", F.lit(True)).unionByName(
+        del_keys.withColumn("is_upd", F.lit(False))
+    )
+    kept = (
+        snap.join(F.broadcast(flags), "key", "left")
+        .filter(F.col("is_upd").isNull() | F.col("is_upd"))
+        .select(
+            "key",
+            "status",
+            F.when(F.col("is_upd"), F.col("price_c") + 100)
+            .otherwise(F.col("price_c"))
+            .alias("price_c"),
+        )
+    )
+
+    # WHEN NOT MATCHED: matched-key reduction (map-side semi) then a
+    # broadcast anti — the snapshot is never shuffled.
+    matched = snap.join(
+        F.broadcast(inserts.select("key")), "key", "semi"
+    ).select("key")
+    new_rows = inserts.join(F.broadcast(matched), "key", "anti")
+
+    return (
+        kept.unionByName(new_rows)
+        .groupBy(F.col("status").alias("o_orderstatus"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("price_c").cast("long").alias("sum_totalprice_c"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) layout audit — multi-dimensional clustering quality
+# ---------------------------------------------------------------------------
+
+ZORDER_BITS = 8  # bits per dimension → 16-bit z-value, 256 buckets
+
+
+def zorder_expr(x: str, y: str, bits: int = ZORDER_BITS) -> str:
+    """Bit-interleave SQL for the Morton code of two non-negative ints
+    (x's bit i → z bit 2i, y's bit i → z bit 2i+1). Plain ``>> & <<
+    |`` integer ops, so the SAME string evaluates identically in Spark
+    SQL and DuckDB — the oracle embeds this exact expression."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " | ".join(terms)
+
+
+def zorder_layout_audit(lineitem: DataFrame, bits: int = ZORDER_BITS) -> DataFrame:
+    """The measurement that justifies Z-ORDER BY (partkey, suppkey) as
+    the lake's file layout: map each row to the Morton code of
+    ``(l_partkey mod 2^bits, l_suppkey mod 2^bits)``, cut z-space into
+    2^bits contiguous buckets (the files a Z-ordered writer would
+    produce), and report each bucket's row count and per-dimension
+    bounding box. Z-ordering guarantees every bucket is a
+    2^(bits/2) × 2^(bits/2) tile — both dims stay bounded, so
+    min/max file stats prune on EITHER predicate column; a
+    linear (sort-by-one-key) layout bounds only the leading key.
+
+    Scale shape: pure narrow bit math + one 2^bits-key aggregate; no
+    global sort (fixed z-range buckets, not NTILE), no window. Returns
+    ``(z_bucket, n_rows, min_x, max_x, min_y, max_y, bbox_area)``.
+    """
+    side = 1 << bits
+    x = f"(l_partkey % {side})"
+    y = f"(l_suppkey % {side})"
+    z = zorder_expr(x, y, bits)
+    return (
+        lineitem.select(
+            F.expr(f"({z}) >> {bits}").alias("z_bucket"),
+            F.expr(x).alias("xx"),
+            F.expr(y).alias("yy"),
+        )
+        .groupBy("z_bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("xx").alias("min_x"),
+            F.max("xx").alias("max_x"),
+            F.min("yy").alias("min_y"),
+            F.max("yy").alias("max_y"),
+        )
+        .select(
+            "z_bucket",
+            "n_rows",
+            "min_x",
+            "max_x",
+            "min_y",
+            "max_y",
+            (
+                (F.col("max_x") - F.col("min_x") + 1)
+                * (F.col("max_y") - F.col("min_y") + 1)
+            ).alias("bbox_area"),
+        )
+    )

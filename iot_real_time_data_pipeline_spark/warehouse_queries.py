@@ -115,6 +115,8 @@ def warehouse_queries() -> dict[str, QueryFn]:
         "wh_q20_excess_shippers": q_q20,
         "wh_q21_waiting_suppliers": q_q21,
         "wh_bloom_prejoin_audit": q_bloom,
+        "wh_merge_upsert": q_merge,
+        "wh_zorder_layout": q_zorder,
     }
 
 
@@ -291,6 +293,8 @@ def warehouse_oracle_sql() -> dict[str, str]:
         "wh_q20_excess_shippers": _Q20_SQL,
         "wh_q21_waiting_suppliers": _Q21_SQL,
         "wh_bloom_prejoin_audit": _bloom_sql(),
+        "wh_merge_upsert": _MERGE_SQL,
+        "wh_zorder_layout": _zorder_sql(),
     }
 
 
@@ -841,3 +845,64 @@ FROM truth"""
 
 
 _Q16_SQL = _q16_sql()
+
+
+# ---------------------------------------------------------------------------
+# Round-5 additions (continuation): lakehouse MERGE + Z-order layout audit.
+# ---------------------------------------------------------------------------
+
+
+def q_merge(spark, sf_dir):
+    return WH.merge_upsert_summary(_t(spark, sf_dir, "orders"))
+
+
+def q_zorder(spark, sf_dir):
+    return WH.zorder_layout_audit(_t(spark, sf_dir, "lineitem"))
+
+
+_MERGE_SQL = f"""
+WITH snap AS (
+  SELECT o_orderkey AS key, o_orderstatus AS status,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+  FROM orders
+),
+upd AS (SELECT key FROM snap WHERE key % 10 = {WH.MERGE_UPDATE_MOD}),
+del AS (SELECT key FROM snap WHERE key % 10 = {WH.MERGE_DELETE_MOD}),
+ins AS (
+  SELECT key + {WH.MERGE_INSERT_OFFSET} AS key, status, price_c
+  FROM snap WHERE key % 10 = {WH.MERGE_INSERT_MOD}
+),
+merged AS (
+  SELECT s.key, s.status,
+         CASE WHEN u.key IS NOT NULL THEN s.price_c + 100
+              ELSE s.price_c END AS price_c
+  FROM snap s LEFT JOIN upd u ON s.key = u.key
+  WHERE NOT EXISTS (SELECT 1 FROM del d WHERE d.key = s.key)
+  UNION ALL
+  SELECT i.key, i.status, i.price_c FROM ins i
+  WHERE NOT EXISTS (SELECT 1 FROM snap s2 WHERE s2.key = i.key)
+)
+SELECT status AS o_orderstatus,
+       count(*) AS n_orders,
+       CAST(sum(price_c) AS BIGINT) AS sum_totalprice_c
+FROM merged GROUP BY status"""
+
+
+def _zorder_sql() -> str:
+    # The SAME interleave expression string the Spark side evaluates
+    # (warehouse.zorder_expr) — plain integer bit ops, engine-agnostic.
+    side = 1 << WH.ZORDER_BITS
+    x = f"(l_partkey % {side})"
+    y = f"(l_suppkey % {side})"
+    z = WH.zorder_expr(x, y, WH.ZORDER_BITS)
+    return f"""
+WITH coded AS (
+  SELECT ({z}) >> {WH.ZORDER_BITS} AS z_bucket,
+         {x} AS xx, {y} AS yy
+  FROM lineitem
+)
+SELECT z_bucket, count(*) AS n_rows,
+       min(xx) AS min_x, max(xx) AS max_x,
+       min(yy) AS min_y, max(yy) AS max_y,
+       (max(xx) - min(xx) + 1) * (max(yy) - min(yy) + 1) AS bbox_area
+FROM coded GROUP BY z_bucket"""
