@@ -365,6 +365,7 @@ def llm_queries() -> dict[str, QueryFn]:
         "docs_token_budget": q_token_budget,
         "docs_incremental_dedup": q_incremental_dedup,
         "docs_contamination_score": q_contamination_score,
+        "docs_source_dup_matrix": q_source_dup_matrix,
     }
 
 
@@ -1539,6 +1540,7 @@ def llm_oracle_sql() -> dict[str, str]:
         "docs_token_budget": _sql_token_budget(),
         "docs_incremental_dedup": _sql_incremental_dedup(),
         "docs_contamination_score": _sql_contamination_score(),
+        "docs_source_dup_matrix": _sql_source_dup_matrix(),
     }
 
 
@@ -2193,3 +2195,33 @@ FROM base
 WINDOW w AS (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""
 
 
+
+
+# ---------------------------------------------------------------------------
+# Continuation: cross-source near-dup provenance matrix.
+# ---------------------------------------------------------------------------
+
+
+def q_source_dup_matrix(spark, sf_dir):
+    return DD.cross_source_dup_matrix(
+        _docs(spark, sf_dir), threshold=JACCARD_THRESHOLD
+    )
+
+
+def _sql_source_dup_matrix() -> str:
+    jq = TH.sql_quantized6("jaccard")
+    return f"""
+WITH {_minhash_inter_ctes()}, {_jaccard_ctes('inter')},
+pairs AS (
+  SELECT doc_a, doc_b, CAST(round(({jq}) * 1e6) AS BIGINT) AS j_ppm
+  FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}
+),
+lab AS (
+  SELECT least(da.source, db.source) AS src_lo,
+         greatest(da.source, db.source) AS src_hi, j_ppm
+  FROM pairs JOIN documents da ON doc_a = da.doc_id
+             JOIN documents db ON doc_b = db.doc_id
+)
+SELECT src_lo, src_hi, count(*) AS n_pairs,
+       CAST(sum(j_ppm) AS BIGINT) AS sum_jaccard_ppm
+FROM lab GROUP BY src_lo, src_hi"""

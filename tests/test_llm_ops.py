@@ -1680,3 +1680,22 @@ def test_split_leakage_planted(spark):
     assert same_pair not in pairs
     for r in out:
         assert r.split_a != r.split_b
+
+
+def test_cross_source_dup_matrix_attributes_pairs_to_source_pairs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "crawl_a"),
+        (2, "THE  quick brown fox jumps over the lazy dog ", "crawl_b"),
+        (3, "the quick brown fox jumps over the lazy dog", "crawl_a"),
+        (4, "completely different text about spark engines here", "crawl_b"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        (r.src_lo, r.src_hi): (r.n_pairs, r.sum_jaccard_ppm)
+        for r in DD.cross_source_dup_matrix(docs, threshold=0.8).collect()
+    }
+    # 1~2 crosses sources, 1~3 stays within crawl_a, 2~3 crosses; all
+    # are exact dups after normalization (jaccard == 1 → 1e6 ppm each).
+    assert out[("crawl_a", "crawl_b")] == (2, 2_000_000)
+    assert out[("crawl_a", "crawl_a")] == (1, 1_000_000)
+    assert ("crawl_b", "crawl_b") not in out
