@@ -366,6 +366,7 @@ def llm_queries() -> dict[str, QueryFn]:
         "docs_incremental_dedup": q_incremental_dedup,
         "docs_contamination_score": q_contamination_score,
         "docs_source_dup_matrix": q_source_dup_matrix,
+        "docs_length_weighted_sample": q_length_weighted_sample,
     }
 
 
@@ -1541,6 +1542,7 @@ def llm_oracle_sql() -> dict[str, str]:
         "docs_incremental_dedup": _sql_incremental_dedup(),
         "docs_contamination_score": _sql_contamination_score(),
         "docs_source_dup_matrix": _sql_source_dup_matrix(),
+        "docs_length_weighted_sample": _sql_length_weighted_sample(),
     }
 
 
@@ -2225,3 +2227,27 @@ lab AS (
 SELECT src_lo, src_hi, count(*) AS n_pairs,
        CAST(sum(j_ppm) AS BIGINT) AS sum_jaccard_ppm
 FROM lab GROUP BY src_lo, src_hi"""
+
+
+def q_length_weighted_sample(spark, sf_dir):
+    return CUR.length_weighted_sample_summary(_docs(spark, sf_dir))
+
+
+def _sql_length_weighted_sample() -> str:
+    h = TH.sql_token_hash("concat('w:', CAST(doc_id AS VARCHAR))")
+    mod = CUR.WEIGHTED_SAMPLE_MOD
+    cap = CUR.WEIGHTED_SAMPLE_CAP_CHARS
+    return f"""
+WITH d AS (
+  SELECT source, n_chars,
+         (({h}) % {mod}) <
+           least(CAST({mod} AS BIGINT),
+                 (CAST(n_chars AS BIGINT) * {mod}) // {cap}) AS keep
+  FROM documents
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(sum(CASE WHEN keep THEN n_chars ELSE 0 END) AS BIGINT)
+         AS sum_chars_sampled
+FROM d GROUP BY source"""

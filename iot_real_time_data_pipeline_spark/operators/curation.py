@@ -863,3 +863,55 @@ def split_leakage(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
         .filter(F.col("split_a") != F.col("split_b"))
         .select("doc_a", "doc_b", "split_a", "split_b", "jaccard")
     )
+
+
+# Length-weighted sampling: inclusion probability ∝ document length,
+# saturating at the cap — the downsampler that keeps a doc-count
+# reduction from collapsing the corpus's TOKEN mass toward short docs.
+WEIGHTED_SAMPLE_CAP_CHARS = 2000
+WEIGHTED_SAMPLE_MOD = 1_000_000
+
+
+def length_weighted_sample_summary(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    len_col: str = "n_chars",
+    cap: int = WEIGHTED_SAMPLE_CAP_CHARS,
+) -> DataFrame:
+    """Bernoulli sampling with per-doc inclusion probability
+    ``min(1, len/cap)`` — longer docs kept proportionally more often,
+    docs at/over the cap always kept, so the expected surviving
+    character mass of the sub-cap population is uniform per character
+    rather than per document (uniform doc sampling would keep token
+    mass ∝ 1/length-bias of the corpus).
+
+    Entirely integer arithmetic: probability as ppm
+    (``len * 1e6 div cap``), decision as ``md5-hash mod 1e6 < ppm`` —
+    a pure deterministic map (no RNG state, replays exactly, both
+    engines agree bit-for-bit), then one #sources-key aggregate.
+
+    Returns per-source ``(source, n_docs, n_sampled, sum_chars,
+    sum_chars_sampled)`` — the before/after doc and char mass.
+    """
+    h = TH.token_hash(
+        F.concat(F.lit("w:"), F.col(id_col).cast("string"))
+    ) % WEIGHTED_SAMPLE_MOD
+    # integer div: `div` truncates like DuckDB's `//` on BIGINT
+    p_ppm = F.expr(
+        f"least(CAST({WEIGHTED_SAMPLE_MOD} AS BIGINT), "
+        f"(CAST({len_col} AS BIGINT) * {WEIGHTED_SAMPLE_MOD}) div {cap})"
+    )
+    keep = (h < p_ppm).alias("keep")
+    return (
+        docs.select(F.col(source_col).alias("source"), F.col(len_col).alias("len"), keep)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("long").alias("n_sampled"),
+            F.sum("len").cast("long").alias("sum_chars"),
+            F.sum(F.when(F.col("keep"), F.col("len")).otherwise(0))
+            .cast("long")
+            .alias("sum_chars_sampled"),
+        )
+    )

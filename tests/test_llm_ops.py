@@ -1699,3 +1699,20 @@ def test_cross_source_dup_matrix_attributes_pairs_to_source_pairs(spark):
     assert out[("crawl_a", "crawl_b")] == (2, 2_000_000)
     assert out[("crawl_a", "crawl_a")] == (1, 1_000_000)
     assert ("crawl_b", "crawl_b") not in out
+
+
+def test_length_weighted_sample_caps_and_weights(spark):
+    # Docs at/over the cap are ALWAYS kept (p == 1); zero-length docs
+    # never are; the summary accounts every doc exactly once.
+    rows = [
+        (i, "x", "s1", n)
+        for i, n in enumerate([0, 0, 2000, 5000, 1000, 500, 250, 100])
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, n_chars long"
+    )
+    [r] = CUR.length_weighted_sample_summary(docs).collect()
+    assert r.n_docs == 8 and r.sum_chars == 8850
+    # both cap-saturated docs must be present in the sample
+    assert r.n_sampled >= 2
+    assert r.sum_chars_sampled >= 7000
