@@ -269,6 +269,8 @@ def main() -> None:
         "docs_token_budget",
         "docs_incremental_dedup",
         "docs_contamination_score",
+        "docs_source_dup_matrix",
+        "docs_length_weighted_sample",
         "mm_image_features",
         "mm_frame_sample",
         "mm_payload_sniff",
