@@ -271,6 +271,7 @@ def main() -> None:
         "docs_contamination_score",
         "docs_source_dup_matrix",
         "docs_length_weighted_sample",
+        "docs_span_coverage",
         "mm_image_features",
         "mm_frame_sample",
         "mm_payload_sniff",

@@ -367,6 +367,7 @@ def llm_queries() -> dict[str, QueryFn]:
         "docs_contamination_score": q_contamination_score,
         "docs_source_dup_matrix": q_source_dup_matrix,
         "docs_length_weighted_sample": q_length_weighted_sample,
+        "docs_span_coverage": q_span_coverage,
     }
 
 
@@ -1543,6 +1544,7 @@ def llm_oracle_sql() -> dict[str, str]:
         "docs_contamination_score": _sql_contamination_score(),
         "docs_source_dup_matrix": _sql_source_dup_matrix(),
         "docs_length_weighted_sample": _sql_length_weighted_sample(),
+        "docs_span_coverage": _sql_span_coverage(),
     }
 
 
@@ -2251,3 +2253,41 @@ SELECT source, count(*) AS n_docs,
        CAST(sum(CASE WHEN keep THEN n_chars ELSE 0 END) AS BIGINT)
          AS sum_chars_sampled
 FROM d GROUP BY source"""
+
+
+def q_span_coverage(spark, sf_dir):
+    return TA.repeated_span_coverage(_docs(spark, sf_dir))
+
+
+def _sql_span_coverage() -> str:
+    n, md = TA.SPAN_N, TA.SPAN_MIN_DOCS
+    return f"""
+WITH {_TOKS_CTE},
+th AS (
+  SELECT doc_id, list_transform(t, tok -> {TH.sql_token_hash('tok')}) AS thl,
+         len(t) AS n_tokens
+  FROM toks
+),
+kg AS (SELECT doc_id, n_tokens, {_sql_kgram_list('thl', n)} AS kh FROM th),
+posts AS (
+  SELECT doc_id, n_tokens, unnest(kh) AS gram_hash,
+         unnest(range(1, len(kh) + 1)) AS p
+  FROM kg
+),
+freq AS (
+  SELECT gram_hash FROM posts
+  GROUP BY gram_hash HAVING count(DISTINCT doc_id) >= {md}
+),
+cov AS (
+  SELECT DISTINCT doc_id, tpos FROM (
+    SELECT doc_id,
+           unnest(range(p, least(p + {n} - 1, n_tokens) + 1)) AS tpos
+    FROM posts JOIN freq USING (gram_hash)
+  )
+),
+ncov AS (SELECT doc_id, count(*) AS n_covered FROM cov GROUP BY doc_id)
+SELECT t.doc_id, CAST(t.n_tokens AS BIGINT) AS n_tokens,
+       CAST(coalesce(n_covered, 0) AS BIGINT) AS n_covered,
+       CAST((coalesce(n_covered, 0) * 1000000) // t.n_tokens AS BIGINT)
+         AS covered_ppm
+FROM th t LEFT JOIN ncov ON t.doc_id = ncov.doc_id"""

@@ -919,3 +919,62 @@ def repeated_ngram_spans(
         )
         .filter(F.col("n_docs") >= min_docs)
     )
+
+
+def repeated_span_coverage(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = SPAN_N,
+    min_docs: int = SPAN_MIN_DOCS,
+) -> DataFrame:
+    """Per-document coverage by cross-document repeated spans — the
+    accounting half of substring-level dedup (Lee et al. 2022): once
+    :func:`repeated_ngram_spans` identifies the corpus-frequent
+    n-grams, this measures HOW MUCH of each document those spans cover
+    (a token position counts if any frequent gram overlaps it), which
+    is the per-doc "memorization mass" a span-scrubber would remove.
+
+    Plan: in-order gram postings (positions kept) hash-join the
+    frequent-gram set — shuffle ∝ postings; the position expansion
+    explodes only FREQUENT-gram occurrences ×n, i.e. work proportional
+    to the boilerplate being measured, then a distinct + per-doc count.
+    Every number is integer (coverage as ppm of the token count).
+
+    Returns ``(doc_id, n_tokens, n_covered, covered_ppm)`` for every
+    document, zero-coverage rows included.
+    """
+    kg = _ordered_kgram_hashes(docs, text_col, id_col, n)
+    freq = repeated_ngram_spans(docs, text_col, id_col, n, min_docs).select(
+        "gram_hash"
+    )
+    sizes = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(TH.tokens(F.col(text_col))).alias("n_tokens"),
+    )
+    posts = kg.select(
+        "doc_id", F.posexplode("kh").alias("p0", "gram_hash")
+    )
+    hit = posts.join(freq, "gram_hash").join(sizes, "doc_id")
+    covered = (
+        hit.select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.col("p0") + 1,
+                    F.least(F.col("p0") + n, F.col("n_tokens")),
+                )
+            ).alias("tpos"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_covered"))
+    )
+    return sizes.join(covered, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.coalesce("n_covered", F.lit(0)).cast("long").alias("n_covered"),
+        F.expr(
+            "(coalesce(n_covered, 0) * CAST(1000000 AS BIGINT)) div n_tokens"
+        ).alias("covered_ppm"),
+    )

@@ -1716,3 +1716,20 @@ def test_length_weighted_sample_caps_and_weights(spark):
     # both cap-saturated docs must be present in the sample
     assert r.n_sampled >= 2
     assert r.sum_chars_sampled >= 7000
+
+
+def test_span_coverage_planted_boilerplate(spark):
+    # Docs 1 and 2 share an 8-token boilerplate prefix; doc 3 is clean.
+    boiler = "one two three four five six seven eight"
+    rows = [
+        (1, boiler + " alpha beta gamma delta"),
+        (2, boiler + " epsilon zeta eta theta"),
+        (3, "nine ten eleven twelve thirteen fourteen fifteen sixteen"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in TA.repeated_span_coverage(docs).collect()}
+    assert out[1].n_tokens == 12 and out[2].n_tokens == 12
+    # only the shared 8-token prefix is covered (the one cross-doc gram)
+    assert out[1].n_covered == 8 and out[2].n_covered == 8
+    assert out[1].covered_ppm == 8 * 1_000_000 // 12
+    assert out[3].n_covered == 0 and out[3].covered_ppm == 0
