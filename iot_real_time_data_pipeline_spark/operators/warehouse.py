@@ -1481,3 +1481,77 @@ def zorder_layout_audit(lineitem: DataFrame, bits: int = ZORDER_BITS) -> DataFra
             ).alias("bbox_area"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Join cardinality / skew audit — exact pre-join planning numbers
+# ---------------------------------------------------------------------------
+
+JOIN_AUDIT_BROADCAST_ROWS = 1_000_000   # dim under this → broadcast
+JOIN_AUDIT_SKEW_PPM = 200_000           # >20% of fact rows on one key → salt
+
+
+def join_size_audit(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    broadcast_rows: int = JOIN_AUDIT_BROADCAST_ROWS,
+    skew_ppm: int = JOIN_AUDIT_SKEW_PPM,
+) -> DataFrame:
+    """EXACT join-planning numbers for ``fact ⨝ dim`` computed WITHOUT
+    materializing the join: per-key counts on each side are joined
+    (shuffle ∝ distinct keys, never rows) and ``Σ_k cf(k)·cd(k)`` is
+    the exact output cardinality the textbook estimator only
+    approximates. Alongside: row counts, distinct-key counts, the
+    fact's max single-key multiplicity and its share (the skew signal
+    AQE's skew-join split keys on), and the strategy a planner should
+    pick — ``broadcast`` when the dim is small, ``shuffle+salt`` when
+    one fact key exceeds the skew threshold, else ``shuffle``.
+
+    This is the measurement to run BEFORE committing a 100 TB join:
+    a join whose exact output explodes (many-to-many key) or whose top
+    key holds 30% of the fact is a re-design, not a retry.
+
+    Returns one row ``(fact_rows, dim_rows, n_fact_keys, n_dim_keys,
+    max_fact_key_rows, fact_skew_ppm, join_rows, strategy)``.
+    """
+    fc = fact.groupBy(F.col(fact_key).alias("k")).agg(
+        F.count("*").alias("cf")
+    )
+    dc = dim.groupBy(F.col(dim_key).alias("k")).agg(F.count("*").alias("cd"))
+    fstats = fc.agg(
+        F.sum("cf").cast("long").alias("fact_rows"),
+        F.count("*").cast("long").alias("n_fact_keys"),
+        F.max("cf").cast("long").alias("max_fact_key_rows"),
+    )
+    dstats = dc.agg(
+        F.sum("cd").cast("long").alias("dim_rows"),
+        F.count("*").cast("long").alias("n_dim_keys"),
+    )
+    jrows = (
+        fc.join(dc, "k")
+        .agg(F.coalesce(F.sum(F.col("cf") * F.col("cd")), F.lit(0))
+             .cast("long").alias("join_rows"))
+    )
+    return (
+        fstats.crossJoin(F.broadcast(dstats))
+        .crossJoin(F.broadcast(jrows))
+        .select(
+            "fact_rows",
+            "dim_rows",
+            "n_fact_keys",
+            "n_dim_keys",
+            "max_fact_key_rows",
+            F.expr(
+                "(max_fact_key_rows * CAST(1000000 AS BIGINT)) div fact_rows"
+            ).alias("fact_skew_ppm"),
+            "join_rows",
+            F.expr(
+                f"CASE WHEN dim_rows < {broadcast_rows} THEN 'broadcast' "
+                f"WHEN (max_fact_key_rows * CAST(1000000 AS BIGINT)) "
+                f"div fact_rows > {skew_ppm} THEN 'shuffle+salt' "
+                f"ELSE 'shuffle' END"
+            ).alias("strategy"),
+        )
+    )

@@ -117,6 +117,7 @@ def warehouse_queries() -> dict[str, QueryFn]:
         "wh_bloom_prejoin_audit": q_bloom,
         "wh_merge_upsert": q_merge,
         "wh_zorder_layout": q_zorder,
+        "wh_join_size_audit": q_join_audit,
     }
 
 
@@ -295,6 +296,7 @@ def warehouse_oracle_sql() -> dict[str, str]:
         "wh_bloom_prejoin_audit": _bloom_sql(),
         "wh_merge_upsert": _MERGE_SQL,
         "wh_zorder_layout": _zorder_sql(),
+        "wh_join_size_audit": _JOIN_AUDIT_SQL,
     }
 
 
@@ -906,3 +908,41 @@ SELECT z_bucket, count(*) AS n_rows,
        min(yy) AS min_y, max(yy) AS max_y,
        (max(xx) - min(xx) + 1) * (max(yy) - min(yy) + 1) AS bbox_area
 FROM coded GROUP BY z_bucket"""
+
+
+def q_join_audit(spark, sf_dir):
+    return WH.join_size_audit(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        "l_orderkey",
+        "o_orderkey",
+    )
+
+
+_JOIN_AUDIT_SQL = f"""
+WITH fc AS (SELECT l_orderkey AS k, count(*) AS cf FROM lineitem GROUP BY 1),
+dc AS (SELECT o_orderkey AS k, count(*) AS cd FROM orders GROUP BY 1),
+fs AS (
+  SELECT CAST(sum(cf) AS BIGINT) AS fact_rows,
+         CAST(count(*) AS BIGINT) AS n_fact_keys,
+         CAST(max(cf) AS BIGINT) AS max_fact_key_rows
+  FROM fc
+),
+ds AS (
+  SELECT CAST(sum(cd) AS BIGINT) AS dim_rows,
+         CAST(count(*) AS BIGINT) AS n_dim_keys
+  FROM dc
+),
+jr AS (
+  SELECT CAST(coalesce(sum(cf * cd), 0) AS BIGINT) AS join_rows
+  FROM fc JOIN dc USING (k)
+)
+SELECT fact_rows, dim_rows, n_fact_keys, n_dim_keys, max_fact_key_rows,
+       CAST((max_fact_key_rows * 1000000) // fact_rows AS BIGINT)
+         AS fact_skew_ppm,
+       join_rows,
+       CASE WHEN dim_rows < {WH.JOIN_AUDIT_BROADCAST_ROWS} THEN 'broadcast'
+            WHEN (max_fact_key_rows * 1000000) // fact_rows
+                 > {WH.JOIN_AUDIT_SKEW_PPM} THEN 'shuffle+salt'
+            ELSE 'shuffle' END AS strategy
+FROM fs, ds, jr"""

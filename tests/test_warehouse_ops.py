@@ -97,3 +97,25 @@ def test_zorder_buckets_are_tiles_bounded_in_both_dims(spark):
         assert r["max_x"] - r["min_x"] < side
         assert r["max_y"] - r["min_y"] < side
         assert r["bbox_area"] <= side * side
+
+
+def test_join_size_audit_exact_cardinality_and_skew(spark):
+    # fact: key 1 ×4 (40% skew), key 2 ×1; dim: key 1 ×2, key 3 ×1.
+    fact = spark.createDataFrame(
+        [(1,), (1,), (1,), (1,), (2,), (9,)], "k long"
+    )
+    dim = spark.createDataFrame([(1,), (1,), (3,)], "d long")
+    [r] = WH.join_size_audit(fact, dim, "k", "d").collect()
+    assert r.fact_rows == 6 and r.dim_rows == 3
+    assert r.n_fact_keys == 3 and r.n_dim_keys == 2
+    assert r.max_fact_key_rows == 4
+    assert r.fact_skew_ppm == 4 * 1_000_000 // 6
+    assert r.join_rows == 8  # key 1: 4×2; keys 2/9/3 unmatched
+    assert r.strategy == "broadcast"  # tiny dim wins over the skew flag
+
+
+def test_join_size_audit_salt_recommendation(spark):
+    fact = spark.createDataFrame([(1,)] * 9 + [(2,)], "k long")
+    dim = spark.createDataFrame([(i,) for i in range(5)], "d long")
+    [r] = WH.join_size_audit(fact, dim, "k", "d", broadcast_rows=2).collect()
+    assert r.strategy == "shuffle+salt"  # 90% of fact on one key
