@@ -119,3 +119,141 @@ def lake_file_stats(spark: SparkSession, root: str) -> DataFrame:
         "partition string, n_files long, total_bytes long, "
         "min_bytes long, max_bytes long",
     )
+
+
+def _parquet_files(root: str) -> list[str]:
+    return sorted(
+        os.path.join(root, f)
+        for f in os.listdir(root)
+        if f.endswith(".parquet")
+    )
+
+
+def _file_key_bounds(path: str, key_col: str) -> tuple[int, int] | None:
+    """(min, max) of ``key_col`` across a parquet file's row groups,
+    from footer statistics only — no data pages read. None when stats
+    are absent (treat as always-matching)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    idx = {md.schema.column(i).name: i for i in range(md.num_columns)}[key_col]
+    lo = hi = None
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(idx).statistics
+        if st is None or not st.has_min_max:
+            return None
+        lo = st.min if lo is None else min(lo, st.min)
+        hi = st.max if hi is None else max(hi, st.max)
+    return (lo, hi) if lo is not None else None
+
+
+def merge_into_lake(
+    spark: SparkSession,
+    root: str,
+    changes: DataFrame,
+    key_col: str,
+) -> dict:
+    """Copy-on-write MERGE into a directory of parquet files — the
+    file-level half of the lakehouse upsert (`warehouse.
+    merge_upsert_summary` is the row-level plan; this is the WRITE
+    path Delta/Iceberg implement): only files whose footer min/max key
+    range intersects the change batch are rewritten; untouched files
+    are left byte-identical, inserts land as new files.
+
+    ``changes`` carries ``op`` ('U' update / 'D' delete / 'I' insert)
+    plus the full lake schema; updates replace the whole row for their
+    key. Planning is driver-side over footer STATISTICS only (the
+    manifest scan every table format does — cost ∝ files, zero data
+    pages); matched-file rewrite is a Spark scan of JUST those files
+    with the change batch broadcast. The swap is rewrite-then-replace
+    per file set, so failure before the swap leaves the lake intact.
+
+    Returns ``{n_files_total, n_files_rewritten, n_rows_updated,
+    n_rows_deleted, n_rows_inserted}``.
+    """
+    files = _parquet_files(root)
+    # The CDC contract: the change batch is small. Its key set drives
+    # file pruning (sorted driver-side list, like a format manifest).
+    ch = changes.persist()
+    keys = sorted(
+        r["k"]
+        for r in ch.filter(F.col("op").isin("U", "D"))
+        .select(F.col(key_col).alias("k"))
+        .distinct()
+        .collect()
+    )
+    import bisect
+
+    def overlaps(bounds: tuple[int, int] | None) -> bool:
+        if not keys:
+            return False
+        if bounds is None:
+            return True
+        lo, hi = bounds
+        i = bisect.bisect_left(keys, lo)
+        return i < len(keys) and keys[i] <= hi
+
+    matched = [f for f in files if overlaps(_file_key_bounds(f, key_col))]
+
+    n_upd = n_del = 0
+    if matched:
+        data_cols = [c for c in spark.read.parquet(matched[0]).columns]
+        upd = ch.filter(F.col("op") == "U").select(
+            *[F.col(c).alias(f"_new_{c}") for c in data_cols]
+        )
+        dels = ch.filter(F.col("op") == "D").select(
+            F.col(key_col).alias("_del_key")
+        )
+        cur = spark.read.parquet(*matched)
+        joined = cur.join(
+            F.broadcast(upd),
+            cur[key_col] == F.col(f"_new_{key_col}"),
+            "left",
+        ).join(
+            F.broadcast(dels), cur[key_col] == F.col("_del_key"), "left"
+        )
+        n_upd = joined.filter(F.col(f"_new_{key_col}").isNotNull()).count()
+        n_del = joined.filter(F.col("_del_key").isNotNull()).count()
+        rewritten = joined.filter(F.col("_del_key").isNull()).select(
+            *[
+                F.coalesce(F.col(f"_new_{c}"), cur[c]).alias(c)
+                for c in data_cols
+            ]
+        )
+        tmp = os.path.join(root, "._merging")
+        rewritten.coalesce(max(1, len(matched))).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        for f in matched:
+            os.remove(f)
+        for i, f in enumerate(
+            sorted(x for x in os.listdir(tmp) if x.endswith(".parquet"))
+        ):
+            shutil.move(
+                os.path.join(tmp, f),
+                os.path.join(root, f"merged-{i:05d}-{os.path.basename(f)}"),
+            )
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    ins = ch.filter(F.col("op") == "I").drop("op")
+    n_ins = ins.count()
+    if n_ins:
+        tmp = os.path.join(root, "._inserting")
+        ins.coalesce(1).write.mode("overwrite").parquet(tmp)
+        for i, f in enumerate(
+            sorted(x for x in os.listdir(tmp) if x.endswith(".parquet"))
+        ):
+            shutil.move(
+                os.path.join(tmp, f),
+                os.path.join(root, f"inserted-{i:05d}-{os.path.basename(f)}"),
+            )
+        shutil.rmtree(tmp, ignore_errors=True)
+    ch.unpersist()
+
+    return {
+        "n_files_total": len(files),
+        "n_files_rewritten": len(matched),
+        "n_rows_updated": int(n_upd),
+        "n_rows_deleted": int(n_del),
+        "n_rows_inserted": int(n_ins),
+    }
