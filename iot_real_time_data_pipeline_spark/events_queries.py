@@ -149,6 +149,18 @@ def events_queries() -> dict[str, QueryFn]:
         "events_cms_table": q_cms,
         "events_kmv_daily_merge": q_kmv_daily_merge,
         "events_hll_distinct": q_hll_distinct,
+        # later additions (callables/constants defined further down the
+        # module — resolved when this function is CALLED, after load)
+        "events_asof_join": q_asof_join,
+        "events_time_band_pairs": q_time_band_pairs,
+        "events_interarrival": q_interarrival,
+        "events_hopping_rollup": q_hopping_rollup,
+        "events_type_day_pivot": q_type_day_pivot,
+        "events_transition_matrix": q_transition_matrix,
+        "events_winsorized": q_winsorized,
+        "events_cusum_changepoint": q_cusum,
+        "events_scd2_lookup": q_scd2_lookup,
+        "events_funnel_within": q_funnel_within,
     }
 
 
@@ -658,6 +670,16 @@ def events_oracle_sql() -> dict[str, str]:
         "events_cms_table": _cms_sql(),
         "events_kmv_daily_merge": _kmv_daily_merge_sql(),
         "events_hll_distinct": _hll_sql(),
+        "events_asof_join": _ASOF_JOIN_SQL,
+        "events_time_band_pairs": _TIME_BAND_SQL,
+        "events_interarrival": _INTERARRIVAL_SQL,
+        "events_hopping_rollup": _HOPPING_SQL,
+        "events_type_day_pivot": _PIVOT_SQL,
+        "events_transition_matrix": _TRANSITION_SQL,
+        "events_winsorized": _WINSOR_SQL,
+        "events_cusum_changepoint": _CUSUM_SQL,
+        "events_scd2_lookup": _SCD2_LOOKUP_SQL,
+        "events_funnel_within": _funnel_within_sql(),
     }
 
 
@@ -723,32 +745,6 @@ SELECT user_id, count(*) AS n_gaps,
 FROM g WHERE gap_sec IS NOT NULL GROUP BY user_id"""
 
 
-events_queries_r5 = events_queries
-events_oracle_sql_r5 = events_oracle_sql
-
-
-def events_queries() -> dict[str, QueryFn]:  # noqa: F811
-    out = events_queries_r5()
-    out.update(
-        {
-            "events_asof_join": q_asof_join,
-            "events_time_band_pairs": q_time_band_pairs,
-            "events_interarrival": q_interarrival,
-        }
-    )
-    return out
-
-
-def events_oracle_sql() -> dict[str, str]:  # noqa: F811
-    out = events_oracle_sql_r5()
-    out.update(
-        {
-            "events_asof_join": _ASOF_JOIN_SQL,
-            "events_time_band_pairs": _TIME_BAND_SQL,
-            "events_interarrival": _INTERARRIVAL_SQL,
-        }
-    )
-    return out
 
 
 def q_hopping_rollup(spark, sf_dir):
@@ -801,32 +797,6 @@ SELECT prev_type, next_type, n_transitions,
 FROM pairs"""
 
 
-events_queries_r6 = events_queries
-events_oracle_sql_r6 = events_oracle_sql
-
-
-def events_queries() -> dict[str, QueryFn]:  # noqa: F811
-    out = events_queries_r6()
-    out.update(
-        {
-            "events_hopping_rollup": q_hopping_rollup,
-            "events_type_day_pivot": q_type_day_pivot,
-            "events_transition_matrix": q_transition_matrix,
-        }
-    )
-    return out
-
-
-def events_oracle_sql() -> dict[str, str]:  # noqa: F811
-    out = events_oracle_sql_r6()
-    out.update(
-        {
-            "events_hopping_rollup": _HOPPING_SQL,
-            "events_type_day_pivot": _PIVOT_SQL,
-            "events_transition_matrix": _TRANSITION_SQL,
-        }
-    )
-    return out
 
 
 def q_winsorized(spark, sf_dir):
@@ -874,20 +844,6 @@ SELECT event_type, n_events, cut_lo_c, cut_hi_c, n_clipped_lo, n_clipped_hi,
 FROM g"""
 
 
-events_queries_r6b = events_queries
-events_oracle_sql_r6b = events_oracle_sql
-
-
-def events_queries() -> dict[str, QueryFn]:  # noqa: F811
-    out = events_queries_r6b()
-    out["events_winsorized"] = q_winsorized
-    return out
-
-
-def events_oracle_sql() -> dict[str, str]:  # noqa: F811
-    out = events_oracle_sql_r6b()
-    out["events_winsorized"] = _WINSOR_SQL
-    return out
 
 
 def q_cusum(spark, sf_dir):
@@ -930,20 +886,6 @@ SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
 FROM ranked WHERE rnk = 1"""
 
 
-events_queries_r6c = events_queries
-events_oracle_sql_r6c = events_oracle_sql
-
-
-def events_queries() -> dict[str, QueryFn]:  # noqa: F811
-    out = events_queries_r6c()
-    out["events_cusum_changepoint"] = q_cusum
-    return out
-
-
-def events_oracle_sql() -> dict[str, str]:  # noqa: F811
-    out = events_oracle_sql_r6c()
-    out["events_cusum_changepoint"] = _CUSUM_SQL
-    return out
 
 
 def q_scd2_lookup(spark, sf_dir):
@@ -989,20 +931,6 @@ FROM ev e JOIN dim d
 WHERE e.event_type = 'purchase'"""
 
 
-events_queries_r6d = events_queries
-events_oracle_sql_r6d = events_oracle_sql
-
-
-def events_queries() -> dict[str, QueryFn]:  # noqa: F811
-    out = events_queries_r6d()
-    out["events_scd2_lookup"] = q_scd2_lookup
-    return out
-
-
-def events_oracle_sql() -> dict[str, str]:  # noqa: F811
-    out = events_oracle_sql_r6d()
-    out["events_scd2_lookup"] = _SCD2_LOOKUP_SQL
-    return out
 
 
 def q_funnel_within(spark, sf_dir):
@@ -1036,17 +964,3 @@ UNION ALL
 SELECT CAST(2 AS BIGINT), 'purchase', n2 FROM c"""
 
 
-events_queries_r6e = events_queries
-events_oracle_sql_r6e = events_oracle_sql
-
-
-def events_queries() -> dict[str, QueryFn]:  # noqa: F811
-    out = events_queries_r6e()
-    out["events_funnel_within"] = q_funnel_within
-    return out
-
-
-def events_oracle_sql() -> dict[str, str]:  # noqa: F811
-    out = events_oracle_sql_r6e()
-    out["events_funnel_within"] = _funnel_within_sql()
-    return out
