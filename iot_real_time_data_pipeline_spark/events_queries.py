@@ -161,6 +161,7 @@ def events_queries() -> dict[str, QueryFn]:
         "events_cusum_changepoint": q_cusum,
         "events_scd2_lookup": q_scd2_lookup,
         "events_funnel_within": q_funnel_within,
+        "events_incremental_rollup": q_incremental_rollup,
     }
 
 
@@ -680,6 +681,7 @@ def events_oracle_sql() -> dict[str, str]:
         "events_cusum_changepoint": _CUSUM_SQL,
         "events_scd2_lookup": _SCD2_LOOKUP_SQL,
         "events_funnel_within": _funnel_within_sql(),
+        "events_incremental_rollup": _ROLLUP_SQL,
     }
 
 
@@ -964,3 +966,7 @@ UNION ALL
 SELECT CAST(2 AS BIGINT), 'purchase', n2 FROM c"""
 
 
+
+
+def q_incremental_rollup(spark, sf_dir):
+    return EA.incremental_rollup_merge(_events(spark, sf_dir))

@@ -1280,3 +1280,59 @@ def funnel_within(
     return counts.select(F.explode(F.array(*rows)).alias("s")).select(
         "s.stage_idx", "s.stage", "s.n_users"
     )
+
+
+IVM_DELTA_MOD = 10  # event_id % 10 == 0 → the "new micro-batch" slice
+
+
+def incremental_rollup_merge(
+    events: DataFrame,
+    bucket_sec: int = ROLLUP_BUCKET_SEC,
+    delta_mod: int = IVM_DELTA_MOD,
+) -> DataFrame:
+    """Incremental view maintenance for the hourly rollup: the corpus
+    is split deterministically into a BASE (the standing continuous
+    aggregate) and a DELTA (the next micro-batch, ``event_id mod N ==
+    0``); each side is rolled up independently and the two partial
+    aggregates are merged ALGEBRAICALLY (counts add, integer-cent sums
+    add, the average is re-derived from the merged sums) — never by
+    re-scanning the base's raw events.
+
+    This is the maintenance path a 100 TB continuous aggregate lives
+    by: per batch, work ∝ delta + rollup-grid size, not history. The
+    oracle is the DIRECT rollup over all events — the hash match IS
+    the proof that merge(partial(base), partial(delta)) ==
+    full recompute, the lossless-merge property (sum/count are
+    algebraic; a naive avg-of-avgs merge would fail this gate).
+
+    Output schema matches :func:`hourly_rollup`.
+    """
+    base = events.filter(F.col("event_id") % delta_mod != 0)
+    delta = events.filter(F.col("event_id") % delta_mod == 0)
+
+    def partial(df: DataFrame) -> DataFrame:
+        bucket = F.expr(f"(ts_sec div {bucket_sec}) * {bucket_sec}")
+        value_c = F.round(F.col("value") * 100).cast("long")
+        return df.groupBy(
+            "event_type", bucket.cast("long").alias("bucket_start_sec")
+        ).agg(
+            F.count("*").alias("n_events"),
+            F.sum(value_c).alias("sum_value_c"),
+        )
+
+    merged = (
+        partial(base)
+        .unionByName(partial(delta))
+        .groupBy("event_type", "bucket_start_sec")
+        .agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.sum("sum_value_c").cast("long").alias("sum_value_c"),
+        )
+    )
+    return merged.select(
+        "event_type",
+        "bucket_start_sec",
+        "n_events",
+        "sum_value_c",
+        F.expr("(sum_value_c * 100) div n_events").alias("avg_value_cc"),
+    )

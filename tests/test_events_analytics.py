@@ -992,3 +992,27 @@ def test_funnel_within_enforces_deadline(spark):
     # the unconstrained funnel counts user 2's click too
     loose = {r.stage: r.n_users for r in EA.funnel(_events(spark, rows)).collect()}
     assert loose["click"] == 3
+
+
+def test_incremental_rollup_merge_equals_full_recompute(spark):
+    from iot_real_time_data_pipeline_spark.operators import (
+        events_analytics as EA,
+    )
+
+    rows = [
+        (i, 3600 * (i % 5) + i, 100 + i % 3, "click", float(i))
+        for i in range(40)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts_sec long, user_id long, "
+              "event_type string, value double"
+    )
+    full = {
+        (r.event_type, r.bucket_start_sec): (r.n_events, r.sum_value_c, r.avg_value_cc)
+        for r in EA.hourly_rollup(ev).collect()
+    }
+    inc = {
+        (r.event_type, r.bucket_start_sec): (r.n_events, r.sum_value_c, r.avg_value_cc)
+        for r in EA.incremental_rollup_merge(ev).collect()
+    }
+    assert inc == full and len(full) > 1
