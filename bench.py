@@ -272,6 +272,7 @@ def main() -> None:
         "docs_source_dup_matrix",
         "docs_length_weighted_sample",
         "docs_span_coverage",
+        "docs_weighted_jaccard_pairs",
         "mm_image_features",
         "mm_frame_sample",
         "mm_payload_sniff",

@@ -368,6 +368,7 @@ def llm_queries() -> dict[str, QueryFn]:
         "docs_source_dup_matrix": q_source_dup_matrix,
         "docs_length_weighted_sample": q_length_weighted_sample,
         "docs_span_coverage": q_span_coverage,
+        "docs_weighted_jaccard_pairs": q_weighted_jaccard,
     }
 
 
@@ -1545,6 +1546,7 @@ def llm_oracle_sql() -> dict[str, str]:
         "docs_source_dup_matrix": _sql_source_dup_matrix(),
         "docs_length_weighted_sample": _sql_length_weighted_sample(),
         "docs_span_coverage": _sql_span_coverage(),
+        "docs_weighted_jaccard_pairs": _sql_weighted_jaccard(),
     }
 
 
@@ -2291,3 +2293,34 @@ SELECT t.doc_id, CAST(t.n_tokens AS BIGINT) AS n_tokens,
        CAST((coalesce(n_covered, 0) * 1000000) // t.n_tokens AS BIGINT)
          AS covered_ppm
 FROM th t LEFT JOIN ncov ON t.doc_id = ncov.doc_id"""
+
+
+def q_weighted_jaccard(spark, sf_dir):
+    return DD.weighted_jaccard_pairs(_docs(spark, sf_dir))
+
+
+def _sql_weighted_jaccard() -> str:
+    cap, scale, thr = DD.WJAC_DF_CAP, DD.WJAC_W_SCALE, DD.WJAC_THRESHOLD_PPM
+    return f"""
+WITH {_TOKS_CTE}, {_SHINGLE_CTE},
+posts AS (SELECT doc_id, unnest(shl) AS h FROM sh),
+dfreq AS (SELECT h, count(*) AS df FROM posts GROUP BY h),
+w AS (
+  SELECT h, CAST({scale} AS BIGINT) // df AS w
+  FROM dfreq WHERE df <= {cap}
+),
+wp AS (SELECT doc_id, p.h, w FROM posts p JOIN w USING (h)),
+dw AS (SELECT doc_id, CAST(sum(w) AS BIGINT) AS wtot FROM wp GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(sum(a.w) AS BIGINT) AS w_inter
+  FROM wp a JOIN wp b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST((w_inter * 1000000) // (wa.wtot + wb.wtot - w_inter) AS BIGINT)
+         AS wjac_ppm
+FROM inter
+JOIN dw wa ON doc_a = wa.doc_id
+JOIN dw wb ON doc_b = wb.doc_id
+WHERE (w_inter * 1000000) // (wa.wtot + wb.wtot - w_inter) >= {thr}"""

@@ -1023,3 +1023,69 @@ def cross_source_dup_matrix(
             F.sum("j_ppm").cast("long").alias("sum_jaccard_ppm"),
         )
     )
+
+
+WJAC_DF_CAP = 16          # shingles in more docs than this weigh zero
+WJAC_W_SCALE = 1_000_000
+WJAC_THRESHOLD_PPM = 500_000
+
+
+def weighted_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    df_cap: int = WJAC_DF_CAP,
+    threshold_ppm: int = WJAC_THRESHOLD_PPM,
+) -> DataFrame:
+    """Inverse-df-WEIGHTED Jaccard near-dup pairs: each shingle weighs
+    ``1e6 div df`` (its rarity), so two docs sharing distinctive
+    content score high while docs agreeing only on corpus boilerplate
+    (navigation chrome, license headers — high-df shingles) do NOT.
+    Plain Jaccard treats both the same; weighted Jaccard is the
+    similarity the curator usually means.
+
+    Integer end-to-end: weights, per-doc totals, intersections and the
+    final ppm ratio are all BIGINT — no cross-engine float drift.
+
+    Scale: shingles with ``df > df_cap`` carry weight 0 and are
+    DROPPED BEFORE the pair join — exact (they contribute nothing to
+    either side of the ratio beyond union mass, which uses the same
+    pruned weights) and it bounds the postings self-join at
+    C(df_cap, 2) pairs per shingle, the same stop-shingle bound the
+    plain-Jaccard plan gets from its length-ratio prune.
+
+    Returns ``(doc_a, doc_b, wjac_ppm)`` for pairs at/above the
+    threshold.
+    """
+    sh = _doc_shingles(docs, text_col, id_col)
+    posts = sh.select("doc_id", F.explode("sh").alias("h"))
+    dfreq = posts.groupBy("h").agg(F.count("*").alias("df"))
+    w = dfreq.filter(F.col("df") <= df_cap).select(
+        "h", F.expr(f"CAST({WJAC_W_SCALE} AS BIGINT) div df").alias("w")
+    )
+    wp = posts.join(w, "h").select("doc_id", "h", "w")
+    dw = wp.groupBy("doc_id").agg(F.sum("w").cast("long").alias("wtot"))
+
+    a = wp.select(F.col("doc_id").alias("doc_a"), "h", "w")
+    b = wp.select(F.col("doc_id").alias("doc_b"), "h")
+    inter = (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum("w").cast("long").alias("w_inter"))
+    )
+    wa = dw.select(F.col("doc_id").alias("doc_a"), F.col("wtot").alias("w_a"))
+    wb = dw.select(F.col("doc_id").alias("doc_b"), F.col("wtot").alias("w_b"))
+    return (
+        inter.join(wa, "doc_a")
+        .join(wb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(
+                "(w_inter * CAST(1000000 AS BIGINT)) "
+                "div (w_a + w_b - w_inter)"
+            ).alias("wjac_ppm"),
+        )
+        .filter(F.col("wjac_ppm") >= threshold_ppm)
+    )

@@ -1733,3 +1733,26 @@ def test_span_coverage_planted_boilerplate(spark):
     assert out[1].n_covered == 8 and out[2].n_covered == 8
     assert out[1].covered_ppm == 8 * 1_000_000 // 12
     assert out[3].n_covered == 0 and out[3].covered_ppm == 0
+
+
+def test_weighted_jaccard_downweights_boilerplate(spark):
+    # Docs 1/2 share ONLY boilerplate (in every doc); docs 3/4 share a
+    # rare 5-token tail. Plain Jaccard scores both pairs equally; the
+    # weighted form must score the rare-content pair far higher.
+    boiler = "all rights reserved contact us today"
+    rows = [
+        (1, boiler + " alpha beta gamma delta epsilon"),
+        (2, boiler + " zeta eta theta iota kappa"),
+        (3, boiler + " quantum flux capacitor resonance field"),
+        (4, boiler + " quantum flux capacitor resonance field"),
+        (5, boiler + " lambda mu nu xi omicron"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r.doc_a, r.doc_b): r.wjac_ppm
+        for r in DD.weighted_jaccard_pairs(
+            docs, threshold_ppm=0
+        ).collect()
+    }
+    assert out[(3, 4)] == 1_000_000          # identical docs
+    assert out[(1, 2)] < out[(3, 4)] // 2    # boilerplate-only overlap
