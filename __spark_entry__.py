@@ -64,7 +64,7 @@ DRIVER_WINDOW = [
     "docs_pagerank",
     # embeddings (4) + multimodal (2)
     "emb_cosine_dup_pairs", "emb_gram_matrix", "emb_ivf_topk",
-    "emb_int8_rerank_topk", "mm_image_features", "mm_frame_sample",
+    "emb_int8_rerank_topk", "mm_image_features", "mm_wav_features",
 ]
 
 

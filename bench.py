@@ -276,6 +276,7 @@ def main() -> None:
         "mm_image_features",
         "mm_frame_sample",
         "mm_payload_sniff",
+        "mm_wav_features",
     ]:
         fn = LQ.llm_queries()[name]
         timed_repeat(name, lambda fn=fn: fn(spark, sf_dir).collect())

@@ -369,6 +369,7 @@ def llm_queries() -> dict[str, QueryFn]:
         "docs_length_weighted_sample": q_length_weighted_sample,
         "docs_span_coverage": q_span_coverage,
         "docs_weighted_jaccard_pairs": q_weighted_jaccard,
+        "mm_wav_features": q_wav_features,
     }
 
 
@@ -1547,6 +1548,7 @@ def llm_oracle_sql() -> dict[str, str]:
         "docs_length_weighted_sample": _sql_length_weighted_sample(),
         "docs_span_coverage": _sql_span_coverage(),
         "docs_weighted_jaccard_pairs": _sql_weighted_jaccard(),
+        "mm_wav_features": _sql_wav_features(),
     }
 
 
@@ -2324,3 +2326,34 @@ FROM inter
 JOIN dw wa ON doc_a = wa.doc_id
 JOIN dw wb ON doc_b = wb.doc_id
 WHERE (w_inter * 1000000) // (wa.wtot + wb.wtot - w_inter) >= {thr}"""
+
+
+def q_wav_features(spark, sf_dir):
+    return MM.wav_features(MM.with_wav_payload(_docs(spark, sf_dir)))
+
+
+def _sql_wav_features() -> str:
+    # The oracle recomputes the features from the generative closed
+    # form; Spark's side decodes the actual RIFF bytes — the hash
+    # match proves the stdlib-wave decode is bit-exact.
+    m, b = MM.WAV_SAMPLES_MOD, MM.WAV_BASE_SAMPLES
+    return f"""
+WITH ex AS (
+  SELECT doc_id, unnest(range(0, {b} + doc_id % {m})) AS i
+  FROM documents
+),
+s AS (
+  SELECT doc_id, i,
+         ((doc_id * 31 + i * 17) % 2048) - 1024 AS v,
+         CASE WHEN i >= 1
+              THEN ((doc_id * 31 + (i - 1) * 17) % 2048) - 1024 END AS vp
+  FROM ex
+)
+SELECT doc_id,
+       CAST({b} + doc_id % {m} AS BIGINT) AS n_samples,
+       CAST({MM.WAV_SAMPLE_RATE} AS BIGINT) AS sample_rate,
+       CAST(sum(v * v) AS BIGINT) AS sum_sq,
+       CAST(max(abs(v)) AS BIGINT) AS peak_abs,
+       CAST(sum(CASE WHEN vp IS NOT NULL AND v * vp < 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_zero_cross
+FROM s GROUP BY doc_id"""

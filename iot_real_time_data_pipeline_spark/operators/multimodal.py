@@ -3,12 +3,13 @@
 Images/audio/video ride through the pipeline as ``binary`` columns with
 a metadata struct; per-item decode / feature-extraction runs as an
 Arrow-batched ``mapInPandas`` stage so payload bytes never round-trip
-through Python row-by-row. The actual codec work is STUBBED (no
-image/audio libraries in this environment) behind
-``decode_stub`` — a deterministic fake that derives "features" from the
-raw bytes — but the Spark-side plumbing (schema, batch iteration,
-partition behavior, output contract) is the real production shape:
-swap ``decode_stub`` for PIL/libsndfile and nothing else changes.
+through Python row-by-row. IMAGE codec work is STUBBED (no PIL/cv2 in
+this environment) behind ``decode_stub`` — a deterministic fake — but
+the AUDIO path is a REAL codec: ``wav_features`` parses genuine
+RIFF/WAVE containers with the stdlib ``wave`` reader and is
+oracle-checked bit-exactly (see ``_sql_wav_features``), demonstrating
+the actual codec slot; swap ``decode_stub`` for PIL and the image path
+follows the same shape.
 
 Scale notes: mapInPandas streams Arrow batches per partition — no
 collect, no shuffle; partition sizing should target batches of
@@ -173,3 +174,104 @@ def payload_sniff(docs_with_payload: DataFrame) -> DataFrame:
             F.max("blen").cast("long").alias("max_bytes"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL codec path: RIFF/PCM WAV via the stdlib — no stub.
+# ---------------------------------------------------------------------------
+
+WAV_SAMPLE_RATE = 8000
+WAV_BASE_SAMPLES = 160
+WAV_SAMPLES_MOD = 64
+
+
+def synth_wav_bytes(item_id: int) -> bytes:
+    """A genuine RIFF/WAVE container (stdlib ``wave`` writer): mono
+    16-bit PCM at 8 kHz, ``160 + id mod 64`` samples with
+    ``s[i] = ((id*31 + i*17) mod 2048) - 1024`` — a closed form BOTH
+    engines can reason about: Spark decodes the actual bytes, the
+    DuckDB oracle recomputes the features from the formula, and the
+    hash match proves the decode is bit-exact."""
+    import io
+    import struct
+    import wave
+
+    n = WAV_BASE_SAMPLES + item_id % WAV_SAMPLES_MOD
+    samples = [
+        ((item_id * 31 + i * 17) % 2048) - 1024 for i in range(n)
+    ]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(WAV_SAMPLE_RATE)
+        w.writeframes(struct.pack(f"<{n}h", *samples))
+    return buf.getvalue()
+
+
+def with_wav_payload(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a real WAV binary column (Arrow-batched synthesis — the
+    fixture half; production reads media bytes from the lake)."""
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "wav": [synth_wav_bytes(int(i)) for i in pdf[id_col]],
+                }
+            )
+
+    return docs.select(id_col).mapInPandas(
+        _synth, schema="doc_id long, wav binary"
+    )
+
+
+WAV_FEATURE_SCHEMA = (
+    "doc_id long, n_samples long, sample_rate long, sum_sq long, "
+    "peak_abs long, n_zero_cross long"
+)
+
+
+def wav_features(docs_with_wav: DataFrame) -> DataFrame:
+    """REAL audio decode + feature extraction, no media library needed:
+    the stdlib ``wave`` reader parses the RIFF container (fmt chunk →
+    channel count / sample width / rate; data chunk → PCM frames) and
+    the features are integer functions of the decoded int16 samples —
+    frame count and rate FROM THE PARSED HEADER, energy (Σ s²), peak
+    |s|, and sign-change count. If the decoder misread the container
+    by one byte, every feature would shift and the oracle hash would
+    catch it.
+
+    Arrow-batched ``mapInPandas``: payload bytes stream per batch, the
+    output is 6 small integers per item — the decode-heavy,
+    shuffle-light shape multimodal pipelines need at 100 TB.
+    """
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import struct
+        import wave
+
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "n_samples", "sample_rate", "sum_sq",
+                "peak_abs", "n_zero_cross",
+            )}
+            for did, blob in zip(pdf["doc_id"], pdf["wav"]):
+                with wave.open(io.BytesIO(bytes(blob)), "rb") as w:
+                    n = w.getnframes()
+                    rate = w.getframerate()
+                    raw = w.readframes(n)
+                s = struct.unpack(f"<{n}h", raw)
+                out["doc_id"].append(int(did))
+                out["n_samples"].append(n)
+                out["sample_rate"].append(rate)
+                out["sum_sq"].append(sum(x * x for x in s))
+                out["peak_abs"].append(max(abs(x) for x in s))
+                out["n_zero_cross"].append(
+                    sum(1 for a, b in zip(s, s[1:]) if a * b < 0)
+                )
+            yield pd.DataFrame(out)
+
+    return docs_with_wav.mapInPandas(_decode, schema=WAV_FEATURE_SCHEMA)
