@@ -277,6 +277,7 @@ def main() -> None:
         "mm_frame_sample",
         "mm_payload_sniff",
         "mm_wav_features",
+        "mm_bmp_features",
     ]:
         fn = LQ.llm_queries()[name]
         timed_repeat(name, lambda fn=fn: fn(spark, sf_dir).collect())

@@ -370,6 +370,7 @@ def llm_queries() -> dict[str, QueryFn]:
         "docs_span_coverage": q_span_coverage,
         "docs_weighted_jaccard_pairs": q_weighted_jaccard,
         "mm_wav_features": q_wav_features,
+        "mm_bmp_features": q_bmp_features,
     }
 
 
@@ -1549,6 +1550,7 @@ def llm_oracle_sql() -> dict[str, str]:
         "docs_span_coverage": _sql_span_coverage(),
         "docs_weighted_jaccard_pairs": _sql_weighted_jaccard(),
         "mm_wav_features": _sql_wav_features(),
+        "mm_bmp_features": _sql_bmp_features(),
     }
 
 
@@ -2357,3 +2359,31 @@ SELECT doc_id,
        CAST(sum(CASE WHEN vp IS NOT NULL AND v * vp < 0 THEN 1 ELSE 0 END)
             AS BIGINT) AS n_zero_cross
 FROM s GROUP BY doc_id"""
+
+
+def q_bmp_features(spark, sf_dir):
+    return MM.bmp_features(MM.with_bmp_payload(_docs(spark, sf_dir)))
+
+
+def _sql_bmp_features() -> str:
+    return """
+WITH dims AS (
+  SELECT doc_id, 8 + doc_id % 8 AS w, 6 + doc_id % 6 AS h FROM documents
+),
+px AS (
+  SELECT doc_id, w, h, x.x, y.y,
+         (doc_id + 3 * x.x + 7 * y.y) % 256 AS b,
+         (doc_id * 5 + x.x) % 256 AS g,
+         (y.y * 11 + doc_id) % 256 AS r
+  FROM dims,
+       LATERAL (SELECT unnest(range(0, w)) AS x) x,
+       LATERAL (SELECT unnest(range(0, h)) AS y) y
+)
+SELECT doc_id,
+       CAST(min(w) AS BIGINT) AS width,
+       CAST(min(h) AS BIGINT) AS height,
+       CAST(sum(b) AS BIGINT) AS sum_b,
+       CAST(sum(g) AS BIGINT) AS sum_g,
+       CAST(sum(r) AS BIGINT) AS sum_r,
+       CAST(sum((x + w * y) * b) AS BIGINT) AS pos_checksum
+FROM px GROUP BY doc_id"""

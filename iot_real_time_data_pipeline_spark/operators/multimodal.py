@@ -275,3 +275,119 @@ def wav_features(docs_with_wav: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return docs_with_wav.mapInPandas(_decode, schema=WAV_FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL image codec path: BMP (BITMAPINFOHEADER, 24-bit) via stdlib struct.
+# ---------------------------------------------------------------------------
+
+BMP_BASE_W = 8
+BMP_BASE_H = 6
+
+
+def _bmp_pixel(item_id: int, x: int, y: int) -> tuple[int, int, int]:
+    """(b, g, r) of the synthetic image — the closed form the oracle
+    recomputes."""
+    return (
+        (item_id + 3 * x + 7 * y) % 256,
+        (item_id * 5 + x) % 256,
+        (y * 11 + item_id) % 256,
+    )
+
+
+def synth_bmp_bytes(item_id: int) -> bytes:
+    """A genuine 24-bit BMP (BITMAPFILEHEADER + BITMAPINFOHEADER,
+    bottom-up rows, 4-byte row padding) of ``(8 + id mod 8) ×
+    (6 + id mod 6)`` pixels."""
+    import struct
+
+    w = BMP_BASE_W + item_id % 8
+    h = BMP_BASE_H + item_id % 6
+    stride = (w * 3 + 3) // 4 * 4
+    rows = []
+    for y in range(h - 1, -1, -1):  # bottom-up, per the format
+        row = bytearray()
+        for x in range(w):
+            row.extend(_bmp_pixel(item_id, x, y))
+        row.extend(b"\x00" * (stride - w * 3))
+        rows.append(bytes(row))
+    pixels = b"".join(rows)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixels), 2835, 2835, 0, 0
+    )
+    header = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + len(pixels), 0, 0, 14 + 40
+    )
+    return header + info + pixels
+
+
+def with_bmp_payload(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "bmp": [synth_bmp_bytes(int(i)) for i in pdf[id_col]],
+                }
+            )
+
+    return docs.select(id_col).mapInPandas(
+        _synth, schema="doc_id long, bmp binary"
+    )
+
+
+BMP_FEATURE_SCHEMA = (
+    "doc_id long, width long, height long, sum_b long, sum_g long, "
+    "sum_r long, pos_checksum long"
+)
+
+
+def bmp_features(docs_with_bmp: DataFrame) -> DataFrame:
+    """REAL image decode: parses the BMP container with stdlib
+    ``struct`` — magic, pixel-array offset, dimensions and bit depth
+    from the headers; pixel rows read bottom-up with 4-byte stride
+    padding, exactly as the format demands. Features: header
+    dimensions, per-channel sums, and a POSITION-WEIGHTED checksum
+    ``Σ (x + width·y)·blue(x,y)`` — channel sums alone would survive
+    an orientation or padding bug; the weighted checksum cannot.
+
+    Oracle-checked against the pixel closed form at three scale
+    factors: the hash match proves byte-offset-exact decoding.
+    """
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        for pdf in batches:
+            cols = {k: [] for k in (
+                "doc_id", "width", "height", "sum_b", "sum_g", "sum_r",
+                "pos_checksum",
+            )}
+            for did, blob in zip(pdf["doc_id"], pdf["bmp"]):
+                b = bytes(blob)
+                magic, _, _, _, off = struct.unpack_from("<2sIHHI", b, 0)
+                assert magic == b"BM"
+                _, w, h, _, bpp = struct.unpack_from("<IiiHH", b, 14)
+                assert bpp == 24
+                stride = (w * 3 + 3) // 4 * 4
+                sb = sg = sr = chk = 0
+                for y in range(h):
+                    # row y (top-down coords) lives at bottom-up slot
+                    base = off + (h - 1 - y) * stride
+                    for x in range(w):
+                        p = base + 3 * x
+                        blue, green, red = b[p], b[p + 1], b[p + 2]
+                        sb += blue
+                        sg += green
+                        sr += red
+                        chk += (x + w * y) * blue
+                cols["doc_id"].append(int(did))
+                cols["width"].append(w)
+                cols["height"].append(h)
+                cols["sum_b"].append(sb)
+                cols["sum_g"].append(sg)
+                cols["sum_r"].append(sr)
+                cols["pos_checksum"].append(chk)
+            yield pd.DataFrame(cols)
+
+    return docs_with_bmp.mapInPandas(_decode, schema=BMP_FEATURE_SCHEMA)

@@ -1779,3 +1779,25 @@ def test_wav_codec_roundtrip_is_real_riff(spark):
     assert r.sum_sq == sum(x * x for x in s)
     assert r.peak_abs == max(abs(x) for x in s)
     assert r.n_zero_cross == sum(1 for a, b in zip(s, s[1:]) if a * b < 0)
+
+
+def test_bmp_codec_catches_orientation_via_checksum(spark):
+    # A real BMP container round-trip; the position-weighted checksum
+    # differs from the (wrong) top-down interpretation, proving the
+    # decoder honors the format's bottom-up row order.
+    blob = MM.synth_bmp_bytes(5)
+    assert blob[:2] == b"BM"
+    docs = spark.createDataFrame([(5, "x")], "doc_id long, text string")
+    [r] = MM.bmp_features(MM.with_bmp_payload(docs)).collect()
+    w, h = 8 + 5 % 8, 6 + 5 % 6
+    assert (r.width, r.height) == (w, h)
+    good = sum(
+        (x + w * y) * MM._bmp_pixel(5, x, y)[0]
+        for x in range(w) for y in range(h)
+    )
+    flipped = sum(
+        (x + w * (h - 1 - y)) * MM._bmp_pixel(5, x, y)[0]
+        for x in range(w) for y in range(h)
+    )
+    assert r.pos_checksum == good
+    assert good != flipped  # the checksum CAN distinguish orientation
