@@ -1801,3 +1801,27 @@ def test_bmp_codec_catches_orientation_via_checksum(spark):
     )
     assert r.pos_checksum == good
     assert good != flipped  # the checksum CAN distinguish orientation
+
+
+def test_property_weighted_jaccard_bounded_and_exact_on_dups(spark):
+    """Property: wjac_ppm ∈ (0, 1e6]; identical texts always score
+    exactly 1e6 (their weighted shingle sets coincide)."""
+    from hypothesis import given, settings, strategies as st
+
+    words = st.sampled_from(["ana", "bob", "cat", "dog", "emu", "fox"])
+    doc = st.lists(words, min_size=4, max_size=10).map(" ".join)
+
+    @settings(max_examples=5, deadline=None)
+    @given(st.lists(doc, min_size=1, max_size=5))
+    def check(texts):
+        rows = [(i, t) for i, t in enumerate(texts)]
+        rows.append((100, texts[0]))  # planted exact dup of doc 0
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            (r.doc_a, r.doc_b): r.wjac_ppm
+            for r in DD.weighted_jaccard_pairs(df, threshold_ppm=0).collect()
+        }
+        assert all(0 < v <= 1_000_000 for v in out.values())
+        assert out[(0, 100)] == 1_000_000
+
+    check()

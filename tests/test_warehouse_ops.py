@@ -157,3 +157,60 @@ def test_merge_into_lake_rewrites_only_matched_files(spark, tmp_path):
     assert 107 not in got
     assert got[999] == "new"
     assert got[0] == "v0" and got[205] == "v205"
+
+
+def test_property_merge_upsert_matches_python_reference(spark):
+    """Property: for ANY snapshot, the broadcast-planned MERGE equals a
+    row-by-row Python application of the same mod-10 change rules."""
+    from hypothesis import given, settings, strategies as st
+
+    row = st.tuples(
+        st.integers(1, 60),
+        st.sampled_from(["O", "F", "P"]),
+        st.integers(1, 10_000),  # price in cents
+    )
+
+    @settings(max_examples=6, deadline=None)
+    @given(st.lists(row, min_size=1, max_size=20, unique_by=lambda r: r[0]))
+    def check(rows):
+        snap = _orders(
+            spark, [(k, s, c / 100.0) for k, s, c in rows]
+        )
+        got = {
+            r["o_orderstatus"]: (r["n_orders"], r["sum_totalprice_c"])
+            for r in WH.merge_upsert_summary(snap).collect()
+        }
+        # python reference
+        table = {k: (s, c) for k, s, c in rows}
+        out = {}
+        for k, (s, c) in list(table.items()):
+            if k % 10 == WH.MERGE_DELETE_MOD:
+                continue
+            cc = c + 100 if k % 10 == WH.MERGE_UPDATE_MOD else c
+            out.setdefault(s, []).append(cc)
+            if (
+                k % 10 == WH.MERGE_INSERT_MOD
+                and (k + WH.MERGE_INSERT_OFFSET) not in table
+            ):
+                out.setdefault(s, []).append(c)
+        want = {s: (len(v), sum(v)) for s, v in out.items()}
+        assert got == want
+
+    check()
+
+
+def test_property_zorder_is_injective(spark):
+    """Property: the Morton interleave is a bijection on the 2^bits
+    grid — distinct (x, y) always yield distinct z."""
+    import pyspark.sql.functions as F
+
+    side = 1 << WH.ZORDER_BITS
+    df = spark.range(0, 4096).select(
+        (F.col("id") % side).alias("x"),
+        ((F.col("id") * 37 + 11) % side).alias("y"),
+    ).distinct()
+    n_pairs = df.count()
+    n_z = df.select(
+        F.expr(WH.zorder_expr("x", "y")).alias("z")
+    ).distinct().count()
+    assert n_z == n_pairs
