@@ -935,40 +935,67 @@ def repeated_span_coverage(
     (a token position counts if any frequent gram overlaps it), which
     is the per-doc "memorization mass" a span-scrubber would remove.
 
-    Plan: in-order gram postings (positions kept) hash-join the
-    frequent-gram set — shuffle ∝ postings; the position expansion
-    explodes only FREQUENT-gram occurrences ×n, i.e. work proportional
-    to the boilerplate being measured, then a distinct + per-doc count.
-    Every number is integer (coverage as ppm of the token count).
+    Plan: in-order gram postings (positions kept, persisted once — the
+    frequency cut and the coverage pass both read them) hash-join the
+    frequent-gram set; coverage is then an INTERVAL UNION per document
+    — a running-max window over hit start positions, each hit
+    contributing ``max(0, end - max(start, prev_max_end + 1) + 1)``
+    tokens — never a per-position explode. A first cut exploded every
+    covered position and global-distinct'ed them; on a corpus where
+    frequent grams are dense (this synthetic vocab — or any real
+    boilerplate-heavy crawl) that multiplies the hit stream ×n and
+    shuffles it twice, measured 40 s at sf0.1 vs ~3 s for the interval
+    form. Work ∝ hit positions; one doc-keyed exchange feeds both the
+    window and the final aggregate. All-integer output (ppm of the
+    token count).
 
     Returns ``(doc_id, n_tokens, n_covered, covered_ppm)`` for every
     document, zero-coverage rows included.
     """
+    from pyspark.sql import Window
+
     kg = _ordered_kgram_hashes(docs, text_col, id_col, n)
-    freq = repeated_ngram_spans(docs, text_col, id_col, n, min_docs).select(
-        "gram_hash"
-    )
     sizes = docs.select(
         F.col(id_col).alias("doc_id"),
         F.size(TH.tokens(F.col(text_col))).alias("n_tokens"),
     )
+    # One gram stream feeds BOTH the df>=min_docs cut and the coverage
+    # join (persist: the two consumers would otherwise recompute the
+    # full token-hash + k-gram scan twice).
     posts = kg.select(
         "doc_id", F.posexplode("kh").alias("p0", "gram_hash")
+    ).persist()
+    freq = (
+        posts.groupBy("gram_hash")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("gram_hash")
     )
     hit = posts.join(freq, "gram_hash").join(sizes, "doc_id")
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("start")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    spans = hit.select(
+        "doc_id",
+        (F.col("p0") + 1).alias("start"),
+        F.least(F.col("p0") + n, F.col("n_tokens")).alias("end"),
+    ).withColumn("prev_end", F.max("end").over(w))
     covered = (
-        hit.select(
+        spans.select(
             "doc_id",
-            F.explode(
-                F.sequence(
-                    F.col("p0") + 1,
-                    F.least(F.col("p0") + n, F.col("n_tokens")),
+            F.greatest(
+                F.lit(0),
+                F.col("end")
+                - F.greatest(
+                    F.col("start"), F.coalesce(F.col("prev_end"), F.lit(0)) + 1
                 )
-            ).alias("tpos"),
+                + 1,
+            ).alias("contrib"),
         )
-        .distinct()
         .groupBy("doc_id")
-        .agg(F.count("*").alias("n_covered"))
+        .agg(F.sum("contrib").alias("n_covered"))
     )
     return sizes.join(covered, "doc_id", "left").select(
         "doc_id",
