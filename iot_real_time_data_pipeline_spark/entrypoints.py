@@ -77,6 +77,21 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # query surface (no inferred-IsNotNull join pruning opportunities),
     # so turn it off for the session.
     spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
+    # InferFiltersFromGenerate turns every explode(f(x)) into a
+    # size(f(x)) > 0 pre-filter; filter pushdown then re-INLINES the
+    # full generator expression below the repartition — for the k-gram
+    # pipelines that means the whole token-hash transform re-evaluated
+    # once per chained element_at (8x for 8-grams) on the unsplit scan
+    # task. Measured on docs_repeated_spans at sf0.1: 93 s with the
+    # rule, 1.3-2.6 s without (and the same ratio would hold per-byte
+    # on a cluster — the recomputation is in the row path, not a local
+    # artifact). The inferred filter only skips empty arrays, which a
+    # non-outer Generate drops anyway; excluding the rule is
+    # semantics-free. Pinned by test_generate_infers_no_expensive_scan_filter.
+    spark.conf.set(
+        "spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+    )
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     # Parquet splits at row-group granularity; the driver's test files
     # are single-row-group, so without this the scan yields ONE

@@ -717,3 +717,22 @@ def test_runtime_bloom_filter_injects_on_bare_scans(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_generate_infers_no_expensive_scan_filter(spark, docs):
+    """InferFiltersFromGenerate must stay excluded: with it on, the
+    posexplode over the k-gram transform grows a pushed-down filter
+    that re-inlines the whole token-hash pipeline (md5 per token, x8
+    for the chained element_ats) below the repartition — measured 93 s
+    vs 1.3 s at sf0.1. The filter may not reappear in any form that
+    recomputes the hash chain."""
+    from iot_real_time_data_pipeline_spark.operators import (
+        text_analysis as TA,
+    )
+
+    kg = TA._ordered_kgram_hashes(docs, "text", "doc_id", 8)
+    posts = kg.select("doc_id", F.posexplode("kh").alias("p0", "gram_hash"))
+    plan = posts._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if line.strip().startswith(("Filter", "+- Filter", ": Filter")):
+            assert "md5" not in line, "generator filter re-inlines the hash chain"
