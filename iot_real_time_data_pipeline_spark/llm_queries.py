@@ -371,6 +371,8 @@ def llm_queries() -> dict[str, QueryFn]:
         "docs_weighted_jaccard_pairs": q_weighted_jaccard,
         "mm_wav_features": q_wav_features,
         "mm_bmp_features": q_bmp_features,
+        "docs_perplexity_buckets": q_perplexity_buckets,
+        "emb_recall_audit": q_recall_audit,
     }
 
 
@@ -1551,6 +1553,8 @@ def llm_oracle_sql() -> dict[str, str]:
         "docs_weighted_jaccard_pairs": _sql_weighted_jaccard(),
         "mm_wav_features": _sql_wav_features(),
         "mm_bmp_features": _sql_bmp_features(),
+        "docs_perplexity_buckets": _sql_perplexity_buckets(),
+        "emb_recall_audit": _sql_recall_audit(),
     }
 
 
@@ -2387,3 +2391,58 @@ SELECT doc_id,
        CAST(sum(r) AS BIGINT) AS sum_r,
        CAST(sum((x + w * y) * b) AS BIGINT) AS pos_checksum
 FROM px GROUP BY doc_id"""
+
+
+# ---------------------------------------------------------------------------
+# Round-5 continuation: CCNet perplexity buckets + ANN recall audit
+# ---------------------------------------------------------------------------
+
+
+def q_perplexity_buckets(spark, sf_dir):
+    return TA.perplexity_buckets(_docs(spark, sf_dir))
+
+
+def q_recall_audit(spark, sf_dir):
+    return SIM.ann_recall_audit(
+        _emb(spark, sf_dir), _emb_queries(spark, sf_dir), k=3
+    )
+
+
+def _sql_perplexity_buckets() -> str:
+    return f"""
+WITH {_TOKS_CTE},
+term_rows AS (SELECT doc_id, unnest(t) AS term FROM toks),
+ctf AS (SELECT term, count(*) AS ctf FROM term_rows GROUP BY term),
+tot AS (SELECT count(*) AS total_tokens FROM term_rows),
+perdoc AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         CAST(round(avg(ln(ctf / CAST(total_tokens AS DOUBLE))) * 1e6)
+              AS BIGINT) AS lp_micro
+  FROM term_rows JOIN ctf USING (term) CROSS JOIN tot
+  GROUP BY doc_id
+),
+ranked AS (
+  SELECT d.doc_id, d.lang, p.n_tokens, p.lp_micro,
+         row_number() OVER (PARTITION BY d.lang
+                            ORDER BY p.lp_micro DESC, d.doc_id) AS rn,
+         count(*) OVER (PARTITION BY d.lang) AS n
+  FROM documents d JOIN perdoc p ON d.doc_id = p.doc_id
+)
+SELECT doc_id, lang, n_tokens, lp_micro,
+       CASE WHEN rn * 3 <= n THEN 'head'
+            WHEN rn * 3 <= 2 * n THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket
+FROM ranked"""
+
+
+def _sql_recall_audit(k: int = 3) -> str:
+    return f"""
+WITH exact AS (SELECT query_id, neighbor_id FROM ({_sql_cosine_topk(k)}) x),
+approx AS (SELECT query_id, neighbor_id, 1 AS hit FROM ({_sql_ivf_topk(k)}) i)
+SELECT e.query_id,
+       CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(sum(coalesce(a.hit, 0)) AS BIGINT) AS n_hits,
+       (1000 * CAST(sum(coalesce(a.hit, 0)) AS BIGINT)) // {k} AS recall_milli
+FROM exact e LEFT JOIN approx a
+  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+GROUP BY e.query_id"""

@@ -1091,3 +1091,51 @@ def pq_topk(embeddings: DataFrame, queries: DataFrame, k: int = 3) -> DataFrame:
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "adc_micro")
     )
+
+
+def ann_recall_audit(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    bits: int = IVF_BITS,
+    probe_radius: int = IVF_PROBE_RADIUS,
+) -> DataFrame:
+    """Per-query recall@k of the IVF multi-probe index against the
+    exact brute-force ranking — the measurement that decides whether an
+    approximate index is safe to deploy, expressed as a first-class
+    oracle-checked query instead of a PERF.md footnote.
+
+    Recall is integer-exact: both rankings break cosine ties on
+    ``neighbor_id``, the hit count is a join on the (query, neighbor)
+    pair, and ``recall_milli = 1000 * hits div k``. Queries whose probe
+    set misses every true neighbor still appear (left join, 0 hits) —
+    an audit that silently drops its failures is not an audit.
+
+    Plan shape at scale: the two rankings are the already-bounded
+    ``cosine_topk`` / ``ivf_topk`` outputs (≤ q·k rows each); the audit
+    join broadcasts the approximate side, so the audit itself adds no
+    corpus-sized shuffle. On a real deployment the exact side runs on a
+    sampled query panel — recall estimation needs hundreds of queries,
+    not the full corpus — and the panel size bounds the brute-force
+    cost.
+    """
+    exact = cosine_topk(embeddings, queries, k).select("query_id", "neighbor_id")
+    approx = (
+        ivf_topk(embeddings, queries, k, bits, probe_radius)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        exact.join(F.broadcast(approx), ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").cast("long").alias("n_exact"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hits"),
+        )
+        .select(
+            "query_id",
+            "n_exact",
+            "n_hits",
+            F.expr(f"(1000 * n_hits) div {k}").alias("recall_milli"),
+        )
+    )

@@ -1005,3 +1005,77 @@ def repeated_span_coverage(
             "(coalesce(n_covered, 0) * CAST(1000000 AS BIGINT)) div n_tokens"
         ).alias("covered_ppm"),
     )
+
+
+def perplexity_buckets(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """CCNet-style per-language perplexity bucketing (Wenzek et al.
+    2020, arXiv:1911.00359): score every document with the corpus' own
+    unigram LM, then split each language into equal thirds by score —
+    ``head`` (most fluent), ``middle``, ``tail`` (likely gibberish /
+    boilerplate soup). The bucket label is the knob curation pipelines
+    filter or re-weight on.
+
+    All ranking inputs are integers: the average log-probability is
+    snapped to the 1e-6 grid AS AN INTEGER (``lp_micro``), so the
+    per-language total order ``(lp_micro DESC, doc_id)`` — and with it
+    every bucket boundary — is bit-identical across engines (the same
+    argument as ``length_percentiles``; an interpolated percentile
+    split would reintroduce double divergence).
+
+    Plan shape: the unigram-LM scoring is the ``unigram_logprob``
+    pipeline (shuffle ∝ tokens, map-side combined; corpus total as a
+    broadcast scalar). Bucketing adds one shuffle on the language key
+    for the rank window. Each language's rank sort is a single-reducer
+    sort at extreme scale — the documented trade, same as
+    ``length_percentiles``: at 100 TB swap the exact rank for
+    approx-percentile thresholds and keep the comparison-only bucket
+    assignment.
+
+    Docs that tokenize to nothing carry no LM evidence and are
+    excluded (identical inner-join semantics to ``unigram_logprob``).
+
+    Returns ``(doc_id, lang, n_tokens, lp_micro, ppl_bucket)``.
+    """
+    from pyspark.sql import Window
+
+    term_rows = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(TH.tokens(F.col(text_col))).alias("term"),
+    )
+    ctf = term_rows.groupBy("term").agg(F.count("*").alias("ctf"))
+    total = term_rows.agg(F.count("*").alias("total_tokens"))
+    perdoc = (
+        term_rows.join(ctf, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(
+                F.avg(F.log(F.col("ctf") / F.col("total_tokens"))) * F.lit(1e6)
+            )
+            .cast("long")
+            .alias("lp_micro"),
+        )
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(lang_col).alias("lang")
+    ).join(perdoc, "doc_id")
+    w = Window.partitionBy("lang").orderBy(F.desc("lp_micro"), "doc_id")
+    ranked = base.withColumn(
+        "rn", F.row_number().over(w).cast("long")
+    ).withColumn("n", F.count("*").over(Window.partitionBy("lang")))
+    return ranked.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "lp_micro",
+        F.when(F.col("rn") * 3 <= F.col("n"), F.lit("head"))
+        .when(F.col("rn") * 3 <= 2 * F.col("n"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("ppl_bucket"),
+    )

@@ -1825,3 +1825,49 @@ def test_property_weighted_jaccard_bounded_and_exact_on_dups(spark):
         assert out[(0, 100)] == 1_000_000
 
     check()
+
+
+def test_perplexity_buckets_planted_gibberish_lands_in_tail(spark):
+    """A doc made of corpus-unique tokens must score the lowest unigram
+    logprob of its language and land in 'tail'; a doc of only the
+    corpus' most common token lands in 'head'; per-language bucket
+    sizes are the integer thirds rn*3<=n / rn*3<=2n define."""
+    rows = [(i, "the cat sat on the mat", "en") for i in range(1, 8)]
+    rows.append((8, "zxqv wvrk qqjx plmb", "en"))  # gibberish
+    rows.append((9, "the the the the", "en"))  # most-common tokens only
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r.doc_id: r for r in TA.perplexity_buckets(docs).collect()}
+    assert out[8].ppl_bucket == "tail"
+    assert out[9].ppl_bucket == "head"
+    n = len(out)
+    heads = sum(1 for r in out.values() if r.ppl_bucket == "head")
+    middles = sum(1 for r in out.values() if r.ppl_bucket == "middle")
+    assert heads == n // 3
+    assert heads + middles == (2 * n) // 3
+
+
+def test_ann_recall_audit_matches_manual_intersection(spark):
+    """recall_milli must equal the manual |ivf∩exact| join of the two
+    registered top-k queries, include zero-hit queries, and never
+    exceed 1000."""
+    from iot_real_time_data_pipeline_spark.entrypoints import read_table
+    from pyspark.sql import functions as F
+
+    emb = read_table(spark, "/root/testdata/sf0.01", "embeddings").persist()
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    k = 3
+    exact = {}
+    for r in SIM.cosine_topk(emb, q, k=k).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx = {}
+    for r in SIM.ivf_topk(emb, q, k=k).collect():
+        approx.setdefault(r.query_id, set()).add(r.neighbor_id)
+    audit = {r.query_id: r for r in SIM.ann_recall_audit(emb, q, k=k).collect()}
+    assert set(audit) == set(exact)  # every query audited, even 0-hit
+    for qid, ex in exact.items():
+        hits = len(ex & approx.get(qid, set()))
+        assert audit[qid].n_exact == len(ex)
+        assert audit[qid].n_hits == hits
+        assert audit[qid].recall_milli == (1000 * hits) // k
+        assert 0 <= audit[qid].recall_milli <= 1000
+    emb.unpersist()
