@@ -373,6 +373,7 @@ def llm_queries() -> dict[str, QueryFn]:
         "mm_bmp_features": q_bmp_features,
         "docs_perplexity_buckets": q_perplexity_buckets,
         "emb_recall_audit": q_recall_audit,
+        "mm_bmp_resize_features": q_bmp_resize_features,
     }
 
 
@@ -1555,6 +1556,7 @@ def llm_oracle_sql() -> dict[str, str]:
         "mm_bmp_features": _sql_bmp_features(),
         "docs_perplexity_buckets": _sql_perplexity_buckets(),
         "emb_recall_audit": _sql_recall_audit(),
+        "mm_bmp_resize_features": _sql_bmp_resize_features(),
     }
 
 
@@ -2446,3 +2448,34 @@ SELECT e.query_id,
 FROM exact e LEFT JOIN approx a
   ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
 GROUP BY e.query_id"""
+
+
+def q_bmp_resize_features(spark, sf_dir):
+    # decode -> NN resample -> re-encode -> decode again: the feature
+    # row attests every byte of both codec directions.
+    return MM.bmp_features(MM.bmp_resize(MM.with_bmp_payload(_docs(spark, sf_dir))))
+
+
+def _sql_bmp_resize_features() -> str:
+    tw, th = MM.BMP_RESIZE_W, MM.BMP_RESIZE_H
+    return f"""
+WITH dims AS (
+  SELECT doc_id, 8 + doc_id % 8 AS w, 6 + doc_id % 6 AS h FROM documents
+),
+px AS (
+  SELECT doc_id, x.x AS tx, y.y AS ty,
+         (doc_id + 3 * ((x.x * w) // {tw}) + 7 * ((y.y * h) // {th})) % 256 AS b,
+         (doc_id * 5 + ((x.x * w) // {tw})) % 256 AS g,
+         (((y.y * h) // {th}) * 11 + doc_id) % 256 AS r
+  FROM dims,
+       LATERAL (SELECT unnest(range(0, {tw})) AS x) x,
+       LATERAL (SELECT unnest(range(0, {th})) AS y) y
+)
+SELECT doc_id,
+       CAST({tw} AS BIGINT) AS width,
+       CAST({th} AS BIGINT) AS height,
+       CAST(sum(b) AS BIGINT) AS sum_b,
+       CAST(sum(g) AS BIGINT) AS sum_g,
+       CAST(sum(r) AS BIGINT) AS sum_r,
+       CAST(sum((tx + {tw} * ty) * b) AS BIGINT) AS pos_checksum
+FROM px GROUP BY doc_id"""

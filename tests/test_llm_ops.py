@@ -1871,3 +1871,30 @@ def test_ann_recall_audit_matches_manual_intersection(spark):
         assert audit[qid].recall_milli == (1000 * hits) // k
         assert 0 <= audit[qid].recall_milli <= 1000
     emb.unpersist()
+
+
+def test_bmp_resize_emits_wellformed_bmp_and_nn_samples(spark):
+    """The resized payload must be a genuine 24-bit BMP (the feature
+    decoder parses it from its own headers), and every pixel must be
+    the nearest-neighbor source sample (tx*w div tw, ty*h div th) —
+    checked against the synthetic closed form, orientation included."""
+    docs = spark.createDataFrame(
+        [(i, "x") for i in (0, 5, 13)], "doc_id long, text string"
+    )
+    resized = MM.bmp_resize(MM.with_bmp_payload(docs))
+    feats = {r.doc_id: r for r in MM.bmp_features(resized).collect()}
+    tw, th = MM.BMP_RESIZE_W, MM.BMP_RESIZE_H
+    for did in (0, 5, 13):
+        w, h = 8 + did % 8, 6 + did % 6
+        sb = sg = sr = chk = 0
+        for ty in range(th):
+            for tx in range(tw):
+                b, g, r = MM._bmp_pixel(did, tx * w // tw, ty * h // th)
+                sb += b
+                sg += g
+                sr += r
+                chk += (tx + tw * ty) * b
+        row = feats[did]
+        assert (row.width, row.height) == (tw, th)
+        assert (row.sum_b, row.sum_g, row.sum_r) == (sb, sg, sr)
+        assert row.pos_checksum == chk
