@@ -374,6 +374,7 @@ def llm_queries() -> dict[str, QueryFn]:
         "docs_perplexity_buckets": q_perplexity_buckets,
         "emb_recall_audit": q_recall_audit,
         "mm_bmp_resize_features": q_bmp_resize_features,
+        "docs_bpe_encode": q_bpe_encode,
     }
 
 
@@ -1557,6 +1558,7 @@ def llm_oracle_sql() -> dict[str, str]:
         "docs_perplexity_buckets": _sql_perplexity_buckets(),
         "emb_recall_audit": _sql_recall_audit(),
         "mm_bmp_resize_features": _sql_bmp_resize_features(),
+        "docs_bpe_encode": _sql_bpe_encode(),
     }
 
 
@@ -1821,11 +1823,13 @@ def q_bpe_train(spark, sf_dir):
     return TA.bpe_train(_docs(spark, sf_dir))
 
 
-def _sql_bpe_train() -> str:
+def _bpe_unrolled_ctes(carry_w: bool) -> str:
     # The ENTIRE training loop unrolled: per round, a pair-frequency
     # CTE, a 1-row argmax CTE, and a list-fold merge application that
     # references it — the same leftmost-first convention as the Spark
-    # fold. Proves the distributed iterative trainer end-to-end.
+    # fold. ``carry_w`` threads the word through every round so the
+    # final vocab CTE doubles as the trained encoder's lookup table.
+    keep = "w, " if carry_w else ""
     rounds = []
     for r in range(TA.BPE_TRAIN_MERGES):
         rounds.append(
@@ -1840,7 +1844,7 @@ def _sql_bpe_train() -> str:
 ),
 top{r} AS (SELECT a, b, freq FROM pf{r} ORDER BY freq DESC, a, b LIMIT 1),
 vocab{r + 1} AS (
-  SELECT cnt, list_reduce(
+  SELECT {keep}cnt, list_reduce(
     list_prepend(CAST([] AS VARCHAR[]), list_transform(syms, s -> [s])),
     (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = t.a AND x[1] = t.b
                 THEN list_append(acc[1:len(acc)-1], t.a || t.b)
@@ -1850,23 +1854,46 @@ vocab{r + 1} AS (
 )"""
         )
     chain = ",\n".join(rounds)
-    finals = "\nUNION ALL\n".join(
-        f"SELECT CAST({r} AS BIGINT) AS merge_rank, a, b, freq FROM top{r}"
-        for r in range(TA.BPE_TRAIN_MERGES)
-    )
-    return f"""
-WITH words AS (
+    return f"""words AS (
   SELECT tok AS w, count(*) AS cnt FROM (
     SELECT unnest({TH.sql_tokens('text')}) AS tok FROM documents
   ) WHERE len(tok) > 0 GROUP BY tok
 ),
 vocab0 AS (
-  SELECT cnt,
+  SELECT {keep}cnt,
          list_transform(range(1, length(w) + 1), i -> substr(w, i, 1)) AS syms
   FROM words
 ),
-{chain}
+{chain}"""
+
+
+def _sql_bpe_train() -> str:
+    finals = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS BIGINT) AS merge_rank, a, b, freq FROM top{r}"
+        for r in range(TA.BPE_TRAIN_MERGES)
+    )
+    return f"""
+WITH {_bpe_unrolled_ctes(carry_w=False)}
 {finals}"""
+
+
+def _sql_bpe_encode() -> str:
+    last = TA.BPE_TRAIN_MERGES
+    return f"""
+WITH {_bpe_unrolled_ctes(carry_w=True)},
+enc AS (SELECT w, len(syms) AS n_sym FROM vocab{last}),
+tok AS (
+  SELECT doc_id, unnest({TH.sql_tokens('text')}) AS w FROM documents
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(length(w)) AS BIGINT) AS n_chars,
+       CAST(sum(n_sym) AS BIGINT) AS n_bpe_tokens,
+       (1000000 * CAST(sum(n_sym) AS BIGINT))
+         // CAST(sum(length(w)) AS BIGINT) AS compression_ppm
+FROM tok JOIN enc USING (w)
+WHERE len(w) > 0
+GROUP BY doc_id"""
 
 
 def q_profile(spark, sf_dir):
@@ -2479,3 +2506,7 @@ SELECT doc_id,
        CAST(sum(r) AS BIGINT) AS sum_r,
        CAST(sum((tx + {tw} * ty) * b) AS BIGINT) AS pos_checksum
 FROM px GROUP BY doc_id"""
+
+
+def q_bpe_encode(spark, sf_dir):
+    return TA.bpe_encode(_docs(spark, sf_dir))

@@ -675,7 +675,19 @@ def bpe_train(
 
     Returns ``(merge_rank, a, b, freq)`` — one row per learned merge.
     """
-    spark = docs.sparkSession
+    merges, _ = _bpe_train_state(docs, n_merges, text_col)
+    return docs.sparkSession.createDataFrame(
+        merges, "merge_rank long, a string, b string, freq long"
+    )
+
+
+def _bpe_train_state(
+    docs: DataFrame, n_merges: int, text_col: str
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """The shared trainer loop: returns the learned merge list AND the
+    final distinct-word symbol table ``(w, cnt, syms)`` — the trained
+    tokenizer's full state, which :func:`bpe_encode` applies to the
+    corpus without re-deriving anything."""
     words = (
         docs.select(F.explode(TH.tokens(F.col(text_col))).alias("w"))
         .filter(F.length("w") > 0)
@@ -683,6 +695,7 @@ def bpe_train(
         .agg(F.count("*").alias("cnt"))
     )
     vocab = words.select(
+        "w",
         "cnt",
         F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))").alias(
             "syms"
@@ -733,7 +746,59 @@ def bpe_train(
             "syms", F.aggregate("syms", init, make_step(a, b, merged))
         ).localCheckpoint(eager=True)
         merges.append((r, a, b, freq))
-    return spark.createDataFrame(merges, "merge_rank long, a string, b string, freq long")
+    return merges, cur
+
+
+def bpe_encode(
+    docs: DataFrame,
+    n_merges: int = BPE_TRAIN_MERGES,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply the trained BPE tokenizer to the corpus — the other half
+    of the tokenizer story (:func:`bpe_train` learns the merges; this
+    encodes with them) and the op a data pipeline runs over 100 TB,
+    not the training.
+
+    Scale shape: the merge folds run over the DISTINCT-WORD table only
+    (|vocab| rows — encoding is a pure function of the word, so
+    encoding the corpus directly would redo identical folds billions
+    of times); the corpus then pays one explode + one hash join
+    against the encoded vocab (broadcastable — a vocab is MBs) + one
+    map-side-combined groupBy(doc). Per-document counts are all
+    integers; ``compression_ppm`` = encoded symbols per million input
+    characters, the number tokenizer evaluations report.
+
+    Docs that tokenize to nothing carry no encodable content and are
+    excluded (same inner semantics as ``unigram_logprob``).
+
+    Returns ``(doc_id, n_words, n_chars, n_bpe_tokens,
+    compression_ppm)``.
+    """
+    _, final_vocab = _bpe_train_state(docs, n_merges, text_col)
+    enc = final_vocab.select("w", F.size("syms").alias("n_sym"))
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(TH.tokens(F.col(text_col))).alias("w"),
+    ).filter(F.length("w") > 0)
+    return (
+        tok.join(F.broadcast(enc), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum(F.length("w")).cast("long").alias("n_chars"),
+            F.sum("n_sym").cast("long").alias("n_bpe_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_chars",
+            "n_bpe_tokens",
+            F.expr("(1000000 * n_bpe_tokens) div n_chars").alias(
+                "compression_ppm"
+            ),
+        )
+    )
 
 
 def vocab_growth(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -1898,3 +1898,42 @@ def test_bmp_resize_emits_wellformed_bmp_and_nn_samples(spark):
         assert (row.width, row.height) == (tw, th)
         assert (row.sum_b, row.sum_g, row.sum_r) == (sb, sg, sr)
         assert row.pos_checksum == chk
+
+
+def test_bpe_encode_matches_sequential_python_encoder(spark):
+    """Per-doc encoded-symbol counts must equal a sequential Python
+    BPE encode using the merges the trainer itself reports, applied
+    leftmost-first in rank order."""
+    rows = [
+        (1, "low low low lower lowest"),
+        (2, "newer newest new"),
+        (3, "low new low"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = [
+        (r.a, r.b) for r in TA.bpe_train(docs, n_merges=4)
+        .orderBy("merge_rank").collect()
+    ]
+
+    def encode(word):
+        syms = list(word)
+        for a, b in merges:
+            out = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            syms = out
+        return syms
+
+    got = {r.doc_id: r for r in TA.bpe_encode(docs, n_merges=4).collect()}
+    import re
+    for did, text in rows:
+        words = [w for w in re.split(r"\W+", text.lower()) if w]
+        n_sym = sum(len(encode(w)) for w in words)
+        n_chars = sum(len(w) for w in words)
+        assert got[did].n_words == len(words)
+        assert got[did].n_chars == n_chars
+        assert got[did].n_bpe_tokens == n_sym, (did, merges)
+        assert got[did].compression_ppm == 1000000 * n_sym // n_chars
