@@ -273,11 +273,15 @@ def main() -> None:
         "docs_length_weighted_sample",
         "docs_span_coverage",
         "docs_weighted_jaccard_pairs",
+        "docs_perplexity_buckets",
+        "docs_bpe_encode",
+        "emb_recall_audit",
         "mm_image_features",
         "mm_frame_sample",
         "mm_payload_sniff",
         "mm_wav_features",
         "mm_bmp_features",
+        "mm_bmp_resize_features",
     ]:
         fn = LQ.llm_queries()[name]
         timed_repeat(name, lambda fn=fn: fn(spark, sf_dir).collect())

@@ -82,11 +82,13 @@ def shingles(toks: Column, n: int = 3) -> Column:
     """Word n-gram shingles as strings, in document order.
 
     Docs shorter than ``n`` tokens contribute their full token string
-    as a single shingle so they still participate in dedup.
+    as a single shingle so they still participate in dedup
+    (``try_element_at``: past-the-end reads are NULL — which
+    ``concat_ws`` skips — not an ANSI-mode ArrayIndexOutOfBounds).
     """
     idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
     make = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(toks, i + j) for j in range(n)]
+        " ", *[F.try_element_at(toks, i + j) for j in range(n)]
     )
     return F.transform(idx, make)
 
@@ -104,9 +106,11 @@ def shingle_hashes_from(th: Column, n: int = 3) -> Column:
     idx = F.sequence(F.lit(1), F.greatest(F.size(th) - (n - 1), F.lit(1)))
 
     def combine(i: Column) -> Column:
-        acc = F.coalesce(F.element_at(th, i), F.lit(0))
+        # try_element_at: NULL (not an ANSI error) past the end, then
+        # coalesce to 0 — short docs hash their full prefix.
+        acc = F.coalesce(F.try_element_at(th, i), F.lit(0))
         for j in range(1, n):
-            nxt = F.coalesce(F.element_at(th, i + j), F.lit(0))
+            nxt = F.coalesce(F.try_element_at(th, i + j), F.lit(0))
             acc = (acc * DOC_B + nxt) % HASH_P
         return acc
 

@@ -375,6 +375,7 @@ def llm_queries() -> dict[str, QueryFn]:
         "emb_recall_audit": q_recall_audit,
         "mm_bmp_resize_features": q_bmp_resize_features,
         "docs_bpe_encode": q_bpe_encode,
+        "docs_gopher_filter": q_gopher_filter,
     }
 
 
@@ -1559,6 +1560,7 @@ def llm_oracle_sql() -> dict[str, str]:
         "emb_recall_audit": _sql_recall_audit(),
         "mm_bmp_resize_features": _sql_bmp_resize_features(),
         "docs_bpe_encode": _sql_bpe_encode(),
+        "docs_gopher_filter": _sql_gopher_filter(),
     }
 
 
@@ -2510,3 +2512,65 @@ FROM px GROUP BY doc_id"""
 
 def q_bpe_encode(spark, sf_dir):
     return TA.bpe_encode(_docs(spark, sf_dir))
+
+
+def q_gopher_filter(spark, sf_dir):
+    return TA.gopher_filter(_docs(spark, sf_dir))
+
+
+def _sql_gopher_filter() -> str:
+    stop = ", ".join(f"'{w}'" for w in TA.STOPWORDS["en"])
+    return f"""
+WITH {_TOKS_CTE},
+base AS (
+  SELECT doc_id,
+         CAST(len(t) AS BIGINT) AS n_tokens,
+         CAST(list_sum(list_prepend(0, list_transform(t, x -> length(x))))
+              AS BIGINT) AS sum_len,
+         CAST(len(list_intersect(t, [{stop}])) AS BIGINT) AS n_stopwords,
+         {TH.sql_shingles('t', 3)} AS g3,
+         {TH.sql_shingles('t', 2)} AS g2
+  FROM toks
+),
+b2 AS (
+  SELECT doc_id, n_tokens,
+         CASE WHEN n_tokens > 0 THEN (100 * sum_len) // n_tokens
+              ELSE CAST(0 AS BIGINT) END AS mean_len_centi,
+         n_stopwords,
+         CASE WHEN len(g3) > 0
+              THEN ((CAST(len(g3) AS BIGINT) - len(list_distinct(g3)))
+                    * 1000000) // len(g3)
+              ELSE CAST(0 AS BIGINT) END AS dup_3gram_ppm,
+         g2
+  FROM base
+),
+t2 AS (
+  SELECT doc_id, CAST((max(c) * 1000000) // sum(c) AS BIGINT) AS top_2gram_ppm
+  FROM (
+    SELECT doc_id, gram, count(*) AS c
+    FROM (SELECT doc_id, unnest(g2) AS gram FROM base)
+    GROUP BY doc_id, gram
+  ) GROUP BY doc_id
+),
+j AS (
+  SELECT b2.doc_id, n_tokens, mean_len_centi, dup_3gram_ppm,
+         CAST(coalesce(t2.top_2gram_ppm, 0) AS BIGINT) AS top_2gram_ppm,
+         n_stopwords
+  FROM b2 LEFT JOIN t2 ON b2.doc_id = t2.doc_id
+),
+v AS (
+  SELECT *,
+         CAST(n_tokens < {TA.GOPHER_MIN_WORDS}
+              OR n_tokens > {TA.GOPHER_MAX_WORDS} AS BIGINT)
+         + CAST(mean_len_centi < {TA.GOPHER_MIN_MEAN_LEN_CENTI}
+                OR mean_len_centi > {TA.GOPHER_MAX_MEAN_LEN_CENTI} AS BIGINT)
+         + CAST(dup_3gram_ppm > {TA.GOPHER_MAX_DUP3_PPM} AS BIGINT)
+         + CAST(top_2gram_ppm > {TA.GOPHER_MAX_TOP2_PPM} AS BIGINT)
+         + CAST(n_stopwords < {TA.GOPHER_MIN_DISTINCT_STOPWORDS} AS BIGINT)
+           AS rules_failed
+  FROM j
+)
+SELECT doc_id, n_tokens, mean_len_centi, dup_3gram_ppm, top_2gram_ppm,
+       n_stopwords, rules_failed,
+       CASE WHEN rules_failed = 0 THEN 'keep' ELSE 'drop' END AS verdict
+FROM v"""

@@ -1144,3 +1144,116 @@ def perplexity_buckets(
         .otherwise(F.lit("tail"))
         .alias("ppl_bucket"),
     )
+
+
+GOPHER_MIN_WORDS = 10
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_LEN_CENTI = 300   # mean word length >= 3.00 chars
+GOPHER_MAX_MEAN_LEN_CENTI = 1000  # mean word length <= 10.00 chars
+GOPHER_MAX_DUP3_PPM = 200_000     # <= 20% repeated word 3-grams
+GOPHER_MAX_TOP2_PPM = 200_000     # top 2-gram <= 20% of all 2-grams
+GOPHER_MIN_DISTINCT_STOPWORDS = 2
+
+
+def gopher_filter(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style composite document filter (Rae et al. 2021,
+    arXiv:2112.11446 §A1.1): the five classic rule families — word
+    count bounds, mean word length bounds, repeated-3-gram share, top
+    2-gram share, and minimum distinct-stopword evidence — evaluated
+    together, with the per-rule signals exposed so a curation run can
+    audit WHY a document dropped, not just that it did.
+
+    Every signal is an integer (centi-chars, ppm, counts) and the
+    verdict is pure integer comparisons — zero doubles, so the whole
+    rule table is bit-identical across engines. Plan: one narrow map
+    over the token array for counts/length/stopwords/3-gram stats, one
+    explode + map-side-combined 2-gram groupBy (shuffle ∝ 2-grams),
+    one join back on doc_id. Docs too short for any 2-gram keep a row
+    (left join, 0 share).
+
+    Returns ``(doc_id, n_tokens, mean_len_centi, dup_3gram_ppm,
+    top_2gram_ppm, n_stopwords, rules_failed, verdict)``.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), TH.tokens(F.col(text_col)).alias("_t")
+    )
+    en = STOPWORDS["en"]
+    base = (
+        toks.select(
+            "doc_id",
+            F.size("_t").cast("long").alias("n_tokens"),
+            F.expr(
+                "aggregate(_t, CAST(0 AS BIGINT), (a, x) -> a + length(x))"
+            ).alias("sum_len"),
+            F.size(
+                F.array_intersect(F.col("_t"), F.array(*[F.lit(w) for w in en]))
+            )
+            .cast("long")
+            .alias("n_stopwords"),
+            TH.shingles(F.col("_t"), 3).alias("_g3"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr(
+                "CASE WHEN n_tokens > 0 THEN (100 * sum_len) div n_tokens"
+                " ELSE CAST(0 AS BIGINT) END"
+            ).alias("mean_len_centi"),
+            "n_stopwords",
+            F.size("_g3").cast("long").alias("n3"),
+            F.size(F.array_distinct("_g3")).cast("long").alias("d3"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "mean_len_centi",
+            "n_stopwords",
+            F.expr(
+                "CASE WHEN n3 > 0 THEN ((n3 - d3) * CAST(1000000 AS BIGINT))"
+                " div n3 ELSE CAST(0 AS BIGINT) END"
+            ).alias("dup_3gram_ppm"),
+        )
+    )
+    g2 = (
+        toks.select("doc_id", F.explode(TH.shingles(F.col("_t"), 2)).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("mx"), F.sum("c").alias("tot"))
+        .select(
+            "doc_id",
+            F.expr("(mx * CAST(1000000 AS BIGINT)) div tot").alias(
+                "top_2gram_ppm"
+            ),
+        )
+    )
+    joined = base.join(g2, "doc_id", "left").withColumn(
+        "top_2gram_ppm", F.coalesce("top_2gram_ppm", F.lit(0).cast("long"))
+    )
+    fails = (
+        (
+            (F.col("n_tokens") < GOPHER_MIN_WORDS)
+            | (F.col("n_tokens") > GOPHER_MAX_WORDS)
+        ).cast("long")
+        + (
+            (F.col("mean_len_centi") < GOPHER_MIN_MEAN_LEN_CENTI)
+            | (F.col("mean_len_centi") > GOPHER_MAX_MEAN_LEN_CENTI)
+        ).cast("long")
+        + (F.col("dup_3gram_ppm") > GOPHER_MAX_DUP3_PPM).cast("long")
+        + (F.col("top_2gram_ppm") > GOPHER_MAX_TOP2_PPM).cast("long")
+        + (F.col("n_stopwords") < GOPHER_MIN_DISTINCT_STOPWORDS).cast("long")
+    )
+    return joined.select(
+        "doc_id",
+        "n_tokens",
+        "mean_len_centi",
+        "dup_3gram_ppm",
+        "top_2gram_ppm",
+        "n_stopwords",
+        fails.alias("rules_failed"),
+        F.when(fails == 0, F.lit("keep")).otherwise(F.lit("drop")).alias(
+            "verdict"
+        ),
+    )

@@ -1937,3 +1937,30 @@ def test_bpe_encode_matches_sequential_python_encoder(spark):
         assert got[did].n_chars == n_chars
         assert got[did].n_bpe_tokens == n_sym, (did, merges)
         assert got[did].compression_ppm == 1000000 * n_sym // n_chars
+
+
+def test_gopher_filter_planted_rule_failures(spark):
+    """Each rule family trips on its planted document and a clean doc
+    passes all five."""
+    clean = (
+        "the quick brown fox jumps over the lazy dog and runs far "
+        "to find food for the winter in a cold place"
+    )
+    looped = "the cat sat here now " * 20          # dup 3-grams + top 2-gram
+    short = "tiny doc"                             # word count
+    nostop = "zebra quagga okapi tapir bongo kudu eland nyala oryx addax"
+    longw = " ".join(["pneumonoultramicroscopic"] * 12)  # mean len (+stopwords)
+    docs = spark.createDataFrame(
+        [(1, clean), (2, looped), (3, short), (4, nostop), (5, longw)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in TA.gopher_filter(docs).collect()}
+    assert out[1].verdict == "keep" and out[1].rules_failed == 0
+    assert out[2].dup_3gram_ppm > TA.GOPHER_MAX_DUP3_PPM
+    assert out[2].top_2gram_ppm > TA.GOPHER_MAX_TOP2_PPM
+    assert out[2].verdict == "drop"
+    assert out[3].n_tokens < TA.GOPHER_MIN_WORDS and out[3].verdict == "drop"
+    assert out[4].n_stopwords < TA.GOPHER_MIN_DISTINCT_STOPWORDS
+    assert out[4].verdict == "drop"
+    assert out[5].mean_len_centi > TA.GOPHER_MAX_MEAN_LEN_CENTI
+    assert out[5].verdict == "drop"
