@@ -282,6 +282,8 @@ def main() -> None:
         "mm_wav_features",
         "mm_bmp_features",
         "mm_bmp_resize_features",
+        "mm_wav_decimate_features",
+        "docs_gopher_filter",
     ]:
         fn = LQ.llm_queries()[name]
         timed_repeat(name, lambda fn=fn: fn(spark, sf_dir).collect())

@@ -376,6 +376,7 @@ def llm_queries() -> dict[str, QueryFn]:
         "mm_bmp_resize_features": q_bmp_resize_features,
         "docs_bpe_encode": q_bpe_encode,
         "docs_gopher_filter": q_gopher_filter,
+        "mm_wav_decimate_features": q_wav_decimate_features,
     }
 
 
@@ -1561,6 +1562,7 @@ def llm_oracle_sql() -> dict[str, str]:
         "mm_bmp_resize_features": _sql_bmp_resize_features(),
         "docs_bpe_encode": _sql_bpe_encode(),
         "docs_gopher_filter": _sql_gopher_filter(),
+        "mm_wav_decimate_features": _sql_wav_decimate_features(),
     }
 
 
@@ -2574,3 +2576,36 @@ SELECT doc_id, n_tokens, mean_len_centi, dup_3gram_ppm, top_2gram_ppm,
        n_stopwords, rules_failed,
        CASE WHEN rules_failed = 0 THEN 'keep' ELSE 'drop' END AS verdict
 FROM v"""
+
+
+def q_wav_decimate_features(spark, sf_dir):
+    # decode -> decimate -> re-encode -> decode again; features attest
+    # both codec directions, as with mm_bmp_resize_features.
+    return MM.wav_features(MM.wav_decimate(MM.with_wav_payload(_docs(spark, sf_dir))))
+
+
+def _sql_wav_decimate_features() -> str:
+    m, b = MM.WAV_SAMPLES_MOD, MM.WAV_BASE_SAMPLES
+    f = MM.WAV_DECIMATE_FACTOR
+    return f"""
+WITH ex AS (
+  SELECT doc_id,
+         unnest(range(0, ({b} + doc_id % {m} + {f} - 1) // {f})) AS i
+  FROM documents
+),
+s AS (
+  SELECT doc_id, i,
+         ((doc_id * 31 + (i * {f}) * 17) % 2048) - 1024 AS v,
+         CASE WHEN i >= 1
+              THEN ((doc_id * 31 + ((i - 1) * {f}) * 17) % 2048) - 1024
+         END AS vp
+  FROM ex
+)
+SELECT doc_id,
+       CAST(({b} + doc_id % {m} + {f} - 1) // {f} AS BIGINT) AS n_samples,
+       CAST({MM.WAV_SAMPLE_RATE} // {f} AS BIGINT) AS sample_rate,
+       CAST(sum(v * v) AS BIGINT) AS sum_sq,
+       CAST(max(abs(v)) AS BIGINT) AS peak_abs,
+       CAST(sum(CASE WHEN vp IS NOT NULL AND v * vp < 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_zero_cross
+FROM s GROUP BY doc_id"""

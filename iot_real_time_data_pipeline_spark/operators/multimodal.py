@@ -454,3 +454,51 @@ def bmp_resize(
             yield pd.DataFrame({"doc_id": out_ids, "bmp": out_bmps})
 
     return docs_with_bmp.mapInPandas(_resize, schema="doc_id long, bmp binary")
+
+
+WAV_DECIMATE_FACTOR = 4
+
+
+def wav_decimate(
+    docs_with_wav: DataFrame, factor: int = WAV_DECIMATE_FACTOR
+) -> DataFrame:
+    """REAL audio downsample: decode the RIFF container, keep every
+    ``factor``-th PCM frame (sample ``i·factor`` — zero-order
+    decimation, no filter, so the output is a pure integer function of
+    the input and stays closed-form checkable), and re-encode a genuine
+    WAV at ``rate/factor`` through the stdlib ``wave`` writer. Both
+    codec halves run on every row, same contract as ``bmp_resize``.
+
+    Arrow-batched ``mapInPandas``; per-row work only — the decode/
+    re-encode map a 100 TB audio corpus runs with zero shuffle.
+    Verification path: ``wav_features(wav_decimate(...))`` parses the
+    re-encoded container, so a frame-count, rate, or sample-packing
+    bug breaks the energy/zero-cross hash against the closed form.
+    """
+
+    def _decimate(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import struct
+        import wave
+
+        for pdf in batches:
+            ids: list[int] = []
+            wavs: list[bytes] = []
+            for did, blob in zip(pdf["doc_id"], pdf["wav"]):
+                with wave.open(io.BytesIO(bytes(blob)), "rb") as r:
+                    n = r.getnframes()
+                    rate = r.getframerate()
+                    raw = r.readframes(n)
+                s = struct.unpack(f"<{n}h", raw)
+                kept = s[::factor]
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(rate // factor)
+                    w.writeframes(struct.pack(f"<{len(kept)}h", *kept))
+                ids.append(int(did))
+                wavs.append(buf.getvalue())
+            yield pd.DataFrame({"doc_id": ids, "wav": wavs})
+
+    return docs_with_wav.mapInPandas(_decimate, schema="doc_id long, wav binary")

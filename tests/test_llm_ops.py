@@ -1964,3 +1964,31 @@ def test_gopher_filter_planted_rule_failures(spark):
     assert out[4].verdict == "drop"
     assert out[5].mean_len_centi > TA.GOPHER_MAX_MEAN_LEN_CENTI
     assert out[5].verdict == "drop"
+
+
+def test_wav_decimate_roundtrip_real_riff_and_exact_samples(spark):
+    """The decimated payload must be a well-formed RIFF/WAVE at
+    rate/factor whose PCM frames are exactly every factor-th source
+    sample, verified by re-decoding with the stdlib reader."""
+    import io
+    import struct
+    import wave
+
+    docs = spark.createDataFrame(
+        [(i, "x") for i in (0, 7, 63)], "doc_id long, text string"
+    )
+    rows = MM.wav_decimate(MM.with_wav_payload(docs)).collect()
+    f = MM.WAV_DECIMATE_FACTOR
+    for r in rows:
+        n_src = MM.WAV_BASE_SAMPLES + r.doc_id % MM.WAV_SAMPLES_MOD
+        expect = [
+            ((r.doc_id * 31 + i * 17) % 2048) - 1024
+            for i in range(0, n_src, f)
+        ]
+        with wave.open(io.BytesIO(bytes(r.wav)), "rb") as w:
+            assert w.getframerate() == MM.WAV_SAMPLE_RATE // f
+            assert w.getnchannels() == 1 and w.getsampwidth() == 2
+            got = struct.unpack(
+                f"<{w.getnframes()}h", w.readframes(w.getnframes())
+            )
+        assert list(got) == expect
