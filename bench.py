@@ -284,6 +284,8 @@ def main() -> None:
         "mm_bmp_resize_features",
         "mm_wav_decimate_features",
         "docs_gopher_filter",
+        "emb_label_diversity",
+        "docs_tokenizer_fertility",
     ]:
         fn = LQ.llm_queries()[name]
         timed_repeat(name, lambda fn=fn: fn(spark, sf_dir).collect())

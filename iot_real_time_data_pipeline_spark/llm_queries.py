@@ -377,6 +377,8 @@ def llm_queries() -> dict[str, QueryFn]:
         "docs_bpe_encode": q_bpe_encode,
         "docs_gopher_filter": q_gopher_filter,
         "mm_wav_decimate_features": q_wav_decimate_features,
+        "emb_label_diversity": q_label_diversity,
+        "docs_tokenizer_fertility": q_tokenizer_fertility,
     }
 
 
@@ -1563,6 +1565,8 @@ def llm_oracle_sql() -> dict[str, str]:
         "docs_bpe_encode": _sql_bpe_encode(),
         "docs_gopher_filter": _sql_gopher_filter(),
         "mm_wav_decimate_features": _sql_wav_decimate_features(),
+        "emb_label_diversity": _sql_label_diversity(),
+        "docs_tokenizer_fertility": _sql_tokenizer_fertility(),
     }
 
 
@@ -2609,3 +2613,58 @@ SELECT doc_id,
        CAST(sum(CASE WHEN vp IS NOT NULL AND v * vp < 0 THEN 1 ELSE 0 END)
             AS BIGINT) AS n_zero_cross
 FROM s GROUP BY doc_id"""
+
+
+def q_label_diversity(spark, sf_dir):
+    return SIM.label_diversity(_emb(spark, sf_dir))
+
+
+def _sql_label_diversity() -> str:
+    return f"""
+WITH {_EMB_CTE},
+el AS (
+  SELECT label, v FROM (
+    SELECT e.vec_id, e.v, emb.label
+    FROM e JOIN embeddings emb ON e.vec_id = emb.vec_id
+  )
+),
+un AS (
+  SELECT label,
+         list_transform(v, x -> x / sqrt(list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE), list_transform(v, y -> y * y)),
+           (a, z) -> a + z))) AS u
+  FROM el
+),
+ex AS (
+  SELECT label, d.d AS dim, u[d.d] AS x
+  FROM un, LATERAL (SELECT unnest(range(1, {SIM.EMB_DIM} + 1)) AS d) d
+),
+sums AS (SELECT label, dim, sum(x) AS s FROM ex GROUP BY label, dim),
+s2 AS (SELECT label, sum(s * s) AS s2 FROM sums GROUP BY label),
+n AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vectors FROM un GROUP BY label)
+SELECT n.label, n.n_vectors,
+       {TH.sql_quantized6('CASE WHEN n.n_vectors > 1 THEN (s2.s2 - n.n_vectors) / (n.n_vectors * (n.n_vectors - 1)) END')}
+         AS mean_pairwise_cosine
+FROM n JOIN s2 ON n.label = s2.label"""
+
+
+def q_tokenizer_fertility(spark, sf_dir):
+    return TA.tokenizer_fertility(_docs(spark, sf_dir))
+
+
+def _sql_tokenizer_fertility() -> str:
+    return f"""
+WITH enc0 AS ({_sql_bpe_encode()}),
+lab AS (
+  SELECT d.lang, e.n_words, e.n_chars, e.n_bpe_tokens
+  FROM documents d JOIN enc0 e ON d.doc_id = e.doc_id
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_words) AS BIGINT) AS n_words,
+       CAST(sum(n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,
+       (1000 * CAST(sum(n_bpe_tokens) AS BIGINT))
+         // CAST(sum(n_words) AS BIGINT) AS fertility_milli,
+       (100 * CAST(sum(n_chars) AS BIGINT))
+         // CAST(sum(n_bpe_tokens) AS BIGINT) AS chars_per_token_centi
+FROM lab GROUP BY lang"""

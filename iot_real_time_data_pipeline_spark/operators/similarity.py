@@ -1139,3 +1139,47 @@ def ann_recall_audit(
             F.expr(f"(1000 * n_hits) div {k}").alias("recall_milli"),
         )
     )
+
+
+def label_diversity(embeddings: DataFrame) -> DataFrame:
+    """Mean pairwise cosine similarity within each label group —
+    the diversity number dataset builders watch when they balance a
+    training mix — computed WITHOUT enumerating pairs via the
+    algebraic identity  E[cos(u_i, u_j)] = (‖Σu‖² − n) / (n(n−1))
+    for unit vectors (Σ‖u‖² = n).
+
+    That identity turns an O(n²·d) pairwise job into one aggregation:
+    normalize (narrow map), explode to (label, dim, value) and
+    partial-agg per-dimension sums (shuffle ∝ n·d rows but map-side
+    combined down to |labels|·d partials per partition), then a
+    |labels|-row finish. The same shape survives a 100 TB corpus —
+    the shuffle payload after combine is labels × dims doubles per
+    partition, independent of n.
+
+    Returns ``(label, n_vectors, mean_pairwise_cosine)`` (quantized
+    1e-6; groups of one vector report NULL — no pairs exist).
+    """
+    un = embeddings.select(
+        "label", as_double(F.col("embedding")).alias("v")
+    ).select(
+        "label",
+        F.expr("transform(v, x -> x / sqrt(aggregate(v, 0.0d, (a, y) -> a + y * y)))").alias("u"),
+    )
+    ex = un.select("label", F.posexplode("u").alias("dim", "x"))
+    sums = ex.groupBy("label", "dim").agg(F.sum("x").alias("s"))
+    s2 = sums.groupBy("label").agg(F.sum(F.col("s") * F.col("s")).alias("s2"))
+    n = un.groupBy("label").agg(F.count("*").cast("long").alias("n_vectors"))
+    return (
+        n.join(s2, "label")
+        .select(
+            "label",
+            "n_vectors",
+            TH.quantized6(
+                F.when(
+                    F.col("n_vectors") > 1,
+                    (F.col("s2") - F.col("n_vectors"))
+                    / (F.col("n_vectors") * (F.col("n_vectors") - F.lit(1))),
+                )
+            ).alias("mean_pairwise_cosine"),
+        )
+    )

@@ -1257,3 +1257,47 @@ def gopher_filter(
             "verdict"
         ),
     )
+
+
+def tokenizer_fertility(
+    docs: DataFrame,
+    n_merges: int = BPE_TRAIN_MERGES,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Per-language tokenizer fertility report (encoded symbols per
+    word, ×1000) plus characters-per-symbol — THE cross-lingual equity
+    metric for a tokenizer: languages the merge table under-serves pay
+    more tokens per word, i.e. more compute per sentence. Builds on
+    :func:`bpe_encode` (same trained merges), adds one join to the
+    language label and a |langs|-row groupBy. All-integer outputs.
+
+    Returns ``(lang, n_docs, n_words, n_bpe_tokens, fertility_milli,
+    chars_per_token_centi)``.
+    """
+    enc = bpe_encode(docs, n_merges, text_col, id_col)
+    labeled = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(lang_col).alias("lang")
+    ).join(enc, "doc_id")
+    return (
+        labeled.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.sum("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_words",
+            "n_bpe_tokens",
+            F.expr("(1000 * n_bpe_tokens) div n_words").alias(
+                "fertility_milli"
+            ),
+            F.expr("(100 * sum_chars) div n_bpe_tokens").alias(
+                "chars_per_token_centi"
+            ),
+        )
+    )

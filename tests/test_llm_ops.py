@@ -1992,3 +1992,51 @@ def test_wav_decimate_roundtrip_real_riff_and_exact_samples(spark):
                 f"<{w.getnframes()}h", w.readframes(w.getnframes())
             )
         assert list(got) == expect
+
+
+def test_label_diversity_matches_numpy_pairwise_mean(spark):
+    """The algebraic (||Σu||² − n)/(n(n−1)) identity must equal the
+    brute-force mean pairwise cosine to quantization precision."""
+    import itertools
+
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    rows = []
+    for label in (0, 1):
+        for i in range(6):
+            rows.append(
+                (label * 10 + i, [float(x) for x in rng.randn(4)], label)
+            )
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label long"
+    )
+    got = {r.label: r for r in SIM.label_diversity(emb).collect()}
+    for label in (0, 1):
+        vs = [np.array(v) for (_, v, lb) in rows if lb == label]
+        us = [v / np.linalg.norm(v) for v in vs]
+        pair = [float(a @ b) for a, b in itertools.combinations(us, 2)]
+        want = sum(pair) / len(pair)
+        assert abs(got[label].mean_pairwise_cosine - want) < 2e-6
+        assert got[label].n_vectors == len(vs)
+
+
+def test_tokenizer_fertility_consistent_with_bpe_encode(spark):
+    """Per-language sums must reconcile exactly with the per-doc
+    bpe_encode output joined to the language label."""
+    docs = spark.createDataFrame(
+        [
+            (1, "low low lower lowest new", "en"),
+            (2, "newer newest new low", "en"),
+            (3, "der die und das ist", "de"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    enc = {r.doc_id: r for r in TA.bpe_encode(docs, n_merges=4).collect()}
+    fert = {r.lang: r for r in TA.tokenizer_fertility(docs, n_merges=4).collect()}
+    for lang, ids in (("en", (1, 2)), ("de", (3,))):
+        n_words = sum(enc[i].n_words for i in ids)
+        n_tok = sum(enc[i].n_bpe_tokens for i in ids)
+        assert fert[lang].n_words == n_words
+        assert fert[lang].n_bpe_tokens == n_tok
+        assert fert[lang].fertility_milli == 1000 * n_tok // n_words
