@@ -286,6 +286,7 @@ def main() -> None:
         "docs_gopher_filter",
         "emb_label_diversity",
         "docs_tokenizer_fertility",
+        "emb_label_outliers",
     ]:
         fn = LQ.llm_queries()[name]
         timed_repeat(name, lambda fn=fn: fn(spark, sf_dir).collect())

@@ -379,6 +379,7 @@ def llm_queries() -> dict[str, QueryFn]:
         "mm_wav_decimate_features": q_wav_decimate_features,
         "emb_label_diversity": q_label_diversity,
         "docs_tokenizer_fertility": q_tokenizer_fertility,
+        "emb_label_outliers": q_label_outliers,
     }
 
 
@@ -1567,6 +1568,7 @@ def llm_oracle_sql() -> dict[str, str]:
         "mm_wav_decimate_features": _sql_wav_decimate_features(),
         "emb_label_diversity": _sql_label_diversity(),
         "docs_tokenizer_fertility": _sql_tokenizer_fertility(),
+        "emb_label_outliers": _sql_label_outliers(),
     }
 
 
@@ -2668,3 +2670,38 @@ SELECT lang,
        (100 * CAST(sum(n_chars) AS BIGINT))
          // CAST(sum(n_bpe_tokens) AS BIGINT) AS chars_per_token_centi
 FROM lab GROUP BY lang"""
+
+
+def q_label_outliers(spark, sf_dir):
+    return SIM.label_outliers(_emb(spark, sf_dir))
+
+
+def _sql_label_outliers() -> str:
+    return f"""
+WITH {_EMB_CTE},
+lab AS (
+  SELECT e.vec_id, emb.label, e.v
+  FROM e JOIN embeddings emb ON e.vec_id = emb.vec_id
+),
+ex AS (
+  SELECT vec_id, label, d.d AS dim, v[d.d] AS x
+  FROM lab, LATERAL (SELECT unnest(range(1, {SIM.EMB_DIM} + 1)) AS d) d
+),
+cent AS (
+  SELECT label, dim, {TH.sql_quantized6('avg(x)')} AS centroid
+  FROM ex GROUP BY label, dim
+),
+d2 AS (
+  SELECT vec_id, ex.label,
+         {TH.sql_quantized6('sum((x - centroid) * (x - centroid))')} AS d2
+  FROM ex JOIN cent ON ex.label = cent.label AND ex.dim = cent.dim
+  GROUP BY vec_id, ex.label
+),
+stats AS (
+  SELECT label, {TH.sql_quantized6('avg(d2)')} AS mean_d2,
+         {TH.sql_quantized6('stddev_pop(d2)')} AS std_d2
+  FROM d2 GROUP BY label
+)
+SELECT vec_id, d2.label, d2,
+       d2 > mean_d2 + 2 * std_d2 AS is_outlier
+FROM d2 JOIN stats ON d2.label = stats.label"""

@@ -1183,3 +1183,55 @@ def label_diversity(embeddings: DataFrame) -> DataFrame:
             ).alias("mean_pairwise_cosine"),
         )
     )
+
+
+def label_outliers(embeddings: DataFrame) -> DataFrame:
+    """Mislabeled/anomalous-vector detector: squared L2 distance of
+    every vector to its label centroid, flagged when it exceeds the
+    label's mean + 2σ — the cheap first-pass audit dataset builders
+    run before trusting classifier labels at scale.
+
+    Determinism: the centroid is the 1e-6-quantized per-dimension mean
+    (:func:`label_centroids` semantics) and each distance is quantized
+    before the per-label mean/σ, so the flag threshold compares
+    IEEE-identical doubles on both engines — no raw-accumulation
+    comparisons anywhere.
+
+    Plan: posexplode to (label, dim, x) with map-side-combined
+    centroid aggregation (shuffle compresses to |labels|·d partials
+    per partition), centroids broadcast back against the exploded
+    frame, one groupBy(vec) for distances, a |labels|-row stats
+    broadcast for the flag. Nothing scales with n² and the only
+    n-proportional shuffle is the (vec_id, dim) distance reduce.
+
+    Returns ``(vec_id, label, d2, is_outlier)``.
+    """
+    ex = embeddings.select(
+        "vec_id",
+        "label",
+        F.posexplode(as_double(F.col("embedding"))).alias("pos", "x"),
+    ).select(
+        "vec_id", "label", (F.col("pos") + 1).cast("long").alias("dim"), "x"
+    )
+    cent = label_centroids(embeddings)
+    d2 = (
+        ex.join(F.broadcast(cent), ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(
+            TH.quantized6(
+                F.sum((F.col("x") - F.col("centroid")) * (F.col("x") - F.col("centroid")))
+            ).alias("d2")
+        )
+    )
+    stats = d2.groupBy("label").agg(
+        TH.quantized6(F.avg("d2")).alias("mean_d2"),
+        TH.quantized6(F.stddev_pop("d2")).alias("std_d2"),
+    )
+    return d2.join(F.broadcast(stats), "label").select(
+        "vec_id",
+        "label",
+        "d2",
+        (F.col("d2") > F.col("mean_d2") + 2 * F.col("std_d2")).alias(
+            "is_outlier"
+        ),
+    )

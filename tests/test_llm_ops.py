@@ -2040,3 +2040,29 @@ def test_tokenizer_fertility_consistent_with_bpe_encode(spark):
         assert fert[lang].n_words == n_words
         assert fert[lang].n_bpe_tokens == n_tok
         assert fert[lang].fertility_milli == 1000 * n_tok // n_words
+
+
+def test_label_outliers_flags_planted_far_vector(spark):
+    """A vector far from its label's tight cluster must be flagged;
+    the cluster members must not; d2 must match numpy against the
+    quantized centroid."""
+    import numpy as np
+
+    base = [1.0, 0.0, 0.0, 0.0]
+    rows = []
+    for i in range(8):  # tight cluster around base
+        v = list(base)
+        v[1] = 0.01 * i
+        rows.append((i, v, 0))
+    rows.append((99, [-5.0, 4.0, -3.0, 2.0], 0))  # planted outlier
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label long"
+    )
+    out = {r.vec_id: r for r in SIM.label_outliers(emb).collect()}
+    assert out[99].is_outlier
+    assert not any(out[i].is_outlier for i in range(8))
+    vs = {vid: np.array(v) for vid, v, _ in rows}
+    cent = np.round(np.mean(list(vs.values()), axis=0) * 1e6) / 1e6
+    for vid, v in vs.items():
+        want = round(float(((v - cent) ** 2).sum()) * 1e6) / 1e6
+        assert abs(out[vid].d2 - want) < 2e-6
