@@ -287,6 +287,7 @@ def main() -> None:
         "emb_label_diversity",
         "docs_tokenizer_fertility",
         "emb_label_outliers",
+        "docs_curation_v2",
     ]:
         fn = LQ.llm_queries()[name]
         timed_repeat(name, lambda fn=fn: fn(spark, sf_dir).collect())

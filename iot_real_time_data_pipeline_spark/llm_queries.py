@@ -380,6 +380,7 @@ def llm_queries() -> dict[str, QueryFn]:
         "emb_label_diversity": q_label_diversity,
         "docs_tokenizer_fertility": q_tokenizer_fertility,
         "emb_label_outliers": q_label_outliers,
+        "docs_curation_v2": q_curation_v2,
     }
 
 
@@ -1569,6 +1570,7 @@ def llm_oracle_sql() -> dict[str, str]:
         "emb_label_diversity": _sql_label_diversity(),
         "docs_tokenizer_fertility": _sql_tokenizer_fertility(),
         "emb_label_outliers": _sql_label_outliers(),
+        "docs_curation_v2": _sql_curation_v2(),
     }
 
 
@@ -2705,3 +2707,33 @@ stats AS (
 SELECT vec_id, d2.label, d2,
        d2 > mean_d2 + 2 * std_d2 AS is_outlier
 FROM d2 JOIN stats ON d2.label = stats.label"""
+
+
+def q_curation_v2(spark, sf_dir):
+    return CUR.curation_v2(_docs(spark, sf_dir))
+
+
+def _sql_curation_v2() -> str:
+    return f"""
+WITH canon AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           min(doc_id) OVER (PARTITION BY
+             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+           ) AS canonical_id
+    FROM documents
+  ) WHERE doc_id = canonical_id
+),
+g AS (
+  SELECT doc_id, n_tokens FROM ({_sql_gopher_filter()})
+  WHERE verdict = 'keep'
+),
+p AS (
+  SELECT doc_id, lang, ppl_bucket, lp_micro
+  FROM ({_sql_perplexity_buckets()})
+  WHERE ppl_bucket <> 'tail'
+)
+SELECT c.doc_id, p.lang, p.ppl_bucket, g.n_tokens, p.lp_micro
+FROM canon c
+JOIN g ON c.doc_id = g.doc_id
+JOIN p ON c.doc_id = p.doc_id"""

@@ -915,3 +915,44 @@ def length_weighted_sample_summary(
             .alias("sum_chars_sampled"),
         )
     )
+
+
+def curation_v2(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The modern curated-corpus cut, composing this round's quality
+    stack end to end in ONE lazy plan: exact-dup canonicalization
+    (normalized-text digest, min-id representative), the five-rule
+    Gopher gate (:func:`text_analysis.gopher_filter`), and the CCNet
+    perplexity split (:func:`text_analysis.perplexity_buckets`) with
+    the gibberish 'tail' third dropped — the pipeline shape of a
+    production pretraining cut (dedup → rules → LM filter).
+
+    All three stages key on doc_id, so the composition is two hash
+    joins over per-doc signal tables that each scale as documented in
+    their own operators; no stage re-reads document bodies after its
+    own scan. Output manifest: ``(doc_id, lang, ppl_bucket, n_tokens,
+    lp_micro)``.
+    """
+    canon = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(DD.normalized(F.col(text_col))).alias("text_hash"),
+    ).withColumn(
+        "canonical_id", F.min("doc_id").over(Window.partitionBy("text_hash"))
+    )
+    keep_ids = canon.filter(F.col("doc_id") == F.col("canonical_id")).select(
+        "doc_id"
+    )
+    gopher_keep = (
+        TA.gopher_filter(docs, text_col, id_col)
+        .filter(F.col("verdict") == "keep")
+        .select("doc_id", "n_tokens")
+    )
+    ppl = (
+        TA.perplexity_buckets(docs, text_col, id_col)
+        .filter(F.col("ppl_bucket") != "tail")
+        .select("doc_id", "lang", "ppl_bucket", "lp_micro")
+    )
+    return keep_ids.join(gopher_keep, "doc_id").join(ppl, "doc_id").select(
+        "doc_id", "lang", "ppl_bucket", "n_tokens", "lp_micro"
+    )

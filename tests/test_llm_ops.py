@@ -1948,7 +1948,7 @@ def test_gopher_filter_planted_rule_failures(spark):
     )
     looped = "the cat sat here now " * 20          # dup 3-grams + top 2-gram
     short = "tiny doc"                             # word count
-    nostop = "zebra quagga okapi tapir bongo kudu eland nyala oryx addax"
+    nostop = "zebra quagga okapi tapir bongo kudu eland nyala oryx addax"  # 0 hits
     longw = " ".join(["pneumonoultramicroscopic"] * 12)  # mean len (+stopwords)
     docs = spark.createDataFrame(
         [(1, clean), (2, looped), (3, short), (4, nostop), (5, longw)],
@@ -2066,3 +2066,32 @@ def test_label_outliers_flags_planted_far_vector(spark):
     for vid, v in vs.items():
         want = round(float(((v - cent) ** 2).sum()) * 1e6) / 1e6
         assert abs(out[vid].d2 - want) < 2e-6
+
+
+def test_curation_v2_composes_three_gates(spark):
+    """The manifest must contain exactly the docs that are (a) the
+    canonical copy of their normalized text, (b) Gopher-keep, and (c)
+    outside the perplexity tail — verified by recomputing each gate
+    independently."""
+    rows = [
+        (1, "the fast data table joins the small key for the scan", "en"),
+        (2, "THE fast data table joins the small key for the scan ", "en"),
+        (3, "zx qv wk jq px bn md lw ty uz gh rk", "en"),  # no stopwords
+        (4, "the merge sort runs and the filter scans it for the rows", "en"),
+        (5, "the group agg is in the window and the batch for it", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {r.doc_id for r in CUR.curation_v2(docs).collect()}
+    canon = {1, 3, 4, 5}  # 2 is a normalized dup of 1
+    gopher = {
+        r.doc_id
+        for r in TA.gopher_filter(docs).collect()
+        if r.verdict == "keep"
+    }
+    ppl = {
+        r.doc_id
+        for r in TA.perplexity_buckets(docs).collect()
+        if r.ppl_bucket != "tail"
+    }
+    assert got == canon & gopher & ppl
+    assert 2 not in got and 3 not in got
