@@ -2095,3 +2095,64 @@ def test_curation_v2_composes_three_gates(spark):
     }
     assert got == canon & gopher & ppl
     assert 2 not in got and 3 not in got
+
+
+def test_property_perplexity_buckets_thirds_and_order(spark):
+    """Property: for ANY corpus, each language's buckets have the exact
+    integer-thirds sizes and every head doc scores >= every middle doc
+    >= every tail doc within its language (ties broken by doc_id)."""
+    from hypothesis import given, settings, strategies as st
+
+    words = st.sampled_from(
+        ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+    )
+    doc = st.lists(words, min_size=1, max_size=10).map(" ".join)
+
+    @settings(max_examples=5, deadline=None)
+    @given(st.lists(doc, min_size=3, max_size=12))
+    def check(texts):
+        df = spark.createDataFrame(
+            [(i, t, ["en", "de"][i % 2]) for i, t in enumerate(texts)],
+            "doc_id long, text string, lang string",
+        )
+        rows = TA.perplexity_buckets(df).collect()
+        by_lang = {}
+        for r in rows:
+            by_lang.setdefault(r.lang, []).append(r)
+        order = {"head": 0, "middle": 1, "tail": 2}
+        for lang, rs in by_lang.items():
+            n = len(rs)
+            counts = {"head": 0, "middle": 1, "tail": 2}
+            counts = {b: sum(1 for r in rs if r.ppl_bucket == b)
+                      for b in order}
+            assert counts["head"] == n // 3
+            assert counts["head"] + counts["middle"] == (2 * n) // 3
+            rs_sorted = sorted(rs, key=lambda r: (-r.lp_micro, r.doc_id))
+            labels = [order[r.ppl_bucket] for r in rs_sorted]
+            assert labels == sorted(labels)
+
+    check()
+
+
+def test_property_label_diversity_bounded(spark):
+    """Property: mean pairwise cosine of unit vectors lies in
+    [-1, 1 + eps] for ANY input set."""
+    from hypothesis import given, settings, strategies as st
+
+    coord = st.floats(
+        min_value=-5, max_value=5, allow_nan=False, allow_infinity=False
+    ).filter(lambda x: abs(x) > 1e-3)
+    vec = st.lists(coord, min_size=3, max_size=3)
+
+    @settings(max_examples=5, deadline=None)
+    @given(st.lists(vec, min_size=2, max_size=8))
+    def check(vecs):
+        df = spark.createDataFrame(
+            [(i, v, 0) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<double>, label long",
+        )
+        (row,) = SIM.label_diversity(df).collect()
+        assert row.n_vectors == len(vecs)
+        assert -1.000002 <= row.mean_pairwise_cosine <= 1.000002
+
+    check()
