@@ -288,6 +288,7 @@ def main() -> None:
         "docs_tokenizer_fertility",
         "emb_label_outliers",
         "docs_curation_v2",
+        "docs_dedup_funnel",
     ]:
         fn = LQ.llm_queries()[name]
         timed_repeat(name, lambda fn=fn: fn(spark, sf_dir).collect())

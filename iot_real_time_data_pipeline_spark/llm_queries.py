@@ -381,6 +381,7 @@ def llm_queries() -> dict[str, QueryFn]:
         "docs_tokenizer_fertility": q_tokenizer_fertility,
         "emb_label_outliers": q_label_outliers,
         "docs_curation_v2": q_curation_v2,
+        "docs_dedup_funnel": q_dedup_funnel,
     }
 
 
@@ -1571,6 +1572,7 @@ def llm_oracle_sql() -> dict[str, str]:
         "docs_tokenizer_fertility": _sql_tokenizer_fertility(),
         "emb_label_outliers": _sql_label_outliers(),
         "docs_curation_v2": _sql_curation_v2(),
+        "docs_dedup_funnel": _sql_dedup_funnel(),
     }
 
 
@@ -2737,3 +2739,27 @@ SELECT c.doc_id, p.lang, p.ppl_bucket, g.n_tokens, p.lp_micro
 FROM canon c
 JOIN g ON c.doc_id = g.doc_id
 JOIN p ON c.doc_id = p.doc_id"""
+
+
+def q_dedup_funnel(spark, sf_dir):
+    return DD.dedup_funnel(_docs(spark, sf_dir), threshold=JACCARD_THRESHOLD)
+
+
+def _sql_dedup_funnel() -> str:
+    return f"""
+WITH raw AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+ex AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ({_sql_exact_dedup()})),
+near AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM ({_sql_dup_clusters()})
+  WHERE is_canonical
+),
+funnel AS (
+  SELECT CAST(0 AS BIGINT) AS stage_ord, 'raw' AS stage, n FROM raw
+  UNION ALL
+  SELECT 1, 'exact_dedup', n FROM ex
+  UNION ALL
+  SELECT 2, 'near_dup_canonical', n FROM near
+)
+SELECT stage_ord, stage, n AS n_docs,
+       (n * CAST(1000000 AS BIGINT)) // (SELECT n FROM raw) AS retained_ppm
+FROM funnel"""

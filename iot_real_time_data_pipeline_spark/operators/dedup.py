@@ -1089,3 +1089,56 @@ def weighted_jaccard_pairs(
         )
         .filter(F.col("wjac_ppm") >= threshold_ppm)
     )
+
+
+def dedup_funnel(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Stage-wise dedup retention funnel — the audit table a corpus
+    build publishes with every release: how many documents survive (a)
+    raw, (b) exact dedup on normalized text, (c) near-dup collapse to
+    MinHash-cluster canonicals. Retention is reported in ppm of raw so
+    the three rows read as a funnel without a calculator.
+
+    Each stage's count reuses the stage's own operator
+    (:func:`exact_dedup`, :func:`dup_clusters`), so the funnel can
+    never drift from what the pipeline actually does; the extra cost
+    over running those operators is three global COUNTs (map-side
+    combined single-row aggregates).
+
+    Returns ``(stage_ord, stage, n_docs, retained_ppm)``.
+    """
+    n_raw = docs.agg(F.count("*").cast("long").alias("n_docs"))
+    n_exact = exact_dedup(docs, text_col, id_col).agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    n_near = (
+        dup_clusters(docs, text_col, id_col, threshold)
+        .filter(F.col("is_canonical"))
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+    stages = [
+        (0, "raw", n_raw),
+        (1, "exact_dedup", n_exact),
+        (2, "near_dup_canonical", n_near),
+    ]
+    out = None
+    for ord_, name, frame in stages:
+        row = frame.select(
+            F.lit(ord_).cast("long").alias("stage_ord"),
+            F.lit(name).alias("stage"),
+            "n_docs",
+        )
+        out = row if out is None else out.unionByName(row)
+    base = n_raw.select(F.col("n_docs").alias("raw_docs"))
+    return out.crossJoin(F.broadcast(base)).select(
+        "stage_ord",
+        "stage",
+        "n_docs",
+        F.expr("(n_docs * CAST(1000000 AS BIGINT)) div raw_docs").alias(
+            "retained_ppm"
+        ),
+    )

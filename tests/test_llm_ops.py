@@ -2156,3 +2156,26 @@ def test_property_label_diversity_bounded(spark):
         assert -1.000002 <= row.mean_pairwise_cosine <= 1.000002
 
     check()
+
+
+def test_dedup_funnel_planted_exact_and_near_dups(spark):
+    """Planted corpus: 6 docs = 2 exact copies of A + B + a near-dup
+    pair (C, C') + unique D. Funnel: raw 6, exact 5, near-canonical 4;
+    monotone non-increasing and ppm of raw exact."""
+    c = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, "the data table scan", "en"),
+        (2, "the data  TABLE scan ", "en"),      # normalized dup of 1
+        (3, "totally different content here", "en"),
+        (4, c + " one", "en"),
+        (5, c + " two", "en"),                   # near-dup of 4 (J>=0.8)
+        (6, "unique content entirely its own", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r.stage: r for r in DD.dedup_funnel(docs).collect()}
+    assert out["raw"].n_docs == 6
+    assert out["exact_dedup"].n_docs == 5
+    assert out["near_dup_canonical"].n_docs <= out["exact_dedup"].n_docs
+    assert out["near_dup_canonical"].n_docs <= 5
+    for r in out.values():
+        assert r.retained_ppm == r.n_docs * 1000000 // 6
