@@ -78,10 +78,17 @@ def main() -> None:
     storage_bytes_at_release: dict[str, int] = {}
 
     def release_caches(tag: str) -> None:
-        infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
-        storage_bytes_at_release[tag] = int(sum(i.memSize() for i in infos))
+        from iot_real_time_data_pipeline_spark.operators.dedup import (
+            release_session_caches,
+        )
+
         if release_between_families:
-            spark.catalog.clearCache()
+            storage_bytes_at_release[tag] = release_session_caches(spark)
+        else:
+            infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+            storage_bytes_at_release[tag] = int(
+                sum(i.memSize() for i in infos)
+            )
 
     def timed(name: str, fn):
         t0 = time.perf_counter()

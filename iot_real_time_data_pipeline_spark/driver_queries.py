@@ -70,10 +70,33 @@ LAKE_SLICE_LOCS = ["loc_1", "loc_2"]
 
 
 def _lake_dir(sf_dir: str) -> str:
+    """Cache-dir path for the materialized lake, keyed on a CONTENT
+    fingerprint (path + mtime + size of every source parquet file), not
+    just the sf_dir path — regenerated source data under the same path
+    gets a fresh cache dir instead of silently serving stale rows."""
+    import hashlib
     import tempfile
 
+    src = os.path.join(sf_dir, "events.parquet")
+    paths = []
+    if os.path.isdir(src):
+        for dp, _dn, fns in os.walk(src):
+            paths += [
+                os.path.join(dp, f)
+                for f in fns
+                if not f.startswith((".", "_"))
+            ]
+    elif os.path.exists(src):
+        paths = [src]
+    h = hashlib.sha256()
+    for p in sorted(paths):
+        st = os.stat(p)
+        h.update(f"{p}|{st.st_mtime_ns}|{st.st_size}\n".encode())
     tag = sf_dir.rstrip("/").replace("/", "_")
-    return os.path.join(tempfile.gettempdir(), f"spark_graft_lake{tag}")
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_lake{tag}_{h.hexdigest()[:12]}",
+    )
 
 
 def q_staging_from_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -103,11 +126,26 @@ def q_staging_from_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.to_date(F.col("event_ts")), F.lit("1970-01-01").cast("date")
             ).alias("date"),
         )
+        # Build in a unique scratch dir, publish with one atomic rename:
+        # two concurrent sessions can both pass the _SUCCESS guard, but
+        # the loser's rename fails against the existing dir and it
+        # adopts the winner's (same-fingerprint ⇒ same rows) copy.
+        import shutil
+        import tempfile
+
+        scratch = tempfile.mkdtemp(prefix="spark_graft_lake_build_")
+        build_dir = os.path.join(scratch, "lake")
         (
             typed.write.mode("overwrite")
             .partitionBy("validation_status", "loc_part", "date")
-            .parquet(lake_dir)
+            .parquet(build_dir)
         )
+        try:
+            os.rename(build_dir, lake_dir)
+        except OSError:
+            pass  # lost the publish race — the existing dir is equivalent
+        finally:
+            shutil.rmtree(scratch, ignore_errors=True)
     scan = spark.read.parquet(lake_dir)
     pruned = scan.filter(
         F.col("validation_status").isin("VALID", "WARNING")

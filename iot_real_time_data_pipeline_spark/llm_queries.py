@@ -200,7 +200,9 @@ WITH enc AS (
 ),
 cls AS (
   SELECT blen,
-         CASE WHEN blen = 0 THEN 'empty'
+         -- NULL text mirrors the Spark side's isNull branch: class
+         -- 'empty' with blen left NULL (sum/max skip it on both engines)
+         CASE WHEN blen IS NULL OR blen = 0 THEN 'empty'
               WHEN h = '7B' THEN 'json-like'
               WHEN h = '3C' THEN 'markup-like'
               WHEN h BETWEEN '30' AND '39' THEN 'digit-led'

@@ -39,7 +39,10 @@ intermediates are shared across queries in a session* (e.g.
 recomputing it — measured as the difference between 1x and 2x the pair
 cost). Eviction is the cache's LRU job; only operators that fully
 materialize internally (``connected_components``'s per-round loop)
-unpersist their own frames.
+unpersist their own frames. Long-lived sessions composing MANY dedup
+queries should call :func:`release_session_caches` at natural
+boundaries (the bench does, between query families) to drop the
+accumulated frames instead of waiting on LRU pressure.
 """
 
 from __future__ import annotations
@@ -66,6 +69,24 @@ SIMHASH_BANDS = 4
 SIMHASH_ORACLE_BITS = 32
 SIMHASH_ORACLE_BANDS = 4
 SIMHASH_ORACLE_BAND_BITS = SIMHASH_ORACLE_BITS // SIMHASH_ORACLE_BANDS  # 8
+
+
+def release_session_caches(spark) -> int:
+    """Drop every SQL cache the session has accumulated (the operator-
+    internal persists this module's lifetime policy leaves behind —
+    shingle postings, band frames, fingerprints) and return the storage
+    bytes that were held at release time.
+
+    Call at natural session boundaries (between query families, after a
+    dedup campaign) — the policy that keeps caches alive for plan
+    sharing within a burst of related queries is wrong for a session
+    that moves on to unrelated work. The bench applies exactly this
+    hygiene between families (bench.py).
+    """
+    infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    held = int(sum(i.memSize() for i in infos))
+    spark.catalog.clearCache()
+    return held
 
 
 def normalized(text: F.Column) -> F.Column:
@@ -753,29 +774,30 @@ def pagerank(
     UNROLLS the same recurrence as chained CTEs.
 
     Each iteration is one edge-join + one groupBy(dst) — shuffle
-    proportional to edges, the same shape as ``connected_components``
-    — with ``localCheckpoint`` lineage truncation per round. Isolated
-    nodes converge to the teleport floor immediately.
+    proportional to edges, the same shape as ``connected_components``.
+    Isolated nodes converge to the teleport floor immediately.
 
     Returns ``(doc_id, rank_ppm)`` for every document.
     """
     pairs = minhash_lsh_pairs(docs, text_col, id_col, threshold).select(
         "doc_a", "doc_b"
     )
-    # Eager localCheckpoint MATERIALIZES the edge list now (one job) and
-    # truncates its lineage, so the LSH pair pipeline behind it runs
-    # exactly once no matter how lazily the returned ranks are consumed.
-    # (A plain persist() here never took effect: nothing below triggers
-    # an action before the function returns, so unpersisting on exit
-    # dropped the marker before any evaluation could populate it.)
-    edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .unionByName(
-            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-        )
-        .localCheckpoint(eager=True)
-    )
-    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    # Construction must stay action-free (plan audits, registry
+    # enumeration, schema inspection) — and under AQE even a LAZY
+    # ``localCheckpoint(eager=False)`` executes the plan's shuffle
+    # stages at construction time (Dataset→RDD conversion materializes
+    # adaptive query stages). So: lazy persist() on the edge list (the
+    # module's no-unpersist cache policy applies — see header), which
+    # makes every iteration read the LSH pair pipeline's output from
+    # cache after the first action computes it once. The iteration plan
+    # is a fixed-depth (``iters``, default 5) nested tree — bounded, so
+    # no lineage truncation is needed; the first action runs it all.
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    ).persist()
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg")).persist()
     nodes = docs.select(F.col(id_col).alias("doc_id"))
     ranks = nodes.withColumn("rank_ppm", F.lit(PR_INIT_PPM).cast("long"))
     for _ in range(iters):
@@ -801,7 +823,6 @@ def pagerank(
                 .cast("long")
                 .alias("rank_ppm"),
             )
-            .localCheckpoint(eager=False)
         )
     return ranks
 

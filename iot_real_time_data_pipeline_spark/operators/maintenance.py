@@ -36,12 +36,35 @@ TARGET_FILES_PER_PARTITION = 1
 
 def _leaf_partition_dirs(root: str) -> list[str]:
     """Deepest directories under ``root`` that directly contain parquet
-    part files (hive-style key=value layout at any nesting depth)."""
+    part files (hive-style key=value layout at any nesting depth).
+    Hidden dirs (``.``/``_`` prefixed — swap scratch space) are skipped,
+    mirroring Spark's own listing rules."""
     leaves = []
-    for dirpath, _dirnames, filenames in os.walk(root):
+    for dirpath, dirnames, filenames in os.walk(root):
+        dirnames[:] = [d for d in dirnames if not d.startswith((".", "_"))]
         if any(f.endswith(".parquet") for f in filenames):
             leaves.append(dirpath)
     return sorted(leaves)
+
+
+def _hidden_sibling(path: str, suffix: str) -> str:
+    """A scratch-dir path next to ``path`` whose basename is dot-prefixed
+    so Spark's file listing (and ours) never treats it as data."""
+    base = path.rstrip("/")
+    parent, name = os.path.split(base)
+    return os.path.join(parent, "." + name + suffix)
+
+
+def _swap_dirs(live: str, staged: str) -> None:
+    """Atomically-enough replace ``live`` with ``staged``: two renames,
+    so a reader sees either the old file set or the new one, never a
+    half-written mix. Readers that already planned their scan hold the
+    old inodes (POSIX rename keeps them readable)."""
+    old = _hidden_sibling(live, "._old")
+    shutil.rmtree(old, ignore_errors=True)  # leftover from a prior crash
+    os.rename(live, old)
+    os.rename(staged, live)
+    shutil.rmtree(old)
 
 
 def compact_lake(
@@ -73,17 +96,13 @@ def compact_lake(
             )
             continue
         df = spark.read.parquet(leaf)
-        tmp = leaf + "._compacting"
-        df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
-        # swap: drop originals, move compacted files in
-        for f in files:
-            os.remove(os.path.join(leaf, f))
-        moved = 0
-        for f in os.listdir(tmp):
-            if f.endswith(".parquet"):
-                shutil.move(os.path.join(tmp, f), os.path.join(leaf, f))
-                moved += 1
+        tmp = _hidden_sibling(leaf, "._compacting")
         shutil.rmtree(tmp, ignore_errors=True)
+        df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
+        # swap: the staged dir replaces the partition in one rename, so
+        # a crash or concurrent reader never observes a partial set.
+        _swap_dirs(leaf, tmp)
+        moved = sum(1 for f in os.listdir(leaf) if f.endswith(".parquet"))
         report.append(
             {
                 "partition": os.path.relpath(leaf, root),
@@ -162,11 +181,14 @@ def merge_into_lake(
 
     ``changes`` carries ``op`` ('U' update / 'D' delete / 'I' insert)
     plus the full lake schema; updates replace the whole row for their
-    key. Planning is driver-side over footer STATISTICS only (the
-    manifest scan every table format does — cost ∝ files, zero data
-    pages); matched-file rewrite is a Spark scan of JUST those files
-    with the change batch broadcast. The swap is rewrite-then-replace
-    per file set, so failure before the swap leaves the lake intact.
+    key (change-row columns taken verbatim, NULLs included). Planning is
+    driver-side over footer STATISTICS only (the manifest scan every
+    table format does — cost ∝ files, zero data pages); matched-file
+    rewrite is a Spark scan of JUST those files with the change batch
+    broadcast. The post-merge file set is staged in a hidden sibling
+    dir (untouched files hardlinked, zero-copy) and the root flips in
+    one rename — a crash or concurrent reader sees either the old lake
+    or the new one, never a mix.
 
     Returns ``{n_files_total, n_files_rewritten, n_rows_updated,
     n_rows_deleted, n_rows_inserted}``.
@@ -194,6 +216,32 @@ def merge_into_lake(
         return i < len(keys) and keys[i] <= hi
 
     matched = [f for f in files if overlaps(_file_key_bounds(f, key_col))]
+    matched_set = set(matched)
+
+    # Stage the ENTIRE post-merge file set in a hidden sibling dir:
+    # untouched files are hardlinked (zero-copy, same inode — the
+    # manifest trick table formats do logically), rewritten/inserted
+    # files land under new names. The root then flips in one rename.
+    base = root.rstrip("/")
+    staged = _hidden_sibling(base, "._merge_staged")
+    scratch = _hidden_sibling(base, "._merge_scratch")
+    shutil.rmtree(staged, ignore_errors=True)
+    shutil.rmtree(scratch, ignore_errors=True)
+    os.makedirs(staged)
+    for f in files:
+        if f not in matched_set:
+            os.link(f, os.path.join(staged, os.path.basename(f)))
+
+    def _stage_write(df: DataFrame, n_files: int, prefix: str) -> None:
+        df.coalesce(max(1, n_files)).write.mode("overwrite").parquet(scratch)
+        for i, f in enumerate(
+            sorted(x for x in os.listdir(scratch) if x.endswith(".parquet"))
+        ):
+            shutil.move(
+                os.path.join(scratch, f),
+                os.path.join(staged, f"{prefix}-{i:05d}-{f}"),
+            )
+        shutil.rmtree(scratch, ignore_errors=True)
 
     n_upd = n_del = 0
     if matched:
@@ -212,43 +260,34 @@ def merge_into_lake(
         ).join(
             F.broadcast(dels), cur[key_col] == F.col("_del_key"), "left"
         )
-        n_upd = joined.filter(F.col(f"_new_{key_col}").isNotNull()).count()
-        n_del = joined.filter(F.col("_del_key").isNotNull()).count()
-        rewritten = joined.filter(F.col("_del_key").isNull()).select(
+        is_upd = F.col(f"_new_{key_col}").isNotNull()
+        is_del = F.col("_del_key").isNotNull()
+        # One aggregation pass for both counters. A key that is both
+        # updated and deleted counts only as deleted (the update never
+        # becomes visible).
+        counts = joined.agg(
+            F.sum(F.when(is_upd & ~is_del, 1).otherwise(0)).alias("u"),
+            F.sum(F.when(is_del, 1).otherwise(0)).alias("d"),
+        ).collect()[0]
+        n_upd, n_del = int(counts["u"] or 0), int(counts["d"] or 0)
+        # Updates replace the WHOLE row: take the change row's columns
+        # verbatim (NULLs included) — no per-column coalesce.
+        rewritten = joined.filter(~is_del).select(
             *[
-                F.coalesce(F.col(f"_new_{c}"), cur[c]).alias(c)
+                F.when(is_upd, F.col(f"_new_{c}")).otherwise(cur[c]).alias(c)
                 for c in data_cols
             ]
         )
-        tmp = os.path.join(root, "._merging")
-        rewritten.coalesce(max(1, len(matched))).write.mode(
-            "overwrite"
-        ).parquet(tmp)
-        for f in matched:
-            os.remove(f)
-        for i, f in enumerate(
-            sorted(x for x in os.listdir(tmp) if x.endswith(".parquet"))
-        ):
-            shutil.move(
-                os.path.join(tmp, f),
-                os.path.join(root, f"merged-{i:05d}-{os.path.basename(f)}"),
-            )
-        shutil.rmtree(tmp, ignore_errors=True)
+        _stage_write(rewritten, len(matched), "merged")
 
     ins = ch.filter(F.col("op") == "I").drop("op")
     n_ins = ins.count()
     if n_ins:
-        tmp = os.path.join(root, "._inserting")
-        ins.coalesce(1).write.mode("overwrite").parquet(tmp)
-        for i, f in enumerate(
-            sorted(x for x in os.listdir(tmp) if x.endswith(".parquet"))
-        ):
-            shutil.move(
-                os.path.join(tmp, f),
-                os.path.join(root, f"inserted-{i:05d}-{os.path.basename(f)}"),
-            )
-        shutil.rmtree(tmp, ignore_errors=True)
+        _stage_write(ins, 1, "inserted")
     ch.unpersist()
+
+    # Flip: old root aside, staged in, old gone — one visible transition.
+    _swap_dirs(base, staged)
 
     return {
         "n_files_total": len(files),

@@ -42,6 +42,7 @@ from ..functions import texthash as TH
 # signs on this data at every geometry tried.
 IVF_BITS = 5
 IVF_PROBE_RADIUS = 2
+RERANK_M = 16  # candidates per query surviving an int8 first pass
 
 # Random-hyperplane LSH constants for near-dup candidate generation.
 # Fixed seed so Spark and the DuckDB oracle embed the SAME hyperplanes;
@@ -526,10 +527,17 @@ def build_ivf_index(
     buckets opens p directories and never lists the rest. This is the
     at-rest complement of ``ivf_topk`` (which quantizes on the fly):
     build once, probe many.
+
+    Alongside the full vectors, each row stores its int8 codes and
+    integer squared norm (``cc``, ``cn2``) — so a compressed first-pass
+    scan (:func:`ivf_int8_rerank_topk`) reads the 4x-smaller code
+    column and leaves the ``embedding`` column untouched until the
+    exact re-rank (parquet is columnar: unread columns cost nothing).
     """
     eb = embeddings.withColumn(
         "bucket", coarse_bucket(as_double(F.col("embedding")), bits)
-    )
+    ).withColumn("cc", _int8_codes(F.col("embedding")))
+    eb = eb.withColumn("cn2", _fold_sum2(F.col("cc")))
     eb.write.mode(mode).partitionBy("bucket").parquet(path)
 
 
@@ -566,6 +574,117 @@ def ivf_index_topk(
     )
     idx = spark.read.parquet(path).filter(F.col("bucket").isin(probe_buckets))
     return _topk(_scored_pairs(qb, idx, join_on="bucket"), k)
+
+
+def ivf_int8_rerank_topk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 3,
+    m: int = RERANK_M,
+    bits: int = IVF_BITS,
+    probe_radius: int = IVF_PROBE_RADIUS,
+) -> DataFrame:
+    """IVF-on-int8: the persisted index's partition pruning composed
+    with the compressed-scan + exact-re-rank pipeline — the beyond-10⁹
+    -vectors shape where even a full 1-byte-per-dim scan dominates.
+
+    Three prunes multiply:
+    (1) PARTITION: probe buckets collected to literals (plan-constant
+        size, as in :func:`ivf_index_topk`) → unprobed bucket dirs are
+        never listed;
+    (2) COLUMN: stage 1 reads only ``(vec_id, cc, cn2)`` — the int8
+        codes :func:`build_ivf_index` stored — so the probed rows cost
+        ~1 byte/dim, not 8 (parquet never materializes the unread
+        ``embedding`` column; the plan test pins ReadSchema);
+    (3) ROW: the exact re-rank touches full vectors for only the ``m``
+        int8 survivors per query (broadcast candidate join against the
+        probed partitions).
+
+    Bytes scanned ≈ probed_fraction × corpus × 1B/dim + |q|·m full
+    vectors. Recall is CAPPED by the bucket probe (if the true neighbor
+    lives in an unprobed bucket no re-rank recovers it) — on this
+    corpus's isotropic embeddings that cap is the binding constraint
+    (PERF.md grid); on clustered production embeddings the same
+    composition keeps the measured int8-rerank recall at the probed
+    fraction's ceiling.
+
+    Returns ``(query_id, rank, neighbor_id, cosine)`` — exact cosine on
+    the 1e-6 grid for the survivors, ranks 1..k.
+    """
+    from pyspark.sql import Window
+
+    qb = queries.withColumn(
+        "bucket",
+        F.explode(
+            F.array(*[
+                coarse_bucket(as_double(F.col("embedding")), bits).bitwiseXOR(F.lit(mask))
+                for mask in probe_masks(bits, probe_radius)
+            ])
+        ),
+    )
+    probe_buckets = sorted(
+        {r.bucket for r in qb.select("bucket").distinct().collect()}
+    )
+    idx = spark.read.parquet(path).filter(F.col("bucket").isin(probe_buckets))
+
+    # Stage 1: integer scoring over the pruned index's CODE columns.
+    q1 = qb.select(
+        F.col("vec_id").alias("query_id"),
+        _int8_codes(F.col("embedding")).alias("qc"),
+        F.col("bucket").alias("q_bucket"),
+    ).withColumn("qn2", _fold_sum2(F.col("qc")))
+    c1 = idx.select(
+        F.col("vec_id").alias("neighbor_id"), "cc", "cn2", "bucket"
+    )
+    dot_i = F.aggregate(
+        F.zip_with(F.col("qc"), F.col("cc"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    coarse = (
+        c1.join(F.broadcast(q1), F.col("q_bucket") == F.col("bucket"), "inner")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "approx_cosine",
+            dot_i.cast("double")
+            / (
+                F.sqrt(F.col("qn2").cast("double"))
+                * F.sqrt(F.col("cn2").cast("double"))
+            ),
+        )
+        .select("query_id", "neighbor_id", "approx_cosine")
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("approx_cosine").desc(), F.col("neighbor_id")
+    )
+    cand = (
+        coarse.withColumn("crank", F.row_number().over(wc))
+        .filter(F.col("crank") <= m)
+        .select("query_id", "neighbor_id")
+    )
+
+    # Stage 2: exact cosine for the survivors only — query vectors from
+    # the query frame, neighbor vectors from the probed partitions.
+    qfull = queries.select(
+        F.col("vec_id").alias("query_id"),
+        as_double(F.col("embedding")).alias("qe"),
+    ).withColumn("qn", norm(F.col("qe")))
+    nfull = idx.select(
+        F.col("vec_id").alias("neighbor_id"),
+        as_double(F.col("embedding")).alias("ce"),
+    ).withColumn("cn", norm(F.col("ce")))
+    exact = (
+        F.broadcast(cand)
+        .join(F.broadcast(qfull), "query_id")
+        .join(nfull, "neighbor_id")
+        .withColumn(
+            "cosine",
+            dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn")),
+        )
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    return _topk(exact, k)
 
 
 def _int8_codes(emb_col: F.Column) -> F.Column:
@@ -634,9 +753,6 @@ def _fold_sum2(codes: F.Column) -> F.Column:
         F.lit(0).cast("long"),
         lambda a, x: a + x,
     )
-
-
-RERANK_M = 16  # candidates per query surviving the int8 first pass
 
 
 def int8_rerank_topk(

@@ -654,7 +654,10 @@ BPE_TRAIN_MERGES = 8
 
 
 def bpe_train(
-    docs: DataFrame, n_merges: int = BPE_TRAIN_MERGES, text_col: str = "text"
+    docs: DataFrame,
+    n_merges: int = BPE_TRAIN_MERGES,
+    text_col: str = "text",
+    batch_k: int = 1,
 ) -> DataFrame:
     """Distributed BPE tokenizer TRAINING: the iterative greedy-merge
     loop itself (not just the first-round candidate counts of
@@ -673,21 +676,39 @@ def bpe_train(
     sequence is deterministic — which makes the whole LOOP
     oracle-checkable: the DuckDB twin unrolls every round.
 
+    ``batch_k > 1`` opts into the standard trainer optimization: per
+    round, the top-k NON-OVERLAPPING pairs (no shared symbols — so each
+    selected pair's count provably equals what the sequential trainer
+    would have seen) merge together, cutting driver round-trips and
+    lineage checkpoints ~k×. ``batch_k=1`` is the oracle-mirror exact
+    path (DuckDB unrolls that sequence).
+
     Returns ``(merge_rank, a, b, freq)`` — one row per learned merge.
     """
-    merges, _ = _bpe_train_state(docs, n_merges, text_col)
+    merges, _ = _bpe_train_state(docs, n_merges, text_col, batch_k=batch_k)
     return docs.sparkSession.createDataFrame(
         merges, "merge_rank long, a string, b string, freq long"
     )
 
 
 def _bpe_train_state(
-    docs: DataFrame, n_merges: int, text_col: str
+    docs: DataFrame, n_merges: int, text_col: str, batch_k: int = 1
 ) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
     """The shared trainer loop: returns the learned merge list AND the
     final distinct-word symbol table ``(w, cnt, syms)`` — the trained
     tokenizer's full state, which :func:`bpe_encode` applies to the
-    corpus without re-deriving anything."""
+    corpus without re-deriving anything.
+
+    ``batch_k``: merges applied per round. Selection is greedy by
+    (freq DESC, a, b); a candidate joins the round's batch only if its
+    symbols are DISJOINT from every already-selected pair's symbols —
+    merging (a1,b1) only creates/destroys pairs touching a1/b1/merged1,
+    so a disjoint (a2,b2)'s occurrence count is invariant under it and
+    the recorded freq equals the sequential trainer's. (A brand-new
+    pair involving a merged symbol could in principle overtake a
+    selected one mid-round — the standard, accepted approximation; the
+    ``batch_k=1`` default has no approximation and mirrors the oracle.)
+    """
     words = (
         docs.select(F.explode(TH.tokens(F.col(text_col))).alias("w"))
         .filter(F.length("w") > 0)
@@ -703,7 +724,27 @@ def _bpe_train_state(
     )
     cur = vocab.localCheckpoint(eager=True)
     merges: list[tuple[int, str, str, int]] = []
-    for r in range(n_merges):
+    init = F.expr("cast(array() as array<string>)")
+
+    def make_step(a: str, b: str, merged: str):
+        def step(acc, x):
+            hit = (
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(a))
+                & (x == F.lit(b))
+            )
+            return F.when(
+                hit,
+                F.concat(
+                    F.slice(acc, F.lit(1), F.size(acc) - 1),
+                    F.array(F.lit(merged)),
+                ),
+            ).otherwise(F.concat(acc, F.array(x)))
+
+        return step
+
+    while len(merges) < n_merges:
+        k = min(batch_k, n_merges - len(merges))
         pairs = (
             cur.filter(F.size("syms") >= 2)
             .select(
@@ -718,34 +759,30 @@ def _bpe_train_state(
             .groupBy("p.a", "p.b")
             .agg(F.sum("cnt").alias("freq"))
         )
-        top = pairs.orderBy(F.col("freq").desc(), "a", "b").limit(1).collect()
+        # One driver read per ROUND: enough candidates that the
+        # disjointness filter can still fill the batch (4× slack).
+        top = (
+            pairs.orderBy(F.col("freq").desc(), "a", "b")
+            .limit(max(k * 4, k))
+            .collect()
+        )
         if not top:
             break
-        a, b, freq = top[0]["a"], top[0]["b"], int(top[0]["freq"])
-        merged = a + b
-        init = F.expr("cast(array() as array<string>)")
-
-        def make_step(a: str, b: str, merged: str):
-            def step(acc, x):
-                hit = (
-                    (F.size(acc) > 0)
-                    & (F.element_at(acc, -1) == F.lit(a))
-                    & (x == F.lit(b))
-                )
-                return F.when(
-                    hit,
-                    F.concat(
-                        F.slice(acc, F.lit(1), F.size(acc) - 1),
-                        F.array(F.lit(merged)),
-                    ),
-                ).otherwise(F.concat(acc, F.array(x)))
-
-            return step
-
-        cur = cur.withColumn(
-            "syms", F.aggregate("syms", init, make_step(a, b, merged))
-        ).localCheckpoint(eager=True)
-        merges.append((r, a, b, freq))
+        batch: list[tuple[str, str, int]] = []
+        used: set[str] = set()
+        for row in top:
+            a, b = row["a"], row["b"]
+            if a in used or b in used:
+                continue
+            batch.append((a, b, int(row["freq"])))
+            used.update((a, b, a + b))
+            if len(batch) >= k:
+                break
+        col = F.col("syms")
+        for a, b, freq in batch:
+            col = F.aggregate(col, init, make_step(a, b, a + b))
+            merges.append((len(merges), a, b, freq))
+        cur = cur.withColumn("syms", col).localCheckpoint(eager=True)
     return merges, cur
 
 

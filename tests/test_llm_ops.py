@@ -857,6 +857,21 @@ def test_multimodal_first_byte_is_utf8_byte(spark):
     assert feats[2].mime == "application/x-empty" and feats[2].first_byte == -1
 
 
+def test_payload_sniff_null_text_classifies_empty(spark):
+    """NULL payload lands in 'empty' with its NULL byte-length skipped
+    by sum/max — the exact semantics the DuckDB oracle mirrors (the
+    driver corpus has no NULL text, so this pin lives here)."""
+    df = spark.createDataFrame(
+        [(1, None, "en"), (2, "", "en"), (3, "{j}", "en")],
+        "doc_id long, text string, lang string",
+    )
+    out = {r.content_class: r for r in
+           MM.payload_sniff(MM.with_binary_payload(df)).collect()}
+    assert out["empty"].n_items == 2
+    assert out["empty"].total_bytes == 0  # NULL skipped, '' contributes 0
+    assert out["json-like"].n_items == 1 and out["json-like"].total_bytes == 3
+
+
 # --- chunking / packing / percentiles (round 4) ----------------------------
 
 
@@ -1433,6 +1448,34 @@ def test_pagerank_matches_python_integer_recurrence(spark, docs):
             assert out[a] > out[iso[0]]
 
 
+def test_release_session_caches_drops_band_frames(spark, docs):
+    """The public cache-hygiene hook: after a dedup query materializes
+    its persisted intermediates (shingle sets, band frames), releasing
+    reports the bytes held and empties the SQL cache."""
+    DD.minhash_lsh_pairs(docs, threshold=0.8).collect()
+    held = DD.release_session_caches(spark)
+    assert held > 0
+    infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    assert sum(i.memSize() for i in infos) == 0
+
+
+def test_pagerank_construction_is_lazy(spark, docs):
+    """Building the pagerank DataFrame (registry enumeration, plan
+    audits, schema inspection) must launch NO Spark job — the edge
+    localCheckpoint materializes on the first action only."""
+    sc = spark.sparkContext
+    sc.setJobGroup("pr-lazy-check", "pagerank construction")
+    try:
+        ranks = DD.pagerank(docs, threshold=0.8)
+        _ = ranks.schema  # analysis, not execution
+        jobs = sc.statusTracker().getJobIdsForGroup("pr-lazy-check")
+        assert list(jobs) == []
+        # first action still works and checkpoints the edges
+        assert ranks.count() == docs.count()
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+
+
 def test_minhash_calibration_exact_dup_estimates_exactly(spark, docs):
     out = {(r.doc_a, r.doc_b): r for r in DD.minhash_calibration(docs, threshold=0.5).collect()}
     # docs 1 and 2 are identical after normalization: every signature
@@ -1518,6 +1561,45 @@ def test_bpe_train_matches_python_reference_trainer(spark):
     # the classic example: 'newest'/'widest' corpora learn 'est' pieces
     learned = {a + b for _, a, b, _ in out}
     assert any("es" in m or "est" in m or "lo" in m for m in learned)
+
+
+def test_bpe_train_batched_parity_with_sequential(spark):
+    """batch_k>1 applies top-k DISJOINT merges per round; on a corpus
+    whose top pairs share no symbols the batched trainer must equal the
+    sequential one merge-for-merge (ranks, pairs, freqs) — while paying
+    one driver round-trip instead of k."""
+    # four 2-symbol words with strictly-tiered frequencies and disjoint
+    # alphabets: merging any one cannot touch another's count, and the
+    # collapsed single-symbol words contribute no new pairs.
+    text = " ".join(["ab"] * 10 + ["cd"] * 9 + ["ef"] * 8 + ["gh"] * 7)
+    docs = spark.createDataFrame([(1, text, "en")],
+                                 "doc_id long, text string, lang string")
+    seq = [(r.merge_rank, r.a, r.b, r.freq)
+           for r in sorted(TA.bpe_train(docs, n_merges=4).collect(),
+                           key=lambda r: r.merge_rank)]
+    bat = [(r.merge_rank, r.a, r.b, r.freq)
+           for r in sorted(TA.bpe_train(docs, n_merges=4, batch_k=4).collect(),
+                           key=lambda r: r.merge_rank)]
+    assert seq == bat == [
+        (0, "a", "b", 10), (1, "c", "d", 9), (2, "e", "f", 8), (3, "g", "h", 7)
+    ]
+
+
+def test_bpe_train_batched_skips_overlapping_pairs_in_round(spark):
+    """Within one round, a candidate sharing a symbol with an already-
+    selected pair is deferred — 'ab' then 'bc' cannot co-merge (both
+    need 'b'); the batched trainer must pick 'bc' in a LATER round with
+    its then-correct count, exactly like the sequential path."""
+    text = " ".join(["abx"] * 10 + ["zbc"] * 9)
+    docs = spark.createDataFrame([(1, text, "en")],
+                                 "doc_id long, text string, lang string")
+    seq = [(r.a, r.b, r.freq)
+           for r in sorted(TA.bpe_train(docs, n_merges=3).collect(),
+                           key=lambda r: r.merge_rank)]
+    bat = [(r.a, r.b, r.freq)
+           for r in sorted(TA.bpe_train(docs, n_merges=3, batch_k=3).collect(),
+                           key=lambda r: r.merge_rank)]
+    assert seq == bat
 
 
 def test_profile_table_counts_nulls_and_distincts(spark):

@@ -299,6 +299,91 @@ def test_ivf_index_search_prunes_partitions(spark, emb, tmp_path):
     assert idx == live
 
 
+def test_ivf_int8_rerank_composition(spark, emb, tmp_path):
+    """IVF-on-int8 (VERDICT r5 item 8): three checks on the composed
+    probe-pruned compressed search.
+
+    1. PLAN — partition pruning (PartitionFilters on bucket) AND column
+       pruning: the stage-1 scan reads the stored int8 codes, never the
+       full ``embedding`` column (a separate stage-2 scan reads it for
+       the m survivors only).
+    2. LOSSLESS — against the shipped (isotropic) embeddings, the
+       composition returns every true neighbor that lives in a probed
+       bucket: recall equals the probe ceiling exactly, so the int8 +
+       re-rank stages lose nothing on top of the quantizer.
+    3. RECALL FLOOR — on clusterable data (16 planted sign-pattern
+       clusters), recall@3 >= 0.95 while the probed partitions hold
+       <= 20% of the corpus: the done-bar the composition exists for.
+    """
+    from iot_real_time_data_pipeline_spark.operators import similarity as SIM
+
+    # --- (1) + (2): shipped embeddings -------------------------------
+    path = str(tmp_path / "idx_iso")
+    SIM.build_ivf_index(emb, path)
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    out = SIM.ivf_int8_rerank_topk(spark, path, q, k=3, probe_radius=1)
+    plan = plan_of(out)
+    assert "PartitionFilters" in plan
+    scans = [seg.split("\n")[0] for seg in plan.split("ReadSchema: ")[1:]]
+    code_scans = [s for s in scans if "cc" in s and "embedding" not in s]
+    assert code_scans, scans  # stage 1 never touches the vector column
+
+    exact = {}
+    for r in SIM.cosine_topk(emb, q, k=3).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    bkt = {r.vec_id: r.b for r in emb.select(
+        "vec_id",
+        SIM.coarse_bucket(SIM.as_double(F.col("embedding"))).alias("b"),
+    ).collect()}
+    masks = SIM.probe_masks(SIM.IVF_BITS, 1)
+    ceiling_hits = sum(
+        1 for qid, nbs in exact.items() for nb in nbs
+        if bkt[nb] in {bkt[qid] ^ m for m in masks}
+    )
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    achieved_hits = sum(len(got.get(k_, set()) & exact[k_]) for k_ in exact)
+    assert achieved_hits == ceiling_hits  # lossless above the quantizer
+
+    # --- (3): planted clusters ---------------------------------------
+    import itertools
+
+    rows = []
+    for c, signbits in enumerate(itertools.islice(
+        itertools.product([1.0, -1.0], repeat=SIM.IVF_BITS), 16
+    )):
+        for j in range(20):
+            vec = [s * (1.0 + 0.01 * j) for s in signbits]
+            vec += [0.1 * ((c * 7 + d) % 5 - 2) + 0.001 * j for d in range(11)]
+            rows.append((c * 100 + j, [float(x) for x in vec], f"c{c}"))
+    cl = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+    path2 = str(tmp_path / "idx_clustered")
+    SIM.build_ivf_index(cl, path2)
+    qc = cl.filter(F.col("vec_id") % 100 == 0)  # one probe per cluster
+    truth = {}
+    for r in SIM.cosine_topk(cl, qc, k=3).collect():
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+    res = {}
+    for r in SIM.ivf_int8_rerank_topk(
+        spark, path2, qc, k=3, probe_radius=0
+    ).collect():
+        res.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recall = sum(len(res.get(k_, set()) & truth[k_]) for k_ in truth) / (
+        3 * len(truth)
+    )
+    assert recall >= 0.95, recall
+    # scan-fraction accounting: each query probes exactly its own
+    # bucket (radius 0) — 20 of 320 rows = 6.25% <= 20%
+    sizes = {r.bucket: r["count"] for r in
+             spark.read.parquet(path2).groupBy("bucket").count().collect()}
+    total = sum(sizes.values())
+    worst = max(sizes.values()) / total
+    assert worst <= 0.20, worst
+
+
 def test_q13_counts_zero_order_customers(spark):
     from iot_real_time_data_pipeline_spark.operators import warehouse as WH
 

@@ -159,6 +159,30 @@ def test_merge_into_lake_rewrites_only_matched_files(spark, tmp_path):
     assert got[0] == "v0" and got[205] == "v205"
 
 
+def test_merge_into_lake_whole_row_updates_and_del_precedence(spark, tmp_path):
+    """Updates replace the whole row (NULLs taken verbatim), and a key
+    present in both the update and delete batches is deleted — and
+    counted only as deleted."""
+    from iot_real_time_data_pipeline_spark.operators import maintenance as MN
+
+    root = str(tmp_path / "lake")
+    spark.createDataFrame(
+        [(i, f"v{i}") for i in range(5)], "k long, v string"
+    ).coalesce(1).write.mode("append").parquet(root)
+
+    changes = spark.createDataFrame(
+        [("U", 1, None), ("U", 2, "both"), ("D", 2, None)],
+        "op string, k long, v string",
+    )
+    rep = MN.merge_into_lake(spark, root, changes, "k")
+    assert rep["n_rows_updated"] == 1  # k=2 update superseded by delete
+    assert rep["n_rows_deleted"] == 1
+    got = {r.k: r.v for r in spark.read.parquet(root).collect()}
+    assert got[1] is None  # whole-row replace: NULL kept, not coalesced
+    assert 2 not in got
+    assert got[0] == "v0"
+
+
 def test_property_merge_upsert_matches_python_reference(spark):
     """Property: for ANY snapshot, the broadcast-planned MERGE equals a
     row-by-row Python application of the same mod-10 change rules."""
