@@ -296,6 +296,7 @@ def main() -> None:
         "emb_label_outliers",
         "docs_curation_v2",
         "docs_dedup_funnel",
+        "emb_ivf_int8_topk",
     ]:
         fn = LQ.llm_queries()[name]
         timed_repeat(name, lambda fn=fn: fn(spark, sf_dir).collect())

@@ -262,6 +262,62 @@ def q_int8_rerank_topk(spark, sf_dir):
     )
 
 
+def _ivf_index_dir(sf_dir: str) -> str:
+    """Content-fingerprinted cache dir for the persisted IVF index
+    (same pattern as driver_queries._lake_dir): regenerated source
+    parquet gets a fresh index instead of stale rows."""
+    import hashlib
+    import os
+    import tempfile
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    paths = []
+    if os.path.isdir(src):
+        for dp, _dn, fns in os.walk(src):
+            paths += [
+                os.path.join(dp, f)
+                for f in fns
+                if not f.startswith((".", "_"))
+            ]
+    elif os.path.exists(src):
+        paths = [src]
+    h = hashlib.sha256()
+    for p in sorted(paths):
+        st = os.stat(p)
+        h.update(f"{p}|{st.st_mtime_ns}|{st.st_size}\n".encode())
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_ivf{tag}_{h.hexdigest()[:12]}",
+    )
+
+
+def q_ivf_int8_rerank_topk(spark, sf_dir):
+    """IVF-on-int8 over the PERSISTED index: partition-pruned probes +
+    compressed stage-1 scan of the stored int8 codes + exact re-rank —
+    the composed production ANN path (similarity.ivf_int8_rerank_topk).
+    The index builds once per (sf, content) into a fingerprinted temp
+    dir, published by atomic rename."""
+    import os
+    import shutil
+    import tempfile
+
+    path = _ivf_index_dir(sf_dir)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        scratch = tempfile.mkdtemp(prefix="spark_graft_ivf_build_")
+        build_dir = os.path.join(scratch, "idx")
+        SIM.build_ivf_index(_emb(spark, sf_dir), build_dir)
+        try:
+            os.rename(build_dir, path)
+        except OSError:
+            pass  # concurrent builder won; same fingerprint ⇒ same rows
+        finally:
+            shutil.rmtree(scratch, ignore_errors=True)
+    return SIM.ivf_int8_rerank_topk(
+        spark, path, _emb_queries(spark, sf_dir), k=3
+    )
+
+
 def q_semantic_dedup(spark, sf_dir):
     return SIM.semantic_dedup(_emb(spark, sf_dir))
 
@@ -343,6 +399,7 @@ def llm_queries() -> dict[str, QueryFn]:
         "emb_kmeans_assign": q_kmeans_assign,
         "emb_int8_topk": q_int8_topk,
         "emb_int8_rerank_topk": q_int8_rerank_topk,
+        "emb_ivf_int8_topk": q_ivf_int8_rerank_topk,
         "emb_semantic_dedup": q_semantic_dedup,
         # round-6+ additions (callables defined below — resolved at
         # call time, after the module has fully loaded)
@@ -1325,6 +1382,73 @@ SELECT query_id, rank, neighbor_id, {TH.sql_quantized6('cosine')} AS cosine
 FROM r WHERE rank <= {k}"""
 
 
+def _sql_ivf_int8_rerank_topk() -> str:
+    # The IVF-on-int8 composition: _sql_int8_rerank_topk's two-stage
+    # integer-then-exact scoring, with stage 1 restricted to the probed
+    # coarse buckets (the partition prune the Spark side gets from the
+    # persisted index layout — semantically a bucket-equality join).
+    m, k = SIM.RERANK_M, 3
+    masks = ", ".join(
+        f"xor(bucket, {mm})"
+        for mm in SIM.probe_masks(SIM.IVF_BITS, SIM.IVF_PROBE_RADIUS)
+    )
+    codes = (
+        "list_transform(v, x -> CASE WHEN scale = 0 THEN CAST(0 AS BIGINT) "
+        "ELSE CAST(round(x / scale * 127) AS BIGINT) END)"
+    ).replace("scale", "list_max(list_transform(v, x -> abs(x)))")
+    isum = lambda arr: (  # noqa: E731
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), {arr}), (a, x) -> a + x)"
+    )
+    dot_i = isum("list_transform(range(1, len(qc) + 1), i -> qc[i] * cc[i])")
+    n2 = lambda col: isum(f"list_transform({col}, x -> x * x)")  # noqa: E731
+    dsum = lambda arr: (  # noqa: E731
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {arr}), (a, x) -> a + x)"
+    )
+    dot_d = dsum("list_transform(range(1, len(qv) + 1), i -> qv[i] * cv[i])")
+    nrm = lambda col: (  # noqa: E731
+        f"sqrt({dsum(f'list_transform({col}, x -> x * x)')})"
+    )
+    return f"""
+WITH {_EMB_CTE},
+eb AS (SELECT vec_id, v, {_sql_bucket('v')} AS bucket FROM e),
+coded AS (SELECT vec_id, bucket, {codes} AS c FROM eb),
+qp AS (SELECT vec_id AS query_id, unnest([{masks}]) AS q_bucket
+       FROM eb WHERE vec_id % {QUERY_MOD} = 0),
+q AS (SELECT vec_id AS query_id, c AS qc FROM coded
+      WHERE vec_id % {QUERY_MOD} = 0),
+coarse AS (
+  SELECT qp.query_id, cd.vec_id AS neighbor_id,
+         CAST({dot_i} AS DOUBLE)
+           / (sqrt(CAST({n2('qc')} AS DOUBLE)) * sqrt(CAST({n2('cc')} AS DOUBLE)))
+           AS approx_cosine
+  FROM qp
+  JOIN (SELECT vec_id, bucket, c AS cc FROM coded) cd ON cd.bucket = qp.q_bucket
+  JOIN q ON q.query_id = qp.query_id
+  WHERE qp.query_id <> cd.vec_id
+),
+cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY approx_cosine DESC, neighbor_id) AS crank
+    FROM coarse
+  ) WHERE crank <= {m}
+),
+ex AS (
+  SELECT c.query_id, c.neighbor_id,
+         {dot_d} / ({nrm('qv')} * {nrm('cv')}) AS cosine
+  FROM cand c
+  JOIN (SELECT vec_id, v AS qv FROM e) a ON c.query_id = a.vec_id
+  JOIN (SELECT vec_id, v AS cv FROM e) b ON c.neighbor_id = b.vec_id
+),
+r AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+  FROM ex
+)
+SELECT query_id, rank, neighbor_id, {TH.sql_quantized6('cosine')} AS cosine
+FROM r WHERE rank <= {k}"""
+
+
 def _kmeans_ctes() -> str:
     """Shared CTE chain: deterministic-seed k-means assignment
     (mirrors ``similarity.kmeans_assign``). Terminal CTE ``kassign`` is
@@ -1511,6 +1635,7 @@ def llm_oracle_sql() -> dict[str, str]:
         "emb_kmeans_assign": _sql_kmeans_assign(),
         "emb_int8_topk": _sql_int8_topk(),
         "emb_int8_rerank_topk": _sql_int8_rerank_topk(),
+        "emb_ivf_int8_topk": _sql_ivf_int8_rerank_topk(),
         "emb_semantic_dedup": _sql_semantic_dedup(),
         "docs_train_split": _sql_train_split(),
         "docs_chunks": _sql_chunks(),

@@ -14,6 +14,32 @@ def test_every_oracle_has_a_query():
     assert set(o) <= set(q)
 
 
+def test_plan_audit_covers_every_registered_query():
+    """Definition-of-done (VERDICT r5 item 2): a query cannot land
+    without its PLAN_AUDIT.md row — regenerate with
+    ``python tools/plan_report.py`` whenever the registry changes."""
+    import re
+
+    with open("/root/repo/PLAN_AUDIT.md") as f:
+        audit = f.read()
+    audited = set(re.findall(r"^\| (\w+) \|", audit, flags=re.M))
+    missing = sorted(set(E.queries()) - audited)
+    assert not missing, f"queries missing a PLAN_AUDIT row: {missing}"
+
+
+def test_driver_window_leads_with_unevidenced_queries():
+    """The self-rotating window: after the fixed sentinels, every query
+    that already has a driver CORRECTNESS row must sort BEHIND every
+    query that never had one."""
+    names = list(E.queries())
+    seen = E._driver_seen()
+    tail = names[len(E.DRIVER_SENTINELS):]
+    first_seen = next((i for i, n in enumerate(tail) if n in seen), len(tail))
+    assert all(n in seen for n in tail[first_seen:]), (
+        "an unevidenced query sorted behind an evidenced one"
+    )
+
+
 def test_oracle_sql_parses_in_duckdb():
     import duckdb
 

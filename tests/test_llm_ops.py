@@ -2221,9 +2221,16 @@ def test_property_label_diversity_bounded(spark):
     [-1, 1 + eps] for ANY input set."""
     from hypothesis import given, settings, strategies as st
 
-    coord = st.floats(
-        min_value=-5, max_value=5, allow_nan=False, allow_infinity=False
-    ).filter(lambda x: abs(x) > 1e-3)
+    # Two explicit sign bands instead of .filter(abs(x) > 1e-3): the
+    # filter form intermittently trips Hypothesis's filter_too_much
+    # health check when the shrinker explores the tiny-float region
+    # (the one full-suite flake of round 6).
+    coord = st.one_of(
+        st.floats(min_value=1e-3, max_value=5,
+                  allow_nan=False, allow_infinity=False),
+        st.floats(min_value=-5, max_value=-1e-3,
+                  allow_nan=False, allow_infinity=False),
+    )
     vec = st.lists(coord, min_size=3, max_size=3)
 
     @settings(max_examples=5, deadline=None)
