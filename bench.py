@@ -151,7 +151,7 @@ def main() -> None:
         to_staging(attach_validation_arrays(with_alerts(flagged))).count()
 
     timed("derive_staging_warm", _derive_warm)
-    DIAGNOSTIC_ITEMS = {"derive_staging_warm"}
+    DIAGNOSTIC_ITEMS = {"derive_staging_warm", "docs_bpe_train_batched4"}
 
     # --- star build (once, cached) ----------------------------------------
     def _star():
@@ -301,6 +301,17 @@ def main() -> None:
         fn = LQ.llm_queries()[name]
         timed_repeat(name, lambda fn=fn: fn(spark, sf_dir).collect())
 
+    # Diagnostic: the batched BPE trainer (top-k disjoint merges/round)
+    # timed next to the sequential oracle-mirror line item above —
+    # excluded from totals (it re-trains the same tokenizer).
+    from iot_real_time_data_pipeline_spark.operators import text_analysis as TA
+
+    _bpe_docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    timed_repeat(
+        "docs_bpe_train_batched4",
+        lambda: TA.bpe_train(_bpe_docs, batch_k=4).collect(),
+    )
+
     release_caches("after_llm")
 
     # --- clickstream analytics over the events table ----------------------
@@ -388,7 +399,7 @@ def main() -> None:
         "sf": sf,
     }
     detail_name = "BENCH_DETAIL_r{}.json".format(
-        os.environ.get("SPARK_GRAFT_ROUND", "05")
+        os.environ.get("SPARK_GRAFT_ROUND", "06")
     )
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), detail_name)
     try:

@@ -114,6 +114,82 @@ def compact_lake(
     return report
 
 
+def _partition_cols(root: str) -> list[str]:
+    """Hive partition-column names, parsed from the first leaf dir's
+    ``key=value`` path segments (what Spark's own listing infers)."""
+    leaves = _leaf_partition_dirs(root)
+    if not leaves:
+        return []
+    rel = os.path.relpath(leaves[0], root)
+    return [seg.split("=", 1)[0] for seg in rel.split(os.sep) if "=" in seg]
+
+
+def compact_lake_global(
+    spark: SparkSession,
+    root: str,
+    target_files: int = TARGET_FILES_PER_PARTITION,
+) -> dict:
+    """Whole-lake compaction in ONE Spark job — the 100 TB counterpart
+    of :func:`compact_lake`.
+
+    The per-partition loop is right for a few hundred partitions (no
+    shuffle, each rewrite is a narrow coalesce), but it schedules one
+    job per partition from the driver: at 100k partitions the
+    scheduling round-trips dominate and the cluster idles between
+    jobs. This variant reads the whole lake once, hash-repartitions on
+    the partition columns (one shuffle, fully parallel across
+    executors), and writes every partition's ``target_files`` files in
+    a single ``partitionBy`` pass. The staged output replaces the lake
+    root in one rename — same crash/concurrent-reader safety as the
+    per-partition swap.
+
+    Trade: pays one full-lake shuffle the loop variant avoids — worth
+    it exactly when partition COUNT, not bytes, is the bottleneck.
+
+    Returns ``{n_partitions, files_before, files_after}``.
+    """
+    parts = _partition_cols(root)
+    leaves = _leaf_partition_dirs(root)
+    files_before = sum(
+        1
+        for leaf in leaves
+        for f in os.listdir(leaf)
+        if f.endswith(".parquet")
+    )
+    df = spark.read.parquet(root)
+    base = root.rstrip("/")
+    staged = _hidden_sibling(base, "._compacting")
+    shutil.rmtree(staged, ignore_errors=True)
+    writer = (
+        df.repartition(*[F.col(c) for c in parts])
+        if parts
+        else df.coalesce(target_files)
+    )
+    if parts and target_files > 1:
+        # spread each partition over target_files writers via a
+        # deterministic row-hash salt (never rand(): reruns must lay
+        # out identically)
+        salt = F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(target_files))
+        writer = df.repartition(*([F.col(c) for c in parts] + [salt]))
+    w = writer.write.mode("overwrite")
+    if parts:
+        w = w.partitionBy(*parts)
+    w.parquet(staged)
+    _swap_dirs(base, staged)
+    leaves_after = _leaf_partition_dirs(base)
+    files_after = sum(
+        1
+        for leaf in leaves_after
+        for f in os.listdir(leaf)
+        if f.endswith(".parquet")
+    )
+    return {
+        "n_partitions": len(leaves_after),
+        "files_before": files_before,
+        "files_after": files_after,
+    }
+
+
 def lake_file_stats(spark: SparkSession, root: str) -> DataFrame:
     """Small-file diagnostic over a partitioned lake: per leaf
     partition, the file count and byte sizes — the query an operator

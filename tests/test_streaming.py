@@ -694,3 +694,45 @@ def test_lake_compaction_preserves_rows_and_bounds_files(spark, tmp_path):
     # idempotent second pass
     report2 = MX.compact_lake(spark, root, target_files=1)
     assert all(e["action"] == "skip" for e in report2)
+
+
+def test_lake_compaction_global_one_job_variant(spark, tmp_path):
+    """compact_lake_global: the single-shuffle whole-lake compactor for
+    partition-COUNT-bound lakes — identical rows, one file per leaf,
+    multi-level hive layout preserved through the root swap."""
+    from pyspark.sql import functions as F
+
+    from iot_real_time_data_pipeline_spark.operators import maintenance as MX
+
+    root = str(tmp_path / "lake")
+    df = spark.range(0, 240).select(
+        F.col("id"),
+        (F.col("id") % 2).cast("string").alias("status"),
+        (F.col("id") % 3).cast("string").alias("loc"),
+        (F.col("id") * 3).alias("val"),
+    )
+    for _ in range(4):
+        df.repartition(4).write.mode("append").partitionBy(
+            "status", "loc"
+        ).parquet(root)
+    rows_before = sorted(
+        (r.id, r.status, r.loc, r.val)
+        for r in spark.read.parquet(root).collect()
+    )
+    before = {r.partition: r.n_files
+              for r in MX.lake_file_stats(spark, root).collect()}
+    assert len(before) == 6 and all(n > 1 for n in before.values())
+
+    rep = MX.compact_lake_global(spark, root, target_files=1)
+    assert rep["n_partitions"] == 6
+    assert rep["files_before"] == sum(before.values())
+    assert rep["files_after"] == 6  # exactly one per leaf
+
+    after = {r.partition: r.n_files
+             for r in MX.lake_file_stats(spark, root).collect()}
+    assert set(after) == set(before) and all(n == 1 for n in after.values())
+    rows_after = sorted(
+        (r.id, r.status, r.loc, r.val)
+        for r in spark.read.parquet(root).collect()
+    )
+    assert rows_after == rows_before
