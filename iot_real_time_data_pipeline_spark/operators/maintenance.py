@@ -16,11 +16,21 @@ Design notes for scale:
   ACROSS partitions; this implementation drives partitions from the
   directory listing and rewrites each with a targeted ``coalesce`` (a
   narrow, shuffle-free repack of that partition's scan splits).
-- Rewrite-then-swap: the new files land in a sibling temp dir and the
-  swap is a directory rename, so a reader never sees a half-compacted
-  partition (parquet readers list files once at plan time).
+- Rewrite-then-swap: the new files land in a HIDDEN (dot-prefixed)
+  sibling dir — invisible to Spark's listing while staged — and the
+  swap is two directory renames, so a reader never sees a
+  half-compacted partition (parquet readers list files once at plan
+  time; POSIX rename keeps already-planned scans readable via the old
+  inodes).
 - Idempotent: partitions already at/below the target file count are
   skipped (listed in the report with ``action='skip'``).
+- Object stores: S3-style backends have no atomic directory rename —
+  there this module's swap degrades to copy+delete and the correct
+  production answer is a manifest-based table format (Delta/Iceberg/
+  Hudi), whose commit protocol is exactly the logical swap performed
+  here at the filesystem level. The operators' PLANS (per-partition
+  coalesce, one-job global repartition, footer-stats file pruning)
+  carry over unchanged.
 """
 
 from __future__ import annotations
@@ -188,6 +198,33 @@ def compact_lake_global(
         "files_before": files_before,
         "files_after": files_after,
     }
+
+
+_SCRATCH_SUFFIXES = (
+    "._old", "._compacting", "._merge_staged", "._merge_scratch"
+)
+
+
+def vacuum_lake(root: str, dry_run: bool = False) -> list[str]:
+    """Remove crash debris: hidden scratch dirs an interrupted
+    compaction/merge left behind (``.*._old``, ``.*._compacting``,
+    ``.*._merge_*``). Safe at any time — live readers never reference
+    these dirs (Spark's listing skips dot-prefixed names; the swap
+    protocol only renames fully-written dirs into visible paths).
+
+    ``dry_run=True`` lists without deleting. Returns the affected
+    paths. The table-format analog is ``VACUUM``/expire-snapshots.
+    """
+    debris: list[str] = []
+    for dirpath, dirnames, _files in os.walk(root):
+        for d in list(dirnames):
+            if d.startswith(".") and d.endswith(_SCRATCH_SUFFIXES):
+                debris.append(os.path.join(dirpath, d))
+                dirnames.remove(d)  # don't descend
+    if not dry_run:
+        for p in debris:
+            shutil.rmtree(p, ignore_errors=True)
+    return sorted(debris)
 
 
 def lake_file_stats(spark: SparkSession, root: str) -> DataFrame:

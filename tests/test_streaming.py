@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import datetime
 import json
+import os
 
 import pyspark.sql.functions as F
 import pytest
@@ -694,6 +695,63 @@ def test_lake_compaction_preserves_rows_and_bounds_files(spark, tmp_path):
     # idempotent second pass
     report2 = MX.compact_lake(spark, root, target_files=1)
     assert all(e["action"] == "skip" for e in report2)
+
+
+def test_hidden_scratch_dirs_invisible_to_lake_readers(spark, tmp_path):
+    """The swap protocol's safety premise: a dot-prefixed staging dir
+    INSIDE the lake root (where compact_lake stages each partition's
+    rewrite) is ignored by Spark's listing, so a concurrent reader
+    during the stage phase sees exactly the old rows."""
+    from iot_real_time_data_pipeline_spark.operators import maintenance as MX
+
+    root = tmp_path / "lake"
+    df = spark.createDataFrame([(i, str(i % 2)) for i in range(20)],
+                               "id long, part string")
+    df.write.mode("overwrite").partitionBy("part").parquet(str(root))
+    before = sorted(r.id for r in spark.read.parquet(str(root)).collect())
+
+    # simulate mid-compaction: a staged rewrite with DIFFERENT rows
+    leaf = str(root / "part=0")
+    staged = MX._hidden_sibling(leaf, "._compacting")
+    spark.createDataFrame([(999, )], "id long").write.mode(
+        "overwrite"
+    ).parquet(staged)
+
+    during = sorted(r.id for r in spark.read.parquet(str(root)).collect())
+    assert during == before  # scratch invisible
+    assert MX._leaf_partition_dirs(str(root)) == sorted(
+        [str(root / "part=0"), str(root / "part=1")]
+    )  # our own listing skips it too
+
+
+def test_vacuum_lake_removes_only_crash_debris(spark, tmp_path):
+    """vacuum_lake deletes leftover hidden scratch dirs from an
+    interrupted swap and touches nothing else; dry_run only lists."""
+    from iot_real_time_data_pipeline_spark.operators import maintenance as MX
+
+    root = tmp_path / "lake"
+    spark.createDataFrame([(i, str(i % 2)) for i in range(10)],
+                          "id long, part string").write.mode(
+        "overwrite").partitionBy("part").parquet(str(root))
+    leaf = str(root / "part=0")
+    for suffix in ("._old", "._compacting"):
+        d = MX._hidden_sibling(leaf, suffix)
+        os.makedirs(d)
+        open(os.path.join(d, "junk.parquet"), "w").write("x")
+    # a hidden dir NOT from our protocol must survive
+    keep = str(root / ".user_notes")
+    os.makedirs(keep)
+
+    listed = MX.vacuum_lake(str(root), dry_run=True)
+    assert len(listed) == 2 and all("part=0" in p for p in listed)
+    assert all(os.path.exists(p) for p in listed)
+
+    removed = MX.vacuum_lake(str(root))
+    assert removed == listed
+    assert not any(os.path.exists(p) for p in removed)
+    assert os.path.exists(keep)
+    assert sorted(r.id for r in
+                  spark.read.parquet(str(root)).collect()) == list(range(10))
 
 
 def test_lake_compaction_global_one_job_variant(spark, tmp_path):
