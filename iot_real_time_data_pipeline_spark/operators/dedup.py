@@ -823,6 +823,13 @@ def pagerank(
                 .cast("long")
                 .alias("rank_ppm"),
             )
+            # Lazy persist per round: at execution the CacheManager
+            # substitutes each prior round's InMemoryRelation into the
+            # next round's plan, so the optimizer/AQE work on
+            # iteration-sized trees instead of the fully inlined
+            # 5-round chain (measured 2x on the bench without this) —
+            # the lazy equivalent of the old eager localCheckpoint.
+            .persist()
         )
     return ranks
 
