@@ -441,6 +441,7 @@ def llm_queries() -> dict[str, QueryFn]:
         "emb_label_outliers": q_label_outliers,
         "docs_curation_v2": q_curation_v2,
         "docs_dedup_funnel": q_dedup_funnel,
+        "docs_labelprop_communities": q_labelprop_communities,
     }
 
 
@@ -1700,6 +1701,7 @@ def llm_oracle_sql() -> dict[str, str]:
         "emb_label_outliers": _sql_label_outliers(),
         "docs_curation_v2": _sql_curation_v2(),
         "docs_dedup_funnel": _sql_dedup_funnel(),
+        "docs_labelprop_communities": _sql_labelprop_communities(),
     }
 
 
@@ -1922,6 +1924,56 @@ deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
 r0 AS (SELECT doc_id, CAST({DD.PR_INIT_PPM} AS BIGINT) AS rank_ppm FROM documents),
 {chain}
 SELECT doc_id, rank_ppm FROM r{DD.PR_ITERS}"""
+
+
+def q_labelprop_communities(spark, sf_dir):
+    return DD.label_propagation(_docs(spark, sf_dir), threshold=JACCARD_THRESHOLD)
+
+
+def _sql_labelprop_communities() -> str:
+    # The SAME synchronous label-propagation recurrence as the Spark
+    # loop (most-frequent label in the CLOSED neighborhood — the
+    # self-vote damps bipartite oscillation — ties to the smallest
+    # label), UNROLLED as chained CTEs.
+    rounds = []
+    for r in range(DD.LP_ITERS):
+        rounds.append(
+            f"""cnt{r} AS (
+  SELECT doc_id, label, CAST(count(*) AS BIGINT) AS c FROM (
+    SELECT e.dst AS doc_id, l.label
+    FROM edges e JOIN lp{r} l ON l.doc_id = e.src
+    UNION ALL
+    SELECT doc_id, label FROM lp{r}
+  ) GROUP BY doc_id, label
+),
+lp{r + 1} AS (
+  SELECT doc_id, CAST(label AS BIGINT) AS label FROM (
+    SELECT doc_id, label,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY c DESC, label) AS rn
+    FROM cnt{r}
+  ) WHERE rn = 1
+)"""
+        )
+    chain = ",\n".join(rounds)
+    n = DD.LP_ITERS
+    return f"""
+WITH {_minhash_inter_ctes()},
+{_jaccard_ctes('inter')},
+pairs AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+lp0 AS (SELECT doc_id, CAST(doc_id AS BIGINT) AS label FROM documents),
+{chain},
+lp_sizes AS (
+  SELECT label, CAST(count(*) AS BIGINT) AS n_members
+  FROM lp{n} GROUP BY label
+)
+SELECT l.doc_id, l.label AS community, s.n_members
+FROM lp{n} l JOIN lp_sizes s ON s.label = l.label"""
 
 
 def q_minhash_calibration(spark, sf_dir):

@@ -49,7 +49,7 @@ from __future__ import annotations
 
 import logging
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import texthash as TH
@@ -832,6 +832,85 @@ def pagerank(
             .persist()
         )
     return ranks
+
+
+LP_ITERS = 4
+
+
+def label_propagation(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    iters: int = LP_ITERS,
+) -> DataFrame:
+    """Community detection on the MinHash near-dup graph by synchronous
+    label propagation (Raghavan et al., "Near linear time algorithm to
+    detect community structures in large-scale networks") — the
+    modularity-flavored complement to :func:`connected_components`:
+    CC answers "is there ANY dup path between these docs", LP answers
+    "which densely-duplicated neighborhood does this doc belong to",
+    which splits bridge-connected mega-components into their dense
+    cores (template families, mirror farms) for per-community
+    canonical selection.
+
+    Fully deterministic for the oracle: every node starts labeled with
+    its own id; each synchronous round every node adopts the most
+    frequent label in its CLOSED neighborhood (itself + neighbors),
+    ties broken by SMALLEST label. The self-vote is the standard
+    damper for synchronous LP's bipartite oscillation (a 2-node
+    component would otherwise swap labels forever); it also means
+    isolated nodes need no special case — their self-vote is the only
+    one. A fixed iteration count (default 4) makes the recurrence
+    engine-independent; the DuckDB twin UNROLLS the same rounds as
+    chained CTEs.
+
+    Each round is one edge-join + one ``groupBy(dst, label)`` + one
+    per-node window — shuffle proportional to EDGES (the same shape as
+    ``pagerank``), never all-pairs, and a lazy ``persist()`` per round
+    keeps the optimizer working on iteration-sized plans instead of
+    the fully inlined chain (see pagerank's note). Construction stays
+    action-free.
+
+    Returns ``(doc_id, community, n_members)`` for every document —
+    singletons form their own size-1 community.
+    """
+    pairs = minhash_lsh_pairs(docs, text_col, id_col, threshold).select(
+        "doc_a", "doc_b"
+    )
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    ).persist()
+    labels = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(id_col).cast("long").alias("label"),
+    )
+    rn_w = Window.partitionBy("doc_id").orderBy(
+        F.col("c").desc(), F.col("label").asc()
+    )
+    for _ in range(iters):
+        votes = (
+            edges.join(labels.withColumnRenamed("doc_id", "src"), "src")
+            .select(F.col("dst").alias("doc_id"), "label")
+            .unionByName(labels)  # the self-vote
+            .groupBy("doc_id", "label")
+            .agg(F.count("*").alias("c"))
+        )
+        labels = (
+            votes.withColumn("rn", F.row_number().over(rn_w))
+            .filter(F.col("rn") == 1)
+            .select("doc_id", F.col("label").cast("long").alias("label"))
+            # lazy persist per round: CacheManager substitutes each
+            # prior round's InMemoryRelation at execution (pagerank's
+            # plan-size lesson) while construction launches no jobs.
+            .persist()
+        )
+    sizes = labels.groupBy("label").agg(F.count("*").alias("n_members"))
+    return labels.join(sizes, "label").select(
+        "doc_id", F.col("label").alias("community"), "n_members"
+    )
 
 
 def minhash_calibration(

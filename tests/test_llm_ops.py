@@ -1448,6 +1448,59 @@ def test_pagerank_matches_python_integer_recurrence(spark, docs):
             assert out[a] > out[iso[0]]
 
 
+def test_label_propagation_matches_python_recurrence(spark, docs):
+    # independent reference: the same synchronous closed-neighborhood
+    # most-frequent-label update (self-vote; ties -> smallest label)
+    # run in plain Python
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in DD.minhash_lsh_pairs(docs, threshold=0.8).collect()
+    ]
+    node_ids = [r.doc_id for r in docs.select("doc_id").collect()]
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    label = {n: n for n in node_ids}
+    for _ in range(DD.LP_ITERS):
+        nxt = {}
+        for n in node_ids:
+            counts = {label[n]: 1}
+            for u in adj.get(n, []):
+                counts[label[u]] = counts.get(label[u], 0) + 1
+            nxt[n] = min(
+                counts, key=lambda lb: (-counts[lb], lb)
+            )
+        label = nxt
+    sizes = {}
+    for lb in label.values():
+        sizes[lb] = sizes.get(lb, 0) + 1
+    out = {
+        r.doc_id: (r.community, r.n_members)
+        for r in DD.label_propagation(docs, threshold=0.8).collect()
+    }
+    assert out == {n: (label[n], sizes[label[n]]) for n in node_ids}
+    # exact dups (docs 1,2) must share a community; isolated docs are
+    # size-1 communities of themselves
+    assert out[1][0] == out[2][0]
+    iso = [n for n in node_ids if n not in adj]
+    if iso:
+        assert out[iso[0]] == (iso[0], 1)
+
+
+def test_label_propagation_construction_is_lazy(spark, docs):
+    sc = spark.sparkContext
+    sc.setJobGroup("lp-lazy-check", "label propagation construction")
+    try:
+        communities = DD.label_propagation(docs, threshold=0.8)
+        _ = communities.schema
+        jobs = sc.statusTracker().getJobIdsForGroup("lp-lazy-check")
+        assert list(jobs) == []
+        assert communities.count() == docs.count()
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+
+
 def test_release_session_caches_drops_band_frames(spark, docs):
     """The public cache-hygiene hook: after a dedup query materializes
     its persisted intermediates (shingle sets, band frames), releasing
