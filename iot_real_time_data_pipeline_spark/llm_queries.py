@@ -442,6 +442,7 @@ def llm_queries() -> dict[str, QueryFn]:
         "docs_curation_v2": q_curation_v2,
         "docs_dedup_funnel": q_dedup_funnel,
         "docs_labelprop_communities": q_labelprop_communities,
+        "emb_mmr_topk": q_mmr_topk,
     }
 
 
@@ -853,6 +854,97 @@ ranked AS (
 )
 SELECT query_id, rank, neighbor_id, {TH.sql_quantized6('cosine')} AS cosine
 FROM ranked WHERE rank <= {k}"""
+
+
+def q_mmr_topk(spark, sf_dir):
+    return SIM.mmr_topk(_emb(spark, sf_dir), _emb_queries(spark, sf_dir))
+
+
+def _sql_mmr_topk() -> str:
+    # The SAME greedy MMR recurrence as the Spark loop, UNROLLED: per
+    # step a penalty CTE (max sim to everything already selected), a
+    # window argmax pick, an accumulator union, and a NOT EXISTS
+    # shrink of the remaining pool.
+    n, k = SIM.MMR_CAND_N, SIM.MMR_K
+    pair_dot = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(range(1, len(va) + 1), i -> va[i] * vb[i])), "
+        "(a, x) -> a + x)"
+    )
+    norm_a = (
+        "sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(va, x -> x * x)), (a, x) -> a + x))"
+    )
+    norm_b = (
+        "sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(vb, x -> x * x)), (a, x) -> a + x))"
+    )
+    steps = []
+    for s in range(2, k + 1):
+        steps.append(
+            f"""pen{s} AS (
+  SELECT r.query_id, r.neighbor_id, r.cosine, max(p.sim) AS penalty
+  FROM rem{s - 1} r
+  JOIN acc{s - 1} a ON a.query_id = r.query_id
+  JOIN psim p ON p.query_id = r.query_id
+             AND p.na = r.neighbor_id AND p.nb = a.neighbor_id
+  GROUP BY r.query_id, r.neighbor_id, r.cosine
+),
+pick{s} AS (
+  SELECT query_id, CAST({s} AS BIGINT) AS step, neighbor_id, cosine,
+         0.5 * cosine - 0.5 * penalty AS mmr_score
+  FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id
+      ORDER BY 0.5 * cosine - 0.5 * penalty DESC, neighbor_id) AS prn
+    FROM pen{s}
+  ) WHERE prn = 1
+),
+acc{s} AS (SELECT * FROM acc{s - 1} UNION ALL SELECT * FROM pick{s}),
+rem{s} AS (
+  SELECT r.* FROM rem{s - 1} r
+  WHERE NOT EXISTS (SELECT 1 FROM pick{s} p
+                    WHERE p.query_id = r.query_id
+                      AND p.neighbor_id = r.neighbor_id)
+)"""
+        )
+    chain = ",\n".join(steps)
+    return f"""
+WITH {_EMB_CTE},
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % {QUERY_MOD} = 0),
+scored AS (
+  SELECT qid AS query_id, e.vec_id AS neighbor_id, e.v AS cv, qv,
+         {_DOT} / ({_NORM_Q} * {_NORM_C}) AS cosine
+  FROM e CROSS JOIN q
+  WHERE e.vec_id <> qid
+),
+pool AS (
+  SELECT query_id, neighbor_id, cosine, rn FROM (
+    SELECT query_id, neighbor_id, cosine,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id) AS rn
+    FROM scored
+  ) WHERE rn <= {n}
+),
+psim AS (
+  SELECT a.query_id, a.neighbor_id AS na, b.neighbor_id AS nb,
+         {pair_dot} / ({norm_a} * {norm_b}) AS sim
+  FROM pool a
+  JOIN pool b ON a.query_id = b.query_id AND a.neighbor_id <> b.neighbor_id
+  JOIN (SELECT vec_id, v AS va FROM e) ea ON ea.vec_id = a.neighbor_id
+  JOIN (SELECT vec_id, v AS vb FROM e) eb ON eb.vec_id = b.neighbor_id
+),
+acc1 AS (
+  SELECT query_id, CAST(1 AS BIGINT) AS step, neighbor_id, cosine,
+         0.5 * cosine AS mmr_score
+  FROM pool WHERE rn = 1
+),
+rem1 AS (SELECT query_id, neighbor_id, cosine FROM pool WHERE rn > 1),
+{chain}
+SELECT query_id, step, neighbor_id,
+       {TH.sql_quantized6('cosine')} AS cosine,
+       {TH.sql_quantized6('mmr_score')} AS mmr_score
+FROM acc{k}"""
 
 
 def _sql_bucket(col: str) -> str:
@@ -1702,6 +1794,7 @@ def llm_oracle_sql() -> dict[str, str]:
         "docs_curation_v2": _sql_curation_v2(),
         "docs_dedup_funnel": _sql_dedup_funnel(),
         "docs_labelprop_communities": _sql_labelprop_communities(),
+        "emb_mmr_topk": _sql_mmr_topk(),
     }
 
 

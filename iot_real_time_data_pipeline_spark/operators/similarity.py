@@ -217,6 +217,129 @@ def ivf_topk(
     return _topk(_scored_pairs(qb, eb, join_on="bucket"), k)
 
 
+MMR_CAND_N = 10  # exact-cosine candidate pool per query
+MMR_K = 3        # diversified picks per query
+# lambda = 0.5: score = 0.5*relevance - 0.5*max-sim-to-selected. The
+# halves are exactly representable doubles, so the greedy argmax is
+# bit-identical across engines.
+
+
+def mmr_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = MMR_K,
+    n_cand: int = MMR_CAND_N,
+) -> DataFrame:
+    """Maximal-Marginal-Relevance diversified top-k (Carbonell &
+    Goldstein, SIGIR'98) — the retrieval-quality step after raw ANN:
+    from each query's exact-cosine top-``n_cand`` pool, greedily pick
+    ``k`` results maximizing ``0.5*cos(q,d) - 0.5*max_{s in S}
+    cos(d,s)``, so near-duplicate neighbors don't crowd the result
+    list (RAG context building, eval-set selection).
+
+    Scale shape: the candidate pool is ``n_cand`` rows per query (the
+    brute-force scan that produces it is the corpus-streaming
+    broadcast join of ``cosine_topk``); candidate-candidate sims are
+    ``n_cand^2`` per query — both proportional to QUERIES, not corpus.
+    The greedy loop is ``k`` fixed steps of join + window argmax, each
+    a lazy ``persist()`` boundary (pagerank's plan-size lesson), and
+    the DuckDB twin UNROLLS the same steps as chained CTEs.
+
+    Ties break by smallest ``neighbor_id``; step 1 is the plain
+    relevance argmax (its mmr_score is ``0.5*cosine`` by convention).
+
+    Returns ``(query_id, step, neighbor_id, cosine, mmr_score)`` with
+    the doubles quantized to 6 dp at the output boundary only.
+    """
+    from pyspark.sql import Window
+
+    scored = _scored_pairs(queries, embeddings)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    cand = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= n_cand)
+        .persist()
+    )
+    # candidate-candidate sims within each query's pool (n_cand^2 per
+    # query; vectors re-joined from the corpus — AQE broadcasts the
+    # tiny candidate side)
+    ev = embeddings.select(
+        F.col("vec_id"), as_double(F.col("embedding")).alias("v")
+    ).withColumn("nrm", norm(F.col("v")))
+    ca = cand.select("query_id", F.col("neighbor_id").alias("na"))
+    cb = cand.select("query_id", F.col("neighbor_id").alias("nb"))
+    psim = (
+        ca.join(cb, "query_id")
+        .filter(F.col("na") != F.col("nb"))
+        .join(ev.select(F.col("vec_id").alias("na"),
+                        F.col("v").alias("va"), F.col("nrm").alias("nna")), "na")
+        .join(ev.select(F.col("vec_id").alias("nb"),
+                        F.col("v").alias("vb"), F.col("nrm").alias("nnb")), "nb")
+        .select(
+            "query_id", "na", "nb",
+            (dot(F.col("va"), F.col("vb"))
+             / (F.col("nna") * F.col("nnb"))).alias("sim"),
+        )
+        .persist()
+    )
+    selected = (
+        cand.filter(F.col("rn") == 1)
+        .select(
+            "query_id", F.lit(1).cast("long").alias("step"), "neighbor_id",
+            "cosine", (F.lit(0.5) * F.col("cosine")).alias("mmr_score"),
+        )
+    )
+    remaining = cand.filter(F.col("rn") > 1).select(
+        "query_id", "neighbor_id", "cosine"
+    )
+    pick_w = Window.partitionBy("query_id").orderBy(
+        F.col("mmr_score").desc(), F.col("neighbor_id")
+    )
+    for step in range(2, k + 1):
+        rem = remaining.select(
+            F.col("query_id").alias("r_qid"),
+            F.col("neighbor_id").alias("r_nid"),
+            F.col("cosine").alias("r_cos"),
+        )
+        sel_ids = selected.select(
+            F.col("query_id").alias("r_qid"),
+            F.col("neighbor_id").alias("s_nid"),
+        )
+        pen = (
+            rem.join(sel_ids, "r_qid")
+            .join(psim,
+                  (psim["query_id"] == F.col("r_qid"))
+                  & (psim["na"] == F.col("r_nid"))
+                  & (psim["nb"] == F.col("s_nid")))
+            .groupBy(F.col("r_qid").alias("query_id"),
+                     F.col("r_nid").alias("neighbor_id"),
+                     F.col("r_cos").alias("cosine"))
+            .agg(F.max("sim").alias("penalty"))
+        )
+        pick = (
+            pen.withColumn(
+                "mmr_score",
+                F.lit(0.5) * F.col("cosine") - F.lit(0.5) * F.col("penalty"),
+            )
+            .withColumn("prn", F.row_number().over(pick_w))
+            .filter(F.col("prn") == 1)
+            .select("query_id", F.lit(step).cast("long").alias("step"),
+                    "neighbor_id", "cosine", "mmr_score")
+        )
+        selected = selected.unionByName(pick).persist()
+        remaining = remaining.join(
+            pick.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"], "left_anti",
+        )
+    return selected.select(
+        "query_id", "step", "neighbor_id",
+        TH.quantized6(F.col("cosine")).alias("cosine"),
+        TH.quantized6(F.col("mmr_score")).alias("mmr_score"),
+    )
+
+
 def _verified_pairs(e: DataFrame, candidates: DataFrame, threshold: float) -> DataFrame:
     """Exact-cosine verify + threshold over a (vec_a, vec_b) candidate set.
 

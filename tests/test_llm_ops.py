@@ -225,6 +225,75 @@ def test_ivf_multi_probe_recall_vs_exact(spark):
     emb.unpersist()
 
 
+def test_mmr_topk_matches_python_greedy(spark):
+    """Independent reference: the same candidate pool + greedy
+    0.5*relevance - 0.5*max-sim recurrence run in plain Python over
+    the sf0.001 embeddings."""
+    import math
+
+    from iot_real_time_data_pipeline_spark.entrypoints import read_table
+    from pyspark.sql import functions as F
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings").persist()
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    vecs = {r.vec_id: [float(x) for x in r.embedding] for r in emb.collect()}
+    qids = sorted(r.vec_id for r in q.select("vec_id").collect())
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb)
+
+    expected = {}
+    for qid in qids:
+        scored = sorted(
+            ((cos(vecs[qid], vecs[n]), n) for n in vecs if n != qid),
+            key=lambda t: (-t[0], t[1]),
+        )[: SIM.MMR_CAND_N]
+        sel = [scored[0]]
+        rest = scored[1:]
+        for _ in range(SIM.MMR_K - 1):
+            if not rest:
+                break
+            best = max(
+                rest,
+                key=lambda t: (
+                    0.5 * t[0]
+                    - 0.5 * max(cos(vecs[t[1]], vecs[s[1]]) for s in sel),
+                    -t[1],
+                ),
+            )
+            sel.append(best)
+            rest = [t for t in rest if t[1] != best[1]]
+        for step, (_, n) in enumerate(sel, 1):
+            expected[(qid, step)] = n
+
+    out = {
+        (r.query_id, r.step): r.neighbor_id
+        for r in SIM.mmr_topk(emb, q).collect()
+    }
+    assert out == expected
+    emb.unpersist()
+
+
+def test_mmr_diversifies_near_identical_candidates(spark):
+    """A direction-identical twin of the top hit (cosine 1.0 to it):
+    plain top-2 returns both; MMR's step-2 must skip the twin for the
+    diverse candidate."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.95, 0.05, 0.0, 0.0]),   # top-1 by relevance
+        (2, [1.9, 0.1, 0.0, 0.0]),     # scaled copy of 1 -> sim 1.0
+        (3, [0.9, -0.1, 0.0, 0.0]),    # slightly less relevant, diverse
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter("vec_id = 0")
+    out = {r.step: r.neighbor_id for r in SIM.mmr_topk(emb, q, k=2).collect()}
+    assert out[1] == 1      # relevance argmax
+    assert out[2] == 3      # diversity beats the near-twin 2
+
+
 def test_int8_rerank_recall_vs_exact(spark):
     """The production ANN operating point for this (isotropic) corpus:
     int8 first pass + exact re-rank of RERANK_M survivors. Measured
