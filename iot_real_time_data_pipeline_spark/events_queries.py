@@ -162,6 +162,7 @@ def events_queries() -> dict[str, QueryFn]:
         "events_scd2_lookup": q_scd2_lookup,
         "events_funnel_within": q_funnel_within,
         "events_incremental_rollup": q_incremental_rollup,
+        "events_kmv_set_ops": q_kmv_set_ops,
     }
 
 
@@ -631,6 +632,75 @@ SELECT event_type, n_hashes_kept,
 FROM g"""
 
 
+def q_kmv_set_ops(spark, sf_dir):
+    return SK.kmv_set_ops(_events(spark, sf_dir))
+
+
+def _kmv_set_ops_sql() -> str:
+    p, k = SK.HASH_P, SK.KMV_K
+    return f"""
+WITH hashed AS (
+  SELECT DISTINCT event_type,
+         ({SK.KMV_A} * (user_id % {p}) + {SK.KMV_B}) % {p} AS h
+  FROM events
+),
+sk AS (
+  SELECT event_type, h FROM (
+    SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+    FROM hashed
+  ) WHERE rn <= {k}
+),
+types AS (SELECT DISTINCT event_type FROM sk),
+prs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b
+  FROM types a JOIN types b ON a.event_type < b.event_type
+),
+comb AS (
+  SELECT DISTINCT type_a, type_b, h FROM (
+    SELECT p.type_a, p.type_b, s.h
+    FROM prs p JOIN sk s ON s.event_type = p.type_a
+    UNION ALL
+    SELECT p.type_a, p.type_b, s.h
+    FROM prs p JOIN sk s ON s.event_type = p.type_b
+  )
+),
+kk AS (
+  SELECT type_a, type_b, h FROM (
+    SELECT *, row_number() OVER (PARTITION BY type_a, type_b
+                                 ORDER BY h) AS rn
+    FROM comb
+  ) WHERE rn <= {k}
+),
+flagged AS (
+  SELECT kk.type_a, kk.type_b, kk.h,
+         CASE WHEN sa.h IS NOT NULL THEN 1 ELSE 0 END AS in_a,
+         CASE WHEN sb.h IS NOT NULL THEN 1 ELSE 0 END AS in_b
+  FROM kk
+  LEFT JOIN sk sa ON sa.event_type = kk.type_a AND sa.h = kk.h
+  LEFT JOIN sk sb ON sb.event_type = kk.type_b AND sb.h = kk.h
+),
+agg AS (
+  SELECT type_a, type_b,
+         CAST(count(*) AS BIGINT) AS n_kept, max(h) AS m_k,
+         CAST(sum(in_a * in_b) AS BIGINT) AS inter_cnt,
+         CAST(sum(in_a * (1 - in_b)) AS BIGINT) AS a_only_cnt,
+         CAST(sum((1 - in_a) * in_b) AS BIGINT) AS b_only_cnt
+  FROM flagged GROUP BY type_a, type_b
+),
+est AS (
+  SELECT *,
+         CAST(CASE WHEN n_kept < {k} THEN n_kept
+                   ELSE (CAST({k - 1} AS BIGINT) * {p}) // m_k END
+              AS BIGINT) AS union_est
+  FROM agg
+)
+SELECT type_a, type_b, n_kept, union_est,
+       CAST((inter_cnt * union_est) // n_kept AS BIGINT) AS inter_est,
+       CAST((a_only_cnt * union_est) // n_kept AS BIGINT) AS a_only_est,
+       CAST((b_only_cnt * union_est) // n_kept AS BIGINT) AS b_only_est
+FROM est"""
+
+
 def _cms_sql() -> str:
     p, w = SK.HASH_P, SK.CMS_WIDTH
     selects = [
@@ -670,6 +740,7 @@ def events_oracle_sql() -> dict[str, str]:
         "events_kmv_distinct": _kmv_sql(),
         "events_cms_table": _cms_sql(),
         "events_kmv_daily_merge": _kmv_daily_merge_sql(),
+        "events_kmv_set_ops": _kmv_set_ops_sql(),
         "events_hll_distinct": _hll_sql(),
         "events_asof_join": _ASOF_JOIN_SQL,
         "events_time_band_pairs": _TIME_BAND_SQL,

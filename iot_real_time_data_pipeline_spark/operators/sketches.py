@@ -232,6 +232,101 @@ def kmv_daily_merge(events: DataFrame, k: int = KMV_K) -> DataFrame:
     )
 
 
+def kmv_set_ops(events: DataFrame, k: int = KMV_K) -> DataFrame:
+    """Distinct-count estimates for set EXPRESSIONS over KMV sketches
+    (Beyer et al., "On synopses for distinct value estimation under
+    multiset operations"): for every pair of event types, the distinct
+    users of A∪B, A∩B, A∖B and B∖A — from the per-type sketches alone,
+    never rescanning the raw data.
+
+    The estimator: combine the two k-min sets, keep the k smallest →
+    that IS the KMV sketch of A∪B, so ``union_est = (k-1)p/m_k``; the
+    fraction rho of combined-sketch hashes present in BOTH per-type
+    sketches is an unbiased Jaccard estimate, so ``inter_est = rho *
+    union_est`` (and the one-sided fractions give the differences).
+    Below saturation (n_kept < k) the combined sketch holds EVERY hash
+    of A∪B, so using ``n_kept`` as the denominator makes all four
+    numbers exact. All-integer arithmetic → the oracle reproduces the
+    estimates bit-for-bit.
+
+    Plan shape at 100 TB: the distinct-hash stage is the only one that
+    touches row volume (map-side partial); per-type windows emit ≤ k
+    rows per type, and everything pairwise operates on ``types² × k``
+    rows — driver-free, broadcast-sized.
+
+    Returns ``(type_a, type_b, n_kept, union_est, inter_est,
+    a_only_est, b_only_est)`` for each unordered pair (type_a <
+    type_b).
+    """
+    hashed = events.select(
+        "event_type", _hash_long(F.col("user_id"), KMV_A, KMV_B).alias("h")
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    sk = (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("event_type", "h")
+        .persist()
+    )
+    types = sk.select("event_type").distinct()
+    prs = (
+        types.select(F.col("event_type").alias("type_a"))
+        .join(
+            types.select(F.col("event_type").alias("type_b")),
+            F.col("type_a") < F.col("type_b"),
+        )
+    )
+    from_a = prs.join(
+        sk.withColumnRenamed("event_type", "type_a"), "type_a"
+    ).select("type_a", "type_b", "h")
+    from_b = prs.join(
+        sk.withColumnRenamed("event_type", "type_b"), "type_b"
+    ).select("type_a", "type_b", "h")
+    comb = from_a.unionByName(from_b).distinct()
+    w2 = Window.partitionBy("type_a", "type_b").orderBy("h")
+    kk = (
+        comb.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= k)
+        .select("type_a", "type_b", "h")
+    )
+    flag_a = sk.select(
+        F.col("event_type").alias("type_a"), "h", F.lit(1).alias("fa")
+    )
+    flag_b = sk.select(
+        F.col("event_type").alias("type_b"), "h", F.lit(1).alias("fb")
+    )
+    flagged = (
+        kk.join(flag_a, ["type_a", "h"], "left")
+        .join(flag_b, ["type_b", "h"], "left")
+        .select(
+            "type_a", "type_b", "h",
+            F.coalesce("fa", F.lit(0)).alias("in_a"),
+            F.coalesce("fb", F.lit(0)).alias("in_b"),
+        )
+    )
+    agg = flagged.groupBy("type_a", "type_b").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.max("h").alias("m_k"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("inter_cnt"),
+        F.sum(F.col("in_a") * (1 - F.col("in_b"))).cast("long").alias("a_only_cnt"),
+        F.sum((1 - F.col("in_a")) * F.col("in_b")).cast("long").alias("b_only_cnt"),
+    )
+    return (
+        agg.withColumn(
+            "union_est",
+            F.when(F.col("n_kept") < k, F.col("n_kept"))
+            .otherwise(F.expr(f"(CAST({k - 1} AS BIGINT) * {HASH_P}) div m_k"))
+            .cast("long"),
+        )
+        .select(
+            "type_a", "type_b", "n_kept", "union_est",
+            F.expr("(inter_cnt * union_est) div n_kept").cast("long").alias("inter_est"),
+            F.expr("(a_only_cnt * union_est) div n_kept").cast("long").alias("a_only_est"),
+            F.expr("(b_only_cnt * union_est) div n_kept").cast("long").alias("b_only_est"),
+        )
+    )
+
+
 # HyperLogLog geometry: 2^HLL_B registers over the 31-bit hash; the
 # remainder carries HLL_W bits, so rho in [1, HLL_W + 1]. SCALE makes
 # every 2^-rho term an exact BIGINT (2^(SCALE - rho), SCALE > max rho).

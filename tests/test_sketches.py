@@ -48,6 +48,50 @@ def test_kmv_exact_below_saturation(spark):
     assert len(out) == 1 and out[0].kmv_estimate == 10
 
 
+def test_kmv_set_ops_exact_below_saturation(spark):
+    """Two overlapping small sets: every estimate must be EXACT (the
+    combined sketch holds every hash below saturation)."""
+    rows = [(i, i, "view", 1.0, i) for i in range(30)] + [
+        (100 + i, 20 + i, "click", 1.0, i) for i in range(30)
+    ]  # view users 0..29, click users 20..49 -> inter 10, union 50
+    df = spark.createDataFrame(
+        rows, ["event_id", "user_id", "event_type", "value", "ts_sec"]
+    )
+    out = SK.kmv_set_ops(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.type_a, r.type_b) == ("click", "view")
+    assert r.union_est == 50 and r.inter_est == 10
+    assert r.a_only_est == 20 and r.b_only_est == 20
+
+
+def test_kmv_set_ops_within_standard_error(spark, events):
+    """Saturated pairs: union within KMV sigma; inter/diff within the
+    rho-estimator's (looser) combined error; identities hold exactly
+    by construction (counts partition the combined sketch)."""
+    exact_sets = {}
+    for t, u in [
+        (r.event_type, r.user_id)
+        for r in events.select("event_type", "user_id").distinct().collect()
+    ]:
+        exact_sets.setdefault(t, set()).add(u)
+    out = SK.kmv_set_ops(events).collect()
+    types = sorted(exact_sets)
+    assert {(r.type_a, r.type_b) for r in out} == {
+        (a, b) for i, a in enumerate(types) for b in types[i + 1:]
+    }
+    for r in out:
+        A, B = exact_sets[r.type_a], exact_sets[r.type_b]
+        un, inter = len(A | B), len(A & B)
+        sigma = 1.0 / (SK.KMV_K - 2) ** 0.5
+        assert abs(r.union_est - un) / un < 4 * sigma
+        # rho has binomial error on top of the union error; scale the
+        # bound by the union size (absolute, since inter can be small)
+        assert abs(r.inter_est - inter) < 8 * sigma * un
+        assert abs(r.a_only_est - len(A - B)) < 8 * sigma * un
+        assert abs(r.b_only_est - len(B - A)) < 8 * sigma * un
+
+
 def test_cms_never_underestimates_and_is_tight_for_heavy_keys(spark, events):
     exact = {
         r.user_id: r.n
