@@ -297,6 +297,9 @@ def main() -> None:
         "docs_curation_v2",
         "docs_dedup_funnel",
         "emb_ivf_int8_topk",
+        "docs_labelprop_communities",
+        "emb_mmr_topk",
+        "emb_cohort_drift",
     ]:
         fn = LQ.llm_queries()[name]
         timed_repeat(name, lambda fn=fn: fn(spark, sf_dir).collect())

@@ -163,6 +163,8 @@ def events_queries() -> dict[str, QueryFn]:
         "events_funnel_within": q_funnel_within,
         "events_incremental_rollup": q_incremental_rollup,
         "events_kmv_set_ops": q_kmv_set_ops,
+        "events_ewma_daily": q_ewma_daily,
+        "events_seasonal_anomalies": q_seasonal_anomalies,
     }
 
 
@@ -701,6 +703,80 @@ SELECT type_a, type_b, n_kept, union_est,
 FROM est"""
 
 
+def q_ewma_daily(spark, sf_dir):
+    return EA.ewma_daily(_events(spark, sf_dir))
+
+
+def _ewma_daily_sql() -> str:
+    # The SAME integer recurrence as the Spark in-row fold, walked as
+    # a recursive CTE over the day-ordered daily rollup.
+    am = EA.EWMA_ALPHA_MILLI
+    return f"""
+WITH RECURSIVE d AS (
+  SELECT event_type, day,
+         CAST(sum_c // n AS BIGINT) AS avg_c,
+         CAST(row_number() OVER (PARTITION BY event_type
+                                 ORDER BY day) AS BIGINT) AS rn
+  FROM (
+    SELECT event_type, (epoch_ns(ts) // 1000000000) // 86400 AS day,
+           sum(CAST(round(value * 100) AS BIGINT)) AS sum_c,
+           count(*) AS n
+    FROM events GROUP BY 1, 2
+  )
+),
+r AS (
+  SELECT event_type, day, avg_c, rn, avg_c AS ewma_c
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.event_type, d.day, d.avg_c, d.rn,
+         CAST(({1000 - am} * r.ewma_c + {am} * d.avg_c) // 1000 AS BIGINT)
+  FROM d JOIN r ON d.event_type = r.event_type AND d.rn = r.rn + 1
+)
+SELECT event_type, day, avg_c AS daily_avg_c, ewma_c FROM r"""
+
+
+def q_seasonal_anomalies(spark, sf_dir):
+    return EA.seasonal_anomalies(_events(spark, sf_dir))
+
+
+def _seasonal_anomaly_sql() -> str:
+    z = EA.ANOMALY_Z
+    return f"""
+WITH base AS (
+  SELECT event_id, event_type, value,
+         CAST(round(value * 100) AS BIGINT) AS vc,
+         CAST(((epoch_ns(ts) // 1000000000) // 3600) % 24 AS BIGINT) AS hour
+  FROM events
+),
+stats AS (
+  SELECT event_type, hour, count(*) AS n,
+         CAST(sum(vc) AS BIGINT) AS sum_c,
+         CAST(sum(vc * vc) AS BIGINT) AS sumsq_c2
+  FROM base GROUP BY event_type, hour
+),
+moments AS (
+  SELECT event_type, hour, n, sum_c,
+         (CAST(sumsq_c2 AS DOUBLE)
+          - CAST(n AS DOUBLE)
+            * (CAST(sum_c AS DOUBLE) / CAST(n AS DOUBLE))
+            * (CAST(sum_c AS DOUBLE) / CAST(n AS DOUBLE)))
+         / CAST(n AS DOUBLE) AS var
+  FROM stats
+),
+scored AS (
+  SELECT b.event_id, b.event_type, b.hour, b.value,
+         CASE WHEN s.var > 0 THEN
+           (CAST(b.vc AS DOUBLE) - CAST(s.sum_c AS DOUBLE) / CAST(s.n AS DOUBLE))
+             / sqrt(s.var)
+         ELSE 0.0 END AS z
+  FROM base b JOIN moments s
+    ON b.event_type = s.event_type AND b.hour = s.hour
+)
+SELECT event_id, event_type, hour, value,
+       CAST(round(z * 1000) AS BIGINT) AS z_milli
+FROM scored WHERE abs(z) > {z}"""
+
+
 def _cms_sql() -> str:
     p, w = SK.HASH_P, SK.CMS_WIDTH
     selects = [
@@ -741,6 +817,8 @@ def events_oracle_sql() -> dict[str, str]:
         "events_cms_table": _cms_sql(),
         "events_kmv_daily_merge": _kmv_daily_merge_sql(),
         "events_kmv_set_ops": _kmv_set_ops_sql(),
+        "events_ewma_daily": _ewma_daily_sql(),
+        "events_seasonal_anomalies": _seasonal_anomaly_sql(),
         "events_hll_distinct": _hll_sql(),
         "events_asof_join": _ASOF_JOIN_SQL,
         "events_time_band_pairs": _TIME_BAND_SQL,

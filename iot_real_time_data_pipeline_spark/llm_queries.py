@@ -443,6 +443,7 @@ def llm_queries() -> dict[str, QueryFn]:
         "docs_dedup_funnel": q_dedup_funnel,
         "docs_labelprop_communities": q_labelprop_communities,
         "emb_mmr_topk": q_mmr_topk,
+        "emb_cohort_drift": q_cohort_drift,
     }
 
 
@@ -945,6 +946,42 @@ SELECT query_id, step, neighbor_id,
        {TH.sql_quantized6('cosine')} AS cosine,
        {TH.sql_quantized6('mmr_score')} AS mmr_score
 FROM acc{k}"""
+
+
+def q_cohort_drift(spark, sf_dir):
+    return SIM.cohort_drift(_emb(spark, sf_dir))
+
+
+def _sql_cohort_drift() -> str:
+    # Spark's `div` truncates toward zero; DuckDB's `//` floors. Sums
+    # can be negative, so the oracle mirrors truncation explicitly.
+    tdiv_a = "CASE WHEN sum_a < 0 THEN -((-sum_a) // n_a) ELSE sum_a // n_a END"
+    tdiv_b = "CASE WHEN sum_b < 0 THEN -((-sum_b) // n_b) ELSE sum_b // n_b END"
+    return f"""
+WITH x AS (
+  SELECT label, vec_id % 2 AS cohort,
+         unnest(list_transform(range(1, len(embedding) + 1),
+                i -> {{'pos': i, 'vq': CAST(round(CAST(embedding[i] AS DOUBLE)
+                                                 * 1000) AS BIGINT)}})) AS u
+  FROM embeddings
+),
+per_dim AS (
+  SELECT label, u.pos AS pos,
+         sum(CASE WHEN cohort = 0 THEN u.vq END) AS sum_a,
+         count(CASE WHEN cohort = 0 THEN 1 END) AS n_a,
+         sum(CASE WHEN cohort = 1 THEN u.vq END) AS sum_b,
+         count(CASE WHEN cohort = 1 THEN 1 END) AS n_b
+  FROM x GROUP BY label, u.pos
+),
+dd AS (
+  SELECT label, n_a, n_b,
+         abs(({tdiv_a}) - ({tdiv_b})) AS dim_drift
+  FROM per_dim WHERE n_a > 0 AND n_b > 0
+)
+SELECT label, CAST(min(n_a) AS BIGINT) AS n_a, CAST(min(n_b) AS BIGINT) AS n_b,
+       CAST(sum(dim_drift) AS BIGINT) AS drift_l1_milli,
+       CAST(max(dim_drift) AS BIGINT) AS drift_linf_milli
+FROM dd GROUP BY label"""
 
 
 def _sql_bucket(col: str) -> str:
@@ -1795,6 +1832,7 @@ def llm_oracle_sql() -> dict[str, str]:
         "docs_dedup_funnel": _sql_dedup_funnel(),
         "docs_labelprop_communities": _sql_labelprop_communities(),
         "emb_mmr_topk": _sql_mmr_topk(),
+        "emb_cohort_drift": _sql_cohort_drift(),
     }
 
 

@@ -362,6 +362,52 @@ def value_anomalies(events: DataFrame, z_threshold: float = ANOMALY_Z) -> DataFr
     )
 
 
+def seasonal_anomalies(
+    events: DataFrame, z_threshold: float = ANOMALY_Z
+) -> DataFrame:
+    """Deseasonalized outlier detection: events scored against their
+    type's HOUR-OF-DAY baseline instead of the global mean, so the
+    nightly lull and the daily peak stop masking (or faking) outliers
+    — the first-order seasonality correction every IoT/clickstream
+    monitor needs before :func:`value_anomalies`'s global z makes
+    sense.
+
+    Same determinism recipe as ``value_anomalies``: per (type, hour)
+    INTEGER moments (cent-quantized sums — shuffle is |types| × 24
+    rows), doubles derived from those exact integers with the same
+    expression tree on both engines, var == 0 guarded to z = 0.
+
+    Returns ``(event_id, event_type, hour, value, z_milli)`` for
+    events beyond ``z_threshold`` sigmas of their seasonal cell.
+    """
+    value_c = F.round(F.col("value") * 100).cast("long")
+    hour = F.expr("(ts_sec div 3600) % 24").cast("long")
+    base = events.withColumn("_vc", value_c).withColumn("hour", hour)
+    stats = base.groupBy("event_type", "hour").agg(
+        F.count("*").alias("_n"),
+        F.sum("_vc").alias("_sum_c"),
+        F.sum(F.col("_vc") * F.col("_vc")).alias("_sumsq_c2"),
+    )
+    j = base.join(F.broadcast(stats), ["event_type", "hour"])
+    n = F.col("_n").cast("double")
+    mean = F.col("_sum_c").cast("double") / n
+    var = (F.col("_sumsq_c2").cast("double") - n * mean * mean) / n
+    z = F.when(
+        var > 0, (F.col("_vc").cast("double") - mean) / F.sqrt(var)
+    ).otherwise(F.lit(0.0))
+    return (
+        j.withColumn("_z", z)
+        .filter(F.abs(F.col("_z")) > z_threshold)
+        .select(
+            "event_id",
+            "event_type",
+            "hour",
+            "value",
+            F.round(F.col("_z") * 1000).cast("long").alias("z_milli"),
+        )
+    )
+
+
 def dau_wau(events: DataFrame) -> DataFrame:
     """Daily active users, trailing-7-day active users, and the
     DAU/WAU stickiness ratio (ppm) per epoch day.
@@ -519,6 +565,69 @@ def daily_moving_avg(events: DataFrame, days: int = MOVING_AVG_DAYS) -> DataFram
             F.sum("n_events").over(w).alias("trailing_n"),
         )
         .withColumn("trailing_avg_c", F.expr("trailing_sum_c div trailing_n"))
+    )
+
+
+EWMA_ALPHA_MILLI = 300  # smoothing weight on the new observation
+
+
+def ewma_daily(events: DataFrame, alpha_milli: int = EWMA_ALPHA_MILLI) -> DataFrame:
+    """Integer-exact exponentially-weighted moving average of the
+    daily value per event type — the streaming-dashboard smoothing
+    recurrence ``y_i = ((1000-a)*y_{i-1} + a*x_i) div 1000`` (y_0 =
+    x_0), all in integer cents so a fixed alpha is bit-reproducible on
+    any engine (the DuckDB twin walks the same recurrence as a
+    RECURSIVE CTE).
+
+    Plan shape: the raw stream partial-aggregates to one row per
+    (event_type, day) first — shuffle ∝ |types| × |days|, never event
+    volume (daily_moving_avg's two-level discipline) — then the
+    recurrence runs as a single in-row ``aggregate`` fold over each
+    type's day-ordered array. The fold length is calendar days per
+    type (bounded), not data volume; daily sums are non-negative, so
+    truncating ``div`` == the oracle's floor ``//``.
+
+    Returns ``(event_type, day, daily_avg_c, ewma_c)``.
+    """
+    daily = (
+        events.withColumn("day", F.expr("ts_sec div 86400"))
+        .groupBy("event_type", "day")
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_c"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "event_type", "day", F.expr("sum_c div n").alias("avg_c")
+        )
+    )
+    seq = daily.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("day", "avg_c"))).alias("s")
+    )
+    folded = seq.select(
+        "event_type",
+        F.expr(
+            f"""
+            aggregate(
+              s,
+              CAST(array() AS ARRAY<STRUCT<day: BIGINT, avg_c: BIGINT,
+                                           ewma_c: BIGINT>>),
+              (acc, x) -> array_append(acc, named_struct(
+                'day', x.day,
+                'avg_c', x.avg_c,
+                'ewma_c', CASE WHEN size(acc) = 0 THEN x.avg_c
+                          ELSE ({1000 - alpha_milli}
+                                  * element_at(acc, -1).ewma_c
+                                + {alpha_milli} * x.avg_c) div 1000 END)))
+            """
+        ).alias("r"),
+    )
+    return folded.select(
+        "event_type", F.explode("r").alias("x")
+    ).select(
+        "event_type",
+        F.col("x.day").alias("day"),
+        F.col("x.avg_c").alias("daily_avg_c"),
+        F.col("x.ewma_c").alias("ewma_c"),
     )
 
 

@@ -556,6 +556,55 @@ def label_centroids(embeddings: DataFrame) -> DataFrame:
     )
 
 
+def cohort_drift(embeddings: DataFrame) -> DataFrame:
+    """Embedding-distribution drift audit between two ingest cohorts
+    (vec_id parity stands in for yesterday's-batch vs today's-batch):
+    per label, the L1 and L-infinity distance between the cohorts'
+    per-dimension mean vectors — the monitor that catches a retrained
+    encoder, a units change, or a feed swap before downstream dedup
+    and ANN quietly degrade.
+
+    ALL-INTEGER: components are milli-quantized, per-(label, cohort,
+    dim) sums are exact BIGINTs (posexplode + one partial-agged
+    groupBy — ``label_centroids``' shuffle shape), per-dim means are
+    floor divisions, and the L1/L-inf reductions are integer sum/max —
+    order-independent, so the oracle reproduces every row bit-for-bit
+    (no double accumulation anywhere).
+
+    Labels present in only one cohort are excluded (no baseline to
+    drift from). Returns ``(label, n_a, n_b, drift_l1_milli,
+    drift_linf_milli)``.
+    """
+    vq = F.expr("CAST(round(v * 1000) AS BIGINT)")
+    exploded = embeddings.select(
+        "label",
+        (F.col("vec_id") % 2).alias("cohort"),
+        F.posexplode(as_double(F.col("embedding"))).alias("pos", "v"),
+    ).select("label", "cohort", "pos", vq.alias("vq"))
+    per_dim = (
+        exploded.groupBy("label", "pos")
+        .agg(
+            F.sum(F.when(F.col("cohort") == 0, F.col("vq"))).alias("sum_a"),
+            F.count(F.when(F.col("cohort") == 0, F.lit(1))).alias("n_a"),
+            F.sum(F.when(F.col("cohort") == 1, F.col("vq"))).alias("sum_b"),
+            F.count(F.when(F.col("cohort") == 1, F.lit(1))).alias("n_b"),
+        )
+        .filter((F.col("n_a") > 0) & (F.col("n_b") > 0))
+        .select(
+            "label", "n_a", "n_b",
+            F.abs(
+                F.expr("sum_a div n_a") - F.expr("sum_b div n_b")
+            ).alias("dim_drift"),
+        )
+    )
+    return per_dim.groupBy("label").agg(
+        F.first("n_a").alias("n_a"),
+        F.first("n_b").alias("n_b"),
+        F.sum("dim_drift").cast("long").alias("drift_l1_milli"),
+        F.max("dim_drift").cast("long").alias("drift_linf_milli"),
+    )
+
+
 KMEANS_K = 8
 
 

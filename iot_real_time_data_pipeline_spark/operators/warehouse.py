@@ -783,6 +783,52 @@ def sales_cube(lineitem: DataFrame) -> DataFrame:
     )
 
 
+def sales_grouping_sets(lineitem: DataFrame) -> DataFrame:
+    """Heterogeneous GROUPING SETS — ``((returnflag, linestatus),
+    (ship_year), ())`` — the report shape neither ROLLUP nor CUBE can
+    express (two unrelated breakdowns + grand total in one pass).
+    Same single-Expand single-exchange plan as :func:`sales_cube`:
+    Expand emits one replica per set, the aggregate partial-combines
+    map-side, so the shuffle is |sets| × |groups|, not a per-set
+    rescan of lineitem. Same 'ALL' folding, same integer cents.
+
+    ``grp_level`` = grouping(returnflag)*4 + grouping(linestatus)*2 +
+    grouping(ship_year) — composed from per-column ``grouping()`` bits
+    (engine-portable, unlike grouping_id bit order).
+
+    Returns ``(l_returnflag, l_linestatus, ship_year, grp_level,
+    n_items, sum_disc_price_c)`` with the folded year as -1.
+    """
+    li = with_year(lineitem, "l_shipdate", "ship_year")
+    return (
+        li.select(
+            "l_returnflag", "l_linestatus", "ship_year",
+            _revenue_c().alias("rev_c"),
+        )
+        .groupingSets(
+            [["l_returnflag", "l_linestatus"], ["ship_year"], []],
+            "l_returnflag", "l_linestatus", "ship_year",
+        )
+        .agg(
+            (
+                F.grouping("l_returnflag") * 4
+                + F.grouping("l_linestatus") * 2
+                + F.grouping("ship_year")
+            ).cast("long").alias("grp_level"),
+            F.count("*").alias("n_items"),
+            F.sum("rev_c").alias("sum_disc_price_c"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("l_returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("l_linestatus"),
+            F.coalesce(F.col("ship_year"), F.lit(-1)).cast("long").alias("ship_year"),
+            "grp_level",
+            "n_items",
+            "sum_disc_price_c",
+        )
+    )
+
+
 ABC_A_PPM = 700_000  # cumulative revenue share ceilings for class A / B
 ABC_B_PPM = 900_000
 

@@ -97,6 +97,7 @@ def warehouse_queries() -> dict[str, QueryFn]:
         "wh_q13_order_distribution": q_q13,
         "wh_q14_promo_revenue": q_q14,
         "wh_sales_cube": q_cube,
+        "wh_sales_grouping_sets": q_grouping_sets,
         "wh_q7_nation_volume": q_q7,
         "wh_q8_market_share": q_q8,
         "wh_q9_product_profit": q_q9,
@@ -276,6 +277,7 @@ def warehouse_oracle_sql() -> dict[str, str]:
         # later additions (constants/builders defined below — evaluated
         # when this function is CALLED, after the module has loaded)
         "wh_sales_cube": _CUBE_SQL,
+        "wh_sales_grouping_sets": _GROUPING_SETS_SQL,
         "wh_q7_nation_volume": _Q7_SQL,
         "wh_q8_market_share": _Q8_SQL,
         "wh_q9_product_profit": _Q9_SQL,
@@ -307,6 +309,10 @@ def warehouse_oracle_sql() -> dict[str, str]:
 
 def q_cube(spark, sf_dir):
     return WH.sales_cube(_t(spark, sf_dir, "lineitem"))
+
+
+def q_grouping_sets(spark, sf_dir):
+    return WH.sales_grouping_sets(_t(spark, sf_dir, "lineitem"))
 
 
 def q_q7(spark, sf_dir):
@@ -385,6 +391,24 @@ SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
        CAST(sum({_REV}) AS BIGINT) AS sum_disc_price_c
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)"""
+
+
+_GROUPING_SETS_SQL = f"""
+WITH li AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+         {_REV} AS rev_c
+  FROM lineitem
+)
+SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+       CAST(coalesce(ship_year, -1) AS BIGINT) AS ship_year,
+       CAST(grouping(l_returnflag) * 4 + grouping(l_linestatus) * 2
+            + grouping(ship_year) AS BIGINT) AS grp_level,
+       count(*) AS n_items,
+       CAST(sum(rev_c) AS BIGINT) AS sum_disc_price_c
+FROM li
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (ship_year), ())"""
 
 
 _Q7_SQL = f"""

@@ -390,6 +390,55 @@ def test_daily_moving_avg_matches_python_reference(spark):
     assert out[("view", 9)].trailing_n == 3
 
 
+def test_ewma_daily_matches_python_recurrence(spark):
+    rows = []
+    eid = 0
+    for day in (0, 1, 2, 5, 9):  # gaps: recurrence walks rows, not days
+        for j in range(3):
+            eid += 1
+            rows.append((eid, 1, "view", float(day * 10 + j), day * 86400 + j))
+    out = {
+        r.day: r for r in EA.ewma_daily(_events(spark, rows)).collect()
+    }
+    daily = {}
+    for (_, _, _, v, ts) in rows:
+        d = ts // 86400
+        s, n = daily.get(d, (0, 0))
+        daily[d] = (s + round(v * 100), n + 1)
+    am = EA.EWMA_ALPHA_MILLI
+    ew = None
+    for d in sorted(daily):
+        avg_c = daily[d][0] // daily[d][1]
+        ew = avg_c if ew is None else ((1000 - am) * ew + am * avg_c) // 1000
+        assert out[d].daily_avg_c == avg_c
+        assert out[d].ewma_c == ew, d
+    assert len(out) == len(daily)
+
+
+def test_seasonal_anomaly_catches_what_global_z_masks(spark):
+    """A value normal for the daily PEAK but planted in the nightly
+    LULL: global per-type z misses it (it sits inside the pooled
+    spread), the hour-of-day baseline flags it."""
+    rows = []
+    eid = 0
+    for day in range(6):
+        for rep in range(4):
+            eid += 1  # lull hour 3: values ~10
+            rows.append((eid, 1, "view", 10.0 + rep * 0.2, day * 86400 + 3 * 3600 + rep))
+            eid += 1  # peak hour 12: values ~100
+            rows.append((eid, 1, "view", 100.0 + rep * 0.2, day * 86400 + 12 * 3600 + rep))
+    eid += 1  # peak-sized value at the lull hour
+    planted = eid
+    rows.append((planted, 1, "view", 100.0, 5 * 86400 + 3 * 3600 + 50))
+    df = _events(spark, rows)
+    seasonal = {r.event_id for r in EA.seasonal_anomalies(df).collect()}
+    global_z = {r.event_id for r in EA.value_anomalies(df).collect()}
+    assert planted in seasonal
+    assert planted not in global_z
+    out = {r.event_id: r for r in EA.seasonal_anomalies(df).collect()}
+    assert out[planted].hour == 3 and out[planted].z_milli > 3000
+
+
 def test_time_weighted_avg_locf_weighting(spark):
     rows = [
         # value 10 holds for 100 s, value 50 for 300 s, last sample unweighted

@@ -294,6 +294,26 @@ def test_mmr_diversifies_near_identical_candidates(spark):
     assert out[2] == 3      # diversity beats the near-twin 2
 
 
+def test_cohort_drift_planted_shift_and_zero_baseline(spark):
+    """Label 0: even/odd cohorts identical -> zero drift. Label 1: the
+    odd cohort shifted +0.5 in dim 1 -> L1 == Linf == 500 milli."""
+    rows = [
+        (0, [0.2, 0.4], 0), (1, [0.2, 0.4], 0),   # label 0, both cohorts
+        (2, [0.2, 0.4], 0), (3, [0.2, 0.4], 0),
+        (10, [0.1, 0.3], 1), (12, [0.1, 0.3], 1),  # label 1 cohort A
+        (11, [0.6, 0.3], 1), (13, [0.6, 0.3], 1),  # label 1 cohort B: +0.5 dim 1
+        (20, [9.9, 9.9], 2),                       # label 2: one cohort only
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {r.label: r for r in SIM.cohort_drift(emb).collect()}
+    assert set(out) == {0, 1}  # label 2 excluded (no cohort-B baseline)
+    assert out[0].drift_l1_milli == 0 and out[0].drift_linf_milli == 0
+    assert out[1].drift_l1_milli == 500 and out[1].drift_linf_milli == 500
+    assert (out[1].n_a, out[1].n_b) == (2, 2)
+
+
 def test_int8_rerank_recall_vs_exact(spark):
     """The production ANN operating point for this (isotropic) corpus:
     int8 first pass + exact re-rank of RERANK_M survivors. Measured

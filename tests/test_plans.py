@@ -562,6 +562,29 @@ def test_sales_cube_single_expand_four_sets(spark, wh_tables):
     assert leaf_total == flag_margin == status_margin == grand[0].sum_disc_price_c
 
 
+def test_sales_grouping_sets_single_expand_three_sets(spark, wh_tables):
+    from iot_real_time_data_pipeline_spark.operators import warehouse as WH
+
+    df = WH.sales_grouping_sets(wh_tables["lineitem"])
+    plan = plan_of(df)
+    assert plan.count("Expand") == 1  # one pass for all three sets
+    rows = df.collect()
+    # grp_level: 1 = (rf, ls) leaf, 6 = (year) margin, 7 = grand total
+    assert {r.grp_level for r in rows} == {1, 6, 7}
+    grand = [r for r in rows if r.grp_level == 7]
+    assert len(grand) == 1
+    leaf_total = sum(r.sum_disc_price_c for r in rows if r.grp_level == 1)
+    year_total = sum(r.sum_disc_price_c for r in rows if r.grp_level == 6)
+    assert leaf_total == year_total == grand[0].sum_disc_price_c
+    # folded placeholders: leaves fold year to -1, the year margin
+    # folds both strings to 'ALL'
+    assert all(r.ship_year == -1 for r in rows if r.grp_level == 1)
+    assert all(
+        r.l_returnflag == "ALL" and r.l_linestatus == "ALL"
+        for r in rows if r.grp_level == 6
+    )
+
+
 def test_aqe_splits_skewed_join_at_runtime(spark):
     """The 100 TB skew story is AQE's skew-join splitting — prove the
     engine configuration actually triggers it: a hot-key join must
