@@ -300,6 +300,7 @@ def main() -> None:
         "docs_labelprop_communities",
         "emb_mmr_topk",
         "emb_cohort_drift",
+        "emb_matryoshka_recall",
     ]:
         fn = LQ.llm_queries()[name]
         timed_repeat(name, lambda fn=fn: fn(spark, sf_dir).collect())

@@ -165,6 +165,8 @@ def events_queries() -> dict[str, QueryFn]:
         "events_kmv_set_ops": q_kmv_set_ops,
         "events_ewma_daily": q_ewma_daily,
         "events_seasonal_anomalies": q_seasonal_anomalies,
+        "events_linear_attribution": q_linear_attribution,
+        "events_bot_audit": q_bot_audit,
     }
 
 
@@ -777,6 +779,103 @@ SELECT event_id, event_type, hour, value,
 FROM scored WHERE abs(z) > {z}"""
 
 
+def q_linear_attribution(spark, sf_dir):
+    return EA.linear_attribution(_events(spark, sf_dir))
+
+
+def _linear_attribution_sql() -> str:
+    w = EA.ATTRIBUTION_WINDOW_SEC
+    chans = EA.TOUCH_TYPES
+    n_cols = ",\n         ".join(
+        f"coalesce(sum(CASE WHEN event_type = '{ch}' THEN 1 ELSE 0 END)"
+        f" OVER (PARTITION BY user_id ORDER BY ts_sec"
+        f" RANGE BETWEEN {w} PRECEDING AND 1 PRECEDING), 0) AS n_{ch}"
+        for ch in chans
+    )
+    total = " + ".join(f"n_{ch}" for ch in chans)
+    branches = "\n  UNION ALL\n".join(
+        f"  SELECT '{ch}' AS touch_type, n_{ch} AS n_ch,\n"
+        f"         CASE WHEN n_total > 0\n"
+        f"              THEN (1000000 * n_{ch}) // n_total ELSE 0 END"
+        " AS credit_ppm\n"
+        "  FROM conv"
+        for ch in chans
+    )
+    return f"""
+WITH base AS (
+  SELECT event_id, user_id, event_type,
+         CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS ts_sec
+  FROM events
+),
+counted AS (
+  SELECT event_id, user_id, event_type, ts_sec,
+         {n_cols}
+  FROM base
+),
+conv AS (
+  SELECT *, {total} AS n_total FROM counted
+  WHERE event_type = 'purchase'
+),
+credit AS (
+{branches}
+  UNION ALL
+  SELECT 'unattributed', CASE WHEN n_total = 0 THEN 1 ELSE 0 END,
+         CASE WHEN n_total = 0 THEN 1000000 ELSE 0 END
+  FROM conv
+)
+SELECT touch_type,
+       CAST(sum(CASE WHEN n_ch > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_conversions,
+       CAST(sum(credit_ppm) AS BIGINT) AS credit_ppm_total
+FROM credit GROUP BY touch_type"""
+
+
+def q_bot_audit(spark, sf_dir):
+    return EA.bot_audit(_events(spark, sf_dir))
+
+
+def _bot_audit_sql() -> str:
+    return f"""
+WITH base AS (
+  SELECT event_id, user_id,
+         CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS ts_sec
+  FROM events
+),
+gaps AS (
+  SELECT user_id,
+         ts_sec - lag(ts_sec) OVER (PARTITION BY user_id
+                                    ORDER BY ts_sec, event_id) AS gap
+  FROM base
+),
+per_user AS (
+  SELECT user_id, count(*) AS n_events, count(gap) AS n_gaps,
+         sum(gap) AS sum_gap, sum(gap * gap) AS sum_gap2,
+         min(gap) AS min_gap_sec
+  FROM gaps GROUP BY user_id
+  HAVING count(*) >= {EA.BOT_MIN_EVENTS}
+),
+stats AS (
+  SELECT user_id, n_events, n_gaps,
+         sum_gap * 1000 // n_gaps AS mean_gap_milli,
+         CASE WHEN sum_gap > 0 THEN
+           CAST(floor(sqrt(CAST(n_gaps * sum_gap2 - sum_gap * sum_gap
+                                AS DOUBLE))) AS BIGINT) * 1000 // sum_gap
+         ELSE 0 END AS cv_milli,
+         min_gap_sec
+  FROM per_user
+)
+SELECT CAST(row_number() OVER (ORDER BY cv_milli, mean_gap_milli, user_id)
+            AS BIGINT) AS suspicion_rank,
+       user_id, CAST(n_events AS BIGINT) AS n_events,
+       CAST(n_gaps AS BIGINT) AS n_gaps,
+       CAST(mean_gap_milli AS BIGINT) AS mean_gap_milli,
+       CAST(cv_milli AS BIGINT) AS cv_milli,
+       CAST(min_gap_sec AS BIGINT) AS min_gap_sec
+FROM stats
+ORDER BY cv_milli, mean_gap_milli, user_id
+LIMIT {EA.BOT_AUDIT_N}"""
+
+
 def _cms_sql() -> str:
     p, w = SK.HASH_P, SK.CMS_WIDTH
     selects = [
@@ -819,6 +918,8 @@ def events_oracle_sql() -> dict[str, str]:
         "events_kmv_set_ops": _kmv_set_ops_sql(),
         "events_ewma_daily": _ewma_daily_sql(),
         "events_seasonal_anomalies": _seasonal_anomaly_sql(),
+        "events_linear_attribution": _linear_attribution_sql(),
+        "events_bot_audit": _bot_audit_sql(),
         "events_hll_distinct": _hll_sql(),
         "events_asof_join": _ASOF_JOIN_SQL,
         "events_time_band_pairs": _TIME_BAND_SQL,

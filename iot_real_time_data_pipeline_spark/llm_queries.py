@@ -444,6 +444,7 @@ def llm_queries() -> dict[str, QueryFn]:
         "docs_labelprop_communities": q_labelprop_communities,
         "emb_mmr_topk": q_mmr_topk,
         "emb_cohort_drift": q_cohort_drift,
+        "emb_matryoshka_recall": q_matryoshka_recall,
     }
 
 
@@ -982,6 +983,75 @@ SELECT label, CAST(min(n_a) AS BIGINT) AS n_a, CAST(min(n_b) AS BIGINT) AS n_b,
        CAST(sum(dim_drift) AS BIGINT) AS drift_l1_milli,
        CAST(max(dim_drift) AS BIGINT) AS drift_linf_milli
 FROM dd GROUP BY label"""
+
+
+def q_matryoshka_recall(spark, sf_dir):
+    return SIM.matryoshka_recall(
+        _emb(spark, sf_dir), _emb_queries(spark, sf_dir), k=3
+    )
+
+
+def _sql_matryoshka_recall(k: int = 3) -> str:
+    # One scored branch per prefix length; dots/norms fold the SAME
+    # left-to-right index order as the Spark slices.
+    def _dot(d: int) -> str:
+        return (
+            "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(range(1, {d} + 1), i -> qv[i] * cv[i])), "
+            "(a, x) -> a + x)"
+        )
+
+    def _norm(v: str, d: int) -> str:
+        return (
+            "sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(range(1, {d} + 1), i -> {v}[i] * {v}[i])), "
+            "(a, x) -> a + x))"
+        )
+
+    dims = [SIM.EMB_DIM, *SIM.MATRYOSHKA_DIMS]
+    branches = "\n  UNION ALL\n".join(
+        f"  SELECT query_id, neighbor_id, CAST({d} AS BIGINT) AS prefix_dim,\n"
+        f"         {_dot(d)} / nullif({_norm('qv', d)} * {_norm('cv', d)}, 0)"
+        " AS cosine\n"
+        f"  FROM pairs"
+        for d in dims
+    )
+    pdims = ", ".join(str(d) for d in SIM.MATRYOSHKA_DIMS)
+    return f"""
+WITH {_EMB_CTE},
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % {QUERY_MOD} = 0),
+pairs AS (
+  SELECT qid AS query_id, e.vec_id AS neighbor_id, qv, e.v AS cv
+  FROM e CROSS JOIN q WHERE e.vec_id <> qid
+),
+scored AS (
+{branches}
+),
+ranked AS (
+  SELECT query_id, prefix_dim, neighbor_id,
+         row_number() OVER (PARTITION BY query_id, prefix_dim
+                            ORDER BY cosine DESC NULLS LAST,
+                                     neighbor_id) AS rank
+  FROM scored
+),
+topk AS (
+  SELECT query_id, prefix_dim, neighbor_id FROM ranked WHERE rank <= {k}
+),
+fx AS (
+  SELECT f.query_id, f.neighbor_id, d.prefix_dim
+  FROM (SELECT query_id, neighbor_id FROM topk
+        WHERE prefix_dim = {SIM.EMB_DIM}) f
+  CROSS JOIN (SELECT CAST(unnest([{pdims}]) AS BIGINT) AS prefix_dim) d
+)
+SELECT fx.query_id, fx.prefix_dim,
+       CAST(sum(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hits,
+       (1000 * CAST(sum(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT)) // {k} AS recall_milli
+FROM fx LEFT JOIN topk t
+  ON t.query_id = fx.query_id AND t.prefix_dim = fx.prefix_dim
+ AND t.neighbor_id = fx.neighbor_id
+GROUP BY fx.query_id, fx.prefix_dim"""
 
 
 def _sql_bucket(col: str) -> str:
@@ -1833,6 +1903,7 @@ def llm_oracle_sql() -> dict[str, str]:
         "docs_labelprop_communities": _sql_labelprop_communities(),
         "emb_mmr_topk": _sql_mmr_topk(),
         "emb_cohort_drift": _sql_cohort_drift(),
+        "emb_matryoshka_recall": _sql_matryoshka_recall(),
     }
 
 

@@ -1029,6 +1029,173 @@ def interarrival_stats(events: DataFrame) -> DataFrame:
     )
 
 
+ATTRIBUTION_WINDOW_SEC = 7 * 86400
+TOUCH_TYPES = ("click", "view")
+
+
+def linear_attribution(
+    events: DataFrame,
+    target_type: str = "purchase",
+    touch_types: tuple[str, ...] = TOUCH_TYPES,
+    window_sec: int = ATTRIBUTION_WINDOW_SEC,
+) -> DataFrame:
+    """Multi-touch LINEAR attribution: every conversion splits its
+    credit equally across ALL of the user's touch events (any type in
+    ``touch_types``) in the strictly-prior lookback window — the
+    fairer companion to :func:`asof_attribution`'s winner-takes-all
+    last-touch model, and the report marketing teams reconcile spend
+    against.
+
+    Scalable shape: NO range join and NO per-conversion subquery —
+    per-channel touch counts come from native RANGE-frame windows
+    (``RANGE BETWEEN window_sec PRECEDING AND 1 PRECEDING`` over the
+    user's time-ordered partition, one streaming pass), so the only
+    shuffle is the ``user_id`` exchange every per-user operator here
+    shares. Credit is integer ppm: each conversion hands channel ch
+    ``(1_000_000 * n_ch) div n_total`` — floor division, so a
+    conversion's credited ppm may undershoot 1e6 by < n_channels
+    (deterministic on every engine; no doubles).
+
+    Output rows: one per touch channel plus ``'unattributed'``
+    (conversions with zero prior touches — a report that drops them
+    overstates channel efficiency). Returns ``(touch_type,
+    n_conversions, credit_ppm_total)``.
+    """
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_sec")
+        .rangeBetween(-window_sec, -1)
+    )
+    counted = events
+    for ch in touch_types:
+        # coalesce: an EMPTY frame (no prior events at all) sums to
+        # NULL, which would silently drop the conversion from the
+        # 'unattributed' row instead of counting it there
+        counted = counted.withColumn(
+            f"_n_{ch}",
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("event_type") == ch, F.lit(1)).otherwise(
+                        F.lit(0)
+                    )
+                ).over(w),
+                F.lit(0),
+            ),
+        )
+    conv = counted.filter(F.col("event_type") == target_type).withColumn(
+        "_n_total", sum(F.col(f"_n_{ch}") for ch in touch_types)
+    )
+    credit = conv.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(ch).alias("touch_type"),
+                        F.col(f"_n_{ch}").alias("n_ch"),
+                        F.when(
+                            F.col("_n_total") > 0,
+                            F.expr(
+                                f"(1000000 * _n_{ch}) div _n_total"
+                            ),
+                        ).otherwise(F.lit(0)).alias("credit_ppm"),
+                    )
+                    for ch in touch_types
+                ],
+                F.struct(
+                    F.lit("unattributed").alias("touch_type"),
+                    F.when(F.col("_n_total") == 0, F.lit(1))
+                    .otherwise(F.lit(0))
+                    .cast("int")
+                    .alias("n_ch"),
+                    F.when(F.col("_n_total") == 0, F.lit(1_000_000))
+                    .otherwise(F.lit(0))
+                    .alias("credit_ppm"),
+                ),
+            )
+        ).alias("c")
+    )
+    return credit.groupBy(F.col("c.touch_type").alias("touch_type")).agg(
+        F.sum(F.when(F.col("c.n_ch") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_conversions"),
+        F.sum("c.credit_ppm").cast("long").alias("credit_ppm_total"),
+    )
+
+
+BOT_MIN_EVENTS = 20   # volume floor: 1-gap users have cv 0 by definition
+BOT_AUDIT_N = 20      # review-queue size
+
+
+def bot_audit(events: DataFrame, n: int = BOT_AUDIT_N) -> DataFrame:
+    """Robotic-traffic review queue — the clickstream-cleaning step
+    that runs BEFORE any engagement metric is trusted: the ``n`` most
+    METRONOMIC high-volume users, ranked by the coefficient of
+    variation of their inter-arrival gaps. Human cadence is bursty
+    (cv near or above 1); schedulers, scrapers and replay loops are
+    regular (cv << 1) at ANY absolute rate — which is why the ranking
+    keys on regularity rather than fixed rate thresholds that a
+    population-density change silently defeats.
+
+    Integer-exact: gaps are epoch-second BIGINTs and
+    ``cv_milli = 1000·stdev/mean = isqrt(n·Σg² − (Σg)²)·1000 div Σg``
+    (the n's cancel) — exact BIGINT moments, one floor division, no
+    double accumulation. Plan: one shuffle on ``user_id`` (lag window
+    + groupBy on the same key, single exchange), then a global
+    ``ORDER BY … LIMIT n`` — Spark's distributed TakeOrdered, never a
+    single-partition window, so the |users|-row stats table needs no
+    global sort even at 10⁹ users.
+
+    Returns ``(suspicion_rank, user_id, n_events, n_gaps,
+    mean_gap_milli, cv_milli, min_gap_sec)``; total order
+    (cv, mean_gap, user_id) makes the queue deterministic.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+    gap = F.col("ts_sec") - F.lag("ts_sec").over(w)
+    per_user = (
+        events.withColumn("_gap", gap)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count("_gap").alias("n_gaps"),
+            F.sum("_gap").alias("_sum_gap"),
+            F.sum(F.col("_gap") * F.col("_gap")).alias("_sum_gap2"),
+            F.min("_gap").alias("min_gap_sec"),
+        )
+        .filter(F.col("n_events") >= BOT_MIN_EVENTS)
+    )
+    stats = per_user.withColumn(
+        "mean_gap_milli", F.expr("_sum_gap * 1000 div n_gaps")
+    ).withColumn(
+        "cv_milli",
+        F.when(
+            F.col("_sum_gap") > 0,
+            F.expr(
+                "CAST(floor(sqrt(CAST(n_gaps * _sum_gap2 - _sum_gap * _sum_gap"
+                " AS DOUBLE))) AS BIGINT) * 1000 div _sum_gap"
+            ),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    ranked = (
+        stats.orderBy("cv_milli", "mean_gap_milli", "user_id")
+        .limit(n)
+        .withColumn(
+            "suspicion_rank",
+            F.row_number().over(
+                Window.orderBy("cv_milli", "mean_gap_milli", "user_id")
+            ).cast("long"),
+        )
+    )
+    return ranked.select(
+        "suspicion_rank",
+        "user_id",
+        "n_events",
+        "n_gaps",
+        "mean_gap_milli",
+        "cv_milli",
+        "min_gap_sec",
+    )
+
+
 HOP_SIZE_SEC = 3600  # hopping-window rollup: window size
 HOP_SLIDE_SEC = 900  # ... and slide (4 overlapping windows per event)
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")

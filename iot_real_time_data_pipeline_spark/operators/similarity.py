@@ -1429,6 +1429,107 @@ def ann_recall_audit(
     )
 
 
+MATRYOSHKA_DIMS = (32, 16, 8)  # prefix truncations audited against full-dim
+
+
+def matryoshka_recall(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    prefix_dims: tuple[int, ...] = MATRYOSHKA_DIMS,
+) -> DataFrame:
+    """Prefix-truncation recall audit (Matryoshka representation
+    learning): per query and per prefix length d, the recall@k of
+    exact cosine search over only the FIRST d dimensions against the
+    full-dimension exact ranking — the measurement that decides how
+    short a stored/search prefix can be before quality drops, i.e.
+    whether the index can shrink 2-8x by truncation alone.
+
+    One pass over the pair space: the query set broadcasts once, each
+    (query, corpus) pair computes every prefix cosine from array
+    slices of the SAME two vectors (slices share the scan and the
+    join; the corpus is never re-enumerated per prefix), and a single
+    window ranks all (query, prefix) groups together. Recall joins the
+    bounded top-k frames only — the audit adds no corpus-sized
+    shuffle beyond the one scoring pass.
+
+    Determinism: left-to-right fold dots (DuckDB list_reduce mirror),
+    ties broken on neighbor_id, recall as integer milli. Returns
+    ``(query_id, prefix_dim, n_hits, recall_milli)``.
+    """
+    dims = [EMB_DIM, *prefix_dims]
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        as_double(F.col("embedding")).alias("qe"),
+    )
+    c = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"),
+        as_double(F.col("embedding")).alias("ce"),
+    )
+    for d in dims:
+        q = q.withColumn(f"qn_{d}", norm(F.slice(F.col("qe"), 1, d)))
+        c = c.withColumn(f"cn_{d}", norm(F.slice(F.col("ce"), 1, d)))
+    pairs = c.crossJoin(F.broadcast(q)).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(d).cast("long").alias("prefix_dim"),
+                    # try_divide: a zero-norm PREFIX (all-zero leading
+                    # dims) is a legal corpus state — cosine undefined
+                    # -> NULL, ranked last on both engines.
+                    F.try_divide(
+                        dot(
+                            F.slice(F.col("qe"), 1, d),
+                            F.slice(F.col("ce"), 1, d),
+                        ),
+                        F.col(f"qn_{d}") * F.col(f"cn_{d}"),
+                    ).alias("cosine"),
+                )
+                for d in dims
+            ])
+        ).alias("s"),
+    ).select("query_id", "neighbor_id", F.col("s.prefix_dim").alias("prefix_dim"), F.col("s.cosine").alias("cosine"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id", "prefix_dim").orderBy(
+        F.col("cosine").desc_nulls_last(), F.col("neighbor_id")
+    )
+    ranked = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "prefix_dim", "neighbor_id")
+    )
+    full = (
+        ranked.filter(F.col("prefix_dim") == EMB_DIM)
+        .select("query_id", "neighbor_id")
+        .withColumn(
+            "prefix_dim",
+            F.explode(F.array(*[F.lit(d).cast("long") for d in prefix_dims])),
+        )
+    )
+    trunc = ranked.filter(F.col("prefix_dim") != EMB_DIM).withColumn(
+        "hit", F.lit(1)
+    )
+    return (
+        full.join(
+            F.broadcast(trunc), ["query_id", "prefix_dim", "neighbor_id"], "left"
+        )
+        .groupBy("query_id", "prefix_dim")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hits"))
+        .select(
+            "query_id",
+            "prefix_dim",
+            "n_hits",
+            F.expr(f"(1000 * n_hits) div {k}").alias("recall_milli"),
+        )
+    )
+
+
 def label_diversity(embeddings: DataFrame) -> DataFrame:
     """Mean pairwise cosine similarity within each label group —
     the diversity number dataset builders watch when they balance a

@@ -829,6 +829,59 @@ def sales_grouping_sets(lineitem: DataFrame) -> DataFrame:
     )
 
 
+def yoy_nation_growth(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+) -> DataFrame:
+    """Year-over-year revenue growth per customer nation — the lag
+    window report every revenue dashboard leads with. Aggregate-first
+    discipline: lineitem collapses to integer cents per (orderkey)
+    join row, the only big-big shuffle is lineitem↔orders on
+    orderkey, customer/nation broadcast, and the lag window runs over
+    the tiny (nation × year) aggregate — |nations|·|years| rows, so
+    the window costs nothing at any corpus size.
+
+    ``yoy_delta_ppm = (rev − prev) * 1_000_000 div prev`` in integer
+    cents (truncating div mirrored in the oracle — deltas go
+    negative). First year per nation keeps NULL prev/delta (a report
+    that fakes 0-growth for year one misleads).
+
+    Returns ``(n_name, o_year, revenue_c, prev_revenue_c,
+    yoy_delta_ppm)``.
+    """
+    cust = customer.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        customer.c_nationkey == nation.n_nationkey,
+    ).select("c_custkey", "n_name")
+    ords = with_year(orders, "o_orderdate", "o_year").select(
+        "o_orderkey", "o_custkey", "o_year"
+    )
+    li = lineitem.select("l_orderkey", _revenue_c().alias("rev_c"))
+    yearly = (
+        li.join(ords, li.l_orderkey == ords.o_orderkey)
+        .join(F.broadcast(cust), ords.o_custkey == cust.c_custkey)
+        .groupBy("n_name", "o_year")
+        .agg(F.sum("rev_c").alias("revenue_c"))
+    )
+    w = Window.partitionBy("n_name").orderBy("o_year")
+    return (
+        yearly.withColumn("prev_revenue_c", F.lag("revenue_c").over(w))
+        .select(
+            "n_name",
+            F.col("o_year").cast("long").alias("o_year"),
+            "revenue_c",
+            "prev_revenue_c",
+            F.expr(
+                "CASE WHEN prev_revenue_c > 0 THEN"
+                " ((revenue_c - prev_revenue_c) * 1000000) div prev_revenue_c"
+                " END"
+            ).alias("yoy_delta_ppm"),
+        )
+    )
+
+
 ABC_A_PPM = 700_000  # cumulative revenue share ceilings for class A / B
 ABC_B_PPM = 900_000
 

@@ -98,6 +98,7 @@ def warehouse_queries() -> dict[str, QueryFn]:
         "wh_q14_promo_revenue": q_q14,
         "wh_sales_cube": q_cube,
         "wh_sales_grouping_sets": q_grouping_sets,
+        "wh_yoy_nation_growth": q_yoy_growth,
         "wh_q7_nation_volume": q_q7,
         "wh_q8_market_share": q_q8,
         "wh_q9_product_profit": q_q9,
@@ -278,6 +279,7 @@ def warehouse_oracle_sql() -> dict[str, str]:
         # when this function is CALLED, after the module has loaded)
         "wh_sales_cube": _CUBE_SQL,
         "wh_sales_grouping_sets": _GROUPING_SETS_SQL,
+        "wh_yoy_nation_growth": _YOY_SQL,
         "wh_q7_nation_volume": _Q7_SQL,
         "wh_q8_market_share": _Q8_SQL,
         "wh_q9_product_profit": _Q9_SQL,
@@ -313,6 +315,44 @@ def q_cube(spark, sf_dir):
 
 def q_grouping_sets(spark, sf_dir):
     return WH.sales_grouping_sets(_t(spark, sf_dir, "lineitem"))
+
+
+def q_yoy_growth(spark, sf_dir):
+    return WH.yoy_nation_growth(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
+# Spark's `div` truncates toward zero; DuckDB's `//` floors. YoY deltas
+# go negative, so the oracle mirrors truncation explicitly.
+_YOY_SQL = f"""
+WITH yearly AS (
+  SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         CAST(sum({_REV}) AS BIGINT) AS revenue_c
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name, year(o_orderdate)
+),
+lagged AS (
+  SELECT n_name, o_year, revenue_c,
+         lag(revenue_c) OVER (PARTITION BY n_name ORDER BY o_year)
+           AS prev_revenue_c
+  FROM yearly
+)
+SELECT n_name, o_year, revenue_c, prev_revenue_c,
+       CASE WHEN prev_revenue_c > 0 THEN
+         CASE WHEN revenue_c - prev_revenue_c < 0
+              THEN -(((prev_revenue_c - revenue_c) * 1000000)
+                     // prev_revenue_c)
+              ELSE ((revenue_c - prev_revenue_c) * 1000000)
+                     // prev_revenue_c END
+       END AS yoy_delta_ppm
+FROM lagged"""
 
 
 def q_q7(spark, sf_dir):

@@ -439,6 +439,62 @@ def test_seasonal_anomaly_catches_what_global_z_masks(spark):
     assert out[planted].hour == 3 and out[planted].z_milli > 3000
 
 
+def test_linear_attribution_splits_credit_and_counts_unattributed(spark):
+    rows = [
+        # user 1: 2 clicks + 1 view inside the window, 1 click outside
+        (1, 1, "click", 0.0, 100),                       # outside 7d window
+        (2, 1, "click", 0.0, 1_000_000),
+        (3, 1, "click", 0.0, 1_000_100),
+        (4, 1, "view", 0.0, 1_000_200),
+        (5, 1, "purchase", 9.0, 1_000_300),
+        # user 2: purchase with no prior touches
+        (6, 2, "purchase", 5.0, 500_000),
+        # user 1 second purchase: same-second view must NOT count
+        (7, 1, "view", 0.0, 1_200_000),
+        (8, 1, "purchase", 7.0, 1_200_000),
+    ]
+    out = {
+        r.touch_type: r
+        for r in EA.linear_attribution(_events(spark, rows)).collect()
+    }
+    # purchase 5: clicks 2/3 of 1e6, view 1/3. purchase 8: window is
+    # [1_200_000-7d, 1_199_999] -> touches 2,3,4 count again (all within
+    # 7 days), view 7 at the same second excluded -> same split.
+    assert out["click"].credit_ppm_total == 666666 * 2
+    assert out["view"].credit_ppm_total == 333333 * 2
+    assert out["click"].n_conversions == 2 and out["view"].n_conversions == 2
+    assert out["unattributed"].n_conversions == 1
+    assert out["unattributed"].credit_ppm_total == 1_000_000
+
+
+def test_bot_audit_ranks_metronomic_user_first(spark):
+    rows = []
+    eid = 0
+    # user 10: metronomic — exactly every 60 s, 25 events
+    for i in range(25):
+        eid += 1
+        rows.append((eid, 10, "view", 1.0, 1000 + i * 60))
+    # user 20: bursty human — irregular gaps, 25 events
+    import random
+
+    rnd = random.Random(3)
+    t = 1000
+    for _ in range(25):
+        eid += 1
+        t += rnd.choice([5, 30, 600, 4000, 20000])
+        rows.append((eid, 20, "view", 1.0, t))
+    # user 30: below the volume floor, perfectly regular (cv 0)
+    for i in range(3):
+        eid += 1
+        rows.append((eid, 30, "view", 1.0, 1000 + i * 10))
+    out = EA.bot_audit(_events(spark, rows)).collect()
+    assert [r.user_id for r in out] == [10, 20]  # 30 filtered by floor
+    assert out[0].suspicion_rank == 1
+    assert out[0].cv_milli == 0          # perfectly regular
+    assert out[0].mean_gap_milli == 60_000
+    assert out[1].cv_milli > 500         # human burstiness
+
+
 def test_time_weighted_avg_locf_weighting(spark):
     rows = [
         # value 10 holds for 100 s, value 50 for 300 s, last sample unweighted

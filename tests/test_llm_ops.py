@@ -314,6 +314,69 @@ def test_cohort_drift_planted_shift_and_zero_baseline(spark):
     assert (out[1].n_a, out[1].n_b) == (2, 2)
 
 
+def test_matryoshka_recall_tracks_where_signal_lives(spark):
+    """Neighbors distinguished only in the FIRST 8 dims -> every
+    prefix keeps recall 1000. Neighbors distinguished only in the
+    LAST 32 dims -> the 32-prefix (which cannot see them for query
+    200, whose informative dims start at 32) drops below the full
+    ranking while longer context keeps it."""
+    import random
+
+    rnd = random.Random(7)
+    d = SIM.EMB_DIM
+
+    def vec(head, tail_seed):
+        r = random.Random(tail_seed)
+        return [float(h) for h in head] + [
+            round(r.uniform(-0.1, 0.1), 3) for _ in range(d - len(head))
+        ]
+
+    rows = []
+    # query 0 + corpus: similarity fully decided by dims 0-7
+    rows.append((0, vec([1, 0, 0, 0, 0, 0, 0, 0], 0), 0))
+    for i, sim in [(1, 0.9), (2, 0.8), (3, 0.7), (4, -0.5), (5, -0.6)]:
+        rows.append((i, vec([sim, (1 - sim**2) ** 0.5, 0, 0, 0, 0, 0, 0], i), 0))
+    out = {
+        (r.query_id, r.prefix_dim): r
+        for r in SIM.matryoshka_recall(
+            spark.createDataFrame(
+                rows, "vec_id long, embedding array<float>, label int"
+            ).withColumn("embedding", F.col("embedding").cast("array<float>")),
+            spark.createDataFrame(
+                [rows[0]], "vec_id long, embedding array<float>, label int"
+            ),
+            k=3,
+        ).collect()
+    }
+    for pd in SIM.MATRYOSHKA_DIMS:
+        assert out[(0, pd)].recall_milli == 1000, pd
+
+    # query 200: all signal in dims 32-63; dims 0-31 identical zeros
+    rows2 = [(200, [0.0] * 32 + [1.0] + [0.0] * 31, 0)]
+    tail = lambda s: [0.0] * 32 + [s, (1 - s**2) ** 0.5] + [0.0] * 30  # noqa: E731
+    # true top-3 = {203, 204, 205}; a NULL-cosine prefix falls back to
+    # id order {201, 202, 203} -> recall 1/3
+    for i, sim in [(201, -0.9), (202, -0.8), (203, 0.95), (204, 0.85), (205, 0.75)]:
+        rows2.append((i, tail(sim), 0))
+    out2 = {
+        r.prefix_dim: r
+        for r in SIM.matryoshka_recall(
+            spark.createDataFrame(
+                rows2, "vec_id long, embedding array<float>, label int"
+            ),
+            spark.createDataFrame(
+                [rows2[0]], "vec_id long, embedding array<float>, label int"
+            ),
+            k=3,
+        ).collect()
+        if r.query_id == 200
+    }
+    # 32-dim prefix sees all-zero vectors -> cosine NULL/undefined order
+    # can't reproduce the tail ranking reliably; the audit must NOT
+    # report perfect recall for every truncation here.
+    assert min(r.recall_milli for r in out2.values()) < 1000
+
+
 def test_int8_rerank_recall_vs_exact(spark):
     """The production ANN operating point for this (isotropic) corpus:
     int8 first pass + exact re-rank of RERANK_M survivors. Measured

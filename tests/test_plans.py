@@ -585,6 +585,31 @@ def test_sales_grouping_sets_single_expand_three_sets(spark, wh_tables):
     )
 
 
+def test_yoy_growth_broadcasts_dims_and_reconciles(spark, wh_tables):
+    from iot_real_time_data_pipeline_spark.operators import warehouse as WH
+
+    df = WH.yoy_nation_growth(
+        wh_tables["lineitem"], wh_tables["orders"],
+        wh_tables["customer"], wh_tables["nation"],
+    )
+    plan = plan_of(df)
+    # customer+nation ride broadcasts; lineitem<->orders is the only
+    # potentially-shuffled join
+    assert plan.count("BroadcastHashJoin") >= 2
+    rows = df.collect()
+    by_nation = {}
+    for r in rows:
+        by_nation.setdefault(r.n_name, []).append(r)
+    for n, rs in by_nation.items():
+        rs.sort(key=lambda r: r.o_year)
+        assert rs[0].prev_revenue_c is None and rs[0].yoy_delta_ppm is None
+        for a, b in zip(rs, rs[1:]):
+            assert b.prev_revenue_c == a.revenue_c
+            d = (b.revenue_c - a.revenue_c) * 1_000_000
+            expected = -((-d) // a.revenue_c) if d < 0 else d // a.revenue_c
+            assert b.yoy_delta_ppm == expected
+
+
 def test_aqe_splits_skewed_join_at_runtime(spark):
     """The 100 TB skew story is AQE's skew-join splitting — prove the
     engine configuration actually triggers it: a hot-key join must
