@@ -301,6 +301,8 @@ def main() -> None:
         "emb_mmr_topk",
         "emb_cohort_drift",
         "emb_matryoshka_recall",
+        "docs_bm25_topk",
+        "emb_knn_label_audit",
     ]:
         fn = LQ.llm_queries()[name]
         timed_repeat(name, lambda fn=fn: fn(spark, sf_dir).collect())

@@ -166,6 +166,7 @@ def events_queries() -> dict[str, QueryFn]:
         "events_ewma_daily": q_ewma_daily,
         "events_seasonal_anomalies": q_seasonal_anomalies,
         "events_linear_attribution": q_linear_attribution,
+        "events_time_decay_attribution": q_time_decay_attribution,
         "events_bot_audit": q_bot_audit,
     }
 
@@ -830,6 +831,64 @@ SELECT touch_type,
 FROM credit GROUP BY touch_type"""
 
 
+def q_time_decay_attribution(spark, sf_dir):
+    return EA.time_decay_attribution(_events(spark, sf_dir))
+
+
+def _time_decay_attribution_sql() -> str:
+    chans = EA.TOUCH_TYPES
+    nd = EA.DECAY_DAYS
+    w_cols = []
+    for ch in chans:
+        units = " + ".join(
+            f"coalesce(sum(CASE WHEN event_type = '{ch}'"
+            f" THEN CAST({1 << (nd - 1 - d)} AS BIGINT)"
+            f" ELSE CAST(0 AS BIGINT) END)"
+            f" OVER (PARTITION BY user_id ORDER BY ts_sec"
+            f" RANGE BETWEEN {(d + 1) * 86400} PRECEDING"
+            f" AND {d * 86400 + 1} PRECEDING), 0)"
+            for d in range(nd)
+        )
+        w_cols.append(f"{units} AS w_{ch}")
+    w_sel = ",\n         ".join(w_cols)
+    total = " + ".join(f"w_{ch}" for ch in chans)
+    branches = "\n  UNION ALL\n".join(
+        f"  SELECT '{ch}' AS touch_type, w_{ch} AS w_ch,\n"
+        f"         CASE WHEN w_total > 0\n"
+        f"              THEN (1000000 * w_{ch}) // w_total ELSE 0 END"
+        " AS credit_ppm\n"
+        "  FROM conv"
+        for ch in chans
+    )
+    return f"""
+WITH base AS (
+  SELECT event_id, user_id, event_type,
+         CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS ts_sec
+  FROM events
+),
+counted AS (
+  SELECT event_id, user_id, event_type, ts_sec,
+         {w_sel}
+  FROM base
+),
+conv AS (
+  SELECT *, {total} AS w_total FROM counted
+  WHERE event_type = 'purchase'
+),
+credit AS (
+{branches}
+  UNION ALL
+  SELECT 'unattributed', CASE WHEN w_total = 0 THEN 1 ELSE 0 END,
+         CASE WHEN w_total = 0 THEN 1000000 ELSE 0 END
+  FROM conv
+)
+SELECT touch_type,
+       CAST(sum(CASE WHEN w_ch > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_conversions,
+       CAST(sum(credit_ppm) AS BIGINT) AS credit_ppm_total
+FROM credit GROUP BY touch_type"""
+
+
 def q_bot_audit(spark, sf_dir):
     return EA.bot_audit(_events(spark, sf_dir))
 
@@ -919,6 +978,7 @@ def events_oracle_sql() -> dict[str, str]:
         "events_ewma_daily": _ewma_daily_sql(),
         "events_seasonal_anomalies": _seasonal_anomaly_sql(),
         "events_linear_attribution": _linear_attribution_sql(),
+        "events_time_decay_attribution": _time_decay_attribution_sql(),
         "events_bot_audit": _bot_audit_sql(),
         "events_hll_distinct": _hll_sql(),
         "events_asof_join": _ASOF_JOIN_SQL,

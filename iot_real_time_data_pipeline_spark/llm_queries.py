@@ -409,6 +409,7 @@ def llm_queries() -> dict[str, QueryFn]:
         "emb_rand_projection": q_rand_projection,
         "emb_gram_matrix": q_gram_matrix,
         "docs_keyword_search": q_keyword_search,
+        "docs_bm25_topk": q_bm25_topk,
         "docs_canonical_best": q_canonical_best,
         "docs_pagerank": q_pagerank,
         "docs_minhash_calibration": q_minhash_calibration,
@@ -445,6 +446,7 @@ def llm_queries() -> dict[str, QueryFn]:
         "emb_mmr_topk": q_mmr_topk,
         "emb_cohort_drift": q_cohort_drift,
         "emb_matryoshka_recall": q_matryoshka_recall,
+        "emb_knn_label_audit": q_knn_label_audit,
     }
 
 
@@ -1052,6 +1054,60 @@ FROM fx LEFT JOIN topk t
   ON t.query_id = fx.query_id AND t.prefix_dim = fx.prefix_dim
  AND t.neighbor_id = fx.neighbor_id
 GROUP BY fx.query_id, fx.prefix_dim"""
+
+
+def q_knn_label_audit(spark, sf_dir):
+    return SIM.knn_label_audit(
+        _emb(spark, sf_dir), _emb_queries(spark, sf_dir)
+    )
+
+
+def _sql_knn_label_audit(k: int = None) -> str:
+    k = SIM.KNN_K if k is None else k
+    return f"""
+WITH e AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id AS qid, label AS tl, v AS qv FROM e
+  WHERE vec_id % {QUERY_MOD} = 0
+),
+pairs AS (
+  SELECT qid, tl, e.vec_id AS nid, e.label AS nl, qv, e.v AS cv
+  FROM e CROSS JOIN q WHERE e.vec_id <> qid
+),
+scored AS (
+  SELECT qid, tl, nid, nl,
+         {_DOT} / nullif({_NORM_Q} * {_NORM_C}, 0) AS cosine
+  FROM pairs
+),
+topk AS (
+  SELECT qid, tl, nl FROM (
+    SELECT qid, tl, nl,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY cosine DESC NULLS LAST, nid) AS rank
+    FROM scored
+  ) WHERE rank <= {k}
+),
+votes AS (
+  SELECT qid, tl, nl, count(*) AS n_votes FROM topk GROUP BY qid, tl, nl
+),
+pred AS (
+  SELECT qid, tl, nl FROM (
+    SELECT qid, tl, nl,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY n_votes DESC, nl) AS vr
+    FROM votes
+  ) WHERE vr = 1
+)
+SELECT CAST(tl AS BIGINT) AS label,
+       CAST(count(*) AS BIGINT) AS n_queries,
+       CAST(sum(CASE WHEN nl = tl THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+       (1000 * CAST(sum(CASE WHEN nl = tl THEN 1 ELSE 0 END) AS BIGINT))
+         // count(*) AS agreement_milli
+FROM pred GROUP BY tl"""
 
 
 def _sql_bucket(col: str) -> str:
@@ -1868,6 +1924,7 @@ def llm_oracle_sql() -> dict[str, str]:
         "emb_rand_projection": _sql_rand_projection(),
         "emb_gram_matrix": _sql_gram_matrix(),
         "docs_keyword_search": _sql_keyword_search(),
+        "docs_bm25_topk": _sql_bm25_topk(),
         "docs_canonical_best": _sql_canonical_best(),
         "docs_pagerank": _sql_pagerank(),
         "docs_minhash_calibration": _sql_minhash_calibration(),
@@ -1904,6 +1961,7 @@ def llm_oracle_sql() -> dict[str, str]:
         "emb_mmr_topk": _sql_mmr_topk(),
         "emb_cohort_drift": _sql_cohort_drift(),
         "emb_matryoshka_recall": _sql_matryoshka_recall(),
+        "emb_knn_label_audit": _sql_knn_label_audit(),
     }
 
 
@@ -2036,6 +2094,49 @@ def q_keyword_search(spark, sf_dir):
 
 def q_canonical_best(spark, sf_dir):
     return DD.canonical_best(_docs(spark, sf_dir), threshold=JACCARD_THRESHOLD)
+
+
+def q_bm25_topk(spark, sf_dir):
+    return TA.bm25_topk(_docs(spark, sf_dir))
+
+
+def _sql_bm25_topk() -> str:
+    terms = ", ".join(f"'{t}'" for t in TA.SEARCH_TERMS)
+    k1, b, k = TA.BM25_K1, TA.BM25_B, TA.BM25_TOPK
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({TH.sql_tokens('text')}) AS tok FROM documents
+),
+doclen AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+corpus AS (
+  SELECT count(*) AS n_docs, sum(dl) AS total_tokens FROM doclen
+),
+tf AS (
+  SELECT doc_id, tok, count(*) AS tf FROM tok
+  WHERE tok IN ({terms}) GROUP BY doc_id, tok
+),
+df_t AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+contrib AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+           * (tf * ({k1} + 1.0))
+           / (tf + {k1} * ((1.0 - {b})
+              + {b} * (dl * n_docs) / total_tokens)) AS c
+  FROM tf JOIN df_t USING (tok)
+  JOIN doclen USING (doc_id)
+  CROSS JOIN corpus
+),
+scored AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_matched,
+         CAST(round(sum(c) * 1e6) AS BIGINT) AS score_micro
+  FROM contrib GROUP BY doc_id
+)
+SELECT CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id)
+            AS BIGINT) AS rank,
+       doc_id, n_terms_matched, score_micro
+FROM scored
+ORDER BY score_micro DESC, doc_id
+LIMIT {k}"""
 
 
 def _sql_keyword_search() -> str:

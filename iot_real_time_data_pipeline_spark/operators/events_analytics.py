@@ -1122,6 +1122,98 @@ def linear_attribution(
     )
 
 
+DECAY_DAYS = 7  # lookback horizon; weight halves each day a touch ages
+
+
+def time_decay_attribution(
+    events: DataFrame,
+    target_type: str = "purchase",
+    touch_types: tuple[str, ...] = TOUCH_TYPES,
+    decay_days: int = DECAY_DAYS,
+) -> DataFrame:
+    """Multi-touch TIME-DECAY attribution — the model between
+    :func:`asof_attribution` (all credit to the last touch) and
+    :func:`linear_attribution` (equal credit regardless of recency):
+    a touch ``d`` whole days before the conversion earns weight
+    ``2^(decay_days-1-d)`` units, so credit halves per day of age and
+    the most recent day dominates without monopolizing.
+
+    Integer-exact by construction: the half-life weights are POWERS OF
+    TWO held as BIGINT units (day 0 → ``2^(decay_days-1)`` … oldest
+    day → 1), never the float ``exp(-λΔt)`` textbooks write — same
+    decay geometry, zero rounding. Per-conversion credit is
+    ``(1_000_000 · Σ_d w_d·n_{ch,d}) div Σ_total`` ppm (floor).
+
+    Scalable shape: the per-(channel, day-bucket) touch counts come
+    from RANGE frames over ONE ``user_id`` partition —
+    ``RANGE BETWEEN (d+1)·86400 PRECEDING AND d·86400+1 PRECEDING``
+    for day-bucket ``d`` (strictly prior: a same-second touch earns
+    nothing) — so all ``len(touch_types)·decay_days`` window sums
+    share a single exchange+sort; no range join, no per-conversion
+    subquery, no doubles. Returns ``(touch_type, n_conversions,
+    credit_ppm_total)`` with the ``'unattributed'`` row counting
+    conversions whose whole lookback is empty.
+    """
+    counted = events
+    for ch in touch_types:
+        units = []
+        for d in range(decay_days):
+            w = (
+                Window.partitionBy("user_id")
+                .orderBy("ts_sec")
+                .rangeBetween(-(d + 1) * 86400, -(d * 86400 + 1))
+            )
+            units.append(
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col("event_type") == ch,
+                            F.lit(1 << (decay_days - 1 - d)).cast("long"),
+                        ).otherwise(F.lit(0).cast("long"))
+                    ).over(w),
+                    F.lit(0).cast("long"),
+                )
+            )
+        counted = counted.withColumn(f"_w_{ch}", sum(units))
+    conv = counted.filter(F.col("event_type") == target_type).withColumn(
+        "_w_total", sum(F.col(f"_w_{ch}") for ch in touch_types)
+    )
+    credit = conv.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(ch).alias("touch_type"),
+                        F.col(f"_w_{ch}").alias("w_ch"),
+                        F.when(
+                            F.col("_w_total") > 0,
+                            F.expr(f"(1000000 * _w_{ch}) div _w_total"),
+                        ).otherwise(F.lit(0).cast("long")).alias("credit_ppm"),
+                    )
+                    for ch in touch_types
+                ],
+                F.struct(
+                    F.lit("unattributed").alias("touch_type"),
+                    F.when(F.col("_w_total") == 0, F.lit(1))
+                    .otherwise(F.lit(0))
+                    .cast("long")
+                    .alias("w_ch"),
+                    F.when(F.col("_w_total") == 0, F.lit(1_000_000))
+                    .otherwise(F.lit(0))
+                    .cast("long")
+                    .alias("credit_ppm"),
+                ),
+            )
+        ).alias("c")
+    )
+    return credit.groupBy(F.col("c.touch_type").alias("touch_type")).agg(
+        F.sum(F.when(F.col("c.w_ch") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_conversions"),
+        F.sum("c.credit_ppm").cast("long").alias("credit_ppm_total"),
+    )
+
+
 BOT_MIN_EVENTS = 20   # volume floor: 1-gap users have cv 0 by definition
 BOT_AUDIT_N = 20      # review-queue size
 

@@ -1624,3 +1624,92 @@ def label_outliers(embeddings: DataFrame) -> DataFrame:
             "is_outlier"
         ),
     )
+
+
+KNN_K = 5  # neighbors per leave-one-out vote
+
+
+def knn_label_audit(
+    embeddings: DataFrame, queries: DataFrame, k: int = KNN_K
+) -> DataFrame:
+    """Leave-one-out kNN label-agreement audit: for each sampled query
+    vector, do its k nearest neighbors (exact cosine, self excluded)
+    vote for its OWN label? Per-label agreement is the standard cheap
+    probe for label noise and class overlap in an embedding corpus —
+    a label whose members' neighborhoods disagree with it is either
+    mislabeled or not linearly separated, and both states poison a
+    classifier trained on the split.
+
+    Plan: the sampled query set broadcasts against the corpus (one
+    scoring pass, no corpus self-join), a per-query window keeps the
+    bounded top-k frame, the vote is a groupBy over k·|queries| rows,
+    and the majority pick is a second window over ≤ |labels| rows per
+    query. Ties are deterministic: (votes DESC, label ASC) — the same
+    argmax both engines compute. Agreement is integer milli.
+
+    Returns ``(label, n_queries, n_agree, agreement_milli)``.
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+        as_double(F.col("embedding")).alias("qe"),
+    ).withColumn("qn", norm(F.col("qe")))
+    c = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        as_double(F.col("embedding")).alias("ce"),
+    ).withColumn("cn", norm(F.col("ce")))
+    pairs = c.crossJoin(F.broadcast(q)).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        "true_label",
+        "neighbor_id",
+        "neighbor_label",
+        F.try_divide(
+            dot(F.col("qe"), F.col("ce")), F.col("qn") * F.col("cn")
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc_nulls_last(), F.col("neighbor_id")
+    )
+    topk = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+    votes = topk.groupBy("query_id", "true_label", "neighbor_label").agg(
+        F.count("*").alias("n_votes")
+    )
+    wv = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("neighbor_label")
+    )
+    pred = (
+        votes.withColumn("vrank", F.row_number().over(wv))
+        .filter(F.col("vrank") == 1)
+        .select(
+            "query_id",
+            "true_label",
+            F.col("neighbor_label").alias("predicted_label"),
+        )
+    )
+    return (
+        pred.groupBy(F.col("true_label").cast("long").alias("label"))
+        .agg(
+            F.count("*").cast("long").alias("n_queries"),
+            F.sum(
+                F.when(
+                    F.col("predicted_label") == F.col("true_label"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_agree"),
+        )
+        .select(
+            "label",
+            "n_queries",
+            "n_agree",
+            F.expr("(1000 * n_agree) div n_queries").alias("agreement_milli"),
+        )
+    )

@@ -650,6 +650,95 @@ def keyword_search(
     return per_doc.filter(F.col("n_terms") == len(terms)).select("doc_id", "n_hits")
 
 
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 10
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: tuple[str, ...] = SEARCH_TERMS,
+    k: int = BM25_TOPK,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 ranked retrieval for a fixed query-term set — the scoring
+    step above :func:`keyword_search`'s boolean intersection, and the
+    retrieval primitive behind retrieval-based decontamination and
+    quality mining over a training corpus (find the k docs most ON a
+    topic, not just containing its words).
+
+    Lucene-form BM25: ``idf = ln(1 + (N - df + 0.5)/(df + 0.5))``,
+    per-term contribution ``idf · tf·(k1+1) / (tf + k1·(1-b+b·dl·N/T))``
+    (the length norm folds avgdl = T/N as ``dl·N/T`` so both engines
+    evaluate one division in the same order). Ranking is by the score
+    QUANTIZED to the integer 1e-6 grid with ``(doc_id)`` tiebreak —
+    same cross-engine-determinism discipline as
+    :func:`tfidf_top_terms`.
+
+    Plan at scale: one explode pass feeds BOTH the per-doc length
+    table (shuffle ∝ docs) and the query-term postings (filter to the
+    literal term set BEFORE the shuffle, so tf carries hits, not the
+    corpus); df and the (N, T) scalars are query-term/corpus-level
+    broadcasts; the final global top-k is ``ORDER BY … LIMIT k`` —
+    Spark's distributed TakeOrdered, never a single-partition window.
+
+    Returns ``(rank, doc_id, n_terms_matched, score_micro)``.
+    """
+    from pyspark.sql import Window
+
+    term_rows = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(TH.tokens(F.col(text_col))).alias("tok"),
+    )
+    doclen = term_rows.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    corpus = doclen.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("total_tokens")
+    )
+    tf = (
+        term_rows.filter(F.col("tok").isin(*terms))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_t = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    contrib = (
+        tf.join(F.broadcast(df_t), "tok")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .withColumn(
+            "_c",
+            F.log(
+                1.0
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            )
+            * (F.col("tf") * (k1 + 1.0))
+            / (
+                F.col("tf")
+                + k1
+                * (
+                    (1.0 - b)
+                    + b
+                    * (F.col("dl") * F.col("n_docs"))
+                    / F.col("total_tokens")
+                )
+            ),
+        )
+    )
+    scored = contrib.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_terms_matched"),
+        F.round(F.sum("_c") * 1e6).cast("long").alias("score_micro"),
+    )
+    top = scored.orderBy(F.desc("score_micro"), "doc_id").limit(k)
+    return top.withColumn(
+        "rank",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score_micro"), "doc_id"))
+        .cast("long"),
+    ).select("rank", "doc_id", "n_terms_matched", "score_micro")
+
+
 BPE_TRAIN_MERGES = 8
 
 

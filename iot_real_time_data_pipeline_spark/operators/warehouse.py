@@ -882,6 +882,75 @@ def yoy_nation_growth(
     )
 
 
+def cohort_ltv(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+    """Customer lifetime-value triangle: revenue per (first-order-year
+    cohort x years-since-first-order age), with the running cumulative
+    LTV and per-customer average every retention deck plots as the
+    famous upper-triangular heat map.
+
+    Aggregate-first: lineitem collapses to integer cents per orderkey
+    join row, the only big-big shuffle is lineitem<->orders on
+    orderkey, then everything reduces to a (custkey, year) table —
+    from which BOTH the per-year revenue AND each customer's first
+    year derive (min over the same aggregate; no second pass over
+    facts, and the custkey join that attaches the cohort is
+    co-partitioned with the groupBy that built it). The triangle
+    itself is |cohorts|·|years| rows, so the running-sum window and
+    the age-0 cohort-size lookup are free at any corpus size.
+
+    ``cohort_size`` = active customers at age 0 (every cohort member
+    transacts in its first year by construction); ``avg_ltv_c`` =
+    cumulative cents div cohort size (floor). Returns ``(cohort_year,
+    age, n_active_customers, revenue_c, cum_revenue_c, cohort_size,
+    avg_ltv_c)``.
+    """
+    ords = with_year(orders, "o_orderdate", "o_year").select(
+        "o_orderkey", "o_custkey", "o_year"
+    )
+    li = lineitem.select("l_orderkey", _revenue_c().alias("rev_c"))
+    per_cy = (
+        li.join(ords, li.l_orderkey == ords.o_orderkey)
+        .groupBy("o_custkey", "o_year")
+        .agg(F.sum("rev_c").alias("rev_c"))
+    )
+    first = per_cy.groupBy("o_custkey").agg(
+        F.min("o_year").alias("cohort_year")
+    )
+    tri = (
+        per_cy.join(first, "o_custkey")
+        .withColumn("age", F.col("o_year") - F.col("cohort_year"))
+        .groupBy("cohort_year", "age")
+        .agg(
+            F.count("o_custkey").cast("long").alias("n_active_customers"),
+            F.sum("rev_c").alias("revenue_c"),
+        )
+    )
+    w_cum = (
+        Window.partitionBy("cohort_year")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("cohort_year")
+    return (
+        tri.withColumn("cum_revenue_c", F.sum("revenue_c").over(w_cum))
+        .withColumn(
+            "cohort_size",
+            F.max(
+                F.when(F.col("age") == 0, F.col("n_active_customers"))
+            ).over(w_all),
+        )
+        .select(
+            F.col("cohort_year").cast("long").alias("cohort_year"),
+            F.col("age").cast("long").alias("age"),
+            "n_active_customers",
+            "revenue_c",
+            "cum_revenue_c",
+            "cohort_size",
+            F.expr("cum_revenue_c div cohort_size").alias("avg_ltv_c"),
+        )
+    )
+
+
 ABC_A_PPM = 700_000  # cumulative revenue share ceilings for class A / B
 ABC_B_PPM = 900_000
 

@@ -99,6 +99,7 @@ def warehouse_queries() -> dict[str, QueryFn]:
         "wh_sales_cube": q_cube,
         "wh_sales_grouping_sets": q_grouping_sets,
         "wh_yoy_nation_growth": q_yoy_growth,
+        "wh_cohort_ltv": q_cohort_ltv,
         "wh_q7_nation_volume": q_q7,
         "wh_q8_market_share": q_q8,
         "wh_q9_product_profit": q_q9,
@@ -280,6 +281,7 @@ def warehouse_oracle_sql() -> dict[str, str]:
         "wh_sales_cube": _CUBE_SQL,
         "wh_sales_grouping_sets": _GROUPING_SETS_SQL,
         "wh_yoy_nation_growth": _YOY_SQL,
+        "wh_cohort_ltv": _COHORT_LTV_SQL,
         "wh_q7_nation_volume": _Q7_SQL,
         "wh_q8_market_share": _Q8_SQL,
         "wh_q9_product_profit": _Q9_SQL,
@@ -353,6 +355,45 @@ SELECT n_name, o_year, revenue_c, prev_revenue_c,
                      // prev_revenue_c END
        END AS yoy_delta_ppm
 FROM lagged"""
+
+
+def q_cohort_ltv(spark, sf_dir):
+    return WH.cohort_ltv(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders")
+    )
+
+
+_COHORT_LTV_SQL = f"""
+WITH per_cy AS (
+  SELECT o_custkey, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         CAST(sum({_REV}) AS BIGINT) AS rev_c
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY o_custkey, year(o_orderdate)
+),
+first AS (
+  SELECT o_custkey, min(o_year) AS cohort_year FROM per_cy
+  GROUP BY o_custkey
+),
+tri AS (
+  SELECT cohort_year, o_year - cohort_year AS age,
+         CAST(count(*) AS BIGINT) AS n_active_customers,
+         CAST(sum(rev_c) AS BIGINT) AS revenue_c
+  FROM per_cy JOIN first USING (o_custkey)
+  GROUP BY cohort_year, o_year - cohort_year
+),
+win AS (
+  SELECT cohort_year, age, n_active_customers, revenue_c,
+         sum(revenue_c) OVER (PARTITION BY cohort_year ORDER BY age
+                              ROWS UNBOUNDED PRECEDING) AS cum_revenue_c,
+         max(CASE WHEN age = 0 THEN n_active_customers END)
+           OVER (PARTITION BY cohort_year) AS cohort_size
+  FROM tri
+)
+SELECT cohort_year, age, n_active_customers, revenue_c,
+       CAST(cum_revenue_c AS BIGINT) AS cum_revenue_c,
+       CAST(cohort_size AS BIGINT) AS cohort_size,
+       CAST(cum_revenue_c // cohort_size AS BIGINT) AS avg_ltv_c
+FROM win"""
 
 
 def q_q7(spark, sf_dir):

@@ -467,6 +467,39 @@ def test_linear_attribution_splits_credit_and_counts_unattributed(spark):
     assert out["unattributed"].credit_ppm_total == 1_000_000
 
 
+def test_time_decay_attribution_halves_credit_per_day(spark):
+    day = 86400
+    base = 10 * day
+    rows = [
+        # user 1: click on day-0 (weight 64), view on day-2 (weight 16)
+        (1, 1, "view", 0.0, base - 2 * day),           # d=2 bucket edge? delta = 2d
+        (2, 1, "click", 0.0, base - 3600),             # d=0 bucket
+        (3, 1, "purchase", 9.0, base),
+        # user 2: only touch is same-second -> unattributed
+        (4, 2, "view", 0.0, 500_000),
+        (5, 2, "purchase", 5.0, 500_000),
+        # user 3: touch exactly at the 7-day horizon boundary (counts, d=6)
+        (6, 3, "click", 0.0, base - 7 * day),
+        (7, 3, "purchase", 1.0, base),
+    ]
+    out = {
+        r.touch_type: r
+        for r in EA.time_decay_attribution(_events(spark, rows)).collect()
+    }
+    # user 1: delta(view)=2d lands in bucket d=1? delta = 172800 sec,
+    # bucket d covers [d*86400+1, (d+1)*86400]: 172800 is in d=1's
+    # (86401..172800] -> weight 2^(7-1-1)=32. click delta=3600 -> d=0,
+    # weight 64. total 96: click 64/96, view 32/96 of 1e6 (floor).
+    # user 3: delta=7d=604800 is in d=6's (518401..604800] -> weight 1,
+    # sole touch -> full 1e6 to click.
+    assert out["click"].credit_ppm_total == (1_000_000 * 64) // 96 + 1_000_000
+    assert out["view"].credit_ppm_total == (1_000_000 * 32) // 96
+    assert out["click"].n_conversions == 2
+    assert out["view"].n_conversions == 1
+    assert out["unattributed"].n_conversions == 1
+    assert out["unattributed"].credit_ppm_total == 1_000_000
+
+
 def test_bot_audit_ranks_metronomic_user_first(spark):
     rows = []
     eid = 0

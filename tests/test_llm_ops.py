@@ -1534,6 +1534,57 @@ def test_keyword_search_requires_all_terms_and_counts_hits(spark):
     assert out == {1: 4, 3: 4}
 
 
+def test_knn_label_audit_flags_planted_mislabel(spark):
+    from iot_real_time_data_pipeline_spark.operators import similarity as SIM
+
+    rows = []
+    # cluster A (label 0): along e1; cluster B (label 1): along e2
+    for i in range(5):
+        rows.append((i, [1.0, 0.01 * i, 0.0, 0.0], 0))
+        rows.append((10 + i, [0.01 * i, 1.0, 0.0, 0.0], 1))
+    # vec 99 labeled 0 but geometrically in cluster B -> neighbors vote 1
+    rows.append((99, [0.0, 1.0, 0.02, 0.0], 0))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {
+        r.label: r for r in SIM.knn_label_audit(emb, emb, k=3).collect()
+    }
+    assert out[0].n_queries == 6 and out[0].n_agree == 5
+    assert out[0].agreement_milli == 5000 // 6
+    assert out[1].n_queries == 5 and out[1].n_agree == 5
+    assert out[1].agreement_milli == 1000
+
+
+def test_bm25_ranks_rare_term_doc_over_common_term_doc(spark):
+    import math
+
+    # 'window' appears in 1 doc, 'spark' in 4 -> window's idf dominates:
+    # the single-hit 'window' doc must outrank a single-hit 'spark' doc
+    # of the same length, and tf saturates (10x spark < 1x window).
+    rows = [
+        (1, "window alpha beta gamma", "en"),
+        (2, "spark alpha beta gamma", "en"),
+        (3, "spark " * 10 + "alpha beta gamma delta epsilon zeta", "en"),
+        (4, "spark omega", "en"),
+        (5, "spark theta", "en"),
+        (6, "plain filler text", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = sorted(TA.bm25_topk(docs, k=5).collect(), key=lambda r: r.rank)
+    assert out[0].doc_id == 1  # rare term wins
+    pos = {r.doc_id: r.rank for r in out}
+    assert pos[1] < pos[2]
+    assert 6 not in pos  # no query term -> never retrieved
+    # hand-check doc 1's score: N=6 docs, T=31 tokens (4+4+16+2+2+3),
+    # dl=4, df(window)=1
+    n, t, dl, df, tf = 6, 31, 4, 1, 1
+    idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+    c = idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl * n / t))
+    assert out[0].score_micro == round(c * 1e6)
+    assert out[0].n_terms_matched == 1
+
+
 def test_canonical_best_keeps_longest_member_ties_to_min_id(spark):
     rows = [
         # docs 1-3: a near-dup cluster; 2 is the longest version

@@ -610,6 +610,45 @@ def test_yoy_growth_broadcasts_dims_and_reconciles(spark, wh_tables):
             assert b.yoy_delta_ppm == expected
 
 
+def test_cohort_ltv_triangle_reconciles(spark, wh_tables):
+    from iot_real_time_data_pipeline_spark.operators import warehouse as WH
+
+    df = WH.cohort_ltv(wh_tables["lineitem"], wh_tables["orders"])
+    rows = df.collect()
+    by_cohort = {}
+    for r in rows:
+        by_cohort.setdefault(r.cohort_year, []).append(r)
+    n_cust_total = 0
+    for cy, rs in by_cohort.items():
+        rs.sort(key=lambda r: r.age)
+        # every cohort transacts in its first year, and the size is
+        # pinned to that age-0 activity
+        assert rs[0].age == 0
+        assert rs[0].cohort_size == rs[0].n_active_customers
+        n_cust_total += rs[0].cohort_size
+        run = 0
+        for r in rs:
+            run += r.revenue_c
+            assert r.cum_revenue_c == run
+            assert r.cohort_size == rs[0].cohort_size
+            assert r.avg_ltv_c == r.cum_revenue_c // r.cohort_size
+            # retention can't exceed the cohort
+            assert r.n_active_customers <= r.cohort_size
+    # cohort sizes partition the ordering customer base
+    expected = (
+        wh_tables["orders"]
+        .join(
+            wh_tables["lineitem"],
+            wh_tables["orders"].o_orderkey == wh_tables["lineitem"].l_orderkey,
+            "left_semi",
+        )
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert n_cust_total == expected
+
+
 def test_aqe_splits_skewed_join_at_runtime(spark):
     """The 100 TB skew story is AQE's skew-join splitting — prove the
     engine configuration actually triggers it: a hot-key join must
