@@ -303,6 +303,7 @@ def main() -> None:
         "emb_matryoshka_recall",
         "docs_bm25_topk",
         "emb_knn_label_audit",
+        "mm_wav_frame_energy",
     ]:
         fn = LQ.llm_queries()[name]
         timed_repeat(name, lambda fn=fn: fn(spark, sf_dir).collect())

@@ -168,6 +168,7 @@ def events_queries() -> dict[str, QueryFn]:
         "events_linear_attribution": q_linear_attribution,
         "events_time_decay_attribution": q_time_decay_attribution,
         "events_bot_audit": q_bot_audit,
+        "events_session_paths": q_session_paths,
     }
 
 
@@ -201,6 +202,55 @@ SELECT user_id, session_idx,
        max(ts_sec) AS session_end_sec,
        max(ts_sec) - min(ts_sec) AS duration_sec
 FROM runs GROUP BY user_id, session_idx"""
+
+def q_session_paths(spark, sf_dir):
+    return EA.session_paths(_events(spark, sf_dir))
+
+
+def _session_paths_sql() -> str:
+    ml, n = EA.PATH_MAX_LEN, EA.PATH_TOP_N
+    return f"""
+WITH {_EV_CTE},
+flagged AS (
+  SELECT user_id, ts_sec, event_id, event_type,
+         CASE WHEN lag(ts_sec) OVER w IS NULL
+                OR ts_sec - lag(ts_sec) OVER w > {EA.SESSION_GAP_SEC}
+              THEN 1 ELSE 0 END AS is_new
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)
+),
+runs AS (
+  SELECT user_id, ts_sec, event_id, event_type,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  FROM flagged
+),
+head AS (
+  SELECT * FROM (
+    SELECT user_id, session_idx, event_type,
+           row_number() OVER (PARTITION BY user_id, session_idx
+                              ORDER BY ts_sec, event_id) AS rn
+    FROM runs
+  ) WHERE rn <= {ml} + 1
+),
+per_session AS (
+  SELECT user_id, session_idx,
+         string_agg(event_type, '>' ORDER BY rn)
+           FILTER (WHERE rn <= {ml})
+         || CASE WHEN max(rn) > {ml} THEN '>…' ELSE '' END AS path
+  FROM head GROUP BY user_id, session_idx
+),
+counted AS (
+  SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+  FROM per_session GROUP BY path
+)
+SELECT CAST(row_number() OVER (ORDER BY n_sessions DESC, path)
+            AS BIGINT) AS rank,
+       path, n_sessions
+FROM counted
+ORDER BY n_sessions DESC, path
+LIMIT {n}"""
+
 
 _ASOF_SQL = f"""
 WITH {_EV_CTE},
@@ -980,6 +1030,7 @@ def events_oracle_sql() -> dict[str, str]:
         "events_linear_attribution": _linear_attribution_sql(),
         "events_time_decay_attribution": _time_decay_attribution_sql(),
         "events_bot_audit": _bot_audit_sql(),
+        "events_session_paths": _session_paths_sql(),
         "events_hll_distinct": _hll_sql(),
         "events_asof_join": _ASOF_JOIN_SQL,
         "events_time_band_pairs": _TIME_BAND_SQL,

@@ -437,6 +437,7 @@ def llm_queries() -> dict[str, QueryFn]:
         "docs_bpe_encode": q_bpe_encode,
         "docs_gopher_filter": q_gopher_filter,
         "mm_wav_decimate_features": q_wav_decimate_features,
+        "mm_wav_frame_energy": q_wav_frame_energy,
         "emb_label_diversity": q_label_diversity,
         "docs_tokenizer_fertility": q_tokenizer_fertility,
         "emb_label_outliers": q_label_outliers,
@@ -1952,6 +1953,7 @@ def llm_oracle_sql() -> dict[str, str]:
         "docs_bpe_encode": _sql_bpe_encode(),
         "docs_gopher_filter": _sql_gopher_filter(),
         "mm_wav_decimate_features": _sql_wav_decimate_features(),
+        "mm_wav_frame_energy": _sql_wav_frame_energy(),
         "emb_label_diversity": _sql_label_diversity(),
         "docs_tokenizer_fertility": _sql_tokenizer_fertility(),
         "emb_label_outliers": _sql_label_outliers(),
@@ -2888,6 +2890,34 @@ SELECT doc_id,
        CAST(sum(CASE WHEN vp IS NOT NULL AND v * vp < 0 THEN 1 ELSE 0 END)
             AS BIGINT) AS n_zero_cross
 FROM s GROUP BY doc_id"""
+
+
+def q_wav_frame_energy(spark, sf_dir):
+    return MM.wav_frame_energy(MM.with_wav_payload(_docs(spark, sf_dir)))
+
+
+def _sql_wav_frame_energy() -> str:
+    # Closed-form recompute (see _sql_wav_features): Spark decodes the
+    # real RIFF bytes and frames them; the oracle regenerates samples
+    # and groups by i // frame_len.
+    m, b = MM.WAV_SAMPLES_MOD, MM.WAV_BASE_SAMPLES
+    fl, floor_sq = MM.WAV_FRAME_LEN, MM.WAV_SILENCE_SQ
+    return f"""
+WITH ex AS (
+  SELECT doc_id, unnest(range(0, {b} + doc_id % {m})) AS i
+  FROM documents
+),
+s AS (
+  SELECT doc_id, i // {fl} AS frame_idx,
+         ((doc_id * 31 + i * 17) % 2048) - 1024 AS v
+  FROM ex
+)
+SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(count(*) AS BIGINT) AS frame_len,
+       CAST(sum(v * v) AS BIGINT) AS sum_sq,
+       CAST(max(abs(v)) AS BIGINT) AS peak_abs,
+       sum(v * v) < {floor_sq} * count(*) AS is_silent
+FROM s GROUP BY doc_id, frame_idx"""
 
 
 def q_bmp_features(spark, sf_dir):

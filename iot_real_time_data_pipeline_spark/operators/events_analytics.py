@@ -1288,6 +1288,90 @@ def bot_audit(events: DataFrame, n: int = BOT_AUDIT_N) -> DataFrame:
     )
 
 
+PATH_MAX_LEN = 8   # leading event types kept per session path
+PATH_TOP_N = 20    # report size
+
+
+def session_paths(
+    events: DataFrame,
+    gap_sec: int = SESSION_GAP_SEC,
+    max_len: int = PATH_MAX_LEN,
+    n: int = PATH_TOP_N,
+) -> DataFrame:
+    """Clickstream path analysis: the ``n`` most common session
+    journeys, where a journey is the ordered sequence of the session's
+    first ``max_len`` event types joined with ``'>'`` — the
+    what-do-users-actually-do report product teams read next to the
+    funnel (which only checks ONE prescribed order).
+
+    The ``max_len`` cap is a scale decision, not a convenience: an
+    uncapped path string grows with the longest session (bot sessions
+    reach millions of events), while the capped prefix keeps every
+    grouped key under ``max_len·|type|`` bytes, so the path groupBy
+    behaves at any corpus size. Paths longer than the cap get a
+    ``'>…'`` suffix so truncated journeys can't collide with genuine
+    short ones.
+
+    Plan: the sessionize windows (one ``user_id`` exchange, reused
+    sort), a ``row_number`` cut to the first ``max_len`` rows per
+    session BEFORE any aggregation (the shuffle carries ≤ max_len rows
+    per session), an in-partition ordered fold to the path string, a
+    path groupBy (map-side combined), and a distributed
+    ``ORDER BY … LIMIT n``. Returns ``(rank, path, n_sessions)``.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+    prev = F.lag("ts_sec").over(w)
+    is_new = F.when(
+        prev.isNull() | (F.col("ts_sec") - prev > gap_sec), F.lit(1)
+    ).otherwise(F.lit(0))
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged = events.withColumn(
+        "session_idx", F.sum(is_new).over(run).cast("long")
+    )
+    ws = Window.partitionBy("user_id", "session_idx").orderBy(
+        "ts_sec", "event_id"
+    )
+    head = tagged.withColumn("rn", F.row_number().over(ws)).filter(
+        F.col("rn") <= max_len + 1
+    )
+    per_session = head.groupBy("user_id", "session_idx").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("rn", "event_type"))
+                ),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("raw_path"),
+        F.count("*").alias("n_head"),
+    )
+    paths = per_session.select(
+        F.when(
+            F.col("n_head") > max_len,
+            F.concat(
+                F.array_join(
+                    F.slice(F.split(F.col("raw_path"), ">"), 1, max_len),
+                    ">",
+                ),
+                F.lit(">…"),
+            ),
+        )
+        .otherwise(F.col("raw_path"))
+        .alias("path")
+    )
+    counted = paths.groupBy("path").agg(
+        F.count("*").cast("long").alias("n_sessions")
+    )
+    top = counted.orderBy(F.desc("n_sessions"), "path").limit(n)
+    return top.withColumn(
+        "rank",
+        F.row_number()
+        .over(Window.orderBy(F.desc("n_sessions"), "path"))
+        .cast("long"),
+    ).select("rank", "path", "n_sessions")
+
+
 HOP_SIZE_SEC = 3600  # hopping-window rollup: window size
 HOP_SLIDE_SEC = 900  # ... and slide (4 overlapping windows per event)
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")

@@ -100,6 +100,7 @@ def warehouse_queries() -> dict[str, QueryFn]:
         "wh_sales_grouping_sets": q_grouping_sets,
         "wh_yoy_nation_growth": q_yoy_growth,
         "wh_cohort_ltv": q_cohort_ltv,
+        "wh_ship_delay_percentiles": q_ship_delay_percentiles,
         "wh_q7_nation_volume": q_q7,
         "wh_q8_market_share": q_q8,
         "wh_q9_product_profit": q_q9,
@@ -282,6 +283,7 @@ def warehouse_oracle_sql() -> dict[str, str]:
         "wh_sales_grouping_sets": _GROUPING_SETS_SQL,
         "wh_yoy_nation_growth": _YOY_SQL,
         "wh_cohort_ltv": _COHORT_LTV_SQL,
+        "wh_ship_delay_percentiles": _ship_delay_pcts_sql(),
         "wh_q7_nation_volume": _Q7_SQL,
         "wh_q8_market_share": _Q8_SQL,
         "wh_q9_product_profit": _Q9_SQL,
@@ -846,6 +848,46 @@ SELECT o_orderpriority, count(*) AS n_lines,
          AS n_late_highprio
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority"""
+
+
+def q_ship_delay_percentiles(spark, sf_dir):
+    return WH.ship_delay_percentiles(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders")
+    )
+
+
+def _ship_delay_pcts_sql() -> str:
+    # Spark's div truncates; mirror for (defensive) negative deltas.
+    delta = f"({_esec('l_shipdate')} - {_esec('o_orderdate')})"
+    day = (
+        f"CASE WHEN {delta} < 0 THEN -((-{delta}) // 86400)"
+        f" ELSE {delta} // 86400 END"
+    )
+    pct_cols = ",\n       ".join(
+        f"min(CASE WHEN cum * 1000 >= {q} * total THEN delay_days END)"
+        f" AS p{q // 10}_days"
+        for q in WH.DELAY_PCTS_MILLI
+    )
+    return f"""
+WITH d AS (
+  SELECT o_orderpriority, CAST({day} AS BIGINT) AS delay_days
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+hist AS (
+  SELECT o_orderpriority, delay_days, count(*) AS cnt
+  FROM d GROUP BY o_orderpriority, delay_days
+),
+cdf AS (
+  SELECT o_orderpriority, delay_days, cnt,
+         sum(cnt) OVER (PARTITION BY o_orderpriority ORDER BY delay_days
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(cnt) OVER (PARTITION BY o_orderpriority) AS total
+  FROM hist
+)
+SELECT o_orderpriority, CAST(max(total) AS BIGINT) AS n_lines,
+       {pct_cols},
+       max(delay_days) AS max_days
+FROM cdf GROUP BY o_orderpriority"""
 
 
 def _q16_sql() -> str:

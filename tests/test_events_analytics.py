@@ -500,6 +500,34 @@ def test_time_decay_attribution_halves_credit_per_day(spark):
     assert out["unattributed"].credit_ppm_total == 1_000_000
 
 
+def test_session_paths_orders_truncates_and_ranks(spark):
+    rows = [
+        # user 1, session 1: view>click>purchase (common journey)
+        (1, 1, "view", 0.0, 1000),
+        (2, 1, "click", 0.0, 1010),
+        (3, 1, "purchase", 0.0, 1020),
+        # user 1, session 2 (after the gap): same journey again
+        (4, 1, "view", 0.0, 500_000),
+        (5, 1, "click", 0.0, 500_010),
+        (6, 1, "purchase", 0.0, 500_020),
+        # user 2: one long session -> truncated with the marker
+        *[(10 + i, 2, "view", 0.0, 2000 + i) for i in range(10)],
+        # user 3: same journey as user 1 once
+        (30, 3, "view", 0.0, 3000),
+        (31, 3, "click", 0.0, 3010),
+        (32, 3, "purchase", 0.0, 3020),
+    ]
+    out = sorted(
+        EA.session_paths(_events(spark, rows)).collect(),
+        key=lambda r: r.rank,
+    )
+    assert out[0].path == "view>click>purchase" and out[0].n_sessions == 3
+    trunc = [r for r in out if r.path.endswith(">…")]
+    assert len(trunc) == 1
+    assert trunc[0].path == ">".join(["view"] * 8) + ">…"
+    assert trunc[0].n_sessions == 1
+
+
 def test_bot_audit_ranks_metronomic_user_first(spark):
     rows = []
     eid = 0

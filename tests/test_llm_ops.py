@@ -2121,6 +2121,26 @@ def test_wav_codec_roundtrip_is_real_riff(spark):
     assert r.n_zero_cross == sum(1 for a, b in zip(s, s[1:]) if a * b < 0)
 
 
+def test_wav_frame_energy_frames_partition_the_stream(spark):
+    # doc 7: 167 samples -> 2 full 64-sample frames + a 39-sample tail;
+    # frame features reconcile with the whole-file features and the
+    # direct formula computation.
+    docs = spark.createDataFrame([(7, "x")], "doc_id long, text string")
+    frames = sorted(
+        MM.wav_frame_energy(MM.with_wav_payload(docs)).collect(),
+        key=lambda r: r.frame_idx,
+    )
+    n = 160 + 7 % 64
+    s = [((7 * 31 + i * 17) % 2048) - 1024 for i in range(n)]
+    assert [r.frame_len for r in frames] == [64, 64, n - 128]
+    assert sum(r.sum_sq for r in frames) == sum(x * x for x in s)
+    assert max(r.peak_abs for r in frames) == max(abs(x) for x in s)
+    for r in frames:
+        fr = s[r.frame_idx * 64 : r.frame_idx * 64 + 64]
+        assert r.sum_sq == sum(x * x for x in fr)
+        assert r.is_silent == (r.sum_sq < MM.WAV_SILENCE_SQ * len(fr))
+
+
 def test_bmp_codec_catches_orientation_via_checksum(spark):
     # A real BMP container round-trip; the position-weighted checksum
     # differs from the (wrong) top-down interpretation, proving the

@@ -649,6 +649,44 @@ def test_cohort_ltv_triangle_reconciles(spark, wh_tables):
     assert n_cust_total == expected
 
 
+def test_ship_delay_percentiles_match_percentile_disc(spark, wh_tables):
+    import math
+
+    from iot_real_time_data_pipeline_spark.operators import warehouse as WH
+
+    out = {
+        r.o_orderpriority: r
+        for r in WH.ship_delay_percentiles(
+            wh_tables["lineitem"], wh_tables["orders"]
+        ).collect()
+    }
+    # independent per-row reference: collect the raw delays and apply
+    # textbook percentile_disc (smallest value at rank >= ceil(q*n))
+    li = WH.with_date_sec(wh_tables["lineitem"], "l_shipdate").select(
+        "l_orderkey", F.col("l_shipdate").alias("ship_sec")
+    )
+    o = WH.with_date_sec(wh_tables["orders"], "o_orderdate").select(
+        "o_orderkey", "o_orderpriority", F.col("o_orderdate").alias("ord_sec")
+    )
+    rows = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select("o_orderpriority", F.expr("(ship_sec - ord_sec) div 86400").alias("d"))
+        .collect()
+    )
+    by_prio = {}
+    for r in rows:
+        by_prio.setdefault(r.o_orderpriority, []).append(r.d)
+    assert set(by_prio) == set(out)
+    for prio, ds in by_prio.items():
+        ds.sort()
+        n = len(ds)
+        r = out[prio]
+        assert r.n_lines == n and r.max_days == ds[-1]
+        for q, col in ((0.5, "p50_days"), (0.9, "p90_days"), (0.99, "p99_days")):
+            assert getattr(r, col) == ds[math.ceil(q * n) - 1]
+        assert r.p50_days <= r.p90_days <= r.p99_days <= r.max_days
+
+
 def test_aqe_splits_skewed_join_at_runtime(spark):
     """The 100 TB skew story is AQE's skew-join splitting — prove the
     engine configuration actually triggers it: a hot-key join must
