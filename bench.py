@@ -304,6 +304,7 @@ def main() -> None:
         "docs_bm25_topk",
         "emb_knn_label_audit",
         "mm_wav_frame_energy",
+        "docs_dup_graph_stats",
     ]:
         fn = LQ.llm_queries()[name]
         timed_repeat(name, lambda fn=fn: fn(spark, sf_dir).collect())

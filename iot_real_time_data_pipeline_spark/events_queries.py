@@ -169,6 +169,7 @@ def events_queries() -> dict[str, QueryFn]:
         "events_time_decay_attribution": q_time_decay_attribution,
         "events_bot_audit": q_bot_audit,
         "events_session_paths": q_session_paths,
+        "events_audience_overlap": q_audience_overlap,
     }
 
 
@@ -202,6 +203,32 @@ SELECT user_id, session_idx,
        max(ts_sec) AS session_end_sec,
        max(ts_sec) - min(ts_sec) AS duration_sec
 FROM runs GROUP BY user_id, session_idx"""
+
+def q_audience_overlap(spark, sf_dir):
+    return EA.audience_overlap(_events(spark, sf_dir))
+
+
+_AUDIENCE_OVERLAP_SQL = """
+WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+totals AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_users
+  FROM tu GROUP BY event_type
+),
+common AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(count(*) AS BIGINT) AS n_common
+  FROM tu a JOIN tu b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY a.event_type, b.event_type
+)
+SELECT type_a, type_b,
+       ta.n_users AS n_users_a, tb.n_users AS n_users_b, n_common,
+       (1000000 * n_common) // (ta.n_users + tb.n_users - n_common)
+         AS jaccard_ppm
+FROM common
+JOIN totals ta ON ta.event_type = type_a
+JOIN totals tb ON tb.event_type = type_b"""
+
 
 def q_session_paths(spark, sf_dir):
     return EA.session_paths(_events(spark, sf_dir))
@@ -1031,6 +1058,7 @@ def events_oracle_sql() -> dict[str, str]:
         "events_time_decay_attribution": _time_decay_attribution_sql(),
         "events_bot_audit": _bot_audit_sql(),
         "events_session_paths": _session_paths_sql(),
+        "events_audience_overlap": _AUDIENCE_OVERLAP_SQL,
         "events_hll_distinct": _hll_sql(),
         "events_asof_join": _ASOF_JOIN_SQL,
         "events_time_band_pairs": _TIME_BAND_SQL,

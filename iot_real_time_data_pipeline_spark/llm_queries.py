@@ -448,6 +448,7 @@ def llm_queries() -> dict[str, QueryFn]:
         "emb_cohort_drift": q_cohort_drift,
         "emb_matryoshka_recall": q_matryoshka_recall,
         "emb_knn_label_audit": q_knn_label_audit,
+        "docs_dup_graph_stats": q_dup_graph_stats,
     }
 
 
@@ -1964,6 +1965,7 @@ def llm_oracle_sql() -> dict[str, str]:
         "emb_cohort_drift": _sql_cohort_drift(),
         "emb_matryoshka_recall": _sql_matryoshka_recall(),
         "emb_knn_label_audit": _sql_knn_label_audit(),
+        "docs_dup_graph_stats": _sql_dup_graph_stats(),
     }
 
 
@@ -2279,6 +2281,40 @@ lp_sizes AS (
 )
 SELECT l.doc_id, l.label AS community, s.n_members
 FROM lp{n} l JOIN lp_sizes s ON s.label = l.label"""
+
+
+def q_dup_graph_stats(spark, sf_dir):
+    return DD.dup_graph_stats(_docs(spark, sf_dir), threshold=JACCARD_THRESHOLD)
+
+
+def _sql_dup_graph_stats() -> str:
+    return f"""
+WITH {_minhash_inter_ctes()},
+{_jaccard_ctes('inter')},
+pairs AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}),
+deg AS (
+  SELECT node, count(*) AS deg FROM (
+    SELECT doc_a AS node FROM pairs
+    UNION ALL
+    SELECT doc_b AS node FROM pairs
+  ) GROUP BY node
+),
+node_stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+         CAST(coalesce(sum(deg * (deg - 1) // 2), 0) AS BIGINT) AS n_wedges
+  FROM deg
+),
+edge_stats AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM pairs),
+tri AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+  FROM pairs p1
+  JOIN pairs p2 ON p2.doc_a = p1.doc_b
+  JOIN pairs p3 ON p3.doc_a = p1.doc_a AND p3.doc_b = p2.doc_b
+)
+SELECT n_nodes, n_edges, n_wedges, n_triangles,
+       CASE WHEN n_wedges > 0 THEN (3000 * n_triangles) // n_wedges
+            ELSE 0 END AS global_clustering_milli
+FROM node_stats CROSS JOIN edge_stats CROSS JOIN tri"""
 
 
 def q_minhash_calibration(spark, sf_dir):

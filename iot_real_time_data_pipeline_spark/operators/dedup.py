@@ -1249,3 +1249,69 @@ def dedup_funnel(
             "retained_ppm"
         ),
     )
+
+
+def dup_graph_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Structure audit of the near-dup graph: triangle count, wedge
+    count, and the global clustering coefficient — the one-row health
+    report that distinguishes a corpus whose duplicates form tight
+    mirror CLIQUES (clustering near 1; safe to collapse per cluster)
+    from chain-like template drift (clustering near 0; collapsing a
+    whole component would over-delete distinct documents).
+
+    Scalable triangle plan: edges are canonical ``doc_a < doc_b``
+    pairs, so each triangle ``a<b<c`` is counted exactly once by the
+    two-path + closure join (``(a,b)⋈(b,c)⋈(a,c)``) — the standard
+    ordered-edge enumeration whose shuffle is bounded by wedge count,
+    never |V|². Wedges come from the integer degree aggregate
+    (``Σ deg·(deg−1)/2``); all counters are BIGINT and the coefficient
+    is integer milli (``3000·triangles div wedges``).
+
+    Returns one row: ``(n_nodes, n_edges, n_wedges, n_triangles,
+    global_clustering_milli)``.
+    """
+    edges = minhash_lsh_pairs(docs, text_col, id_col, threshold).select(
+        "doc_a", "doc_b"
+    )
+    deg = (
+        edges.select(F.col("doc_a").alias("node"))
+        .unionAll(edges.select(F.col("doc_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    node_stats = deg.agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        F.sum(F.expr("deg * (deg - 1) div 2")).cast("long").alias("n_wedges"),
+    )
+    edge_stats = edges.agg(F.count("*").cast("long").alias("n_edges"))
+    p1, p2, p3 = edges.alias("p1"), edges.alias("p2"), edges.alias("p3")
+    tri = (
+        p1.join(p2, F.col("p1.doc_b") == F.col("p2.doc_a"))
+        .join(
+            p3,
+            (F.col("p3.doc_a") == F.col("p1.doc_a"))
+            & (F.col("p3.doc_b") == F.col("p2.doc_b")),
+        )
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )
+    return (
+        node_stats.crossJoin(F.broadcast(edge_stats))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.when(
+                F.col("n_wedges") > 0,
+                F.expr("(3000 * n_triangles) div n_wedges"),
+            )
+            .otherwise(F.lit(0).cast("long"))
+            .alias("global_clustering_milli"),
+        )
+    )

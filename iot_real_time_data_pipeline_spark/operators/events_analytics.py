@@ -1288,6 +1288,62 @@ def bot_audit(events: DataFrame, n: int = BOT_AUDIT_N) -> DataFrame:
     )
 
 
+def audience_overlap(events: DataFrame) -> DataFrame:
+    """Audience-overlap matrix: for every unordered pair of event
+    types, the Jaccard similarity of their USER sets — "do the people
+    who purchase also search?", the segmentation question behind
+    cross-sell targeting and funnel design.
+
+    Plan: one distinct (event_type, user_id) pass (map-side combined —
+    the shuffle carries at most |types| rows per user), a self-join ON
+    ``user_id`` with ``type_a < type_b`` (each user contributes only
+    their own type-pair fan-out, ≤ C(|types|,2) rows — never a
+    cartesian), an integer pair count, and per-type totals broadcast
+    back. Types are a bounded vocabulary, so every aggregate past the
+    distinct is dimension-sized at any corpus scale.
+
+    Returns ``(type_a, type_b, n_users_a, n_users_b, n_common,
+    jaccard_ppm)`` with integer-ppm Jaccard (floor).
+    """
+    tu = events.select("event_type", "user_id").distinct()
+    totals = tu.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_users")
+    )
+    a, b = tu.alias("a"), tu.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    ta = totals.select(
+        F.col("event_type").alias("type_a"), F.col("n_users").alias("n_users_a")
+    )
+    tb = totals.select(
+        F.col("event_type").alias("type_b"), F.col("n_users").alias("n_users_b")
+    )
+    return (
+        common.join(F.broadcast(ta), "type_a")
+        .join(F.broadcast(tb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_users_a",
+            "n_users_b",
+            "n_common",
+            F.expr(
+                "(1000000 * n_common) div (n_users_a + n_users_b - n_common)"
+            ).alias("jaccard_ppm"),
+        )
+    )
+
+
 PATH_MAX_LEN = 8   # leading event types kept per session path
 PATH_TOP_N = 20    # report size
 

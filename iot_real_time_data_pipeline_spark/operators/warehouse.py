@@ -1279,6 +1279,88 @@ def q12_late_shipments(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
     )
 
 
+BASKET_MIN_PAIR_ORDERS = 2  # noise floor: a pair seen once is not a signal
+
+
+def market_basket(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Market-basket association mining at the brand level: for every
+    unordered brand pair, the co-occurrence support and LIFT — "orders
+    containing brand A are X times likelier to also contain brand B
+    than chance" — the assortment/cross-sell report behind
+    frequently-bought-together.
+
+    Scalable shape: brands are a BOUNDED vocabulary, so the basket
+    self-join fans out at most C(|brands in order|, 2) rows per order
+    (never item²): lineitem joins the broadcast part dim, collapses to
+    distinct (order, brand) — map-side combined — and the same-order
+    self-join with ``brand_a < brand_b`` counts each pair once. All
+    downstream aggregates are |brands|²-sized at any corpus scale.
+
+    Integer metrics: ``support_ppm = 1e6·n_pair div n_orders`` and
+    ``lift_milli = 1000·n_pair·n_orders div (n_a·n_b)`` (exact BIGINT;
+    lift > 1000 means positively associated). Pairs below
+    ``BASKET_MIN_PAIR_ORDERS`` are floored out. Returns ``(brand_a,
+    brand_b, n_orders_pair, n_orders_a, n_orders_b, support_ppm,
+    lift_milli)``.
+    """
+    ob = (
+        lineitem.select("l_orderkey", "l_partkey")
+        .join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    n_orders = ob.select("l_orderkey").distinct().agg(
+        F.count("*").cast("long").alias("n_orders")
+    )
+    per_brand = ob.groupBy("p_brand").agg(
+        F.count("*").cast("long").alias("n_brand_orders")
+    )
+    a, b = ob.alias("a"), ob.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_brand") < F.col("b.p_brand")),
+        )
+        .groupBy(
+            F.col("a.p_brand").alias("brand_a"),
+            F.col("b.p_brand").alias("brand_b"),
+        )
+        .agg(F.count("*").cast("long").alias("n_orders_pair"))
+        .filter(F.col("n_orders_pair") >= BASKET_MIN_PAIR_ORDERS)
+    )
+    pa = per_brand.select(
+        F.col("p_brand").alias("brand_a"),
+        F.col("n_brand_orders").alias("n_orders_a"),
+    )
+    pb = per_brand.select(
+        F.col("p_brand").alias("brand_b"),
+        F.col("n_brand_orders").alias("n_orders_b"),
+    )
+    return (
+        pairs.join(F.broadcast(pa), "brand_a")
+        .join(F.broadcast(pb), "brand_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_orders_pair",
+            "n_orders_a",
+            "n_orders_b",
+            F.expr("(1000000 * n_orders_pair) div n_orders").alias(
+                "support_ppm"
+            ),
+            F.expr(
+                "(1000 * n_orders_pair * n_orders)"
+                " div (n_orders_a * n_orders_b)"
+            ).alias("lift_milli"),
+        )
+    )
+
+
 DELAY_PCTS_MILLI = (500, 900, 990)  # p50 / p90 / p99
 
 

@@ -101,6 +101,7 @@ def warehouse_queries() -> dict[str, QueryFn]:
         "wh_yoy_nation_growth": q_yoy_growth,
         "wh_cohort_ltv": q_cohort_ltv,
         "wh_ship_delay_percentiles": q_ship_delay_percentiles,
+        "wh_market_basket": q_market_basket,
         "wh_q7_nation_volume": q_q7,
         "wh_q8_market_share": q_q8,
         "wh_q9_product_profit": q_q9,
@@ -284,6 +285,7 @@ def warehouse_oracle_sql() -> dict[str, str]:
         "wh_yoy_nation_growth": _YOY_SQL,
         "wh_cohort_ltv": _COHORT_LTV_SQL,
         "wh_ship_delay_percentiles": _ship_delay_pcts_sql(),
+        "wh_market_basket": _market_basket_sql(),
         "wh_q7_nation_volume": _Q7_SQL,
         "wh_q8_market_share": _Q8_SQL,
         "wh_q9_product_profit": _Q9_SQL,
@@ -848,6 +850,43 @@ SELECT o_orderpriority, count(*) AS n_lines,
          AS n_late_highprio
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority"""
+
+
+def q_market_basket(spark, sf_dir):
+    return WH.market_basket(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    )
+
+
+def _market_basket_sql() -> str:
+    return f"""
+WITH ob AS (
+  SELECT DISTINCT l_orderkey, p_brand
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM ob),
+per_brand AS (
+  SELECT p_brand, CAST(count(*) AS BIGINT) AS n_brand_orders
+  FROM ob GROUP BY p_brand
+),
+pairs AS (
+  SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+         CAST(count(*) AS BIGINT) AS n_orders_pair
+  FROM ob a JOIN ob b
+    ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+  GROUP BY a.p_brand, b.p_brand
+  HAVING count(*) >= {WH.BASKET_MIN_PAIR_ORDERS}
+)
+SELECT brand_a, brand_b, n_orders_pair,
+       pa.n_brand_orders AS n_orders_a,
+       pb.n_brand_orders AS n_orders_b,
+       (1000000 * n_orders_pair) // n_orders AS support_ppm,
+       (1000 * n_orders_pair * n_orders)
+         // (pa.n_brand_orders * pb.n_brand_orders) AS lift_milli
+FROM pairs
+JOIN per_brand pa ON pa.p_brand = brand_a
+JOIN per_brand pb ON pb.p_brand = brand_b
+CROSS JOIN n"""
 
 
 def q_ship_delay_percentiles(spark, sf_dir):

@@ -500,6 +500,27 @@ def test_time_decay_attribution_halves_credit_per_day(spark):
     assert out["unattributed"].credit_ppm_total == 1_000_000
 
 
+def test_audience_overlap_jaccard_matrix(spark):
+    rows = [
+        # users 1,2 click; users 2,3 view; user 4 only purchases
+        (1, 1, "click", 0.0, 100),
+        (2, 2, "click", 0.0, 110),
+        (3, 2, "click", 0.0, 120),   # dup (type,user) collapses
+        (4, 2, "view", 0.0, 130),
+        (5, 3, "view", 0.0, 140),
+        (6, 4, "purchase", 0.0, 150),
+    ]
+    out = {
+        (r.type_a, r.type_b): r
+        for r in EA.audience_overlap(_events(spark, rows)).collect()
+    }
+    cv = out[("click", "view")]
+    assert (cv.n_users_a, cv.n_users_b, cv.n_common) == (2, 2, 1)
+    assert cv.jaccard_ppm == 1_000_000 // 3
+    # disjoint audiences never emit a row (inner join on shared users)
+    assert ("click", "purchase") not in out and ("purchase", "view") not in out
+
+
 def test_session_paths_orders_truncates_and_ranks(spark):
     rows = [
         # user 1, session 1: view>click>purchase (common journey)

@@ -1534,6 +1534,24 @@ def test_keyword_search_requires_all_terms_and_counts_hits(spark):
     assert out == {1: 4, 3: 4}
 
 
+def test_dup_graph_stats_counts_planted_triangle(spark):
+    from iot_real_time_data_pipeline_spark.operators import dedup as DD
+
+    ta = "the quick brown fox jumps over the lazy dog again"
+    tb = "completely different text about spark engines at scale"
+    rows = [
+        (1, ta, "en"), (2, ta, "en"), (3, ta, "en"),   # mirror clique of 3
+        (8, tb, "en"), (9, tb, "en"),                  # one mirrored pair
+        (20, "unrelated singleton content right here now", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    [r] = DD.dup_graph_stats(docs, threshold=0.8).collect()
+    # triangle: 3 nodes deg 2 -> 3 wedges, 1 triangle, clustering 1.0
+    assert (r.n_nodes, r.n_edges) == (5, 4)
+    assert (r.n_wedges, r.n_triangles) == (3, 1)
+    assert r.global_clustering_milli == 1000
+
+
 def test_knn_label_audit_flags_planted_mislabel(spark):
     from iot_real_time_data_pipeline_spark.operators import similarity as SIM
 

@@ -649,6 +649,36 @@ def test_cohort_ltv_triangle_reconciles(spark, wh_tables):
     assert n_cust_total == expected
 
 
+def test_market_basket_support_lift_and_noise_floor(spark):
+    from iot_real_time_data_pipeline_spark.operators import warehouse as WH
+
+    li = spark.createDataFrame(
+        [
+            # o1 {A,B} (A twice -> distinct collapses), o2 {A,B},
+            # o3 {A}, o4 {B,C}
+            (1, 101), (1, 102), (1, 103),
+            (2, 101), (2, 103),
+            (3, 101),
+            (4, 103), (4, 104),
+        ],
+        "l_orderkey long, l_partkey long",
+    )
+    part = spark.createDataFrame(
+        [(101, "A"), (102, "A"), (103, "B"), (104, "C")],
+        "p_partkey long, p_brand string",
+    )
+    out = {
+        (r.brand_a, r.brand_b): r
+        for r in WH.market_basket(li, part).collect()
+    }
+    # (B, C) co-occurs once -> floored out by BASKET_MIN_PAIR_ORDERS
+    assert set(out) == {("A", "B")}
+    r = out[("A", "B")]
+    assert (r.n_orders_pair, r.n_orders_a, r.n_orders_b) == (2, 3, 3)
+    assert r.support_ppm == 2_000_000 // 4
+    assert r.lift_milli == (1000 * 2 * 4) // (3 * 3)
+
+
 def test_ship_delay_percentiles_match_percentile_disc(spark, wh_tables):
     import math
 

@@ -794,3 +794,71 @@ def test_lake_compaction_global_one_job_variant(spark, tmp_path):
         for r in spark.read.parquet(root).collect()
     )
     assert rows_after == rows_before
+
+
+def test_scd2_stream_matches_batch_rebuild(spark, tmp_path):
+    """Incremental SCD2 maintenance never drifts from the batch
+    semantics: after three micro-batches the maintained table equals
+    scd2_intervals over the concatenated history."""
+    import time
+
+    from iot_real_time_data_pipeline_spark.operators import (
+        events_analytics as EA,
+    )
+    from iot_real_time_data_pipeline_spark.streaming import run_scd2_stream
+
+    base = 1_700_000_000
+    batches = [
+        # b0: user 10 starts viewing (2 events), user 20 clicks
+        [(1, 10, "view", 0), (2, 10, "view", 10), (3, 20, "click", 20)],
+        # b1: user 10 flips to click; user 20 extends its click run
+        [(4, 10, "click", 30), (5, 20, "click", 40)],
+        # b2: user 10 back to view; brand-new user 30
+        [(6, 10, "view", 50), (7, 30, "signup", 60)],
+    ]
+    src = tmp_path / "changes"
+    src.mkdir()
+    now = time.time()
+    for i, batch in enumerate(batches):
+        p = src / f"b{i}.jsonl"
+        with open(p, "w") as fh:
+            for eid, uid, etype, off in batch:
+                iso = datetime.datetime.fromtimestamp(
+                    base + off, datetime.timezone.utc
+                ).isoformat()
+                fh.write(json.dumps({
+                    "event_id": eid, "user_id": uid,
+                    "event_type": etype, "ts": iso,
+                }) + "\n")
+        os.utime(p, (now + i * 10, now + i * 10))
+
+    dim_dir = str(tmp_path / "dim")
+    q = run_scd2_stream(spark, str(src), dim_dir, str(tmp_path / "ckpt"))
+    q.awaitTermination(240)
+
+    got = {
+        (r.user_id, r.version, r.event_type, r.valid_from_sec,
+         r.valid_to_sec, r.n_events, r.is_current)
+        for r in spark.read.parquet(dim_dir).collect()
+    }
+    all_rows = [
+        (eid, uid, etype, base + off)
+        for b in batches for (eid, uid, etype, off) in b
+    ]
+    ref_df = spark.createDataFrame(
+        all_rows, "event_id long, user_id long, event_type string, ts_sec long"
+    )
+    want = {
+        (r.user_id, r.version, r.event_type, r.valid_from_sec,
+         r.valid_to_sec, r.n_events, r.is_current)
+        for r in EA.scd2_intervals(ref_df).collect()
+    }
+    assert got == want
+    # spot-pin the interesting geometry: user 10 has 3 versions
+    # (view 2 events, click 1, view 1 current), user 20 ONE version
+    # spanning both batches (the same-type run merged, n_events 2)
+    u10 = sorted(t for t in got if t[0] == 10)
+    assert [(t[2], t[5], t[6]) for t in u10] == [
+        ("view", 2, 0), ("click", 1, 0), ("view", 1, 1)]
+    u20 = [t for t in got if t[0] == 20]
+    assert u20 == [(20, 1, "click", base + 20, -1, 2, 1)]
