@@ -305,6 +305,7 @@ def main() -> None:
         "emb_knn_label_audit",
         "mm_wav_frame_energy",
         "docs_dup_graph_stats",
+        "docs_detector_agreement",
     ]:
         fn = LQ.llm_queries()[name]
         timed_repeat(name, lambda fn=fn: fn(spark, sf_dir).collect())

@@ -170,6 +170,7 @@ def events_queries() -> dict[str, QueryFn]:
         "events_bot_audit": q_bot_audit,
         "events_session_paths": q_session_paths,
         "events_audience_overlap": q_audience_overlap,
+        "events_new_vs_returning": q_new_vs_returning,
     }
 
 
@@ -203,6 +204,28 @@ SELECT user_id, session_idx,
        max(ts_sec) AS session_end_sec,
        max(ts_sec) - min(ts_sec) AS duration_sec
 FROM runs GROUP BY user_id, session_idx"""
+
+def q_new_vs_returning(spark, sf_dir):
+    return EA.new_vs_returning(_events(spark, sf_dir))
+
+
+_NEW_VS_RETURNING_SQL = """
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch_ns(ts) // 1000000000 // 86400 AS BIGINT) AS day
+  FROM events
+),
+first AS (SELECT user_id, min(day) AS first_day FROM ud GROUP BY user_id),
+agg AS (
+  SELECT day, CAST(count(*) AS BIGINT) AS n_active,
+         CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_new
+  FROM ud JOIN first USING (user_id) GROUP BY day
+)
+SELECT day, n_active, n_new, n_active - n_new AS n_returning,
+       (1000000 * n_new) // n_active AS new_ppm
+FROM agg"""
+
 
 def q_audience_overlap(spark, sf_dir):
     return EA.audience_overlap(_events(spark, sf_dir))
@@ -1059,6 +1082,7 @@ def events_oracle_sql() -> dict[str, str]:
         "events_bot_audit": _bot_audit_sql(),
         "events_session_paths": _session_paths_sql(),
         "events_audience_overlap": _AUDIENCE_OVERLAP_SQL,
+        "events_new_vs_returning": _NEW_VS_RETURNING_SQL,
         "events_hll_distinct": _hll_sql(),
         "events_asof_join": _ASOF_JOIN_SQL,
         "events_time_band_pairs": _TIME_BAND_SQL,

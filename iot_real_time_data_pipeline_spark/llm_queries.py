@@ -449,6 +449,7 @@ def llm_queries() -> dict[str, QueryFn]:
         "emb_matryoshka_recall": q_matryoshka_recall,
         "emb_knn_label_audit": q_knn_label_audit,
         "docs_dup_graph_stats": q_dup_graph_stats,
+        "docs_detector_agreement": q_detector_agreement,
     }
 
 
@@ -1966,6 +1967,7 @@ def llm_oracle_sql() -> dict[str, str]:
         "emb_matryoshka_recall": _sql_matryoshka_recall(),
         "emb_knn_label_audit": _sql_knn_label_audit(),
         "docs_dup_graph_stats": _sql_dup_graph_stats(),
+        "docs_detector_agreement": _sql_detector_agreement(),
     }
 
 
@@ -2315,6 +2317,41 @@ SELECT n_nodes, n_edges, n_wedges, n_triangles,
        CASE WHEN n_wedges > 0 THEN (3000 * n_triangles) // n_wedges
             ELSE 0 END AS global_clustering_milli
 FROM node_stats CROSS JOIN edge_stats CROSS JOIN tri"""
+
+
+def q_detector_agreement(spark, sf_dir):
+    return DD.detector_agreement(
+        _docs(spark, sf_dir), threshold=JACCARD_THRESHOLD
+    )
+
+
+def _sql_detector_agreement() -> str:
+    # Detectors composed as derived tables (each carries its own WITH
+    # chain) — same composition idiom as _sql_recall_audit.
+    return f"""
+WITH exact AS (SELECT doc_a, doc_b FROM ({_sql_shingle_jaccard()}) e),
+mh AS (SELECT doc_a, doc_b FROM ({_sql_minhash_lsh()}) m),
+sh2 AS (SELECT doc_a, doc_b FROM ({_sql_simhash_dup_pairs()}) s),
+stats AS (
+  SELECT 'minhash_lsh' AS detector,
+         (SELECT count(*) FROM mh) AS n_flagged,
+         (SELECT count(*) FROM exact) AS n_true_pairs,
+         (SELECT count(*) FROM mh JOIN exact USING (doc_a, doc_b))
+           AS n_overlap
+  UNION ALL
+  SELECT 'simhash',
+         (SELECT count(*) FROM sh2),
+         (SELECT count(*) FROM exact),
+         (SELECT count(*) FROM sh2 JOIN exact USING (doc_a, doc_b))
+)
+SELECT detector, CAST(n_flagged AS BIGINT) AS n_flagged,
+       CAST(n_true_pairs AS BIGINT) AS n_true_pairs,
+       CAST(n_overlap AS BIGINT) AS n_overlap,
+       CASE WHEN n_flagged > 0 THEN (1000 * n_overlap) // n_flagged
+            ELSE 0 END AS precision_milli,
+       CASE WHEN n_true_pairs > 0 THEN (1000 * n_overlap) // n_true_pairs
+            ELSE 0 END AS recall_milli
+FROM stats"""
 
 
 def q_minhash_calibration(spark, sf_dir):

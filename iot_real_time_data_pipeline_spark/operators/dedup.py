@@ -1315,3 +1315,78 @@ def dup_graph_stats(
             .alias("global_clustering_milli"),
         )
     )
+
+
+def detector_agreement(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Detector evaluation against ground truth: precision/recall of
+    each near-dup detector measured against the EXACT shingle-Jaccard
+    pair set — the audit that decides which detector (and which
+    band/radius settings) a 100 TB corpus can trust before exact
+    verification becomes unaffordable. MinHash-LSH verifies candidates
+    with exact Jaccard, so its precision is 1000 by construction and
+    this report measures its band-miss RECALL; SimHash flags by
+    Hamming radius — a different geometry — so both of its numbers are
+    informative.
+
+    Plan: each detector's pair set (already candidate-bounded) joins
+    the truth set on the pair key; everything else is one-row scalar
+    aggregates broadcast together — the audit adds no shuffle beyond
+    the detectors themselves. Returns one row per detector:
+    ``(detector, n_flagged, n_true_pairs, n_overlap, precision_milli,
+    recall_milli)``.
+    """
+    exact = shingle_jaccard_pairs(docs, text_col, id_col, threshold).select(
+        "doc_a", "doc_b"
+    )
+    truth_n = exact.agg(F.count("*").cast("long").alias("n_true_pairs"))
+    detectors = {
+        "minhash_lsh": minhash_lsh_pairs(
+            docs, text_col, id_col, threshold
+        ).select("doc_a", "doc_b"),
+        # the oracle-geometry SimHash (32-bit, 4x8 bands) — the same
+        # configuration docs_simhash_dup_pairs ships
+        "simhash": simhash_dup_pairs(
+            docs,
+            text_col,
+            id_col,
+            bits=SIMHASH_ORACLE_BITS,
+            bands=SIMHASH_ORACLE_BANDS,
+        ).select("doc_a", "doc_b"),
+    }
+    rows = []
+    for name, flagged in detectors.items():
+        n_flagged = flagged.agg(F.count("*").cast("long").alias("n_flagged"))
+        n_overlap = flagged.join(exact, ["doc_a", "doc_b"]).agg(
+            F.count("*").cast("long").alias("n_overlap")
+        )
+        rows.append(
+            n_flagged.crossJoin(F.broadcast(truth_n))
+            .crossJoin(F.broadcast(n_overlap))
+            .select(
+                F.lit(name).alias("detector"),
+                "n_flagged",
+                "n_true_pairs",
+                "n_overlap",
+                F.when(
+                    F.col("n_flagged") > 0,
+                    F.expr("(1000 * n_overlap) div n_flagged"),
+                )
+                .otherwise(F.lit(0).cast("long"))
+                .alias("precision_milli"),
+                F.when(
+                    F.col("n_true_pairs") > 0,
+                    F.expr("(1000 * n_overlap) div n_true_pairs"),
+                )
+                .otherwise(F.lit(0).cast("long"))
+                .alias("recall_milli"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

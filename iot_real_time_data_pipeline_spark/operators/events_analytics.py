@@ -1288,6 +1288,46 @@ def bot_audit(events: DataFrame, n: int = BOT_AUDIT_N) -> DataFrame:
     )
 
 
+def new_vs_returning(events: DataFrame) -> DataFrame:
+    """Daily acquisition split: per epoch day, how many active users
+    are NEW (first day ever seen) vs RETURNING — the growth-accounting
+    twin of :func:`dau_wau` (raw DAU can grow while acquisition
+    stalls; this separates the two).
+
+    Plan: distinct (user, day) — map-side combined — then the user's
+    first day via a groupBy on the SAME user key (no second fact
+    scan), a co-partitioned join back, and a |days|-row final
+    aggregate. Integer epoch days throughout; ``new_ppm`` is the
+    integer share of the day's actives that are new.
+
+    Returns ``(day, n_active, n_new, n_returning, new_ppm)``.
+    """
+    ud = (
+        events.select(
+            "user_id", F.expr("ts_sec div 86400").cast("long").alias("day")
+        )
+        .distinct()
+    )
+    first = ud.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    return (
+        ud.join(first, "user_id")
+        .groupBy("day")
+        .agg(
+            F.count("*").cast("long").alias("n_active"),
+            F.sum(F.when(F.col("day") == F.col("first_day"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_new"),
+        )
+        .select(
+            "day",
+            "n_active",
+            "n_new",
+            (F.col("n_active") - F.col("n_new")).alias("n_returning"),
+            F.expr("(1000000 * n_new) div n_active").alias("new_ppm"),
+        )
+    )
+
+
 def audience_overlap(events: DataFrame) -> DataFrame:
     """Audience-overlap matrix: for every unordered pair of event
     types, the Jaccard similarity of their USER sets — "do the people

@@ -500,6 +500,21 @@ def test_time_decay_attribution_halves_credit_per_day(spark):
     assert out["unattributed"].credit_ppm_total == 1_000_000
 
 
+def test_new_vs_returning_daily_split(spark):
+    day = 86400
+    rows = [
+        (1, 1, "view", 0.0, 100),            # day 0: user 1 new
+        (2, 1, "view", 0.0, day + 50),       # day 1: user 1 returning
+        (3, 2, "view", 0.0, day + 60),       # day 1: user 2 new
+        (4, 2, "view", 0.0, day + 70),       # same (user, day) collapses
+    ]
+    out = {r.day: r for r in EA.new_vs_returning(_events(spark, rows)).collect()}
+    assert (out[0].n_active, out[0].n_new, out[0].n_returning) == (1, 1, 0)
+    assert out[0].new_ppm == 1_000_000
+    assert (out[1].n_active, out[1].n_new, out[1].n_returning) == (2, 1, 1)
+    assert out[1].new_ppm == 500_000
+
+
 def test_audience_overlap_jaccard_matrix(spark):
     rows = [
         # users 1,2 click; users 2,3 view; user 4 only purchases

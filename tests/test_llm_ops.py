@@ -1534,6 +1534,27 @@ def test_keyword_search_requires_all_terms_and_counts_hits(spark):
     assert out == {1: 4, 3: 4}
 
 
+def test_detector_agreement_minhash_perfect_precision(spark):
+    from iot_real_time_data_pipeline_spark.operators import dedup as DD
+
+    ta = "the quick brown fox jumps over the lazy dog again"
+    rows = [
+        (1, ta, "en"), (2, ta, "en"),                        # true dup pair
+        (3, "something else entirely unrelated to that", "en"),
+        (4, "yet another independent document body here", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r.detector: r for r in DD.detector_agreement(docs).collect()}
+    assert set(out) == {"minhash_lsh", "simhash"}
+    mh = out["minhash_lsh"]
+    # identical docs: every detector finds the pair; minhash verifies
+    # exactly, so flagged == overlap == truth
+    assert mh.n_true_pairs == 1 and mh.n_flagged == 1 and mh.n_overlap == 1
+    assert mh.precision_milli == 1000 and mh.recall_milli == 1000
+    sh = out["simhash"]
+    assert sh.n_overlap == 1 and sh.recall_milli == 1000
+
+
 def test_dup_graph_stats_counts_planted_triangle(spark):
     from iot_real_time_data_pipeline_spark.operators import dedup as DD
 
