@@ -306,6 +306,7 @@ def main() -> None:
         "mm_wav_frame_energy",
         "docs_dup_graph_stats",
         "docs_detector_agreement",
+        "emb_pq_distortion",
     ]:
         fn = LQ.llm_queries()[name]
         timed_repeat(name, lambda fn=fn: fn(spark, sf_dir).collect())

@@ -171,6 +171,7 @@ def events_queries() -> dict[str, QueryFn]:
         "events_session_paths": q_session_paths,
         "events_audience_overlap": q_audience_overlap,
         "events_new_vs_returning": q_new_vs_returning,
+        "events_conversion_latency": q_conversion_latency,
     }
 
 
@@ -204,6 +205,46 @@ SELECT user_id, session_idx,
        max(ts_sec) AS session_end_sec,
        max(ts_sec) - min(ts_sec) AS duration_sec
 FROM runs GROUP BY user_id, session_idx"""
+
+def q_conversion_latency(spark, sf_dir):
+    return EA.conversion_latency(_events(spark, sf_dir))
+
+
+def _conversion_latency_sql() -> str:
+    pct_cols = ",\n       ".join(
+        f"min(CASE WHEN cum * 1000 >= {q} * total THEN lat_min END)"
+        f" AS p{q // 10}_min"
+        for q in EA.CONV_PCTS_MILLI
+    )
+    return f"""
+WITH base AS (
+  SELECT user_id, event_type,
+         CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS ts_sec
+  FROM events
+),
+per_user AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts_sec END) AS first_from,
+         min(CASE WHEN event_type = 'purchase' THEN ts_sec END) AS first_to
+  FROM base GROUP BY user_id
+),
+lat AS (
+  SELECT (first_to - first_from) // 60 AS lat_min
+  FROM per_user
+  WHERE first_from IS NOT NULL AND first_to > first_from
+),
+hist AS (SELECT lat_min, count(*) AS cnt FROM lat GROUP BY lat_min),
+cdf AS (
+  SELECT lat_min, cnt,
+         sum(cnt) OVER (ORDER BY lat_min ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(cnt) OVER () AS total
+  FROM hist
+)
+SELECT CAST(max(total) AS BIGINT) AS n_converters,
+       {pct_cols},
+       max(lat_min) AS max_min
+FROM cdf"""
+
 
 def q_new_vs_returning(spark, sf_dir):
     return EA.new_vs_returning(_events(spark, sf_dir))
@@ -1083,6 +1124,7 @@ def events_oracle_sql() -> dict[str, str]:
         "events_session_paths": _session_paths_sql(),
         "events_audience_overlap": _AUDIENCE_OVERLAP_SQL,
         "events_new_vs_returning": _NEW_VS_RETURNING_SQL,
+        "events_conversion_latency": _conversion_latency_sql(),
         "events_hll_distinct": _hll_sql(),
         "events_asof_join": _ASOF_JOIN_SQL,
         "events_time_band_pairs": _TIME_BAND_SQL,

@@ -450,6 +450,7 @@ def llm_queries() -> dict[str, QueryFn]:
         "emb_knn_label_audit": q_knn_label_audit,
         "docs_dup_graph_stats": q_dup_graph_stats,
         "docs_detector_agreement": q_detector_agreement,
+        "emb_pq_distortion": q_pq_distortion,
     }
 
 
@@ -1968,6 +1969,7 @@ def llm_oracle_sql() -> dict[str, str]:
         "emb_knn_label_audit": _sql_knn_label_audit(),
         "docs_dup_graph_stats": _sql_dup_graph_stats(),
         "docs_detector_agreement": _sql_detector_agreement(),
+        "emb_pq_distortion": _sql_pq_distortion(),
     }
 
 
@@ -2678,6 +2680,27 @@ r AS (
   FROM adc
 )
 SELECT query_id, rank, neighbor_id, adc_micro FROM r WHERE rank <= 3"""
+
+
+def q_pq_distortion(spark, sf_dir):
+    return SIM.pq_distortion(_emb(spark, sf_dir))
+
+
+def _sql_pq_distortion() -> str:
+    return f"""
+WITH {_pq_ctes()},
+best AS (
+  SELECT vec_id, subspace, d2m FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
+              ORDER BY d2m, code) AS rn
+    FROM pqscored
+  ) WHERE rn = 1
+)
+SELECT subspace, CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(sum(d2m) AS BIGINT) AS sum_d2_micro,
+       CAST(sum(d2m) // count(*) AS BIGINT) AS mean_d2_micro,
+       CAST(max(d2m) AS BIGINT) AS max_d2_micro
+FROM best GROUP BY subspace"""
 
 
 def _sql_token_budget() -> str:

@@ -1288,6 +1288,67 @@ def bot_audit(events: DataFrame, n: int = BOT_AUDIT_N) -> DataFrame:
     )
 
 
+CONV_PCTS_MILLI = (500, 900, 990)  # p50 / p90 / p99
+
+
+def conversion_latency(
+    events: DataFrame,
+    from_type: str = "view",
+    to_type: str = "purchase",
+) -> DataFrame:
+    """EXACT conversion-latency percentiles: minutes from a user's
+    FIRST ``from_type`` to their FIRST subsequent ``to_type`` — the
+    time-to-convert number growth teams pair with the funnel's
+    conversion RATE (two funnels with equal rates and 10x different
+    latencies are different businesses).
+
+    Same scale discipline as the warehouse percentile report: one
+    conditional-min groupBy per user (map-side combined), a
+    minute-bucket HISTOGRAM, a cumulative window over the bounded
+    histogram (≤ observed-span minutes, corpus-size independent), and
+    percentile_disc-exact integer selection — the fact table is never
+    globally sorted.
+
+    Returns one row: ``(n_converters, p50_min, p90_min, p99_min,
+    max_min)``.
+    """
+    per_user = events.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == from_type, F.col("ts_sec"))
+        ).alias("first_from"),
+        F.min(
+            F.when(F.col("event_type") == to_type, F.col("ts_sec"))
+        ).alias("first_to"),
+    )
+    lat = per_user.filter(
+        F.col("first_from").isNotNull()
+        & (F.col("first_to") > F.col("first_from"))
+    ).select(
+        F.expr("(first_to - first_from) div 60").alias("lat_min")
+    )
+    hist = lat.groupBy("lat_min").agg(F.count("*").alias("cnt"))
+    w_cum = Window.orderBy("lat_min").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cdf = hist.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
+        "total", F.sum("cnt").over(Window.partitionBy())
+    )
+    pct_cols = [
+        F.min(
+            F.when(
+                F.col("cum") * 1000 >= F.lit(q) * F.col("total"),
+                F.col("lat_min"),
+            )
+        ).alias(f"p{q // 10}_min")
+        for q in CONV_PCTS_MILLI
+    ]
+    return cdf.agg(
+        F.max("total").cast("long").alias("n_converters"),
+        *pct_cols,
+        F.max("lat_min").alias("max_min"),
+    )
+
+
 def new_vs_returning(events: DataFrame) -> DataFrame:
     """Daily acquisition split: per epoch day, how many active users
     are NEW (first day ever seen) vs RETURNING — the growth-accounting

@@ -1713,3 +1713,43 @@ def knn_label_audit(
             F.expr("(1000 * n_agree) div n_queries").alias("agreement_milli"),
         )
     )
+
+
+def pq_distortion(
+    embeddings: DataFrame, codebook: DataFrame | None = None
+) -> DataFrame:
+    """PQ reconstruction-distortion audit: per subspace, the summed /
+    mean / worst quantization error of the WINNING code — the number
+    that says whether 4-bit codes are faithful enough to trust the ADC
+    scan, and which subspace needs more centroids when they are not
+    (error concentrates where the data varies most).
+
+    Same plan as :func:`pq_codes` (subvector explode -> broadcast
+    codebook join -> partial-aggregable argmin keeping the distance),
+    then a |subspaces|-row aggregate — the audit costs one extra
+    column over the encode it audits. Integer micro-units throughout.
+
+    Returns ``(subspace, n_vectors, sum_d2_micro, mean_d2_micro,
+    max_d2_micro)``.
+    """
+    cb = codebook if codebook is not None else pq_codebook(embeddings)
+    j = _subvectors(embeddings, "vec_id").join(F.broadcast(cb), "subspace")
+    best = (
+        j.select(
+            "vec_id",
+            "subspace",
+            F.struct(
+                _sub_d2_micro(F.col("sub"), F.col("centroid")).alias("d"),
+                F.col("code").alias("c"),
+            ).alias("dc"),
+        )
+        .groupBy("vec_id", "subspace")
+        .agg(F.min("dc").alias("b"))
+        .select("vec_id", "subspace", F.col("b.d").alias("d2m"))
+    )
+    return best.groupBy("subspace").agg(
+        F.count("*").cast("long").alias("n_vectors"),
+        F.sum("d2m").cast("long").alias("sum_d2_micro"),
+        F.expr("sum(d2m) div count(*)").alias("mean_d2_micro"),
+        F.max("d2m").cast("long").alias("max_d2_micro"),
+    )

@@ -500,6 +500,24 @@ def test_time_decay_attribution_halves_credit_per_day(spark):
     assert out["unattributed"].credit_ppm_total == 1_000_000
 
 
+def test_conversion_latency_exact_percentiles(spark):
+    rows = []
+    eid = 0
+    # 10 converters with latencies 1..10 minutes
+    for u in range(1, 11):
+        eid += 1
+        rows.append((eid, u, "view", 0.0, 1000))
+        eid += 1
+        rows.append((eid, u, "purchase", 1.0, 1000 + u * 60))
+    # non-converters: purchase BEFORE view, or view only
+    rows += [(100, 50, "purchase", 1.0, 500), (101, 50, "view", 0.0, 900)]
+    rows += [(102, 51, "view", 0.0, 700)]
+    [r] = EA.conversion_latency(_events(spark, rows)).collect()
+    assert r.n_converters == 10
+    # percentile_disc over [1..10]: p50 -> 5th value, p90 -> 9th, p99 -> 10th
+    assert (r.p50_min, r.p90_min, r.p99_min, r.max_min) == (5, 9, 10, 10)
+
+
 def test_new_vs_returning_daily_split(spark):
     day = 86400
     rows = [

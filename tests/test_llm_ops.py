@@ -1534,6 +1534,42 @@ def test_keyword_search_requires_all_terms_and_counts_hits(spark):
     assert out == {1: 4, 3: 4}
 
 
+def test_pq_distortion_matches_python_argmin(spark):
+    from iot_real_time_data_pipeline_spark.operators import similarity as SIM
+
+    n, dim = 20, SIM.EMB_DIM
+    vecs = [
+        [float((i * 7 + j * 3) % 11) for j in range(dim)] for i in range(n)
+    ]
+    emb = spark.createDataFrame(
+        [(i, vecs[i], i % 3) for i in range(n)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = {r.subspace: r for r in SIM.pq_distortion(emb).collect()}
+
+    def d2_micro(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += (x - y) * (x - y)
+        return round(acc * 1e6)
+
+    sub_len = SIM.PQ_SUB
+    for m in range(SIM.PQ_M):
+        cents = [vecs[c][m * sub_len:(m + 1) * sub_len] for c in range(SIM.PQ_K)]
+        errs = [
+            min(d2_micro(v[m * sub_len:(m + 1) * sub_len], c) for c in cents)
+            for v in vecs
+        ]
+        r = out[m]
+        assert r.n_vectors == n
+        assert r.sum_d2_micro == sum(errs)
+        assert r.max_d2_micro == max(errs)
+        assert r.mean_d2_micro == sum(errs) // n
+    # seed vectors quantize to themselves: every subspace sees >= PQ_K
+    # zero-error rows, so max comes from the 4 non-seed vectors only
+    assert all(out[m].sum_d2_micro >= 0 for m in range(SIM.PQ_M))
+
+
 def test_detector_agreement_minhash_perfect_precision(spark):
     from iot_real_time_data_pipeline_spark.operators import dedup as DD
 
