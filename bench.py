@@ -307,6 +307,7 @@ def main() -> None:
         "docs_dup_graph_stats",
         "docs_detector_agreement",
         "emb_pq_distortion",
+        "mm_image_dup_stats",
     ]:
         fn = LQ.llm_queries()[name]
         timed_repeat(name, lambda fn=fn: fn(spark, sf_dir).collect())

@@ -438,6 +438,7 @@ def llm_queries() -> dict[str, QueryFn]:
         "docs_gopher_filter": q_gopher_filter,
         "mm_wav_decimate_features": q_wav_decimate_features,
         "mm_wav_frame_energy": q_wav_frame_energy,
+        "mm_image_dup_stats": q_image_dup_stats,
         "emb_label_diversity": q_label_diversity,
         "docs_tokenizer_fertility": q_tokenizer_fertility,
         "emb_label_outliers": q_label_outliers,
@@ -1957,6 +1958,7 @@ def llm_oracle_sql() -> dict[str, str]:
         "docs_gopher_filter": _sql_gopher_filter(),
         "mm_wav_decimate_features": _sql_wav_decimate_features(),
         "mm_wav_frame_energy": _sql_wav_frame_energy(),
+        "mm_image_dup_stats": _sql_image_dup_pairs(),
         "emb_label_diversity": _sql_label_diversity(),
         "docs_tokenizer_fertility": _sql_tokenizer_fertility(),
         "emb_label_outliers": _sql_label_outliers(),
@@ -3014,6 +3016,67 @@ SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
        CAST(max(abs(v)) AS BIGINT) AS peak_abs,
        sum(v * v) < {floor_sq} * count(*) AS is_silent
 FROM s GROUP BY doc_id, frame_idx"""
+
+
+def q_image_dup_stats(spark, sf_dir):
+    # the registered form is the bounded per-radius aggregate: the raw
+    # pair list is quadratic in duplicate-class sizes (the synthetic
+    # ramp images are perceptually flat, so classes are large) and a
+    # driver collect of it would be the anti-pattern this repo bans
+    pairs = MM.image_dup_pairs(MM.with_bmp_payload(_docs(spark, sf_dir)))
+    return pairs.groupBy(F.col("hamming").cast("long").alias("hamming")).agg(
+        F.count("*").cast("long").alias("n_pairs"),
+    )
+
+
+def _sql_image_dup_pairs() -> str:
+    # Closed-form pixel recompute (see _sql_bmp_features): Spark
+    # decodes real BMP bytes to the luma grid; the oracle regenerates
+    # pixels and mirrors the dHash/banding integer arithmetic.
+    g = MM.DHASH_GRID
+    mask = (1 << MM.DHASH_BAND_BITS) - 1
+    band_exprs = ", ".join(
+        f"({band << MM.DHASH_BAND_BITS}"
+        f" + ((dhash >> {band * MM.DHASH_BAND_BITS}) & {mask}))"
+        for band in range(MM.DHASH_BANDS)
+    )
+    return f"""
+WITH dims AS (
+  SELECT doc_id, 8 + doc_id % 8 AS w, 6 + doc_id % 6 AS h FROM documents
+),
+grid AS (
+  SELECT doc_id, gx.gx, gy.gy,
+         ((doc_id + 3 * ((gx.gx * w) // {g}) + 7 * ((gy.gy * h) // {g})) % 256
+          + (doc_id * 5 + ((gx.gx * w) // {g})) % 256
+          + (((gy.gy * h) // {g}) * 11 + doc_id) % 256) // 3 AS luma
+  FROM dims,
+       LATERAL (SELECT unnest(range(0, {g})) AS gx) gx,
+       LATERAL (SELECT unnest(range(0, {g})) AS gy) gy
+),
+bits AS (
+  SELECT a.doc_id,
+         CAST(coalesce(sum(CASE WHEN b.luma > a.luma
+              THEN (CAST(1 AS BIGINT) << (a.gy * {g - 1} + a.gx))
+              ELSE 0 END), 0) AS BIGINT) AS dhash
+  FROM grid a
+  JOIN grid b ON b.doc_id = a.doc_id AND b.gy = a.gy AND b.gx = a.gx + 1
+  GROUP BY a.doc_id
+),
+bandsx AS (
+  SELECT doc_id, dhash, unnest([{band_exprs}]) AS band_key FROM bits
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bandsx x JOIN bandsx y
+    ON x.band_key = y.band_key AND x.doc_id < y.doc_id
+)
+SELECT CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM cand
+JOIN bits a ON doc_a = a.doc_id
+JOIN bits b ON doc_b = b.doc_id
+WHERE bit_count(xor(a.dhash, b.dhash)) <= {MM.DHASH_MAX_HAMMING}
+GROUP BY 1"""
 
 
 def q_bmp_features(spark, sf_dir):

@@ -1534,6 +1534,50 @@ def test_keyword_search_requires_all_terms_and_counts_hits(spark):
     assert out == {1: 4, 3: 4}
 
 
+def test_image_dup_pairs_finds_pixel_identical_twins(spark):
+    # doc ids 1 and 769 synthesize PIXEL-IDENTICAL BMPs (same w,h via
+    # id mod 24; all three channel formulas repeat at id + 768) ->
+    # hamming 0; doc 2 has different geometry and content.
+    import struct
+
+    b1, b769 = MM.synth_bmp_bytes(1), MM.synth_bmp_bytes(769)
+    assert b1 == b769  # fixture premise
+    docs = spark.createDataFrame(
+        [(1, "x"), (769, "x"), (2, "y")], "doc_id long, text string"
+    )
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in MM.image_dup_pairs(MM.with_bmp_payload(docs)).collect()
+    }
+    # the pixel-identical twins MUST pair at hamming 0 (canonical a<b);
+    # the smooth synthetic ramps make other images flat-gradient too,
+    # so we pin the twins, not exclusivity
+    assert pairs[(1, 769)] == 0
+    assert all(a < b for (a, b) in pairs)
+    # dhash itself stays within the signed 56-bit budget
+    [r] = MM.image_dhash(
+        MM.with_bmp_payload(
+            spark.createDataFrame([(7, "z")], "doc_id long, text string")
+        )
+    ).collect()
+    assert 0 <= r.dhash < (1 << MM.DHASH_BITS)
+    # mirror the luma/gradient computation straight off the pixel formula
+    w, h = 8 + 7 % 8, 6 + 7 % 6
+    g = MM.DHASH_GRID
+
+    def luma(gx, gy):
+        x, y = gx * w // g, gy * h // g
+        b, gr, rr = MM._bmp_pixel(7, x, y)
+        return (b + gr + rr) // 3
+
+    want = 0
+    for gy in range(g):
+        for gx in range(g - 1):
+            if luma(gx + 1, gy) > luma(gx, gy):
+                want |= 1 << (gy * (g - 1) + gx)
+    assert r.dhash == want
+
+
 def test_pq_distortion_matches_python_argmin(spark):
     from iot_real_time_data_pipeline_spark.operators import similarity as SIM
 
