@@ -308,6 +308,7 @@ def main() -> None:
         "docs_detector_agreement",
         "emb_pq_distortion",
         "mm_image_dup_stats",
+        "docs_temperature_mix",
     ]:
         fn = LQ.llm_queries()[name]
         timed_repeat(name, lambda fn=fn: fn(spark, sf_dir).collect())

@@ -452,6 +452,7 @@ def llm_queries() -> dict[str, QueryFn]:
         "docs_dup_graph_stats": q_dup_graph_stats,
         "docs_detector_agreement": q_detector_agreement,
         "emb_pq_distortion": q_pq_distortion,
+        "docs_temperature_mix": q_temperature_mix,
     }
 
 
@@ -1972,6 +1973,7 @@ def llm_oracle_sql() -> dict[str, str]:
         "docs_dup_graph_stats": _sql_dup_graph_stats(),
         "docs_detector_agreement": _sql_detector_agreement(),
         "emb_pq_distortion": _sql_pq_distortion(),
+        "docs_temperature_mix": _sql_temperature_mix(),
     }
 
 
@@ -2703,6 +2705,36 @@ SELECT subspace, CAST(count(*) AS BIGINT) AS n_vectors,
        CAST(sum(d2m) // count(*) AS BIGINT) AS mean_d2_micro,
        CAST(max(d2m) AS BIGINT) AS max_d2_micro
 FROM best GROUP BY subspace"""
+
+
+def q_temperature_mix(spark, sf_dir):
+    return CUR.temperature_mix_plan(_docs(spark, sf_dir))
+
+
+def _sql_temperature_mix() -> str:
+    b = CUR.BUDGET_PERMILLE
+    tau = CUR.MIX_TEMPERATURE_MILLI / 1000.0
+    return f"""
+WITH d AS (
+  SELECT source, len({TH.sql_tokens('text')}) AS n_toks FROM documents
+),
+per_source AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+         CAST(round(pow(CAST(sum(n_toks) AS DOUBLE), {tau}) * 1e6)
+              AS BIGINT) AS weight_micro
+  FROM d GROUP BY source
+),
+t AS (SELECT CAST(sum(weight_micro) AS BIGINT) AS w_total,
+             CAST(sum(n_tokens) AS BIGINT) AS corpus_tokens
+      FROM per_source)
+SELECT source, n_docs, n_tokens, weight_micro,
+       (1000000 * weight_micro) // w_total AS share_ppm,
+       ((corpus_tokens * {b} // 1000) * weight_micro) // w_total
+         AS target_tokens,
+       (((corpus_tokens * {b} // 1000) * weight_micro) // w_total * 1000)
+         // n_tokens AS epochs_milli
+FROM per_source CROSS JOIN t"""
 
 
 def _sql_token_budget() -> str:

@@ -840,6 +840,70 @@ def token_budget_plan(
     )
 
 
+MIX_TEMPERATURE_MILLI = 700  # tau = 0.7 (mT5/multilingual convention)
+
+
+def temperature_mix_plan(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    budget_permille: int = BUDGET_PERMILLE,
+    temperature_milli: int = MIX_TEMPERATURE_MILLI,
+) -> DataFrame:
+    """Temperature-weighted training-mix planner: target share of
+    source i ∝ ``n_tokens_i^τ`` (τ = 0.7) — the standard low-resource
+    up-weighting between proportional sampling (τ=1, head sources
+    drown the tail) and :func:`token_budget_plan`'s uniform split
+    (τ=0, tail sources over-epoch into memorization).
+
+    Determinism discipline: ``pow`` is a double, so each source's
+    weight is quantized to the integer 1e-6 grid FIRST and every
+    downstream figure (share, target, epochs) is integer arithmetic
+    over the quantized weights — the cross-engine hash never sees a
+    double SUM, whose accumulation order differs between engines.
+
+    Plan: one token-count aggregate (shuffle ∝ sources), a broadcast
+    1-row total, pure projection after. Returns ``(source, n_docs,
+    n_tokens, weight_micro, share_ppm, target_tokens, epochs_milli)``.
+    """
+    tau = temperature_milli / 1000.0
+    toks = TH.tokens(F.col(text_col))
+    per_source = (
+        docs.select(
+            F.col(source_col).alias("source"), F.size(toks).alias("n_toks")
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+        )
+        .withColumn(
+            "weight_micro",
+            F.round(F.pow(F.col("n_tokens").cast("double"), F.lit(tau)) * 1e6)
+            .cast("long"),
+        )
+    )
+    totals = per_source.agg(
+        F.sum("weight_micro").alias("w_total"),
+        F.sum("n_tokens").alias("corpus_tokens"),
+    )
+    return per_source.crossJoin(F.broadcast(totals)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "weight_micro",
+        F.expr("(1000000 * weight_micro) div w_total").alias("share_ppm"),
+        F.expr(
+            f"((corpus_tokens * {budget_permille} div 1000)"
+            " * weight_micro) div w_total"
+        ).alias("target_tokens"),
+        F.expr(
+            f"(((corpus_tokens * {budget_permille} div 1000)"
+            " * weight_micro) div w_total * 1000) div n_tokens"
+        ).alias("epochs_milli"),
+    )
+
+
 def split_leakage(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
     """Split-leakage detector: near-duplicate document pairs whose
     members landed in DIFFERENT train/val/test splits — the silent eval

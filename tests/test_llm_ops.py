@@ -1534,6 +1534,35 @@ def test_keyword_search_requires_all_terms_and_counts_hits(spark):
     assert out == {1: 4, 3: 4}
 
 
+def test_temperature_mix_upweights_tail_sources(spark):
+    from iot_real_time_data_pipeline_spark.operators import curation as CUR
+
+    rows = []
+    did = 0
+    # head source: 64 docs x 4 tokens; tail source: 1 doc x 4 tokens
+    for _ in range(64):
+        did += 1
+        rows.append((did, "a b c d", "en", "head"))
+    rows.append((1000, "a b c d", "en", "tail"))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    out = {r.source: r for r in CUR.temperature_mix_plan(docs).collect()}
+    # tokens: head 256, tail 4 -> 64:1; with tau=0.7 the weight ratio
+    # is 64^0.7 ~ 18.4:1 — the tail's share must rise above its
+    # proportional 1/65 while the head keeps the majority
+    prop_tail_ppm = 1_000_000 * 4 // 260
+    assert out["tail"].share_ppm > prop_tail_ppm * 2
+    assert out["head"].share_ppm > 900_000
+    assert out["head"].share_ppm + out["tail"].share_ppm <= 1_000_000
+    # integer pipeline: weights quantized micro, shares derive from them
+    assert out["head"].weight_micro == round(256**0.7 * 1e6)
+    assert out["tail"].weight_micro == round(4**0.7 * 1e6)
+    # budget conservation within rounding: targets sum <= half the corpus
+    total_target = out["head"].target_tokens + out["tail"].target_tokens
+    assert total_target <= 260 * CUR.BUDGET_PERMILLE // 1000
+
+
 def test_image_dup_pairs_finds_pixel_identical_twins(spark):
     # doc ids 1 and 769 synthesize PIXEL-IDENTICAL BMPs (same w,h via
     # id mod 24; all three channel formulas repeat at id + 768) ->
