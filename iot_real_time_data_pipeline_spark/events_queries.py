@@ -172,6 +172,7 @@ def events_queries() -> dict[str, QueryFn]:
         "events_audience_overlap": q_audience_overlap,
         "events_new_vs_returning": q_new_vs_returning,
         "events_conversion_latency": q_conversion_latency,
+        "events_punch_card": q_punch_card,
     }
 
 
@@ -205,6 +206,22 @@ SELECT user_id, session_idx,
        max(ts_sec) AS session_end_sec,
        max(ts_sec) - min(ts_sec) AS duration_sec
 FROM runs GROUP BY user_id, session_idx"""
+
+def q_punch_card(spark, sf_dir):
+    return EA.punch_card(_events(spark, sf_dir))
+
+
+_PUNCH_CARD_SQL = """
+WITH base AS (
+  SELECT user_id, CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS ts_sec
+  FROM events
+)
+SELECT (ts_sec // 86400 + 3) % 7 AS dow,
+       (ts_sec % 86400) // 3600 AS hour,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM base GROUP BY 1, 2"""
+
 
 def q_conversion_latency(spark, sf_dir):
     return EA.conversion_latency(_events(spark, sf_dir))
@@ -1125,6 +1142,7 @@ def events_oracle_sql() -> dict[str, str]:
         "events_audience_overlap": _AUDIENCE_OVERLAP_SQL,
         "events_new_vs_returning": _NEW_VS_RETURNING_SQL,
         "events_conversion_latency": _conversion_latency_sql(),
+        "events_punch_card": _PUNCH_CARD_SQL,
         "events_hll_distinct": _hll_sql(),
         "events_asof_join": _ASOF_JOIN_SQL,
         "events_time_band_pairs": _TIME_BAND_SQL,

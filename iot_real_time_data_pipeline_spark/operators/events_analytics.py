@@ -1288,6 +1288,33 @@ def bot_audit(events: DataFrame, n: int = BOT_AUDIT_N) -> DataFrame:
     )
 
 
+def punch_card(events: DataFrame) -> DataFrame:
+    """Day-of-week x hour-of-day activity punch card (events + distinct
+    users per cell) — the when-are-users-here heat map behind staffing,
+    deploy-window, and campaign-timing calls.
+
+    Integer calendar arithmetic shared with the oracle: epoch day 0 is
+    a Thursday, so ``dow = (ts_sec div 86400 + 3) mod 7`` (0=Monday)
+    and ``hour = (ts_sec mod 86400) div 3600`` — no timezone/date
+    library in the hash path. One groupBy onto a ≤168-cell grid; the
+    distinct-user count is the only expand, map-side combined.
+
+    Returns ``(dow, hour, n_events, n_users)``.
+    """
+    return (
+        events.select(
+            F.expr("(ts_sec div 86400 + 3) % 7").cast("long").alias("dow"),
+            F.expr("(ts_sec % 86400) div 3600").cast("long").alias("hour"),
+            "user_id",
+        )
+        .groupBy("dow", "hour")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+    )
+
+
 CONV_PCTS_MILLI = (500, 900, 990)  # p50 / p90 / p99
 
 

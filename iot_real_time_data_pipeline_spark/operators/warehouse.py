@@ -1279,6 +1279,60 @@ def q12_late_shipments(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
     )
 
 
+def supplier_scorecard(
+    lineitem: DataFrame, orders: DataFrame, supplier: DataFrame
+) -> DataFrame:
+    """Supplier operations scorecard: volume, integer-cent revenue,
+    late-shipment rate and return rate per supplier — the vendor-review
+    table procurement runs quarterly, and the classic one-pass
+    multi-conditional-aggregate plan shape.
+
+    One orderkey join attaches the order date (the only big-big
+    shuffle), the supplier dim rides a broadcast, and all four metrics
+    come from ONE groupBy with conditional sums — the fact table is
+    scanned once however many KPIs the scorecard grows. Rates are
+    integer ppm; lateness reuses the Q12 definition (shipped > 90 days
+    after order).
+
+    Returns ``(s_suppkey, s_name, n_lines, revenue_c, late_ppm,
+    return_ppm)``.
+    """
+    li = with_date_sec(lineitem, "l_shipdate").select(
+        "l_orderkey",
+        "l_suppkey",
+        "l_returnflag",
+        F.col("l_shipdate").alias("ship_sec"),
+        _revenue_c().alias("rev_c"),
+    )
+    o = with_date_sec(orders, "o_orderdate").select(
+        "o_orderkey", F.col("o_orderdate").alias("ord_sec")
+    )
+    late = F.col("ship_sec") - F.col("ord_sec") > Q12_LATE_DAYS * 86400
+    per_supp = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_suppkey")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum("rev_c").alias("revenue_c"),
+            F.sum(F.when(late, 1).otherwise(0)).alias("_n_late"),
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias(
+                "_n_ret"
+            ),
+        )
+    )
+    return per_supp.join(
+        F.broadcast(supplier.select("s_suppkey", "s_name")),
+        per_supp.l_suppkey == supplier.s_suppkey,
+    ).select(
+        "s_suppkey",
+        "s_name",
+        "n_lines",
+        "revenue_c",
+        F.expr("(1000000 * _n_late) div n_lines").alias("late_ppm"),
+        F.expr("(1000000 * _n_ret) div n_lines").alias("return_ppm"),
+    )
+
+
 BASKET_MIN_PAIR_ORDERS = 2  # noise floor: a pair seen once is not a signal
 
 

@@ -102,6 +102,7 @@ def warehouse_queries() -> dict[str, QueryFn]:
         "wh_cohort_ltv": q_cohort_ltv,
         "wh_ship_delay_percentiles": q_ship_delay_percentiles,
         "wh_market_basket": q_market_basket,
+        "wh_supplier_scorecard": q_supplier_scorecard,
         "wh_q7_nation_volume": q_q7,
         "wh_q8_market_share": q_q8,
         "wh_q9_product_profit": q_q9,
@@ -286,6 +287,7 @@ def warehouse_oracle_sql() -> dict[str, str]:
         "wh_cohort_ltv": _COHORT_LTV_SQL,
         "wh_ship_delay_percentiles": _ship_delay_pcts_sql(),
         "wh_market_basket": _market_basket_sql(),
+        "wh_supplier_scorecard": _supplier_scorecard_sql(),
         "wh_q7_nation_volume": _Q7_SQL,
         "wh_q8_market_share": _Q8_SQL,
         "wh_q9_product_profit": _Q9_SQL,
@@ -850,6 +852,33 @@ SELECT o_orderpriority, count(*) AS n_lines,
          AS n_late_highprio
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority"""
+
+
+def q_supplier_scorecard(spark, sf_dir):
+    return WH.supplier_scorecard(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "supplier"),
+    )
+
+
+def _supplier_scorecard_sql() -> str:
+    return f"""
+WITH per_supp AS (
+  SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_lines,
+         CAST(sum({_REV}) AS BIGINT) AS revenue_c,
+         CAST(sum(CASE WHEN {_esec('l_shipdate')} - {_esec('o_orderdate')}
+                        > {WH.Q12_LATE_DAYS} * 86400 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_late,
+         CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_ret
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, n_lines, revenue_c,
+       (1000000 * n_late) // n_lines AS late_ppm,
+       (1000000 * n_ret) // n_lines AS return_ppm
+FROM per_supp JOIN supplier ON l_suppkey = s_suppkey"""
 
 
 def q_market_basket(spark, sf_dir):

@@ -500,6 +500,18 @@ def test_time_decay_attribution_halves_credit_per_day(spark):
     assert out["unattributed"].credit_ppm_total == 1_000_000
 
 
+def test_punch_card_calendar_arithmetic(spark):
+    # epoch day 0 is Thursday; ts 3600 -> Thu 01:00 (dow 3 with 0=Mon)
+    rows = [
+        (1, 1, "view", 0.0, 3600),
+        (2, 2, "view", 0.0, 3700),            # same cell, second user
+        (3, 1, "view", 0.0, 4 * 86400),       # Monday 00:00 -> dow 0
+    ]
+    out = {(r.dow, r.hour): r for r in EA.punch_card(_events(spark, rows)).collect()}
+    assert out[(3, 1)].n_events == 2 and out[(3, 1)].n_users == 2
+    assert out[(0, 0)].n_events == 1 and out[(0, 0)].n_users == 1
+
+
 def test_conversion_latency_exact_percentiles(spark):
     rows = []
     eid = 0

@@ -649,6 +649,27 @@ def test_cohort_ltv_triangle_reconciles(spark, wh_tables):
     assert n_cust_total == expected
 
 
+def test_supplier_scorecard_reconciles_and_broadcasts_dim(spark, wh_tables):
+    from iot_real_time_data_pipeline_spark.operators import warehouse as WH
+
+    df = WH.supplier_scorecard(
+        wh_tables["lineitem"], wh_tables["orders"], wh_tables["supplier"]
+    )
+    assert "BroadcastHashJoin" in plan_of(df)
+    rows = df.collect()
+    assert len(rows) == wh_tables["supplier"].count()  # every supplier scored
+    # totals reconcile with the undimensioned fact aggregate
+    li = wh_tables["lineitem"]
+    n_lines = li.join(
+        wh_tables["orders"],
+        li.l_orderkey == wh_tables["orders"].o_orderkey,
+        "left_semi",
+    ).count()
+    assert sum(r.n_lines for r in rows) == n_lines
+    for r in rows:
+        assert 0 <= r.late_ppm <= 1_000_000 and 0 <= r.return_ppm <= 1_000_000
+
+
 def test_market_basket_support_lift_and_noise_floor(spark):
     from iot_real_time_data_pipeline_spark.operators import warehouse as WH
 
