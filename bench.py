@@ -309,6 +309,8 @@ def main() -> None:
         "emb_pq_distortion",
         "mm_image_dup_stats",
         "docs_temperature_mix",
+        "emb_ivf_balance",
+        "docs_zipf_slope",
     ]:
         fn = LQ.llm_queries()[name]
         timed_repeat(name, lambda fn=fn: fn(spark, sf_dir).collect())

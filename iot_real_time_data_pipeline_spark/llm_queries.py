@@ -453,6 +453,8 @@ def llm_queries() -> dict[str, QueryFn]:
         "docs_detector_agreement": q_detector_agreement,
         "emb_pq_distortion": q_pq_distortion,
         "docs_temperature_mix": q_temperature_mix,
+        "emb_ivf_balance": q_ivf_balance,
+        "docs_zipf_slope": q_zipf_slope,
     }
 
 
@@ -1745,6 +1747,60 @@ SELECT vec_id, cluster, {TH.sql_quantized6('d2')} AS dist2
 FROM kassign"""
 
 
+def q_zipf_slope(spark, sf_dir):
+    return TA.zipf_slope(_docs(spark, sf_dir))
+
+
+def _sql_zipf_slope() -> str:
+    k = TA.ZIPF_TOP_K
+    num = "(n_terms * sxy - sx * sy)"
+    den = "(n_terms * sxx - sx * sx)"
+    return f"""
+WITH {_TOKS_CTE},
+term_rows AS (SELECT unnest(t) AS term FROM toks),
+ctf AS (SELECT term, count(*) AS ctf FROM term_rows GROUP BY term),
+top AS (SELECT * FROM ctf ORDER BY ctf DESC, term LIMIT {k}),
+ranked AS (
+  SELECT CAST(round(ln(CAST(row_number()
+           OVER (ORDER BY ctf DESC, term) AS DOUBLE)) * 1e6) AS BIGINT) AS x,
+         CAST(round(ln(CAST(ctf AS DOUBLE)) * 1e6) AS BIGINT) AS y
+  FROM top
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_terms,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM ranked
+)
+SELECT n_terms,
+       CASE WHEN {den} > 0 THEN
+         CASE WHEN {num} < 0
+              THEN -((-(1000 * {num})) // {den})
+              ELSE (1000 * {num}) // {den} END
+       END AS slope_milli
+FROM m"""
+
+
+def q_ivf_balance(spark, sf_dir):
+    return SIM.ivf_balance(_emb(spark, sf_dir))
+
+
+def _sql_ivf_balance() -> str:
+    k = SIM.KMEANS_K
+    return f"""
+WITH {_kmeans_ctes()},
+per AS (
+  SELECT cluster, CAST(count(*) AS BIGINT) AS n_vectors
+  FROM kassign GROUP BY cluster
+),
+t AS (SELECT CAST(sum(n_vectors) AS BIGINT) AS total FROM per)
+SELECT CAST(cluster AS BIGINT) AS cluster, n_vectors,
+       (1000000 * n_vectors) // total AS share_ppm,
+       (1000 * n_vectors * {k}) // total AS skew_milli
+FROM per CROSS JOIN t"""
+
+
 def _sql_semantic_dedup() -> str:
     dot_ab = (
         "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
@@ -1974,6 +2030,8 @@ def llm_oracle_sql() -> dict[str, str]:
         "docs_detector_agreement": _sql_detector_agreement(),
         "emb_pq_distortion": _sql_pq_distortion(),
         "docs_temperature_mix": _sql_temperature_mix(),
+        "emb_ivf_balance": _sql_ivf_balance(),
+        "docs_zipf_slope": _sql_zipf_slope(),
     }
 
 

@@ -1753,3 +1753,30 @@ def pq_distortion(
         F.expr("sum(d2m) div count(*)").alias("mean_d2_micro"),
         F.max("d2m").cast("long").alias("max_d2_micro"),
     )
+
+
+def ivf_balance(embeddings: DataFrame, k: int = KMEANS_K) -> DataFrame:
+    """IVF/k-means partition-balance audit: per-cluster population,
+    ppm share, and the skew factor vs a uniform split — the index
+    health number that predicts ANN tail latency (a probe into a
+    bucket holding 10x its uniform share costs 10x the scan) and
+    flags when centroids need re-training as the corpus drifts.
+
+    Plan: one assignment pass (broadcast centroid scoring, identical
+    to :func:`kmeans_assign`) and a k-row aggregate with the corpus
+    total broadcast back — audit cost is the assignment it audits.
+    ``skew_milli = 1000·n·k div total`` (1000 = perfectly uniform).
+
+    Returns ``(cluster, n_vectors, share_ppm, skew_milli)``.
+    """
+    assigned = kmeans_assign(embeddings, k)
+    per = assigned.groupBy("cluster").agg(
+        F.count("*").cast("long").alias("n_vectors")
+    )
+    total = per.agg(F.sum("n_vectors").alias("total"))
+    return per.crossJoin(F.broadcast(total)).select(
+        F.col("cluster").cast("long").alias("cluster"),
+        "n_vectors",
+        F.expr("(1000000 * n_vectors) div total").alias("share_ppm"),
+        F.expr(f"(1000 * n_vectors * {k}) div total").alias("skew_milli"),
+    )

@@ -1432,3 +1432,67 @@ def tokenizer_fertility(
             ),
         )
     )
+
+
+ZIPF_TOP_K = 100
+
+
+def zipf_slope(
+    docs: DataFrame,
+    top_k: int = ZIPF_TOP_K,
+    text_col: str = "text",
+) -> DataFrame:
+    """Zipf-law exponent of the corpus: the least-squares slope of
+    ``ln(frequency)`` on ``ln(rank)`` over the top-``top_k`` terms —
+    natural language sits near −1, and a corpus that drifts far from
+    it is telling you something is wrong upstream (template floods
+    flatten the curve; aggressive dedup of common phrases steepens it).
+    The one-number distributional audit next to
+    :func:`vocab_growth`'s Heaps curve.
+
+    Determinism discipline: both log coordinates are quantized to the
+    integer 1e-6 grid FIRST, then every regression moment (Σx, Σy,
+    Σxy, Σx²) is an exact BIGINT sum — the closed-form slope is a
+    ratio of integers, so no double accumulation ever crosses the
+    engine boundary. Plan: term-count aggregate (shuffle ∝ distinct
+    terms), a distributed ``ORDER BY … LIMIT top_k`` (TakeOrdered,
+    never a global window), then a ``top_k``-row finish.
+
+    Returns one row: ``(n_terms, slope_milli)``.
+    """
+    from pyspark.sql import Window
+
+    term_rows = docs.select(
+        F.explode(TH.tokens(F.col(text_col))).alias("term")
+    )
+    ctf = term_rows.groupBy("term").agg(F.count("*").alias("ctf"))
+    top = ctf.orderBy(F.desc("ctf"), "term").limit(top_k)
+    ranked = top.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("ctf"), "term")),
+    ).select(
+        F.round(F.log(F.col("rank").cast("double")) * 1e6)
+        .cast("long")
+        .alias("x"),
+        F.round(F.log(F.col("ctf").cast("double")) * 1e6)
+        .cast("long")
+        .alias("y"),
+    )
+    moments = ranked.agg(
+        F.count("*").cast("long").alias("n_terms"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    # slope = (n*sxy - sx*sy) / (n*sxx - sx^2); numerator is negative
+    # for any Zipf-ish corpus — Spark div truncates toward zero, so the
+    # oracle mirrors truncation explicitly
+    return moments.select(
+        "n_terms",
+        F.expr(
+            "CASE WHEN n_terms * sxx - sx * sx > 0 THEN"
+            " (1000 * (n_terms * sxy - sx * sy))"
+            " div (n_terms * sxx - sx * sx) END"
+        ).alias("slope_milli"),
+    )

@@ -1534,6 +1534,48 @@ def test_keyword_search_requires_all_terms_and_counts_hits(spark):
     assert out == {1: 4, 3: 4}
 
 
+def test_zipf_slope_matches_python_mirror_near_minus_one(spark):
+    import math
+
+    # term r appears floor(600/r) times (r = 1..12): a textbook Zipf
+    # corpus whose fitted slope must land near -1000 milli
+    rows, did = [], 0
+    for r in range(1, 13):
+        for _ in range(600 // r):
+            did += 1
+            rows.append((did, f"t{r:02d}", "en"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    [out] = TA.zipf_slope(docs, top_k=12).collect()
+    assert out.n_terms == 12
+    xs = [round(math.log(r) * 1e6) for r in range(1, 13)]
+    ys = [round(math.log(600 // r) * 1e6) for r in range(1, 13)]
+    n, sx, sy = 12, sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    num, den = 1000 * (n * sxy - sx * sy), n * sxx - sx * sx
+    want = -((-num) // den) if num < 0 else num // den
+    assert out.slope_milli == want
+    assert -1100 <= out.slope_milli <= -900
+
+
+def test_ivf_balance_reconciles_with_assignment(spark, vectors):
+    from iot_real_time_data_pipeline_spark.operators import similarity as SIM
+
+    bal = {r.cluster: r for r in SIM.ivf_balance(vectors).collect()}
+    ref = {
+        r.cluster: r.n
+        for r in SIM.kmeans_assign(vectors).groupBy("cluster")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    total = sum(ref.values())
+    assert {c: r.n_vectors for c, r in bal.items()} == ref
+    for c, r in bal.items():
+        assert r.share_ppm == 1_000_000 * ref[c] // total
+        assert r.skew_milli == 1000 * ref[c] * SIM.KMEANS_K // total
+    assert sum(r.share_ppm for r in bal.values()) <= 1_000_000
+
+
 def test_temperature_mix_upweights_tail_sources(spark):
     from iot_real_time_data_pipeline_spark.operators import curation as CUR
 
