@@ -311,6 +311,7 @@ def main() -> None:
         "docs_temperature_mix",
         "emb_ivf_balance",
         "docs_zipf_slope",
+        "docs_jaccard_threshold_sweep",
     ]:
         fn = LQ.llm_queries()[name]
         timed_repeat(name, lambda fn=fn: fn(spark, sf_dir).collect())

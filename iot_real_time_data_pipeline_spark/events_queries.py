@@ -173,6 +173,7 @@ def events_queries() -> dict[str, QueryFn]:
         "events_new_vs_returning": q_new_vs_returning,
         "events_conversion_latency": q_conversion_latency,
         "events_punch_card": q_punch_card,
+        "events_ab_split_audit": q_ab_split_audit,
     }
 
 
@@ -206,6 +207,44 @@ SELECT user_id, session_idx,
        max(ts_sec) AS session_end_sec,
        max(ts_sec) - min(ts_sec) AS duration_sec
 FROM runs GROUP BY user_id, session_idx"""
+
+def q_ab_split_audit(spark, sf_dir):
+    return EA.ab_split_audit(_events(spark, sf_dir))
+
+
+_AB_SPLIT_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS converted
+  FROM events GROUP BY user_id
+),
+assigned AS (
+  SELECT (CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+               AS BIGINT) % 2) AS variant, converted
+  FROM per_user
+),
+per_variant AS (
+  SELECT variant, CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(converted) AS BIGINT) AS n_conv
+  FROM assigned GROUP BY variant
+),
+row AS (
+  SELECT max(CASE WHEN variant = 0 THEN n_users END) AS n_users_a,
+         max(CASE WHEN variant = 1 THEN n_users END) AS n_users_b,
+         max(CASE WHEN variant = 0 THEN n_conv END) AS conv_a,
+         max(CASE WHEN variant = 1 THEN n_conv END) AS conv_b
+  FROM per_variant
+)
+SELECT n_users_a, n_users_b,
+       abs(n_users_a - n_users_b) * 1000000 // (n_users_a + n_users_b)
+         AS srm_dev_ppm,
+       (1000000 * conv_a) // n_users_a AS conv_ppm_a,
+       (1000000 * conv_b) // n_users_b AS conv_ppm_b,
+       (1000000 * conv_a) // n_users_a - (1000000 * conv_b) // n_users_b
+         AS delta_ppm
+FROM row"""
+
 
 def q_punch_card(spark, sf_dir):
     return EA.punch_card(_events(spark, sf_dir))
@@ -1143,6 +1182,7 @@ def events_oracle_sql() -> dict[str, str]:
         "events_new_vs_returning": _NEW_VS_RETURNING_SQL,
         "events_conversion_latency": _conversion_latency_sql(),
         "events_punch_card": _PUNCH_CARD_SQL,
+        "events_ab_split_audit": _AB_SPLIT_SQL,
         "events_hll_distinct": _hll_sql(),
         "events_asof_join": _ASOF_JOIN_SQL,
         "events_time_band_pairs": _TIME_BAND_SQL,

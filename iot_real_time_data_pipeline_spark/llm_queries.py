@@ -455,6 +455,7 @@ def llm_queries() -> dict[str, QueryFn]:
         "docs_temperature_mix": q_temperature_mix,
         "emb_ivf_balance": q_ivf_balance,
         "docs_zipf_slope": q_zipf_slope,
+        "docs_jaccard_threshold_sweep": q_jaccard_threshold_sweep,
     }
 
 
@@ -2032,6 +2033,7 @@ def llm_oracle_sql() -> dict[str, str]:
         "docs_temperature_mix": _sql_temperature_mix(),
         "emb_ivf_balance": _sql_ivf_balance(),
         "docs_zipf_slope": _sql_zipf_slope(),
+        "docs_jaccard_threshold_sweep": _sql_jaccard_threshold_sweep(),
     }
 
 
@@ -2381,6 +2383,47 @@ SELECT n_nodes, n_edges, n_wedges, n_triangles,
        CASE WHEN n_wedges > 0 THEN (3000 * n_triangles) // n_wedges
             ELSE 0 END AS global_clustering_milli
 FROM node_stats CROSS JOIN edge_stats CROSS JOIN tri"""
+
+
+def q_jaccard_threshold_sweep(spark, sf_dir):
+    return DD.jaccard_threshold_sweep(_docs(spark, sf_dir))
+
+
+def _sql_jaccard_threshold_sweep() -> str:
+    floor = DD.SWEEP_FLOOR
+    ths = ", ".join(str(t) for t in DD.SWEEP_MILLI)
+    return f"""
+WITH {_TOKS_CTE}, {_SHINGLE_CTE},
+post AS (SELECT doc_id, len(shl) AS n, unnest(shl) AS h FROM sh),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM post a JOIN post b
+    ON a.h = b.h AND a.doc_id < b.doc_id
+   AND b.n >= a.n * {floor} AND a.n >= b.n * {floor}
+  GROUP BY 1, 2
+),
+{_jaccard_ctes('inter')},
+pairs AS (
+  SELECT doc_a, doc_b, {TH.sql_quantized6('jaccard')} AS jacq
+  FROM jac WHERE jaccard >= {floor}
+),
+t AS (SELECT CAST(unnest([{ths}]) AS BIGINT) AS threshold_milli),
+tagged AS (
+  SELECT threshold_milli, doc_a, doc_b FROM pairs, t
+  WHERE jacq >= threshold_milli / 1000.0
+),
+pc AS (
+  SELECT threshold_milli, CAST(count(*) AS BIGINT) AS n_pairs
+  FROM tagged GROUP BY threshold_milli
+),
+df AS (
+  SELECT threshold_milli,
+         CAST(count(DISTINCT d) AS BIGINT) AS n_docs_flagged
+  FROM (SELECT threshold_milli, unnest([doc_a, doc_b]) AS d FROM tagged)
+  GROUP BY threshold_milli
+)
+SELECT threshold_milli, n_pairs, n_docs_flagged
+FROM pc JOIN df USING (threshold_milli)"""
 
 
 def q_detector_agreement(spark, sf_dir):

@@ -1390,3 +1390,54 @@ def detector_agreement(
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+SWEEP_FLOOR = 0.3                      # exact-pair pass threshold
+SWEEP_MILLI = (300, 400, 500, 600, 700, 800, 900)
+
+
+def jaccard_threshold_sweep(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    thresholds_milli: tuple[int, ...] = SWEEP_MILLI,
+) -> DataFrame:
+    """Dedup-threshold tuning curve: how many pairs (and how many
+    distinct documents) a Jaccard cut at each threshold would flag —
+    the measurement behind the single most consequential dedup knob.
+    Read it as a survival curve: a cliff between two thresholds means
+    a template family sits at that similarity; flat regions are safe
+    places to put the cut.
+
+    One EXACT pair pass at the floor threshold (postings join with the
+    floor's length-ratio prune — everything above the floor is exact,
+    the curve below it is out of scope by construction), then each
+    threshold is a conditional aggregate over the same verified pair
+    table: the sweep costs one pass however many thresholds it reports.
+    Comparisons happen on the 1e-6-quantized Jaccard against exact
+    milli literals — both engines bucket identically.
+
+    Returns ``(threshold_milli, n_pairs, n_docs_flagged)``.
+    """
+    pairs = shingle_jaccard_pairs(
+        docs, text_col, id_col, threshold=SWEEP_FLOOR
+    ).persist()
+    th = F.explode(
+        F.array(*[F.lit(t).cast("long") for t in thresholds_milli])
+    ).alias("threshold_milli")
+    tagged = pairs.select("doc_a", "doc_b", "jaccard", th).filter(
+        F.col("jaccard") >= F.col("threshold_milli") / 1000.0
+    )
+    docs_flagged = (
+        tagged.select(
+            "threshold_milli", F.explode(F.array("doc_a", "doc_b")).alias("d")
+        )
+        .groupBy("threshold_milli")
+        .agg(F.countDistinct("d").cast("long").alias("n_docs_flagged"))
+    )
+    pair_counts = tagged.groupBy("threshold_milli").agg(
+        F.count("*").cast("long").alias("n_pairs")
+    )
+    return pair_counts.join(docs_flagged, "threshold_milli").select(
+        "threshold_milli", "n_pairs", "n_docs_flagged"
+    )

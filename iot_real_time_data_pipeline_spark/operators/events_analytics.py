@@ -1288,6 +1288,71 @@ def bot_audit(events: DataFrame, n: int = BOT_AUDIT_N) -> DataFrame:
     )
 
 
+def ab_split_audit(
+    events: DataFrame, target_type: str = "purchase"
+) -> DataFrame:
+    """A/B experiment split audit: users deterministically hash-split
+    into two variants (md5 of the user id — the only assignment that
+    is stable across sessions, machines, AND engines), per-variant
+    conversion rates, and the SAMPLE-RATIO-MISMATCH deviation — the
+    first thing to check before reading ANY experiment result, because
+    a split that isn't 50/50 means the assignment (not the treatment)
+    is driving the difference.
+
+    One distinct-user pass with a conditional conversion flag, then a
+    2-row aggregate pivoted into a single audit row — integers only
+    (``srm_dev_ppm`` = |nA−nB|·1e6 div (nA+nB); delta in signed ppm
+    with truncating div mirrored). Returns ``(n_users_a, n_users_b,
+    srm_dev_ppm, conv_ppm_a, conv_ppm_b, delta_ppm)``.
+    """
+    variant = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 2
+    )
+    per_user = (
+        events.groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == target_type, 1).otherwise(0)
+            ).alias("converted")
+        )
+        .withColumn("variant", variant)
+    )
+    per_variant = per_user.groupBy("variant").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("converted").cast("long").alias("n_conv"),
+    )
+    row = per_variant.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n_users"))).alias(
+            "n_users_a"
+        ),
+        F.max(F.when(F.col("variant") == 1, F.col("n_users"))).alias(
+            "n_users_b"
+        ),
+        F.max(F.when(F.col("variant") == 0, F.col("n_conv"))).alias(
+            "_conv_a"
+        ),
+        F.max(F.when(F.col("variant") == 1, F.col("n_conv"))).alias(
+            "_conv_b"
+        ),
+    )
+    return row.select(
+        "n_users_a",
+        "n_users_b",
+        F.expr(
+            "abs(n_users_a - n_users_b) * 1000000"
+            " div (n_users_a + n_users_b)"
+        ).alias("srm_dev_ppm"),
+        F.expr("(1000000 * _conv_a) div n_users_a").alias("conv_ppm_a"),
+        F.expr("(1000000 * _conv_b) div n_users_b").alias("conv_ppm_b"),
+        F.expr(
+            "(1000000 * _conv_a) div n_users_a"
+            " - (1000000 * _conv_b) div n_users_b"
+        ).alias("delta_ppm"),
+    )
+
+
 def punch_card(events: DataFrame) -> DataFrame:
     """Day-of-week x hour-of-day activity punch card (events + distinct
     users per cell) — the when-are-users-here heat map behind staffing,

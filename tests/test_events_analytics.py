@@ -500,6 +500,33 @@ def test_time_decay_attribution_halves_credit_per_day(spark):
     assert out["unattributed"].credit_ppm_total == 1_000_000
 
 
+def test_ab_split_audit_matches_python_hash_assignment(spark):
+    import hashlib
+
+    rows, eid = [], 0
+    purchasers = {3, 7, 11, 15}
+    for u in range(1, 21):
+        eid += 1
+        rows.append((eid, u, "view", 0.0, 1000 + u))
+        if u in purchasers:
+            eid += 1
+            rows.append((eid, u, "purchase", 1.0, 2000 + u))
+    [r] = EA.ab_split_audit(_events(spark, rows)).collect()
+
+    def variant(u):
+        return int(hashlib.md5(str(u).encode()).hexdigest()[:8], 16) % 2
+
+    a = [u for u in range(1, 21) if variant(u) == 0]
+    b = [u for u in range(1, 21) if variant(u) == 1]
+    ca = sum(1 for u in a if u in purchasers)
+    cb = sum(1 for u in b if u in purchasers)
+    assert (r.n_users_a, r.n_users_b) == (len(a), len(b))
+    assert r.srm_dev_ppm == abs(len(a) - len(b)) * 1_000_000 // 20
+    assert r.conv_ppm_a == 1_000_000 * ca // len(a)
+    assert r.conv_ppm_b == 1_000_000 * cb // len(b)
+    assert r.delta_ppm == r.conv_ppm_a - r.conv_ppm_b
+
+
 def test_punch_card_calendar_arithmetic(spark):
     # epoch day 0 is Thursday; ts 3600 -> Thu 01:00 (dow 3 with 0=Mon)
     rows = [

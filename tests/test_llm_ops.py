@@ -1534,6 +1534,34 @@ def test_keyword_search_requires_all_terms_and_counts_hits(spark):
     assert out == {1: 4, 3: 4}
 
 
+def test_jaccard_threshold_sweep_is_monotone_survival_curve(spark):
+    from iot_real_time_data_pipeline_spark.operators import dedup as DD
+
+    base = "the quick brown fox jumps over the lazy dog tonight again " \
+           "while the band plays softly near the old stone bridge"
+    rows = [
+        (1, base, "en"),
+        (2, base, "en"),                       # J = 1.0 with 1
+        (3, base + " and then some more words appear", "en"),  # high J
+        (4, "a completely different text about engines and pipelines "
+            "running at large scale in production clusters", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = sorted(
+        DD.jaccard_threshold_sweep(docs).collect(),
+        key=lambda r: r.threshold_milli,
+    )
+    # survival curve: counts never increase as the threshold rises
+    for a, b in zip(out, out[1:]):
+        assert a.n_pairs >= b.n_pairs
+        assert a.n_docs_flagged >= b.n_docs_flagged
+    by_t = {r.threshold_milli: r for r in out}
+    # the identical pair survives every threshold
+    assert by_t[900].n_pairs >= 1 and by_t[900].n_docs_flagged >= 2
+    # doc 4 shares no shingle with anything: never flagged
+    assert all(r.n_docs_flagged <= 3 for r in out)
+
+
 def test_zipf_slope_matches_python_mirror_near_minus_one(spark):
     import math
 
