@@ -312,6 +312,7 @@ def main() -> None:
         "emb_ivf_balance",
         "docs_zipf_slope",
         "docs_jaccard_threshold_sweep",
+        "emb_hard_negatives",
     ]:
         fn = LQ.llm_queries()[name]
         timed_repeat(name, lambda fn=fn: fn(spark, sf_dir).collect())

@@ -456,6 +456,7 @@ def llm_queries() -> dict[str, QueryFn]:
         "emb_ivf_balance": q_ivf_balance,
         "docs_zipf_slope": q_zipf_slope,
         "docs_jaccard_threshold_sweep": q_jaccard_threshold_sweep,
+        "emb_hard_negatives": q_hard_negatives,
     }
 
 
@@ -866,6 +867,42 @@ ranked AS (
   FROM scored
 )
 SELECT query_id, rank, neighbor_id, {TH.sql_quantized6('cosine')} AS cosine
+FROM ranked WHERE rank <= {k}"""
+
+
+def q_hard_negatives(spark, sf_dir):
+    return SIM.hard_negatives(
+        _emb(spark, sf_dir), _emb_queries(spark, sf_dir)
+    )
+
+
+def _sql_hard_negatives(k: int = 3) -> str:
+    return f"""
+WITH el AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+q AS (SELECT vec_id AS qid, label AS ql, v AS qv FROM el
+      WHERE vec_id % {QUERY_MOD} = 0),
+scored AS (
+  SELECT qid AS query_id, ql AS query_label,
+         el.vec_id AS neighbor_id, el.label AS neighbor_label,
+         el.v AS cv, qv,
+         {_DOT} / ({_NORM_Q} * {_NORM_C}) AS cosine
+  FROM el CROSS JOIN q
+  WHERE el.vec_id <> qid AND el.label <> ql
+),
+ranked AS (
+  SELECT query_id, query_label, neighbor_id, neighbor_label, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(query_label AS BIGINT) AS query_label,
+       CAST(rank AS BIGINT) AS rank, neighbor_id,
+       CAST(neighbor_label AS BIGINT) AS neighbor_label,
+       {TH.sql_quantized6('cosine')} AS cosine
 FROM ranked WHERE rank <= {k}"""
 
 
@@ -2034,6 +2071,7 @@ def llm_oracle_sql() -> dict[str, str]:
         "emb_ivf_balance": _sql_ivf_balance(),
         "docs_zipf_slope": _sql_zipf_slope(),
         "docs_jaccard_threshold_sweep": _sql_jaccard_threshold_sweep(),
+        "emb_hard_negatives": _sql_hard_negatives(),
     }
 
 

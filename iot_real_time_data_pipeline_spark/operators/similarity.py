@@ -1780,3 +1780,56 @@ def ivf_balance(embeddings: DataFrame, k: int = KMEANS_K) -> DataFrame:
         F.expr("(1000000 * n_vectors) div total").alias("share_ppm"),
         F.expr(f"(1000 * n_vectors * {k}) div total").alias("skew_milli"),
     )
+
+
+def hard_negatives(
+    embeddings: DataFrame, queries: DataFrame, k: int = 3
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, the
+    ``k`` most cosine-similar corpus vectors with a DIFFERENT label —
+    the near-misses that teach an encoder more than any random
+    negative (in-batch randoms are trivially far in a large corpus;
+    training signal lives at the decision boundary this op extracts).
+
+    Same broadcast-scan shape as :func:`cosine_topk` with the label
+    inequality fused into the pair filter BEFORE scoring, so same-
+    label pairs never even pay the dot product. Deterministic
+    tie-break on neighbor id; cosine quantized 1e-6. Returns
+    ``(query_id, query_label, rank, neighbor_id, neighbor_label,
+    cosine)``.
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        as_double(F.col("embedding")).alias("qe"),
+    ).withColumn("qn", norm(F.col("qe")))
+    c = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        as_double(F.col("embedding")).alias("ce"),
+    ).withColumn("cn", norm(F.col("ce")))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_label") != F.col("neighbor_label"))
+        .withColumn(
+            "cosine",
+            dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("query_label").cast("long").alias("query_label"),
+            "rank",
+            "neighbor_id",
+            F.col("neighbor_label").cast("long").alias("neighbor_label"),
+            TH.quantized6(F.col("cosine")).alias("cosine"),
+        )
+    )

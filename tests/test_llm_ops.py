@@ -1534,6 +1534,31 @@ def test_keyword_search_requires_all_terms_and_counts_hits(spark):
     assert out == {1: 4, 3: 4}
 
 
+def test_hard_negatives_excludes_same_label_and_ranks_boundary(spark):
+    from iot_real_time_data_pipeline_spark.operators import similarity as SIM
+
+    rows = [
+        # query: label 0 along e1
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        # same-label near-twin: must NEVER appear as a negative
+        (1, [0.99, 0.1, 0.0, 0.0], 0),
+        # label-1 hard negative (close to query) and easy negative (far)
+        (2, [0.9, 0.4, 0.0, 0.0], 1),
+        (3, [0.0, 0.0, 1.0, 0.0], 1),
+        (4, [0.0, 0.0, 0.0, 1.0], 2),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = sorted(
+        SIM.hard_negatives(emb, emb.filter("vec_id = 0"), k=3).collect(),
+        key=lambda r: r.rank,
+    )
+    assert [r.neighbor_id for r in out] == [2, 3, 4]  # hardest first
+    assert all(r.neighbor_label != 0 for r in out)
+    assert 1 not in {r.neighbor_id for r in out}
+
+
 def test_jaccard_threshold_sweep_is_monotone_survival_curve(spark):
     from iot_real_time_data_pipeline_spark.operators import dedup as DD
 
