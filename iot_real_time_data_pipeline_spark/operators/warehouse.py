@@ -1279,6 +1279,62 @@ def q12_late_shipments(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
     )
 
 
+MIGRATION_BINS = 4  # spend quartiles; 0 = inactive that half
+
+
+def customer_migration(orders: DataFrame, bins: int = MIGRATION_BINS) -> DataFrame:
+    """Customer segment MIGRATION matrix: spend-quartile in the first
+    half of the order timeline vs the second half (0 = inactive that
+    half) with customer counts per cell — the churn/upgrade flow
+    behind every retention strategy deck, and the longitudinal
+    companion to :func:`customer_rfm`'s single-period snapshot.
+
+    The half boundary is the integer midpoint of the observed order-
+    date range (both engines derive the same BIGINT from the same
+    min/max aggregate — no wall-clock, no config). Quartiles are
+    ``ntile`` over the per-(half, customer) spend aggregate with the
+    deterministic (spend, custkey) tie-break — same discipline (and
+    same |customers|-row window caveat) as ``customer_rfm``; the
+    1e8+-customer path swaps ntile for histogram-CDF thresholds
+    without touching the matrix shape. The transition join is
+    customer-keyed FULL OUTER so churned and newly-activated
+    customers land in the 0-row/0-column instead of vanishing.
+
+    Returns ``(seg_h1, seg_h2, n_customers)``.
+    """
+    o = with_date_sec(orders, "o_orderdate").select(
+        "o_custkey",
+        F.col("o_orderdate").alias("ord_sec"),
+        cents(F.col("o_totalprice")).alias("price_c"),
+    )
+    bounds = o.agg(
+        F.expr("(min(ord_sec) + max(ord_sec)) div 2").alias("mid_sec")
+    )
+    spend = (
+        o.crossJoin(F.broadcast(bounds))
+        .withColumn("half", F.when(F.col("ord_sec") <= F.col("mid_sec"), 1).otherwise(2))
+        .groupBy("o_custkey", "half")
+        .agg(F.sum("price_c").alias("spend_c"))
+    )
+    w = Window.partitionBy("half").orderBy("spend_c", "o_custkey")
+    seg = spend.withColumn("seg", F.ntile(bins).over(w).cast("long"))
+    h1 = seg.filter(F.col("half") == 1).select(
+        "o_custkey", F.col("seg").alias("seg_h1")
+    )
+    h2 = seg.filter(F.col("half") == 2).select(
+        "o_custkey", F.col("seg").alias("seg_h2")
+    )
+    return (
+        h1.join(h2, "o_custkey", "full_outer")
+        .select(
+            F.coalesce("seg_h1", F.lit(0)).cast("long").alias("seg_h1"),
+            F.coalesce("seg_h2", F.lit(0)).cast("long").alias("seg_h2"),
+        )
+        .groupBy("seg_h1", "seg_h2")
+        .agg(F.count("*").cast("long").alias("n_customers"))
+    )
+
+
 def supplier_scorecard(
     lineitem: DataFrame, orders: DataFrame, supplier: DataFrame
 ) -> DataFrame:

@@ -103,6 +103,7 @@ def warehouse_queries() -> dict[str, QueryFn]:
         "wh_ship_delay_percentiles": q_ship_delay_percentiles,
         "wh_market_basket": q_market_basket,
         "wh_supplier_scorecard": q_supplier_scorecard,
+        "wh_customer_migration": q_customer_migration,
         "wh_q7_nation_volume": q_q7,
         "wh_q8_market_share": q_q8,
         "wh_q9_product_profit": q_q9,
@@ -288,6 +289,7 @@ def warehouse_oracle_sql() -> dict[str, str]:
         "wh_ship_delay_percentiles": _ship_delay_pcts_sql(),
         "wh_market_basket": _market_basket_sql(),
         "wh_supplier_scorecard": _supplier_scorecard_sql(),
+        "wh_customer_migration": _customer_migration_sql(),
         "wh_q7_nation_volume": _Q7_SQL,
         "wh_q8_market_share": _Q8_SQL,
         "wh_q9_product_profit": _Q9_SQL,
@@ -852,6 +854,42 @@ SELECT o_orderpriority, count(*) AS n_lines,
          AS n_late_highprio
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority"""
+
+
+def q_customer_migration(spark, sf_dir):
+    return WH.customer_migration(_t(spark, sf_dir, "orders"))
+
+
+def _customer_migration_sql() -> str:
+    b = WH.MIGRATION_BINS
+    return f"""
+WITH o AS (
+  SELECT o_custkey, {_esec('o_orderdate')} AS ord_sec,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+  FROM orders
+),
+bounds AS (SELECT (min(ord_sec) + max(ord_sec)) // 2 AS mid_sec FROM o),
+spend AS (
+  SELECT o_custkey,
+         CASE WHEN ord_sec <= mid_sec THEN 1 ELSE 2 END AS half,
+         CAST(sum(price_c) AS BIGINT) AS spend_c
+  FROM o CROSS JOIN bounds
+  GROUP BY 1, 2
+),
+seg AS (
+  SELECT o_custkey, half,
+         CAST(ntile({b}) OVER (PARTITION BY half
+                               ORDER BY spend_c, o_custkey) AS BIGINT) AS seg
+  FROM spend
+),
+j AS (
+  SELECT coalesce(h1.seg, 0) AS seg_h1, coalesce(h2.seg, 0) AS seg_h2
+  FROM (SELECT o_custkey, seg FROM seg WHERE half = 1) h1
+  FULL OUTER JOIN (SELECT o_custkey, seg FROM seg WHERE half = 2) h2
+    USING (o_custkey)
+)
+SELECT seg_h1, seg_h2, CAST(count(*) AS BIGINT) AS n_customers
+FROM j GROUP BY seg_h1, seg_h2"""
 
 
 def q_supplier_scorecard(spark, sf_dir):

@@ -649,6 +649,26 @@ def test_cohort_ltv_triangle_reconciles(spark, wh_tables):
     assert n_cust_total == expected
 
 
+def test_customer_migration_matrix_partitions_customers(spark, wh_tables):
+    from iot_real_time_data_pipeline_spark.operators import warehouse as WH
+
+    rows = WH.customer_migration(wh_tables["orders"]).collect()
+    total = sum(r.n_customers for r in rows)
+    assert total == wh_tables["orders"].select("o_custkey").distinct().count()
+    segs = {(r.seg_h1, r.seg_h2) for r in rows}
+    assert all(0 <= a <= 4 and 0 <= b <= 4 for a, b in segs)
+    # a customer inactive in BOTH halves has no orders at all -> the
+    # (0, 0) cell cannot exist
+    assert (0, 0) not in segs
+    # quartiles are equal-frequency: per half, active customers split
+    # into near-equal quarters (ntile guarantee)
+    h1_active = [r for r in rows if r.seg_h1 > 0]
+    by_seg = {}
+    for r in h1_active:
+        by_seg[r.seg_h1] = by_seg.get(r.seg_h1, 0) + r.n_customers
+    assert max(by_seg.values()) - min(by_seg.values()) <= 1
+
+
 def test_supplier_scorecard_reconciles_and_broadcasts_dim(spark, wh_tables):
     from iot_real_time_data_pipeline_spark.operators import warehouse as WH
 
