@@ -52,6 +52,11 @@ DRIVER_SENTINELS = [
     "docs_minhash_lsh_pairs",      # docs dedup family
     "emb_ivf_topk",                # embeddings/ANN family
     "mm_wav_features",             # multimodal codec family
+    "docs_source_mix",             # pinned: only historical driver FAIL
+                                   # (r03, hash) — fixed in r04 but the
+                                   # never-seen-first rotation starved it
+                                   # of re-evidence; keep until a green
+                                   # driver row lands.
 ]
 
 

@@ -13,12 +13,14 @@ persisted, and every analytical query reads the cached tables —
 pipeline cost is paid once and reported as its own line items
 (``derive_staging``, ``build_star``).
 
-Noise handling (round 4): every dashboard/LLM line item runs 3x
-in-session; ``queries`` keeps the first-run number (comparable to
-BENCH_r01-r03), ``repeats`` adds per-query median/min/max, and
-``median_total`` / ``median_comparable_r2_subtotal`` are the
-noise-robust aggregates round-over-round deltas should be judged on
-(PERF.md measures ~2x single-shot swings on this shared host).
+Noise handling (round 4, revised round 7): every dashboard/LLM line
+item runs 3x in-session; ``queries`` and ``value`` now carry per-query
+MEDIANS (worst-of-3 cold effects produced phantom 2-4x "regressions"
+in r6), ``first_run_queries`` / ``first_run_total`` keep the
+r01-r06 first-run semantics, ``repeats`` adds per-query
+median/min/max, and ``median_comparable_r2_subtotal`` is the
+noise-robust baseline aggregate (PERF.md measures ~2x single-shot
+swings on this shared host).
 """
 
 from __future__ import annotations
@@ -398,11 +400,18 @@ def main() -> None:
         fam_first[fam] = round(fam_first.get(fam, 0.0) + v, 3)
         fam_median[fam] = round(fam_median.get(fam, 0.0) + med(k), 3)
 
+    # r7: `queries` carries per-query MEDIANS (the noise-robust number
+    # round-over-round deltas should be judged on); first-run/cold
+    # numbers move to `first_run_queries` (r01-r06 `queries` semantics).
+    # Worst-of-3 cold effects produced phantom 2-4x "regressions" in r6.
+    median_queries = {k: med(k) for k in times}
     detail = {
         "metric": "end-to-end pipeline + analytics + llm-ops wall time",
-        "value": total,
+        "value": median_total,
         "unit": "sec",
-        "queries": times,
+        "queries": median_queries,
+        "first_run_queries": times,
+        "first_run_total": total,
         "repeats": repeats,
         "repeat_runs": REPEAT_RUNS,
         "median_total": median_total,
@@ -426,12 +435,13 @@ def main() -> None:
 
     print(json.dumps({
         "metric": "pipeline+analytics+llm wall time",
-        "value": total,
+        "value": median_total,
         "unit": "sec",
         "sf": sf,
         "n_queries": len(times),
         "repeat_runs": REPEAT_RUNS,
         "median_total": median_total,
+        "first_run_total": total,
         "comparable_r2_subtotal": comparable_r2,
         "median_comparable_r2_subtotal": median_comparable_r2,
         "queries": fam_median,

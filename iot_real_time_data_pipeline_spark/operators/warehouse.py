@@ -5,11 +5,19 @@ The five classic plan shapes an analytics engine must get right, each
 tuned for the 100 TB layout:
 
 - Q1  scan-heavy partial aggregation (no join at all);
-- Q3  fact-to-fact shuffle join + broadcast dim + global top-k;
+- Q3  fact-to-fact shuffle join + AQE-sized dim join + global top-k;
 - Q4  EXISTS semi-join (never materializes the match multiplicity);
-- Q5  star join: three broadcast dims rooted at region, two
+- Q5  star join rooted at the broadcast region/nation chain, two
       shuffle joins between the big tables;
-- Q10 group-by-entity revenue + top-k with a broadcast customer dim.
+- Q10 group-by-entity revenue + top-k with an AQE-sized customer
+      dim join.
+
+Join-strategy policy (round 7): explicit ``F.broadcast`` hints only on
+frames bounded by a CONSTANT (nation/region, 1-row aggregates,
+brand-level groups, the bloom bitset); every frame derived from the
+scale-growing tables (customer/supplier/part/orders) goes through
+:func:`aqe_sized` — un-hinted, so the planner broadcasts when it fits
+and degrades to a shuffle join at 100 TB instead of failing.
 
 Money math: every per-row monetary term is quantized to integer cents
 (``CAST(round(x * 100) AS BIGINT)``) BEFORE aggregation. Per-row double
@@ -102,6 +110,28 @@ def cents(expr: F.Column) -> F.Column:
     return F.round(expr * 100).cast("long")
 
 
+def aqe_sized(df: DataFrame) -> DataFrame:
+    """Join input deliberately left UN-hinted because it derives from a
+    SCALE-GROWING table (customer / supplier / part / orders — all grow
+    linearly with scale factor; only nation and region are fixed at
+    25/5 rows).
+
+    A hard ``F.broadcast`` hint overrides AQE's size check: at sf100
+    customer alone is ~3.5 GB (driver OOM), and at the 100 TB target a
+    forced broadcast is a guaranteed job failure instead of a graceful
+    degrade to shuffled-hash/sort-merge. Returning the frame un-hinted
+    lets the planner pick broadcast whenever the side actually fits
+    (it still does at bench scale, under the 64 MB threshold / AQE
+    runtime stats) and fall back to a shuffle join at scale.
+
+    Explicit ``F.broadcast`` hints remain only on frames whose row
+    count is bounded by a CONSTANT independent of scale factor:
+    nation/region, 1-row aggregates, brand-level groups (bounded brand
+    vocabulary), and the bloom bitset (≤ ``BLOOM_BITS`` rows).
+    """
+    return df
+
+
 def _revenue_c() -> F.Column:
     return cents(F.col("l_extendedprice") * (1.0 - F.col("l_discount")))
 
@@ -147,11 +177,12 @@ def q1_pricing_summary(lineitem: DataFrame) -> DataFrame:
 def q3_shipping_priority(
     lineitem: DataFrame, orders: DataFrame, customer: DataFrame, k: int = 10
 ) -> DataFrame:
-    """Q3: unshipped-order revenue, top k. customer is the broadcast
-    dim; orders↔lineitem is the one real shuffle (orderkey) — at scale
-    both sides bucket on orderkey and the exchange disappears. Top-k is
-    TakeOrdered (per-partition heap + driver merge of k rows), never a
-    global sort."""
+    """Q3: unshipped-order revenue, top k. The segment-filtered
+    customer map joins AQE-sized (broadcast while it fits, shuffle at
+    scale — customer grows with SF); orders↔lineitem is the one real
+    shuffle (orderkey) — at scale both sides bucket on orderkey and
+    the exchange disappears. Top-k is TakeOrdered (per-partition heap
+    + driver merge of k rows), never a global sort."""
     cust = customer.filter(F.col("c_mktsegment") == Q3_SEGMENT).select("c_custkey")
     ords = with_date_sec(
         date_bounds(orders, "o_orderdate", hi_sec=Q3_DATE), "o_orderdate"
@@ -170,7 +201,7 @@ def q3_shipping_priority(
     )
     return (
         li.join(ords, li.l_orderkey == ords.o_orderkey)
-        .join(F.broadcast(cust), ords.o_custkey == cust.c_custkey)
+        .join(aqe_sized(cust), ords.o_custkey == cust.c_custkey)
         .groupBy("o_orderkey", "o_orderdate_sec", "o_orderpriority")
         .agg(F.sum("rev_c").alias("revenue_c"))
         .orderBy(F.col("revenue_c").desc(), F.col("o_orderkey"))
@@ -203,11 +234,12 @@ def q5_local_supplier_volume(
     region: DataFrame,
 ) -> DataFrame:
     """Q5: revenue by nation where customer and supplier share the
-    nation. region→nation→(customer, supplier) broadcast down the
-    snowflake; the two big-table joins (orders↔lineitem on orderkey,
-    then supplier check on (suppkey, nationkey)) are the only
-    shuffles. The c_nationkey = s_nationkey correlation rides the join
-    condition — no post-filter blowup."""
+    nation. region→nation broadcasts down the snowflake; the
+    region-pruned customer and supplier maps join AQE-sized (they
+    grow with SF); the two big-table joins (orders↔lineitem on
+    orderkey, then supplier check on (suppkey, nationkey)) are the
+    only guaranteed shuffles. The c_nationkey = s_nationkey
+    correlation rides the join condition — no post-filter blowup."""
     nat = (
         nation.join(
             F.broadcast(region.filter(F.col("r_name") == Q5_REGION)),
@@ -224,9 +256,9 @@ def q5_local_supplier_volume(
     li = lineitem.select("l_orderkey", "l_suppkey", _revenue_c().alias("rev_c"))
     return (
         li.join(ords, li.l_orderkey == ords.o_orderkey)
-        .join(F.broadcast(cust), ords.o_custkey == cust.c_custkey)
+        .join(aqe_sized(cust), ords.o_custkey == cust.c_custkey)
         .join(
-            F.broadcast(supp),
+            aqe_sized(supp),
             (li.l_suppkey == supp.s_suppkey) & (F.col("c_nat") == F.col("s_nat")),
         )
         .groupBy("n_name")
@@ -239,8 +271,10 @@ def q10_returned_items(
 ) -> DataFrame:
     """Q10: customers who returned the most revenue in a quarter.
     Aggregate BEFORE the dim join: revenue collapses to one row per
-    customer first, then the (tiny) result joins the broadcast customer
-    dim — the join input is |customers with returns|, not |lineitems|."""
+    customer first, then the (tiny) result joins the AQE-sized
+    customer dim — the join input is |customers with returns|, not
+    |lineitems|, and the strategy degrades to a shuffle when customer
+    outgrows the broadcast threshold."""
     ords = date_bounds(orders, "o_orderdate", lo_sec=Q10_LO, hi_sec=Q10_HI).select(
         "o_orderkey", "o_custkey"
     )
@@ -254,7 +288,7 @@ def q10_returned_items(
     )
     cust = customer.select("c_custkey", "c_name", "c_nationkey")
     return (
-        per_cust.join(F.broadcast(cust), per_cust.o_custkey == cust.c_custkey)
+        per_cust.join(aqe_sized(cust), per_cust.o_custkey == cust.c_custkey)
         .select("c_custkey", "c_name", "c_nationkey", "revenue_c")
         .orderBy(F.col("revenue_c").desc(), F.col("c_custkey"))
         .limit(k)
@@ -364,9 +398,10 @@ Q14_LO, Q14_HI = sec("1996-01-01"), sec("1996-04-01")
 
 def q14_promo_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
     """Q14: promo revenue share for a quarter — conditional aggregation
-    over a broadcast dim join (part is catalog-sized: always the
-    broadcast side). The share is integer ppm of integer cent sums, so
-    the single-row report is engine-exact.
+    over an AQE-sized dim join (part is catalog-sized: broadcast
+    while it fits, shuffle once it doesn't — it grows with SF). The
+    share is integer ppm of integer cent sums, so the single-row
+    report is engine-exact.
 
     Returns ``(promo_revenue_c, total_revenue_c, promo_share_ppm)``.
     """
@@ -375,7 +410,7 @@ def q14_promo_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
     )
     p = part.select("p_partkey", "p_type")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(aqe_sized(p), li.l_partkey == p.p_partkey)
         .agg(
             F.sum(F.when(F.col("p_type") == "PROMO", F.col("rev_c")).otherwise(0)).alias(
                 "promo_revenue_c"
@@ -426,12 +461,13 @@ def q7_nation_volume(
     """Q7: shipping volume between two nations, by direction and year.
 
     Supplier-side and customer-side nation maps are pre-filtered to the
-    two nations of interest BEFORE broadcasting, so each broadcast inner
-    join is simultaneously the lookup and a semi-filter — lineitems
-    outside either nation die inside the joins, and the only post-join
-    predicate is the cross-pair disjunction (A→B or B→A), which needs
-    both sides attached. The one big shuffle is orders↔lineitem on
-    orderkey (bucketable at 100 TB, see ``functions/skew.py``).
+    two nations of interest BEFORE joining (nation itself broadcasts —
+    25 rows), so each AQE-sized inner join is simultaneously the
+    lookup and a semi-filter — lineitems outside either nation die
+    inside the joins, and the only post-join predicate is the
+    cross-pair disjunction (A→B or B→A), which needs both sides
+    attached. The one big shuffle is orders↔lineitem on orderkey
+    (bucketable at 100 TB, see ``functions/skew.py``).
 
     Returns ``(supp_nation, cust_nation, l_year, revenue_c)``.
     """
@@ -454,8 +490,8 @@ def q7_nation_volume(
     ords = orders.select("o_orderkey", "o_custkey")
     return (
         li.join(ords, li.l_orderkey == ords.o_orderkey)
-        .join(F.broadcast(cust), ords.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(aqe_sized(cust), ords.o_custkey == cust.c_custkey)
+        .join(aqe_sized(supp), li.l_suppkey == supp.s_suppkey)
         .filter(
             ((F.col("supp_nation") == Q7_NATION_A) & (F.col("cust_nation") == Q7_NATION_B))
             | ((F.col("supp_nation") == Q7_NATION_B) & (F.col("cust_nation") == Q7_NATION_A))
@@ -486,10 +522,11 @@ def q8_market_share(
 
     The share is conditional aggregation over ONE scan: numerator and
     denominator are the same joined rows, split by a CASE on the
-    supplier nation — never two queries. Part (type-filtered) and the
-    region-pruned customer map broadcast; supplier carries its nation
-    name in the broadcast so the CASE is a string compare on an
-    attached column. Output is integer-ppm of integer cent sums.
+    supplier nation — never two queries. Part (type-filtered), the
+    region-pruned customer map, and supplier join AQE-sized; supplier
+    carries its nation name into the join so the CASE is a string
+    compare on an attached column. Output is integer-ppm of integer
+    cent sums.
 
     Returns ``(o_year, nation_revenue_c, total_revenue_c, share_ppm)``.
     """
@@ -517,10 +554,10 @@ def q8_market_share(
     )
     target = F.when(F.col("supp_nation") == Q8_NATION, F.col("rev_c")).otherwise(0)
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(aqe_sized(p), li.l_partkey == p.p_partkey)
         .join(ords, li.l_orderkey == ords.o_orderkey)
-        .join(F.broadcast(cust), ords.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(aqe_sized(cust), ords.o_custkey == cust.c_custkey)
+        .join(aqe_sized(supp), li.l_suppkey == supp.s_suppkey)
         .groupBy("o_year")
         .agg(
             F.sum(target).alias("nation_revenue_c"),
@@ -548,10 +585,12 @@ def q9_product_profit(
     corpus, so profit = discounted revenue without the supplycost term —
     the plan shape is unchanged).
 
-    Every join is a broadcast (LIKE-filtered part catalog; supplier
-    carrying its nation name), so the fact table never shuffles at all:
-    the only exchange in the whole plan is the final (nation, year)
-    aggregation — partial-agged map-side to ~|nations|x|years| rows.
+    Every dim join is AQE-sized (LIKE-filtered part catalog; supplier
+    carrying its nation name): at bench scale both broadcast and the
+    fact table never shuffles at all — the only exchange is the final
+    (nation, year) aggregation, partial-agged map-side to
+    ~|nations|x|years| rows. At 100 TB the planner degrades the dim
+    joins to shuffles instead of OOMing the driver.
 
     Returns ``(supp_nation, l_year, revenue_c, n_items)``.
     """
@@ -564,8 +603,8 @@ def q9_product_profit(
         "l_partkey", "l_suppkey", "l_year", _revenue_c().alias("rev_c")
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(aqe_sized(p), li.l_partkey == p.p_partkey)
+        .join(aqe_sized(supp), li.l_suppkey == supp.s_suppkey)
         .groupBy("supp_nation", "l_year")
         .agg(F.sum("rev_c").alias("revenue_c"), F.count("*").alias("n_items"))
     )
@@ -593,7 +632,7 @@ def q15_top_supplier(lineitem: DataFrame, supplier: DataFrame) -> DataFrame:
     s = supplier.select("s_suppkey", "s_name")
     return (
         rev.join(F.broadcast(mx), rev.total_revenue_c == mx.max_rev)
-        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .join(aqe_sized(s), rev.l_suppkey == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue_c")
         .orderBy("s_suppkey")
     )
@@ -609,8 +648,9 @@ def q17_small_qty_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
     into aggregate-then-rejoin.
 
     Per-part quantity moments aggregate first (shuffle ∝ |parts|); the
-    agg result is catalog-sized, so it BROADCASTS back onto the fact
-    scan — the fact table never shuffles. The threshold compare
+    agg result is catalog-sized and rejoins the fact scan AQE-sized —
+    broadcast while it fits (fact never shuffles), shuffled-hash once
+    the catalog outgrows the threshold. The threshold compare
     ``qty < 0.3 * avg`` is cross-multiplied into pure BIGINT
     (``10*qty_c*cnt < 3*sum_qty_c``): no double division, so the
     boundary rows land identically on both engines.
@@ -626,7 +666,7 @@ def q17_small_qty_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
     )
     li = lineitem.select("l_partkey", qty_c.alias("q_c"), _revenue_c().alias("rev_c"))
     return (
-        li.join(F.broadcast(per_part), li.l_partkey == per_part.pk)
+        li.join(aqe_sized(per_part), li.l_partkey == per_part.pk)
         .filter(
             F.col("q_c") * F.col("n_lines") * F.lit(Q17_DEN)
             < F.col("sum_q_c") * F.lit(Q17_NUM)
@@ -644,7 +684,7 @@ def q18_large_volume_customers(
     """Q18: customers who placed very large orders — the group-HAVING
     semi-join shape. Per-order quantity sums aggregate first and the
     HAVING cut drops ~99.9% of orders BEFORE any join; the survivors
-    (a tiny set) then join orders and the broadcast customer dim.
+    (a tiny set) then join orders and the AQE-sized customer dim.
     Top-k is TakeOrdered on the surviving handful.
 
     Returns ``(c_custkey, c_name, o_orderkey, o_orderdate_sec,
@@ -663,7 +703,7 @@ def q18_large_volume_customers(
     cust = customer.select("c_custkey", "c_name")
     return (
         big.join(ords, big.l_orderkey == ords.o_orderkey)
-        .join(F.broadcast(cust), ords.o_custkey == cust.c_custkey)
+        .join(aqe_sized(cust), ords.o_custkey == cust.c_custkey)
         .select("c_custkey", "c_name", "o_orderkey", "o_orderdate_sec", "total_qty_c")
         .orderBy(F.col("total_qty_c").desc(), F.col("o_orderkey"))
         .limit(k)
@@ -683,10 +723,10 @@ def q19_disjunctive_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
     p_container column; size bands stand in).
 
     The brand/size disjunction involves only part columns, so it prunes
-    the broadcast side to the 3 brands BEFORE the join; the quantity
-    band rides the join output. The residual OR (which band a row
-    matched) evaluates on broadcast-joined rows — the fact side is
-    filtered by the join itself, never scanned twice.
+    the (AQE-sized) dim side to the 3 brands BEFORE the join; the
+    quantity band rides the join output. The residual OR (which band a
+    row matched) evaluates on joined rows — the fact side is filtered
+    by the join itself, never scanned twice.
 
     Returns one row ``(n_lines, revenue_c)``.
     """
@@ -708,7 +748,7 @@ def q19_disjunctive_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
         )
         full_pred = c if full_pred is None else (full_pred | c)
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(aqe_sized(p), li.l_partkey == p.p_partkey)
         .filter(full_pred)
         .agg(F.count("*").alias("n_lines"), F.sum("rev_c").alias("revenue_c"))
     )
@@ -726,7 +766,7 @@ def q22_dormant_customers(orders: DataFrame, customer: DataFrame) -> DataFrame:
     cent sums and compared by cross-multiplication
     (``bal_c * n_pos > sum_pos_c``) — no double division crosses
     engines. The recent-order key set collapses to DISTINCT custkeys
-    before broadcasting into a LEFT ANTI join, so the anti-join probe is
+    before the AQE-sized LEFT ANTI join, so the anti-join probe is
     ∝ |recent customers|, not |orders|.
 
     Returns ``(c_nationkey, n_customers, sum_acctbal_c)``.
@@ -748,7 +788,7 @@ def q22_dormant_customers(orders: DataFrame, customer: DataFrame) -> DataFrame:
     )
     return (
         rich.join(
-            F.broadcast(recent), rich.c_custkey == recent.o_custkey, "left_anti"
+            aqe_sized(recent), rich.c_custkey == recent.o_custkey, "left_anti"
         )
         .groupBy("c_nationkey")
         .agg(F.count("*").alias("n_customers"), F.sum("bal_c").alias("sum_acctbal_c"))
@@ -839,7 +879,8 @@ def yoy_nation_growth(
     window report every revenue dashboard leads with. Aggregate-first
     discipline: lineitem collapses to integer cents per (orderkey)
     join row, the only big-big shuffle is lineitem↔orders on
-    orderkey, customer/nation broadcast, and the lag window runs over
+    orderkey, nation broadcasts / customer joins AQE-sized, and the
+    lag window runs over
     the tiny (nation × year) aggregate — |nations|·|years| rows, so
     the window costs nothing at any corpus size.
 
@@ -861,7 +902,7 @@ def yoy_nation_growth(
     li = lineitem.select("l_orderkey", _revenue_c().alias("rev_c"))
     yearly = (
         li.join(ords, li.l_orderkey == ords.o_orderkey)
-        .join(F.broadcast(cust), ords.o_custkey == cust.c_custkey)
+        .join(aqe_sized(cust), ords.o_custkey == cust.c_custkey)
         .groupBy("n_name", "o_year")
         .agg(F.sum("rev_c").alias("revenue_c"))
     )
@@ -1127,7 +1168,8 @@ def q2_min_cost_supplier(
     ``extendedprice / quantity``, lowered to integer centi-cents by
     integer division (``price_c * 100 div qty_c``) so the min and the
     equality rejoin are exact on both engines. Suppliers prune to the
-    region FIRST (broadcast dim chain), so the offers aggregate only
+    region FIRST (broadcast nation/region chain; the pruned supplier
+    map itself joins AQE-sized), so the offers aggregate only
     carries regional lines; the per-part min is a second aggregate of
     the first (shuffle ∝ |part×supp pairs|, then ∝ |parts|), and ties
     pick the lowest suppkey — deterministic.
@@ -1153,7 +1195,7 @@ def q2_min_cost_supplier(
     # integer division (div), NOT double /: matches DuckDB's // exactly
     offers = (
         lineitem.join(
-            F.broadcast(sup.select("s_suppkey")),
+            aqe_sized(sup.select("s_suppkey")),
             lineitem.l_suppkey == F.col("s_suppkey"),
         )
         .select(
@@ -1191,7 +1233,7 @@ def q2_min_cost_supplier(
     p = part.filter(F.col("p_size") >= Q2_MIN_SIZE).select("p_partkey", "p_name")
     return (
         pick.join(p, pick.l_partkey == p.p_partkey)
-        .join(F.broadcast(sup), pick.best_suppkey == sup.s_suppkey)
+        .join(aqe_sized(sup), pick.best_suppkey == sup.s_suppkey)
         .select(
             "p_partkey", "p_name", "best_suppkey", "s_name", "n_name",
             "s_acctbal_c", "min_unit_cc",
@@ -1344,7 +1386,7 @@ def supplier_scorecard(
     multi-conditional-aggregate plan shape.
 
     One orderkey join attaches the order date (the only big-big
-    shuffle), the supplier dim rides a broadcast, and all four metrics
+    shuffle), the supplier dim joins AQE-sized, and all four metrics
     come from ONE groupBy with conditional sums — the fact table is
     scanned once however many KPIs the scorecard grows. Rates are
     integer ppm; lateness reuses the Q12 definition (shipped > 90 days
@@ -1377,7 +1419,7 @@ def supplier_scorecard(
         )
     )
     return per_supp.join(
-        F.broadcast(supplier.select("s_suppkey", "s_name")),
+        aqe_sized(supplier.select("s_suppkey", "s_name")),
         per_supp.l_suppkey == supplier.s_suppkey,
     ).select(
         "s_suppkey",
@@ -1401,7 +1443,7 @@ def market_basket(lineitem: DataFrame, part: DataFrame) -> DataFrame:
 
     Scalable shape: brands are a BOUNDED vocabulary, so the basket
     self-join fans out at most C(|brands in order|, 2) rows per order
-    (never item²): lineitem joins the broadcast part dim, collapses to
+    (never item²): lineitem joins the AQE-sized part dim, collapses to
     distinct (order, brand) — map-side combined — and the same-order
     self-join with ``brand_a < brand_b`` counts each pair once. All
     downstream aggregates are |brands|²-sized at any corpus scale.
@@ -1416,7 +1458,7 @@ def market_basket(lineitem: DataFrame, part: DataFrame) -> DataFrame:
     ob = (
         lineitem.select("l_orderkey", "l_partkey")
         .join(
-            F.broadcast(part.select("p_partkey", "p_brand")),
+            aqe_sized(part.select("p_partkey", "p_brand")),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .select("l_orderkey", "p_brand")
@@ -1548,8 +1590,8 @@ def q16_supplier_part_counts(
     negative-balance suppliers; partsupp becomes the observed lineitem
     supplier-part pairs).
 
-    The part filter prunes the broadcast side before the join; the
-    blacklist collapses to a broadcast LEFT ANTI (NULL-safe by
+    The part filter prunes the (AQE-sized) dim side before the join;
+    the blacklist collapses to an AQE-sized LEFT ANTI (NULL-safe by
     construction: keys are non-null bigints). count(DISTINCT) runs on
     (brand, size)-partitioned data after the joins — one expand, no
     second fact scan.
@@ -1563,9 +1605,9 @@ def q16_supplier_part_counts(
     excl = supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
     return (
         lineitem.select("l_partkey", "l_suppkey")
-        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .join(aqe_sized(p), F.col("l_partkey") == p.p_partkey)
         .join(
-            F.broadcast(excl), F.col("l_suppkey") == excl.s_suppkey, "left_anti"
+            aqe_sized(excl), F.col("l_suppkey") == excl.s_suppkey, "left_anti"
         )
         .groupBy("p_brand", "p_size")
         .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
@@ -1584,10 +1626,10 @@ def q20_excess_shippers(
     part family — the nested-semi-join-chain pattern (part name filter
     -> quantity aggregate HAVING -> DISTINCT supplier -> dim join).
 
-    The part-name filter broadcasts into the fact scan; the per
+    The part-name filter joins AQE-sized into the fact scan; the per
     (supplier, part) quantity aggregate is the only shuffle; the HAVING
     cut and DISTINCT collapse it to a handful of supplier keys that
-    broadcast into the supplier/nation dims. Threshold measured to
+    join the supplier/nation dims. Threshold measured to
     discriminate: 10/58/87 suppliers qualify of 10/100/1000 at
     sf0.001/0.01/0.1.
 
@@ -1598,7 +1640,7 @@ def q20_excess_shippers(
     ).select("p_partkey")
     li = date_bounds(lineitem, "l_shipdate", lo_sec=Q20_LO)
     heavy = (
-        li.join(F.broadcast(wparts), li.l_partkey == wparts.p_partkey)
+        li.join(aqe_sized(wparts), li.l_partkey == wparts.p_partkey)
         .select("l_suppkey", "l_partkey", cents(F.col("l_quantity")).alias("q_c"))
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum("q_c").alias("qty_c"))
@@ -1656,7 +1698,7 @@ def q21_waiting_suppliers(lineitem: DataFrame, supplier: DataFrame) -> DataFrame
     )
     return (
         blamed.join(
-            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            aqe_sized(supplier.select("s_suppkey", "s_name")),
             blamed.l_suppkey == F.col("s_suppkey"),
         )
         .select("s_suppkey", "s_name", "n_waiting_orders")
@@ -1695,8 +1737,8 @@ def bloom_prejoin_audit(
     positions each; the DISTINCT set bits are the filter (broadcast —
     at most ``m`` rows). Probe side: a fact row passes iff ALL k of its
     positions are set, computed as a broadcast join on the bit position
-    + a per-row match count == k. Exact truth via a second broadcast
-    semi-join on the real key. Everything is integer/md5 arithmetic, so
+    + a per-row match count == k. Exact truth via a second (AQE-sized)
+    join on the real key. Everything is integer/md5 arithmetic, so
     the pass/fail of every row — and therefore the FP count — is
     bit-identical on both engines.
 
@@ -1732,7 +1774,7 @@ def bloom_prejoin_audit(
         .filter(F.col("n_hit") == k)
     )
     truth = passed.join(
-        F.broadcast(keys), passed.fkey == keys.key, "left"
+        aqe_sized(keys), passed.fkey == keys.key, "left"
     ).select("n_rows", F.col("key").isNotNull().alias("is_match"))
     totals = fact_keys.agg(
         F.sum("n_rows").alias("n_fact_rows_t"),
@@ -1780,14 +1822,21 @@ def merge_upsert_summary(orders: DataFrame) -> DataFrame:
 
     - WHEN MATCHED ``op='U'`` THEN UPDATE (totalprice += $1.00), and
       WHEN MATCHED ``op='D'`` THEN DELETE: one map-side pass over the
-      snapshot with the (small) change set **broadcast** into a left
-      join — no snapshot shuffle.
+      snapshot with the change set **broadcast** into a left join — no
+      snapshot shuffle.
     - WHEN NOT MATCHED THEN INSERT: the naive ``changes ANTI JOIN
       snapshot`` would shuffle the snapshot; instead the matched-key
       set is first reduced via ``snapshot SEMI broadcast(changes)``
       (map-side, output ≤ |changes|), and the inserts anti-join that
       **small broadcast** set. Net: two broadcasts, zero wide
       exchanges before the final 3-row aggregate.
+
+    The broadcast hints here are deliberate and survive the round-7
+    de-hint: unlike the warehouse dims, the change set is bounded by
+    the INGEST BATCH (the MERGE contract — a micro-batch of upserts
+    against a 100 TB snapshot), not by the snapshot's scale factor. A
+    caller merging a snapshot-sized batch should repartition-join
+    instead — that is a full rewrite, not a MERGE.
 
     The change set is derived deterministically from the snapshot
     itself (keys mod 10: 3→update, 7→delete, 1→insert clone at
@@ -1808,6 +1857,7 @@ def merge_upsert_summary(orders: DataFrame) -> DataFrame:
 
     # WHEN MATCHED: one broadcast left join carries both the update
     # flag and the delete flag (flag columns, not two joins).
+    # broadcast is safe: |changes| is ingest-batch-bounded by contract.
     flags = upd_keys.withColumn("is_upd", F.lit(True)).unionByName(
         del_keys.withColumn("is_upd", F.lit(False))
     )

@@ -141,6 +141,11 @@ def test_q1_scan_prunes_to_needed_columns(spark, wh_tables):
 
 
 def test_q3_broadcasts_customer_dim(spark, wh_tables):
+    """At bench scale the SIZE-CHOSEN strategy still broadcasts the
+    segment-filtered customer map (it fits under the threshold) — but
+    via planner stats, not a forced hint; the hint-absence contract is
+    pinned separately in
+    test_warehouse_scale_growing_sides_are_aqe_chosen."""
     from iot_real_time_data_pipeline_spark.operators import warehouse as WH
 
     plan = plan_of(
@@ -152,6 +157,67 @@ def test_q3_broadcasts_customer_dim(spark, wh_tables):
     assert "CartesianProduct" not in plan
     # top-k must be TakeOrdered (heap), not a global Sort + Limit
     assert "TakeOrderedAndProject" in plan
+
+
+def test_warehouse_scale_growing_sides_are_aqe_chosen(spark, wh_tables):
+    """The 100 TB de-hint contract (round 7): frames derived from the
+    SCALE-GROWING tables (customer/supplier/part/orders) must carry NO
+    forced ``F.broadcast`` hint — with the size threshold disabled
+    their joins must degrade to shuffle joins instead of planning a
+    broadcast that would OOM at sf100+. Constant-bounded frames
+    (nation/region, 1-row scalar aggregates) keep explicit hints and
+    must STILL broadcast under the same config (hints override the
+    threshold) — proving the de-hint removed exactly the dangerous
+    hints and nothing else."""
+    from iot_real_time_data_pipeline_spark.operators import warehouse as WH
+
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+        # q10: both joins touch scale-growing tables only -> with the
+        # threshold off, NO broadcast may survive anywhere in the plan.
+        q10 = plan_of(
+            WH.q10_returned_items(
+                wh_tables["lineitem"], wh_tables["orders"], wh_tables["customer"]
+            )
+        )
+        assert "BroadcastHashJoin" not in q10, q10[:800]
+        assert "SortMergeJoin" in q10 or "ShuffledHashJoin" in q10
+
+        # q3: same — customer is the only dim and it must not be forced.
+        q3 = plan_of(
+            WH.q3_shipping_priority(
+                wh_tables["lineitem"], wh_tables["orders"], wh_tables["customer"]
+            )
+        )
+        assert "BroadcastHashJoin" not in q3, q3[:800]
+
+        # q17: the per-part aggregate rejoin must not be forced either.
+        q17 = plan_of(
+            WH.q17_small_qty_revenue(wh_tables["lineitem"], wh_tables["part"])
+        )
+        assert "BroadcastHashJoin" not in q17, q17[:800]
+
+        # q5: EXACTLY the two bounded-dim hints survive (region->nation,
+        # nation->customer); the customer/supplier fact joins degrade.
+        q5 = plan_of(
+            WH.q5_local_supplier_volume(
+                wh_tables["lineitem"], wh_tables["orders"],
+                wh_tables["customer"], wh_tables["supplier"],
+                wh_tables["nation"], wh_tables["region"],
+            )
+        )
+        assert q5.count("BroadcastHashJoin") == 2, q5[:1200]
+        assert "SortMergeJoin" in q5 or "ShuffledHashJoin" in q5
+
+        # q15: the 1-row max keeps its hint; the supplier join degrades.
+        q15 = plan_of(
+            WH.q15_top_supplier(wh_tables["lineitem"], wh_tables["supplier"])
+        )
+        assert q15.count("BroadcastHashJoin") == 1, q15[:1200]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
 
 
 def test_q4_uses_left_semi_join(spark, wh_tables):
