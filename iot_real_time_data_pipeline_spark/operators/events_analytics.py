@@ -1144,53 +1144,108 @@ def time_decay_attribution(
     decay geometry, zero rounding. Per-conversion credit is
     ``(1_000_000 · Σ_d w_d·n_{ch,d}) div Σ_total`` ppm (floor).
 
-    Scalable shape: the per-(channel, day-bucket) touch counts come
-    from RANGE frames over ONE ``user_id`` partition —
-    ``RANGE BETWEEN (d+1)·86400 PRECEDING AND d·86400+1 PRECEDING``
-    for day-bucket ``d`` (strictly prior: a same-second touch earns
-    nothing) — so all ``len(touch_types)·decay_days`` window sums
-    share a single exchange+sort; no range join, no per-conversion
-    subquery, no doubles. Returns ``(touch_type, n_conversions,
-    credit_ppm_total)`` with the ``'unattributed'`` row counting
-    conversions whose whole lookback is empty.
+    Scalable shape (round-7 cum-sum+probe form; the r6 version spent
+    ``len(touch_types)·decay_days`` = 14 RANGE frames over every
+    event): each conversion emits ``decay_days+1`` PROBE rows at the
+    day-bucket boundaries ``conv_ts − d·86400 − 1``; probes union with
+    the touch events and ONE window pass per ``user_id`` computes a
+    running count per channel (``rowsBetween`` cumulative — no RANGE
+    frame state at all). Bucket-``d``'s count is the difference of
+    consecutive boundary cums, so the weighted sum telescopes into one
+    ``Σ coef(d)·cum_d`` aggregate per conversion (coef = +2^(D−1) at
+    d=0, −2^(D−1−d) for 0<d<D, −1 at d=D). Same single exchange+sort
+    as before, but 2 running sums instead of 14 sliding frames, and
+    the window input is |touches| + (D+1)·|conversions| rows instead
+    of every event carrying every frame. Strictly-prior semantics are
+    the ``−1`` in the boundary (a same-second touch earns nothing);
+    probes sort AFTER same-second touches so boundary touches count.
+    Returns ``(touch_type, n_conversions, credit_ppm_total)`` with the
+    ``'unattributed'`` row counting conversions whose whole lookback
+    is empty.
     """
-    counted = events
-    for ch in touch_types:
-        units = []
-        for d in range(decay_days):
-            w = (
-                Window.partitionBy("user_id")
-                .orderBy("ts_sec")
-                .rangeBetween(-(d + 1) * 86400, -(d * 86400 + 1))
-            )
-            units.append(
-                F.coalesce(
-                    F.sum(
-                        F.when(
-                            F.col("event_type") == ch,
-                            F.lit(1 << (decay_days - 1 - d)).cast("long"),
-                        ).otherwise(F.lit(0).cast("long"))
-                    ).over(w),
-                    F.lit(0).cast("long"),
-                )
-            )
-        counted = counted.withColumn(f"_w_{ch}", sum(units))
-    conv = counted.filter(F.col("event_type") == target_type).withColumn(
-        "_w_total", sum(F.col(f"_w_{ch}") for ch in touch_types)
+    base = events.select("user_id", "ts_sec", "event_type")
+    touches = base.filter(F.col("event_type").isin(*touch_types)).select(
+        "user_id",
+        F.col("ts_sec").alias("sort_sec"),
+        F.lit(0).alias("is_probe"),
+        F.lit(None).cast("long").alias("conv_ts"),
+        F.lit(None).cast("int").alias("d"),
+        "event_type",
+    )
+    # conversions collapse to (user, second) with multiplicity m: the
+    # bucket cums are a pure function of (user, conv_ts), so identical
+    # same-second conversions share one probe set and fan back out by m.
+    convs = (
+        base.filter(F.col("event_type") == target_type)
+        .groupBy("user_id", F.col("ts_sec").alias("conv_ts"))
+        .agg(F.count("*").alias("m"))
+    )
+    probes = convs.select(
+        "user_id",
+        "conv_ts",
+        F.explode(
+            F.array(*[F.lit(d) for d in range(decay_days + 1)])
+        ).alias("d"),
+    ).select(
+        "user_id",
+        (F.col("conv_ts") - F.col("d").cast("long") * 86400 - 1).alias(
+            "sort_sec"
+        ),
+        F.lit(1).alias("is_probe"),
+        "conv_ts",
+        "d",
+        F.lit(None).cast("string").alias("event_type"),
+    )
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("sort_sec", "is_probe")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_cols = [
+        F.sum(F.when(F.col("event_type") == ch, 1).otherwise(0))
+        .over(w_cum)
+        .alias(f"_cum_{i}")
+        for i, ch in enumerate(touch_types)
+    ]
+    cums = (
+        touches.unionByName(probes)
+        .select("user_id", "is_probe", "conv_ts", "d", *cum_cols)
+        .filter(F.col("is_probe") == 1)
+    )
+
+    def coef(d: int) -> int:
+        if d == 0:
+            return 1 << (decay_days - 1)
+        if d == decay_days:
+            return -1
+        return -(1 << (decay_days - 1 - d))
+
+    coef_col = F.when(F.col("d") == 0, F.lit(coef(0)).cast("long"))
+    for d in range(1, decay_days + 1):
+        coef_col = coef_col.when(F.col("d") == d, F.lit(coef(d)).cast("long"))
+    per_conv = cums.groupBy("user_id", "conv_ts").agg(
+        *[
+            F.sum(coef_col * F.col(f"_cum_{i}")).alias(f"_w_{i}")
+            for i in range(len(touch_types))
+        ]
+    )
+    conv = per_conv.join(convs, ["user_id", "conv_ts"]).withColumn(
+        "_w_total", sum(F.col(f"_w_{i}") for i in range(len(touch_types)))
     )
     credit = conv.select(
+        "m",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(ch).alias("touch_type"),
-                        F.col(f"_w_{ch}").alias("w_ch"),
+                        F.col(f"_w_{i}").alias("w_ch"),
                         F.when(
                             F.col("_w_total") > 0,
-                            F.expr(f"(1000000 * _w_{ch}) div _w_total"),
+                            F.expr(f"(1000000 * _w_{i}) div _w_total"),
                         ).otherwise(F.lit(0).cast("long")).alias("credit_ppm"),
                     )
-                    for ch in touch_types
+                    for i, ch in enumerate(touch_types)
                 ],
                 F.struct(
                     F.lit("unattributed").alias("touch_type"),
@@ -1204,13 +1259,15 @@ def time_decay_attribution(
                     .alias("credit_ppm"),
                 ),
             )
-        ).alias("c")
+        ).alias("c"),
     )
     return credit.groupBy(F.col("c.touch_type").alias("touch_type")).agg(
-        F.sum(F.when(F.col("c.w_ch") > 0, 1).otherwise(0))
+        F.sum(F.when(F.col("c.w_ch") > 0, F.col("m")).otherwise(0))
         .cast("long")
         .alias("n_conversions"),
-        F.sum("c.credit_ppm").cast("long").alias("credit_ppm_total"),
+        F.sum(F.col("c.credit_ppm") * F.col("m"))
+        .cast("long")
+        .alias("credit_ppm_total"),
     )
 
 
