@@ -315,6 +315,9 @@ def main() -> None:
         "docs_zipf_slope",
         "docs_jaccard_threshold_sweep",
         "emb_hard_negatives",
+        "docs_dsir_weights",
+        "docs_span_scrub",
+        "emb_silhouette",
     ]:
         fn = LQ.llm_queries()[name]
         timed_repeat(name, lambda fn=fn: fn(spark, sf_dir).collect())

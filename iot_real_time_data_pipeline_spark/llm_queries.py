@@ -457,6 +457,9 @@ def llm_queries() -> dict[str, QueryFn]:
         "docs_zipf_slope": q_zipf_slope,
         "docs_jaccard_threshold_sweep": q_jaccard_threshold_sweep,
         "emb_hard_negatives": q_hard_negatives,
+        "docs_dsir_weights": q_dsir_weights,
+        "docs_span_scrub": q_span_scrub,
+        "emb_silhouette": q_silhouette,
     }
 
 
@@ -2072,6 +2075,9 @@ def llm_oracle_sql() -> dict[str, str]:
         "docs_zipf_slope": _sql_zipf_slope(),
         "docs_jaccard_threshold_sweep": _sql_jaccard_threshold_sweep(),
         "emb_hard_negatives": _sql_hard_negatives(),
+        "docs_dsir_weights": _sql_dsir_weights(),
+        "docs_span_scrub": _sql_span_scrub(),
+        "emb_silhouette": _sql_silhouette(),
     }
 
 
@@ -3605,3 +3611,122 @@ funnel AS (
 SELECT stage_ord, stage, n AS n_docs,
        (n * CAST(1000000 AS BIGINT)) // (SELECT n FROM raw) AS retained_ppm
 FROM funnel"""
+
+
+# ---------------------------------------------------------------------------
+# Round-7 addition: DSIR importance weights (Xie et al. 2023)
+# ---------------------------------------------------------------------------
+
+
+def q_dsir_weights(spark, sf_dir):
+    return CUR.dsir_weights(_docs(spark, sf_dir))
+
+
+def _sql_dsir_weights() -> str:
+    B, n, tgt = CUR.DSIR_BUCKETS, CUR.DSIR_NGRAM, CUR.DSIR_TARGET_SOURCE
+    q6 = TH.sql_quantized6("avg(lr)")
+    return f"""
+WITH dt AS (
+  SELECT doc_id, source, {TH.sql_tokens('text')} AS t FROM documents
+),
+th AS (
+  SELECT doc_id, (source = '{tgt}') AS is_t,
+         list_transform(t, tok -> {TH.sql_token_hash('tok')}) AS thl
+  FROM dt
+),
+b AS (
+  SELECT doc_id, is_t,
+         unnest({_sql_kgram_list('thl', n)}) % {B} AS bucket
+  FROM th
+),
+stats AS (
+  SELECT bucket,
+         CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS t_cnt,
+         CAST(count(*) AS BIGINT) AS r_cnt
+  FROM b GROUP BY bucket
+),
+tot AS (
+  SELECT CAST(sum(t_cnt) AS BIGINT) AS t_tot,
+         CAST(sum(r_cnt) AS BIGINT) AS r_tot
+  FROM stats
+),
+ratio AS (
+  SELECT bucket,
+         ln((t_cnt + 1) / CAST(t_tot + {B} AS DOUBLE))
+       - ln((r_cnt + 1) / CAST(r_tot + {B} AS DOUBLE)) AS lr
+  FROM stats CROSS JOIN tot
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       {q6} AS dsir_logratio_q6,
+       ({q6} > 0) AS dsir_selected
+FROM b JOIN ratio USING (bucket)
+GROUP BY doc_id"""
+
+
+def q_span_scrub(spark, sf_dir):
+    return TA.span_scrub(_docs(spark, sf_dir))
+
+
+def _sql_span_scrub() -> str:
+    n, md = TA.SPAN_N, TA.SPAN_MIN_DOCS
+    return f"""
+WITH {_TOKS_CTE},
+th AS (
+  SELECT doc_id, t, list_transform(t, tok -> {TH.sql_token_hash('tok')}) AS thl,
+         len(t) AS n_tokens
+  FROM toks
+),
+kg AS (SELECT doc_id, n_tokens, {_sql_kgram_list('thl', n)} AS kh FROM th),
+posts AS (
+  SELECT doc_id, n_tokens, unnest(kh) AS gram_hash,
+         unnest(range(1, len(kh) + 1)) AS p
+  FROM kg
+),
+freq AS (
+  SELECT gram_hash FROM posts
+  GROUP BY gram_hash HAVING count(DISTINCT doc_id) >= {md}
+),
+cov AS (
+  SELECT DISTINCT doc_id, tpos FROM (
+    SELECT doc_id,
+           unnest(range(p, least(p + {n} - 1, n_tokens) + 1)) AS tpos
+    FROM posts JOIN freq USING (gram_hash)
+  )
+),
+covl AS (SELECT doc_id, list(tpos) AS covp FROM cov GROUP BY doc_id),
+kept AS (
+  SELECT th.doc_id, th.n_tokens,
+         list_filter(
+           list_transform(range(1, len(t) + 1),
+             i -> CASE WHEN NOT list_contains(coalesce(covp, []), i)
+                       THEN t[i] END),
+           x -> x IS NOT NULL) AS k
+  FROM th LEFT JOIN covl ON th.doc_id = covl.doc_id
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(len(k) AS BIGINT) AS n_kept,
+       coalesce(array_to_string(k, ' '), '') AS scrubbed_text
+FROM kept"""
+
+
+def q_silhouette(spark, sf_dir):
+    return SIM.silhouette_audit(_emb(spark, sf_dir))
+
+
+def _sql_silhouette() -> str:
+    sil = "CASE WHEN b2 > 0 THEN (sqrt(b2) - sqrt(a2)) / sqrt(b2) ELSE 0.0 END"
+    return f"""
+WITH {_kmeans_ctes()},
+ranked AS (
+  SELECT vec_id, cluster, d2,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+  FROM kscored
+),
+ab AS (
+  SELECT a.vec_id, a.cluster, a.d2 AS a2, b.d2 AS b2
+  FROM ranked a JOIN ranked b ON a.vec_id = b.vec_id
+  WHERE a.rn = 1 AND b.rn = 2
+)
+SELECT cluster, CAST(count(*) AS BIGINT) AS n_vectors,
+       {TH.sql_quantized6(f'avg({sil})')} AS mean_sil_q6
+FROM ab GROUP BY cluster"""

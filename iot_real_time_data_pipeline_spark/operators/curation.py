@@ -1020,3 +1020,116 @@ def curation_v2(
     return keep_ids.join(gopher_keep, "doc_id").join(ppl, "doc_id").select(
         "doc_id", "lang", "ppl_bucket", "n_tokens", "lp_micro"
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR — Data Selection with Importance Resampling (Xie et al. 2023,
+# arXiv:2302.03169): score every raw document by how much more likely
+# its hashed n-gram profile is under a TARGET domain's n-gram
+# distribution than under the raw corpus's, then keep the docs that
+# look target-like. The reference pipeline has no data-selection
+# stage; this is part of the mandated LLM-training-data extension
+# (SURVEY.md §6 scope).
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 1024        # hashed-ngram feature space (fixed, scale-free)
+DSIR_NGRAM = 2             # word bigrams, the paper's default feature
+DSIR_TARGET_SOURCE = "src1"  # stand-in "curated domain" in the test corpus
+
+
+def dsir_weights(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    target_source: str = DSIR_TARGET_SOURCE,
+    n: int = DSIR_NGRAM,
+    n_buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """Per-document DSIR importance weight and selection flag.
+
+    Model: hash each word ``n``-gram (duplicates kept — counts, not
+    presence) into ``n_buckets`` buckets; the target distribution is
+    the bucket profile of the ``target_source`` docs, the raw
+    distribution is the whole corpus's, both Laplace-smoothed
+    (+1 / +n_buckets). A doc's weight is the MEAN per-gram log ratio
+    ``ln p_target(b) − ln p_raw(b)`` (length-normalized, so long docs
+    don't dominate); ``dsir_selected`` keeps docs likelier under the
+    target than under raw (mean log ratio > 0) — the deterministic
+    greedy form of the paper's Gumbel-noised resampling.
+
+    Scale shape: one pass builds BOTH bucket profiles (conditional agg
+    in the same groupBy — never two corpus scans); the bucket table is
+    CONSTANT-bounded (≤ ``n_buckets`` rows) so the per-gram rejoin is
+    a broadcast onto the gram stream; totals are a 1-row aggregate of
+    the bucket table. Shuffles: grams→buckets (map-side combined to
+    ≤ n_buckets keys) and the final groupBy(doc_id) — both ∝ grams,
+    nothing ∝ corpus². The per-bucket ``ln`` runs on identical integer
+    inputs in both engines; the per-doc mean snaps to the 1e-6 grid
+    (``texthash.quantized6``) per the engine-wide rule for
+    accumulation-order-dependent double aggregates.
+
+    Returns ``(doc_id, n_grams, dsir_logratio_q6, dsir_selected)`` for
+    every document (short docs emit one zero-padded gram, so none
+    drop out).
+    """
+    th = docs.select(
+        F.col(id_col).alias("doc_id"),
+        (F.col(source_col) == target_source).alias("is_target"),
+        TH.token_hashes(TH.tokens(F.col(text_col))).alias("_th"),
+    )
+    # second projection: _th must be a STORED column before the sliding
+    # combine indexes into it (texthash.shingle_hashes_from's warning).
+    idx = F.sequence(
+        F.lit(1), F.greatest(F.size(F.col("_th")) - (n - 1), F.lit(1))
+    )
+
+    def combine(i):
+        acc = F.coalesce(F.try_element_at(F.col("_th"), i), F.lit(0))
+        for j in range(1, n):
+            nxt = F.coalesce(F.try_element_at(F.col("_th"), i + j), F.lit(0))
+            acc = (acc * TH.DOC_B + nxt) % TH.HASH_P
+        return acc
+
+    grams = th.select(
+        "doc_id",
+        "is_target",
+        F.explode(F.transform(idx, combine)).alias("gh"),
+    ).withColumn("bucket", F.col("gh") % n_buckets)
+
+    stats = grams.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0))
+        .cast("long")
+        .alias("t_cnt"),
+        F.count("*").alias("r_cnt"),
+    )
+    totals = stats.agg(
+        F.sum("t_cnt").alias("t_tot"), F.sum("r_cnt").alias("r_tot")
+    )
+    ratio = stats.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (
+            F.log(
+                (F.col("t_cnt") + 1).cast("double")
+                / (F.col("t_tot") + n_buckets).cast("double")
+            )
+            - F.log(
+                (F.col("r_cnt") + 1).cast("double")
+                / (F.col("r_tot") + n_buckets).cast("double")
+            )
+        ).alias("lr"),
+    )
+    per_doc = (
+        grams.join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            TH.quantized6(F.avg("lr")).alias("dsir_logratio_q6"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_grams",
+        "dsir_logratio_q6",
+        (F.col("dsir_logratio_q6") > 0).alias("dsir_selected"),
+    )

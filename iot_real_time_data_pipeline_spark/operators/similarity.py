@@ -1833,3 +1833,60 @@ def hard_negatives(
             TH.quantized6(F.col("cosine")).alias("cosine"),
         )
     )
+
+
+def silhouette_audit(embeddings: DataFrame, k: int = KMEANS_K) -> DataFrame:
+    """Per-cluster SIMPLIFIED SILHOUETTE — the centroid-based cluster-
+    quality score (Hruschka et al.'s simplified silhouette; the O(n·k)
+    form of Rousseeuw 1987 that replaces pairwise distances with
+    distances to centroids — the only silhouette computable at 10⁹
+    vectors): for each vector, ``a`` = L2 distance to its (nearest)
+    centroid, ``b`` = distance to the closest OTHER centroid,
+    ``s = (b − a) / max(a, b)``. Mean s per cluster is the audit
+    number: near 1 = crisp, near 0 = boundary mush — the go/no-go
+    check before trusting k-means buckets for SemDeDup or IVF.
+
+    Plan: identical scoring shape to :func:`kmeans_assign` (k-row seed
+    centroid table broadcast, corpus streams in place); per vector the
+    k candidate rows collapse via ``array_sort(collect_list(...))`` —
+    k ≤ a few dozen structs per vector, co-located by construction —
+    then one tiny per-cluster aggregate. sqrt is IEEE-correctly-
+    rounded on both engines; the per-cluster mean snaps to the 1e-6
+    grid (`texthash.quantized6`).
+
+    Returns ``(cluster, n_vectors, mean_sil_q6)``.
+    """
+    from pyspark.sql import Window
+
+    vecs = embeddings.select(
+        F.col("vec_id"), as_double(F.col("embedding")).alias("v")
+    )
+    cent = (
+        vecs.orderBy("vec_id")
+        .limit(k)
+        .withColumn(
+            "cluster",
+            (F.row_number().over(Window.orderBy("vec_id")) - 1).cast("long"),
+        )
+        .select("cluster", F.col("v").alias("cv"))
+    )
+    d2 = _fold_sum(
+        F.zip_with(F.col("v"), F.col("cv"), lambda x, y: (x - y) * (x - y))
+    )
+    scored = vecs.crossJoin(F.broadcast(cent)).withColumn("d2", d2)
+    per_vec = scored.groupBy("vec_id").agg(
+        F.array_sort(F.collect_list(F.struct("d2", "cluster"))).alias("arr")
+    )
+    a2 = F.col("arr")[0]["d2"]
+    b2 = F.col("arr")[1]["d2"]
+    sil = F.when(
+        b2 > 0, (F.sqrt(b2) - F.sqrt(a2)) / F.sqrt(b2)
+    ).otherwise(F.lit(0.0))
+    return (
+        per_vec.select(F.col("arr")[0]["cluster"].alias("cluster"), sil.alias("s"))
+        .groupBy("cluster")
+        .agg(
+            F.count("*").cast("long").alias("n_vectors"),
+            TH.quantized6(F.avg("s")).alias("mean_sil_q6"),
+        )
+    )

@@ -1496,3 +1496,108 @@ def zipf_slope(
             " div (n_terms * sxx - sx * sx) END"
         ).alias("slope_milli"),
     )
+
+
+def span_scrub(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = SPAN_N,
+    min_docs: int = SPAN_MIN_DOCS,
+) -> DataFrame:
+    """The SCRUB stage of substring-level dedup (Lee et al. 2022,
+    arXiv:2107.06499) — completes the pipeline whose detect stage is
+    :func:`repeated_ngram_spans` and whose accounting stage is
+    :func:`repeated_span_coverage`: rewrite every document with the
+    tokens covered by cross-document repeated spans REMOVED, returning
+    the cleaned text a training run would actually consume.
+
+    Plan: the frequent-gram hits become per-doc intervals, the same
+    running-max window as the coverage op MERGES overlapping intervals
+    into a disjoint set (one doc-keyed sort shared by both windows),
+    and the disjoint set collects into a per-doc array — so the final
+    token filter is an in-row ``filter(toks, (tok, i) -> NOT
+    exists(intervals, …))`` over a SMALL disjoint list, never a
+    per-position explode of the hit stream (the 40 s trap the coverage
+    docstring documents) and never per-token × per-hit work. Shuffles:
+    gram postings aggregate + one doc-keyed exchange feeding windows
+    and the interval collect.
+
+    Returns ``(doc_id, n_tokens, n_kept, scrubbed_text)`` for every
+    document; ``n_tokens − n_kept`` reconciles with the coverage op's
+    ``n_covered`` (pinned by test).
+    """
+    from pyspark.sql import Window
+
+    kg = _ordered_kgram_hashes(docs, text_col, id_col, n)
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        TH.tokens(F.col(text_col)).alias("_toks"),
+    ).withColumn("n_tokens", F.size("_toks").cast("long"))
+    posts = kg.select(
+        "doc_id", F.posexplode("kh").alias("p0", "gram_hash")
+    ).persist()
+    freq = (
+        posts.groupBy("gram_hash")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("gram_hash")
+    )
+    spans = (
+        posts.join(freq, "gram_hash")
+        .join(base.select("doc_id", "n_tokens"), "doc_id")
+        .select(
+            "doc_id",
+            (F.col("p0") + 1).cast("long").alias("start"),
+            F.least(F.col("p0") + n, F.col("n_tokens")).cast("long").alias("end"),
+        )
+    )
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("start")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_cum = (
+        Window.partitionBy("doc_id")
+        .orderBy("start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    grouped = (
+        spans.withColumn("prev_end", F.max("end").over(w_prev))
+        .withColumn(
+            "is_new",
+            F.when(
+                F.col("prev_end").isNull()
+                | (F.col("start") > F.col("prev_end")),
+                1,
+            )
+            .otherwise(0)
+            .cast("long"),
+        )
+        .withColumn("grp", F.sum("is_new").over(w_cum))
+    )
+    merged = grouped.groupBy("doc_id", "grp").agg(
+        F.min("start").alias("s"), F.max("end").alias("e")
+    )
+    ivs = merged.groupBy("doc_id").agg(
+        F.collect_list(F.struct(F.col("s"), F.col("e"))).alias("_ivs")
+    )
+    joined = base.join(ivs, "doc_id", "left").withColumn(
+        "_ivs",
+        F.coalesce(
+            F.col("_ivs"), F.expr("CAST(array() AS array<struct<s:bigint,e:bigint>>)")
+        ),
+    )
+    kept = F.filter(
+        F.col("_toks"),
+        lambda tok, i: ~F.exists(
+            F.col("_ivs"),
+            lambda v: ((i + 1) >= v["s"]) & ((i + 1) <= v["e"]),
+        ),
+    )
+    return joined.select(
+        "doc_id",
+        "n_tokens",
+        F.size(kept).cast("long").alias("n_kept"),
+        F.array_join(kept, " ").alias("scrubbed_text"),
+    )

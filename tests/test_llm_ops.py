@@ -2789,3 +2789,116 @@ def test_dedup_funnel_planted_exact_and_near_dups(spark):
     assert out["near_dup_canonical"].n_docs <= 5
     for r in out.values():
         assert r.retained_ppm == r.n_docs * 1000000 // 6
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    """DSIR (hashed-bigram importance): docs sharing the target
+    domain's bigrams must score positive mean log ratio and be
+    selected; off-domain docs negative and dropped; a verbatim Python
+    recomputation of the smoothed bucket model matches exactly."""
+    import math
+
+    rows = [
+        # target domain (source 'tgt'): legal-ish vocabulary
+        (1, "hereby the party agrees hereby the party", "tgt"),
+        (2, "the party hereby agrees to the terms", "tgt"),
+        # raw-only docs: one target-like, one off-domain
+        (3, "the party hereby agrees", "web"),
+        (4, "fish swim under bright coral reefs daily", "web"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        r.doc_id: r
+        for r in CUR.dsir_weights(docs, target_source="tgt").collect()
+    }
+    assert len(out) == 4
+    # n_grams = token_count - 1 for docs with >= 2 tokens
+    assert out[3].n_grams == 3 and out[4].n_grams == 6
+    # On a corpus this tiny the Laplace smoothing dominates absolute
+    # signs (every doc also inflates its own raw counts), so the
+    # invariant is the RANKING: the target-vocabulary doc must score
+    # strictly above the off-domain doc, and the off-domain doc must
+    # be negative (zero target mass) and dropped.
+    assert out[3].dsir_logratio_q6 > out[4].dsir_logratio_q6
+    assert not out[4].dsir_selected and out[4].dsir_logratio_q6 < 0
+    assert out[4].dsir_selected == (out[4].dsir_logratio_q6 > 0)
+
+    # exact recomputation of doc 4's weight from the model definition
+    import hashlib
+
+    P, BKT, DOCB = 2_147_483_647, CUR.DSIR_BUCKETS, 257
+
+    def tok_hash(t):
+        return int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % P
+
+    def grams(text):
+        th = [tok_hash(t) for t in text.lower().split()]
+        if len(th) < 2:
+            return [th[0] % BKT]
+        return [((th[i] * DOCB + th[i + 1]) % P) % BKT for i in range(len(th) - 1)]
+
+    buckets: dict[int, tuple[int, int]] = {}
+    for _id, text, src in rows:
+        for b in grams(text):
+            t_cnt, r_cnt = buckets.get(b, (0, 0))
+            buckets[b] = (t_cnt + (1 if src == "tgt" else 0), r_cnt + 1)
+    t_tot = sum(v[0] for v in buckets.values())
+    r_tot = sum(v[1] for v in buckets.values())
+    lrs = []
+    for b in grams(rows[3][1]):
+        t_cnt, r_cnt = buckets[b]
+        lrs.append(
+            math.log((t_cnt + 1) / (t_tot + BKT))
+            - math.log((r_cnt + 1) / (r_tot + BKT))
+        )
+    expected = round(sum(lrs) / len(lrs) * 1e6) / 1e6
+    assert abs(out[4].dsir_logratio_q6 - expected) < 2e-6
+
+
+def test_span_scrub_removes_covered_tokens_and_reconciles(spark):
+    """span_scrub removes exactly the token positions the coverage op
+    counts (n_tokens - n_kept == n_covered, row for row), strips the
+    planted shared span from both docs carrying it, and leaves the
+    unique doc untouched."""
+    # 9 tokens > SPAN_N=8, so both docs share two identical 8-grams
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota"
+    rows = [
+        (1, f"one two {shared} three four", None),
+        (2, f"{shared} five six seven eight nine ten", None),
+        (3, "totally unique words nothing shared here at all", None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    scrub = {r.doc_id: r for r in TA.span_scrub(docs).collect()}
+    cov = {r.doc_id: r for r in TA.repeated_span_coverage(docs).collect()}
+    assert set(scrub) == {1, 2, 3}
+    for d in (1, 2, 3):
+        assert scrub[d].n_tokens - scrub[d].n_kept == cov[d].n_covered, d
+    for tok in shared.split():
+        assert tok not in scrub[1].scrubbed_text.split()
+        assert tok not in scrub[2].scrubbed_text.split()
+    assert scrub[3].scrubbed_text == rows[2][1]
+    assert scrub[1].scrubbed_text == "one two three four"
+
+
+def test_silhouette_crisp_vs_boundary_clusters(spark):
+    """Two tight, well-separated blobs -> mean silhouette near 1 for
+    both clusters; a vector exactly between the two seeds scores ~0
+    and drags its cluster's mean down."""
+    far, eps = 100.0, 0.5
+    rows = [
+        (0, [0.0, 0.0], "a"),        # seed cluster 0
+        (1, [far, 0.0], "a"),        # seed cluster 1
+        (2, [eps, 0.0], "a"),        # tight member of 0
+        (3, [far - eps, 0.0], "a"),  # tight member of 1
+        (4, [far / 2, 0.0], "a"),    # exactly between (tie -> cluster 0)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+    out = {r.cluster: r for r in SIM.silhouette_audit(emb, k=2).collect()}
+    assert out[0].n_vectors == 3 and out[1].n_vectors == 2
+    # cluster 1: seed (s=1) + tight member (s ~ 1 - eps/far)
+    assert out[1].mean_sil_q6 > 0.99
+    # cluster 0 carries the boundary vector (s = 0 at the midpoint):
+    # mean over (1, ~1, 0) lands near 2/3
+    assert 0.6 < out[0].mean_sil_q6 < 0.7
