@@ -318,6 +318,8 @@ def main() -> None:
         "docs_dsir_weights",
         "docs_span_scrub",
         "emb_silhouette",
+        "docs_source_kl",
+        "emb_ivf_probe_sweep",
     ]:
         fn = LQ.llm_queries()[name]
         timed_repeat(name, lambda fn=fn: fn(spark, sf_dir).collect())

@@ -460,6 +460,8 @@ def llm_queries() -> dict[str, QueryFn]:
         "docs_dsir_weights": q_dsir_weights,
         "docs_span_scrub": q_span_scrub,
         "emb_silhouette": q_silhouette,
+        "docs_source_kl": q_source_kl,
+        "emb_ivf_probe_sweep": q_ivf_probe_sweep,
     }
 
 
@@ -2078,6 +2080,8 @@ def llm_oracle_sql() -> dict[str, str]:
         "docs_dsir_weights": _sql_dsir_weights(),
         "docs_span_scrub": _sql_span_scrub(),
         "emb_silhouette": _sql_silhouette(),
+        "docs_source_kl": _sql_source_kl(),
+        "emb_ivf_probe_sweep": _sql_ivf_probe_sweep(),
     }
 
 
@@ -3730,3 +3734,96 @@ ab AS (
 SELECT cluster, CAST(count(*) AS BIGINT) AS n_vectors,
        {TH.sql_quantized6(f'avg({sil})')} AS mean_sil_q6
 FROM ab GROUP BY cluster"""
+
+
+def q_source_kl(spark, sf_dir):
+    return TA.source_kl(_docs(spark, sf_dir))
+
+
+def _sql_source_kl() -> str:
+    return f"""
+WITH dt AS (
+  SELECT source, unnest({TH.sql_tokens('text')}) AS term FROM documents
+),
+st AS (SELECT source, term, count(*) AS cnt_st FROM dt GROUP BY source, term),
+ct AS (SELECT term, CAST(sum(cnt_st) AS BIGINT) AS cnt_t FROM st GROUP BY term),
+tots AS (SELECT source, CAST(sum(cnt_st) AS BIGINT) AS tot_s FROM st GROUP BY source),
+totc AS (SELECT CAST(sum(cnt_t) AS BIGINT) AS tot_c FROM ct),
+contrib AS (
+  SELECT st.source, tot_s,
+         CAST(round((cnt_st / CAST(tot_s AS DOUBLE))
+              * ln((cnt_st / CAST(tot_s AS DOUBLE))
+                   / (cnt_t / CAST(tot_c AS DOUBLE)))
+              * 1e6) AS BIGINT) AS c_micro
+  FROM st JOIN ct USING (term) JOIN tots USING (source) CROSS JOIN totc
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(min(tot_s) AS BIGINT) AS n_tokens,
+       CAST(sum(c_micro) AS BIGINT) AS kl_micro
+FROM contrib GROUP BY source"""
+
+
+def q_ivf_probe_sweep(spark, sf_dir):
+    return SIM.ivf_probe_sweep(
+        _emb(spark, sf_dir), _emb_queries(spark, sf_dir), k=3
+    )
+
+
+def _sql_ivf_probe_sweep(k: int = 3) -> str:
+    from math import comb
+
+    bits = SIM.IVF_BITS
+    radii = sorted(SIM.IVF_SWEEP_RADII)
+    max_r = radii[-1]
+    masks = SIM.probe_masks(bits, max_r)
+    mask_list = ", ".join(f"xor(bucket, {m})" for m in masks)
+    ham_list = ", ".join(str(bin(m).count("1")) for m in masks)
+    radius_rows = ", ".join(
+        f"({r}, {sum(comb(bits, i) for i in range(r + 1))})" for r in radii
+    )
+    return f"""
+WITH {_EMB_CTE},
+eb AS (SELECT vec_id, v, {_sql_bucket('v')} AS bucket FROM e),
+qp AS (
+  SELECT vec_id AS qid, v AS qv,
+         unnest([{mask_list}]) AS q_bucket,
+         unnest([{ham_list}]) AS ham
+  FROM eb WHERE vec_id % {QUERY_MOD} = 0
+),
+scored AS (
+  SELECT qid AS query_id, eb.vec_id AS neighbor_id, ham,
+         {_DOT.replace('cv', 'eb.v')} / ({_NORM_Q} * {_NORM_C.replace('cv', 'eb.v')}) AS cosine
+  FROM eb JOIN qp ON eb.bucket = qp.q_bucket
+  WHERE eb.vec_id <> qid
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT qid AS query_id, e2.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY qid ORDER BY
+             {_DOT.replace('cv', 'e2.v')} / ({_NORM_Q} * {_NORM_C.replace('cv', 'e2.v')}) DESC,
+             e2.vec_id) AS rank
+    FROM e e2 CROSS JOIN (SELECT vec_id AS qid, v AS qv FROM e
+                          WHERE vec_id % {QUERY_MOD} = 0) q2
+    WHERE e2.vec_id <> qid
+  ) WHERE rank <= {k}
+),
+radii(probe_radius, n_buckets_probed) AS (VALUES {radius_rows}),
+approx AS (
+  SELECT r.probe_radius, query_id, neighbor_id FROM (
+    SELECT radii.probe_radius, query_id, neighbor_id,
+           row_number() OVER (PARTITION BY radii.probe_radius, query_id
+                              ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM scored JOIN radii ON scored.ham <= radii.probe_radius
+  ) r WHERE rank <= {k}
+)
+SELECT radii.probe_radius, CAST(radii.n_buckets_probed AS BIGINT) AS n_buckets_probed,
+       CAST(count(*) AS BIGINT) AS n_exact_pairs,
+       CAST(sum(CASE WHEN approx.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       CAST((1000 * sum(CASE WHEN approx.neighbor_id IS NOT NULL THEN 1 ELSE 0 END))
+            // count(*) AS BIGINT) AS recall_milli
+FROM radii
+CROSS JOIN exact
+LEFT JOIN approx ON approx.probe_radius = radii.probe_radius
+                AND approx.query_id = exact.query_id
+                AND approx.neighbor_id = exact.neighbor_id
+GROUP BY 1, 2"""

@@ -1890,3 +1890,118 @@ def silhouette_audit(embeddings: DataFrame, k: int = KMEANS_K) -> DataFrame:
             TH.quantized6(F.avg("s")).alias("mean_sil_q6"),
         )
     )
+
+
+IVF_SWEEP_RADII = (0, 1, 2, 3)
+
+
+def ivf_probe_sweep(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    bits: int = IVF_BITS,
+    radii: tuple[int, ...] = IVF_SWEEP_RADII,
+) -> DataFrame:
+    """Recall@k as a function of the IVF multi-probe radius — the
+    tuning curve that picks the probe budget (the ANN analogue of the
+    dedup family's ``jaccard_threshold_sweep``): one row per radius
+    with the bucket-probe cost and the aggregate recall against the
+    exact brute-force ranking, so the operator answers "how many
+    probes buy how much recall" in one oracle-checked query.
+
+    ONE corpus pass for every radius: probe masks nest (radius r's
+    buckets ⊂ radius r+1's), so the corpus joins the query side once
+    at MAX radius with each probe tagged by its mask's Hamming weight,
+    and radius r's ranking is a filter ``ham <= r`` over the shared
+    scored-pair frame (lazy ``persist()`` — computed once at the first
+    action, reused by every radius). The corpus side is never
+    replicated and never re-scored.
+
+    Returns ``(probe_radius, n_buckets_probed, n_exact_pairs, n_hits,
+    recall_milli)`` — integers end-to-end.
+    """
+    from math import comb
+
+    from pyspark.sql import Window
+
+    max_r = max(radii)
+    masks = probe_masks(bits, max_r)
+    q = (
+        queries.select(
+            F.col("vec_id").alias("query_id"),
+            as_double(F.col("embedding")).alias("qe"),
+        )
+        .withColumn("qn", norm(F.col("qe")))
+        .withColumn("qb0", coarse_bucket(F.col("qe"), bits))
+    )
+    qb = q.select(
+        "query_id",
+        "qe",
+        "qn",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.col("qb0").bitwiseXOR(F.lit(m)).alias("q_bucket"),
+                        F.lit(bin(m).count("1")).cast("long").alias("ham"),
+                    )
+                    for m in masks
+                ]
+            )
+        ).alias("p"),
+    ).select(
+        "query_id", "qe", "qn",
+        F.col("p.q_bucket").alias("q_bucket"),
+        F.col("p.ham").alias("ham"),
+    )
+    c = (
+        embeddings.select(
+            F.col("vec_id").alias("neighbor_id"),
+            as_double(F.col("embedding")).alias("ce"),
+        )
+        .withColumn("cn", norm(F.col("ce")))
+        .withColumn("bucket", coarse_bucket(F.col("ce"), bits))
+    )
+    scored = (
+        c.join(F.broadcast(qb), F.col("q_bucket") == F.col("bucket"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine", dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))
+        )
+        .select("query_id", "neighbor_id", "ham", "cosine")
+        .persist()
+    )
+    exact = cosine_topk(embeddings, queries, k).select("query_id", "neighbor_id")
+
+    out = None
+    for r in sorted(radii):
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("neighbor_id")
+        )
+        approx = (
+            scored.filter(F.col("ham") <= r)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id")
+            .withColumn("hit", F.lit(1))
+        )
+        agg = (
+            exact.join(F.broadcast(approx), ["query_id", "neighbor_id"], "left")
+            .agg(
+                F.count("*").cast("long").alias("n_exact_pairs"),
+                F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+                .cast("long")
+                .alias("n_hits"),
+            )
+            .select(
+                F.lit(r).cast("long").alias("probe_radius"),
+                F.lit(sum(comb(bits, i) for i in range(r + 1)))
+                .cast("long")
+                .alias("n_buckets_probed"),
+                "n_exact_pairs",
+                "n_hits",
+                F.expr("(1000 * n_hits) div n_exact_pairs").alias("recall_milli"),
+            )
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return out

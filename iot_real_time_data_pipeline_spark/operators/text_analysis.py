@@ -1601,3 +1601,70 @@ def span_scrub(
         F.size(kept).cast("long").alias("n_kept"),
         F.array_join(kept, " ").alias("scrubbed_text"),
     )
+
+
+def source_kl(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source unigram KL divergence from the corpus distribution —
+    the mixing diagnostic that says HOW DIFFERENT each source's
+    language is from the blend (a near-zero source adds nothing a
+    temperature-weighted mix doesn't already have; a high-KL source is
+    the one whose weight actually changes the model's input
+    distribution).
+
+    ``KL(source ‖ corpus) = Σ_t p_s(t)·ln(p_s(t)/p_c(t))`` needs no
+    smoothing: every source term is a corpus term (support ⊆ support),
+    and terms absent from the source contribute exactly 0 — so the sum
+    runs over PRESENT (source, term) pairs only.
+
+    Integer-exact accumulation (the ``zipf_slope`` discipline): each
+    term's contribution is a per-row double expression — bit-identical
+    across engines — quantized to integer MICRO-NATS before the sum,
+    so the per-source total is an order-independent BIGINT, never an
+    accumulation-order-dependent double. Plan: one explode →
+    partial-agged groupBy(source, term) (shuffle ∝ distinct pairs),
+    corpus term counts derived FROM that aggregate (no second scan),
+    per-source and corpus totals as broadcast scalars.
+
+    Returns ``(source, n_terms, n_tokens, kl_micro)`` — kl_micro in
+    1e-6 nats, sorted-insensitive.
+    """
+    term_rows = docs.select(
+        F.col(source_col).alias("source"),
+        F.explode(TH.tokens(F.col(text_col))).alias("term"),
+    )
+    st = term_rows.groupBy("source", "term").agg(F.count("*").alias("cnt_st"))
+    ct = st.groupBy("term").agg(F.sum("cnt_st").alias("cnt_t"))
+    tot_s = st.groupBy("source").agg(F.sum("cnt_st").alias("tot_s"))
+    tot_c = ct.agg(F.sum("cnt_t").alias("tot_c"))
+    contrib = (
+        st.join(ct, "term")
+        .join(tot_s, "source")
+        .crossJoin(F.broadcast(tot_c))
+        .select(
+            "source",
+            "tot_s",
+            # pure double ratios (never cnt*tot BIGINT products, which
+            # overflow at 100 TB token counts); identical expression
+            # tree in the oracle, so per-row bit-identical.
+            F.round(
+                (F.col("cnt_st") / F.col("tot_s"))
+                * F.log(
+                    (F.col("cnt_st") / F.col("tot_s"))
+                    / (F.col("cnt_t") / F.col("tot_c"))
+                )
+                * F.lit(1e6)
+            )
+            .cast("long")
+            .alias("c_micro"),
+        )
+    )
+    return contrib.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_terms"),
+        F.first("tot_s").cast("long").alias("n_tokens"),
+        F.sum("c_micro").cast("long").alias("kl_micro"),
+    )

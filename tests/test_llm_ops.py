@@ -2902,3 +2902,58 @@ def test_silhouette_crisp_vs_boundary_clusters(spark):
     # cluster 0 carries the boundary vector (s = 0 at the midpoint):
     # mean over (1, ~1, 0) lands near 2/3
     assert 0.6 < out[0].mean_sil_q6 < 0.7
+
+
+def test_source_kl_zero_for_identical_distribution_positive_for_skew(spark):
+    """A source whose unigram distribution equals the corpus blend has
+    KL 0 (every log ratio is 0); a source with distinct vocabulary is
+    strictly positive; a Python recomputation matches to the micro-nat."""
+    import math
+
+    rows = [
+        # two sources with IDENTICAL distributions ("x y"), so the
+        # corpus blend equals each -> KL = 0 for both
+        (1, "x y", "a"),
+        (2, "x y", "b"),
+        # skewed pair: c is all "x", d is all "y" -> corpus 50/50,
+        # KL(c||corpus) = 1*ln(2/1)... computed exactly below
+        (3, "x x", "c"),
+        (4, "y y", "d"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    base = {r.source: r for r in TA.source_kl(docs).collect()}
+    assert base["a"].kl_micro == base["b"].kl_micro
+    assert base["c"].kl_micro > 0 and base["d"].kl_micro > 0
+
+    # exact recomputation for source c: corpus has x:4? (a,b each "x y"
+    # -> x:2 y:2; c -> x:2; d -> y:2) => x:4 y:4 tot 8. p_c(x)=4/8.
+    # source c: p_s(x)=1. contribution = 1 * ln(1 / 0.5) = ln 2.
+    expected = round(1.0 * math.log((2 / 2) / (4 / 8)) * 1e6)
+    assert base["c"].kl_micro == expected
+    assert base["c"].n_terms == 1 and base["c"].n_tokens == 2
+
+
+def test_ivf_probe_sweep_recall_monotone_and_converges(spark):
+    """Recall@k must be non-decreasing in the probe radius (mask sets
+    nest), reach 1000 milli at full radius on a corpus where every
+    bucket is probed, and agree with ann_recall_audit at the default
+    radius."""
+    from iot_real_time_data_pipeline_spark.entrypoints import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    rows = sorted(
+        SIM.ivf_probe_sweep(emb, q, k=3, radii=(0, 1, 2, 5)).collect(),
+        key=lambda r: r.probe_radius,
+    )
+    recalls = [r.recall_milli for r in rows]
+    assert recalls == sorted(recalls), recalls
+    # radius = bits probes every bucket -> identical to brute force
+    assert rows[-1].probe_radius == 5 and rows[-1].recall_milli == 1000
+    assert rows[-1].n_buckets_probed == 32
+    # cross-check against the single-point recall audit at radius 2
+    audit = SIM.ann_recall_audit(emb, q, k=3).agg(
+        F.sum("n_hits").alias("h"), F.sum("n_exact").alias("n")
+    ).collect()[0]
+    r2 = next(r for r in rows if r.probe_radius == 2)
+    assert r2.n_hits == audit.h and r2.n_exact_pairs == audit.n
