@@ -1114,3 +1114,43 @@ def test_generate_infers_no_expensive_scan_filter(spark, docs):
     for line in plan.splitlines():
         if line.strip().startswith(("Filter", "+- Filter", ": Filter")):
             assert "md5" not in line, "generator filter re-inlines the hash chain"
+
+
+def test_q12_bucketed_join_has_no_join_exchange(spark):
+    """wh_q12_bucketed: both fact tables bucketed+sorted on orderkey →
+    the fact↔fact join must plan with NO Exchange below it (bucketed
+    scans satisfy the join's clustering requirement); the only
+    exchange in the whole plan is the final tiny priority aggregate.
+    Results must equal the unbucketed q12 row for row."""
+    from iot_real_time_data_pipeline_spark import warehouse_queries as WQ
+
+    sf = SF_DIR
+    # Disable auto-broadcast: at test scale the planner would broadcast
+    # the tiny orders side (also exchange-free for the facts, but not
+    # the 100 TB path). With it off, the bucketed scans must satisfy
+    # the SortMergeJoin's clustering directly.
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = WQ.q_q12_bucketed(spark, sf)
+        plan = plan_of(df)
+        # the ONLY shuffle is the final groupBy(o_orderpriority);
+        # the fact<->fact join reads matching buckets off the scans.
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+        assert "BroadcastExchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+        assert "SelectedBucketsCount" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    plain = {
+        (r.o_orderpriority): (r.n_lines, r.n_late, r.n_late_highprio)
+        for r in WQ.q_q12(spark, sf).collect()
+    }
+    bucketed = {
+        (r.o_orderpriority): (r.n_lines, r.n_late, r.n_late_highprio)
+        for r in df.collect()
+    }
+    assert bucketed == plain
+    for t in spark.catalog.listTables():
+        if t.name.startswith(("wh_li_bkt", "wh_o_bkt")):
+            spark.sql(f"DROP TABLE IF EXISTS {t.name}")
