@@ -994,9 +994,13 @@ def _ordered_kgram_hashes(
     )
 
     def combine(i):
-        acc = F.coalesce(F.element_at(F.col("_th"), i), F.lit(0))
+        # try_element_at: docs shorter than k tokens zero-pad (NULL →
+        # 0) instead of raising INVALID_ARRAY_INDEX under ANSI mode
+        # (plain element_at crashed 1-token docs — caught by
+        # test_property_span_scrub_output_is_subsequence).
+        acc = F.coalesce(F.try_element_at(F.col("_th"), i), F.lit(0))
         for j in range(1, k):
-            nxt = F.coalesce(F.element_at(F.col("_th"), i + j), F.lit(0))
+            nxt = F.coalesce(F.try_element_at(F.col("_th"), i + j), F.lit(0))
             acc = (acc * TH.DOC_B + nxt) % TH.HASH_P
         return acc
 

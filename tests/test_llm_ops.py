@@ -2957,3 +2957,76 @@ def test_ivf_probe_sweep_recall_monotone_and_converges(spark):
     ).collect()[0]
     r2 = next(r for r in rows if r.probe_radius == 2)
     assert r2.n_hits == audit.h and r2.n_exact_pairs == audit.n
+
+
+def test_property_source_kl_nonnegative_and_zero_on_self(spark):
+    """Gibbs' inequality: KL(source || corpus) >= 0 for ANY corpus
+    (modulo the +-1 micro-nat per-term rounding); and when every doc
+    shares one source, the source IS the corpus, so KL == 0 exactly."""
+    from hypothesis import given, settings, strategies as st
+
+    words = st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"])
+    doc = st.lists(words, min_size=1, max_size=8).map(" ".join)
+    src = st.sampled_from(["s1", "s2", "s3"])
+
+    @settings(max_examples=5, deadline=None)
+    @given(st.lists(st.tuples(doc, src), min_size=2, max_size=8))
+    def check(rows):
+        df = spark.createDataFrame(
+            [(i, t, s) for i, (t, s) in enumerate(rows)],
+            "doc_id long, text string, source string",
+        )
+        for r in TA.source_kl(df).collect():
+            # rounding slack: each term contributes +-0.5 micro-nats
+            assert r.kl_micro >= -(r.n_terms), r
+
+    check()
+
+    one = spark.createDataFrame(
+        [(1, "a b c", "only"), (2, "c b a a", "only")],
+        "doc_id long, text string, source string",
+    )
+    [row] = TA.source_kl(one).collect()
+    assert row.kl_micro == 0
+
+
+def test_property_dsir_all_zero_when_target_is_corpus(spark):
+    """When the target domain IS the whole corpus, p_target == p_raw
+    bucket for bucket, so every log ratio and every doc weight is
+    exactly 0 (and nothing is selected under the > 0 rule)."""
+    rows = [
+        (1, "alpha beta gamma", "all"),
+        (2, "beta gamma delta delta", "all"),
+        (3, "alpha", "all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = CUR.dsir_weights(docs, target_source="all").collect()
+    assert len(out) == 3
+    for r in out:
+        assert r.dsir_logratio_q6 == 0.0 and not r.dsir_selected
+
+
+def test_property_span_scrub_output_is_subsequence(spark):
+    """For ANY corpus: n_kept <= n_tokens, and the scrubbed text is an
+    ordered subsequence of the original token stream."""
+    from hypothesis import given, settings, strategies as st
+
+    words = st.sampled_from(["a", "b", "c", "d", "e", "f", "g", "h", "i"])
+    doc = st.lists(words, min_size=1, max_size=20).map(" ".join)
+
+    @settings(max_examples=5, deadline=None)
+    @given(st.lists(doc, min_size=1, max_size=6))
+    def check(texts):
+        df = spark.createDataFrame(
+            [(i, t, "en") for i, t in enumerate(texts)],
+            "doc_id long, text string, lang string",
+        )
+        orig = {i: t.split() for i, t in enumerate(texts)}
+        for r in TA.span_scrub(df).collect():
+            assert 0 <= r.n_kept <= r.n_tokens
+            kept = r.scrubbed_text.split() if r.scrubbed_text else []
+            assert len(kept) == r.n_kept
+            it = iter(orig[r.doc_id])
+            assert all(tok in it for tok in kept), (r.doc_id, kept)
+
+    check()
