@@ -789,12 +789,12 @@ base AS (
   FROM toks
 )
 SELECT doc_id, n_chars, n_tokens,
-       {TH.sql_quantized6('punct / CAST(n_chars AS DOUBLE)')} AS punct_ratio,
-       {TH.sql_quantized6('digits / CAST(n_chars AS DOUBLE)')} AS digit_ratio,
+       {TH.sql_quantized6('punct / CAST(nullif(n_chars, 0) AS DOUBLE)')} AS punct_ratio,
+       {TH.sql_quantized6('digits / CAST(nullif(n_chars, 0) AS DOUBLE)')} AS digit_ratio,
        {TH.sql_quantized6('stop_hits / CAST(n_tokens AS DOUBLE)')} AS stopword_ratio,
        CASE WHEN n_tokens >= 10
-             AND punct / CAST(n_chars AS DOUBLE) < 0.2
-             AND digits / CAST(n_chars AS DOUBLE) < 0.5
+             AND punct / CAST(nullif(n_chars, 0) AS DOUBLE) < 0.2
+             AND digits / CAST(nullif(n_chars, 0) AS DOUBLE) < 0.5
             THEN 'keep' ELSE 'review' END AS quality_route
 FROM base"""
 
@@ -861,7 +861,7 @@ WITH {_EMB_CTE},
 q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % {QUERY_MOD} = 0),
 scored AS (
   SELECT qid AS query_id, e.vec_id AS neighbor_id, e.v AS cv, qv,
-         {_DOT} / ({_NORM_Q} * {_NORM_C}) AS cosine
+         {_DOT} / nullif({_NORM_Q} * {_NORM_C}, 0.0) AS cosine
   FROM e CROSS JOIN q
   WHERE e.vec_id <> qid
 ),
@@ -894,7 +894,7 @@ scored AS (
   SELECT qid AS query_id, ql AS query_label,
          el.vec_id AS neighbor_id, el.label AS neighbor_label,
          el.v AS cv, qv,
-         {_DOT} / ({_NORM_Q} * {_NORM_C}) AS cosine
+         {_DOT} / nullif({_NORM_Q} * {_NORM_C}, 0.0) AS cosine
   FROM el CROSS JOIN q
   WHERE el.vec_id <> qid AND el.label <> ql
 ),
@@ -969,7 +969,7 @@ WITH {_EMB_CTE},
 q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % {QUERY_MOD} = 0),
 scored AS (
   SELECT qid AS query_id, e.vec_id AS neighbor_id, e.v AS cv, qv,
-         {_DOT} / ({_NORM_Q} * {_NORM_C}) AS cosine
+         {_DOT} / nullif({_NORM_Q} * {_NORM_C}, 0.0) AS cosine
   FROM e CROSS JOIN q
   WHERE e.vec_id <> qid
 ),
@@ -1181,7 +1181,7 @@ q AS (SELECT vec_id AS qid, v AS qv, unnest([{masks}]) AS q_bucket FROM eb
       WHERE vec_id % {QUERY_MOD} = 0),
 scored AS (
   SELECT qid AS query_id, eb.vec_id AS neighbor_id, eb.v AS cv, qv,
-         {_DOT} / ({_NORM_Q} * {_NORM_C}) AS cosine
+         {_DOT} / nullif({_NORM_Q} * {_NORM_C}, 0.0) AS cosine
   FROM eb JOIN q ON eb.bucket = q.q_bucket
   WHERE eb.vec_id <> qid
 ),
@@ -1239,7 +1239,7 @@ pairs AS (
   FROM cand JOIN e a ON vec_a = a.vec_id JOIN e b ON vec_b = b.vec_id
 ),
 scored AS (
-  SELECT vec_a, vec_b, {_DOT} / ({_NORM_Q} * {_NORM_C}) AS cosine
+  SELECT vec_a, vec_b, {_DOT} / nullif({_NORM_Q} * {_NORM_C}, 0.0) AS cosine
   FROM pairs
 )"""
 
@@ -1573,8 +1573,8 @@ canon AS (
 SELECT doc_id, predicted_lang, n_tokens
 FROM canon
 WHERE n_tokens >= 10
-  AND punct / CAST(n_chars AS DOUBLE) < 0.2
-  AND digits / CAST(n_chars AS DOUBLE) < 0.5
+  AND punct / CAST(nullif(n_chars, 0) AS DOUBLE) < 0.2
+  AND digits / CAST(nullif(n_chars, 0) AS DOUBLE) < 0.5
   AND doc_id = canonical_id
   AND sample_bucket < (CASE predicted_lang {rates} ELSE 0 END)"""
 
@@ -3492,6 +3492,9 @@ un AS (
            list_prepend(CAST(0.0 AS DOUBLE), list_transform(v, y -> y * y)),
            (a, z) -> a + z))) AS u
   FROM el
+  WHERE list_reduce(
+          list_prepend(CAST(0.0 AS DOUBLE), list_transform(v, y -> y * y)),
+          (a, z) -> a + z) > 0
 ),
 ex AS (
   SELECT label, d.d AS dim, u[d.d] AS x
@@ -3792,7 +3795,7 @@ qp AS (
 ),
 scored AS (
   SELECT qid AS query_id, eb.vec_id AS neighbor_id, ham,
-         {_DOT.replace('cv', 'eb.v')} / ({_NORM_Q} * {_NORM_C.replace('cv', 'eb.v')}) AS cosine
+         {_DOT.replace('cv', 'eb.v')} / nullif({_NORM_Q} * {_NORM_C.replace('cv', 'eb.v')}, 0.0) AS cosine
   FROM eb JOIN qp ON eb.bucket = qp.q_bucket
   WHERE eb.vec_id <> qid
 ),
@@ -3800,7 +3803,7 @@ exact AS (
   SELECT query_id, neighbor_id FROM (
     SELECT qid AS query_id, e2.vec_id AS neighbor_id,
            row_number() OVER (PARTITION BY qid ORDER BY
-             {_DOT.replace('cv', 'e2.v')} / ({_NORM_Q} * {_NORM_C.replace('cv', 'e2.v')}) DESC,
+             {_DOT.replace('cv', 'e2.v')} / nullif({_NORM_Q} * {_NORM_C.replace('cv', 'e2.v')}, 0.0) DESC,
              e2.vec_id) AS rank
     FROM e e2 CROSS JOIN (SELECT vec_id AS qid, v AS qv FROM e
                           WHERE vec_id % {QUERY_MOD} = 0) q2

@@ -135,7 +135,8 @@ def _scored_pairs(queries: DataFrame, corpus: DataFrame, join_on=None) -> DataFr
         joined.filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "cosine",
-            dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn")),
+            dot(F.col("qe"), F.col("ce"))
+            / F.nullif(F.col("qn") * F.col("cn"), F.lit(0.0)),
         )
         .select("query_id", "neighbor_id", "cosine")
     )
@@ -356,7 +357,8 @@ def _verified_pairs(e: DataFrame, candidates: DataFrame, threshold: float) -> Da
         .join(db, "vec_b")
         .withColumn(
             "cosine",
-            dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn")),
+            dot(F.col("qe"), F.col("ce"))
+            / F.nullif(F.col("qn") * F.col("cn"), F.lit(0.0)),
         )
         .filter(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", TH.quantized6(F.col("cosine")).alias("cosine"))
@@ -466,7 +468,8 @@ def cosine_dup_pairs_exact(embeddings: DataFrame, threshold: float = 0.45) -> Da
         .filter(F.col("vec_a") < F.col("vec_b"))
         .withColumn(
             "cosine",
-            dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn")),
+            dot(F.col("qe"), F.col("ce"))
+            / F.nullif(F.col("qn") * F.col("cn"), F.lit(0.0)),
         )
         .filter(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", TH.quantized6(F.col("cosine")).alias("cosine"))
@@ -820,9 +823,10 @@ def ivf_int8_rerank_topk(
         .withColumn(
             "approx_cosine",
             dot_i.cast("double")
-            / (
+            / F.nullif(
                 F.sqrt(F.col("qn2").cast("double"))
-                * F.sqrt(F.col("cn2").cast("double"))
+                * F.sqrt(F.col("cn2").cast("double")),
+                F.lit(0.0),
             ),
         )
         .select("query_id", "neighbor_id", "approx_cosine")
@@ -852,7 +856,8 @@ def ivf_int8_rerank_topk(
         .join(nfull, "neighbor_id")
         .withColumn(
             "cosine",
-            dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn")),
+            dot(F.col("qe"), F.col("ce"))
+            / F.nullif(F.col("qn") * F.col("cn"), F.lit(0.0)),
         )
         .select("query_id", "neighbor_id", "cosine")
     )
@@ -906,7 +911,11 @@ def int8_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5) -> DataFram
         .withColumn(
             "cosine",
             dot_i.cast("double")
-            / (F.sqrt(F.col("qn2").cast("double")) * F.sqrt(F.col("cn2").cast("double"))),
+            / F.nullif(
+                F.sqrt(F.col("qn2").cast("double"))
+                * F.sqrt(F.col("cn2").cast("double")),
+                F.lit(0.0),
+            ),
         )
         .select("query_id", "neighbor_id", "cosine")
     )
@@ -980,9 +989,10 @@ def int8_rerank_topk(
         .withColumn(
             "approx_cosine",
             dot_i.cast("double")
-            / (
+            / F.nullif(
                 F.sqrt(F.col("qn2").cast("double"))
-                * F.sqrt(F.col("cn2").cast("double"))
+                * F.sqrt(F.col("cn2").cast("double")),
+                F.lit(0.0),
             ),
         )
         .select("query_id", "neighbor_id", "approx_cosine")
@@ -1020,7 +1030,8 @@ def int8_rerank_topk(
         )
         .withColumn(
             "cosine",
-            dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn")),
+            dot(F.col("qe"), F.col("ce"))
+            / F.nullif(F.col("qn") * F.col("cn"), F.lit(0.0)),
         )
         .select("query_id", "neighbor_id", "cosine")
     )
@@ -1072,7 +1083,9 @@ def semantic_dedup(
         b,
         (F.col("cluster") == F.col("cluster_b")) & (F.col("vec_b") < F.col("vec_id")),
     )
-    cosine = dot(F.col("v"), F.col("vb")) / (F.col("n") * F.col("nb"))
+    cosine = dot(F.col("v"), F.col("vb")) / F.nullif(
+        F.col("n") * F.col("nb"), F.lit(0.0)
+    )
     return (
         pairs.withColumn("cosine", cosine)
         .filter(F.col("cosine") >= threshold)
@@ -1548,11 +1561,18 @@ def label_diversity(embeddings: DataFrame) -> DataFrame:
     Returns ``(label, n_vectors, mean_pairwise_cosine)`` (quantized
     1e-6; groups of one vector report NULL — no pairs exist).
     """
-    un = embeddings.select(
-        "label", as_double(F.col("embedding")).alias("v")
-    ).select(
-        "label",
-        F.expr("transform(v, x -> x / sqrt(aggregate(v, 0.0d, (a, y) -> a + y * y)))").alias("u"),
+    un = (
+        embeddings.select("label", as_double(F.col("embedding")).alias("v"))
+        # zero vectors have no direction: they can't participate in a
+        # mean-pairwise-cosine (and x/0 is an ANSI runtime error) —
+        # exclude them from both the sums and the pair count.
+        .filter(F.expr("aggregate(v, 0.0d, (a, y) -> a + y * y)") > 0)
+        .select(
+            "label",
+            F.expr(
+                "transform(v, x -> x / sqrt(aggregate(v, 0.0d, (a, y) -> a + y * y)))"
+            ).alias("u"),
+        )
     )
     ex = un.select("label", F.posexplode("u").alias("dim", "x"))
     sums = ex.groupBy("label", "dim").agg(F.sum("x").alias("s"))
@@ -1815,7 +1835,8 @@ def hard_negatives(
         .filter(F.col("query_label") != F.col("neighbor_label"))
         .withColumn(
             "cosine",
-            dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn")),
+            dot(F.col("qe"), F.col("ce"))
+            / F.nullif(F.col("qn") * F.col("cn"), F.lit(0.0)),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -1966,7 +1987,8 @@ def ivf_probe_sweep(
         c.join(F.broadcast(qb), F.col("q_bucket") == F.col("bucket"))
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
-            "cosine", dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))
+            "cosine", dot(F.col("qe"), F.col("ce"))
+            / F.nullif(F.col("qn") * F.col("cn"), F.lit(0.0))
         )
         .select("query_id", "neighbor_id", "ham", "cosine")
         .persist()

@@ -109,21 +109,27 @@ def quality_scores(docs: DataFrame, text_col: str = "text", id_col: str = "doc_i
     text = F.col(text_col)
     toks = TH.tokens(text)
     n_chars = F.length(text)
+    # nullif guards: an EMPTY document (real crawls contain them) has
+    # n_chars = 0, and under Spark 4's default ANSI mode a bare x/0 is
+    # a runtime DIVIDE_BY_ZERO, not inf — ratios become NULL and the
+    # keep predicate (NULL < 0.2 → NULL → otherwise-branch) routes the
+    # doc to 'review'. DuckDB's nullif mirrors exactly.
+    n_chars_d = F.nullif(n_chars, F.lit(0)).cast("double")
     punct = F.length(F.regexp_replace(text, r"[^.,;:!?]", ""))
     digits = F.length(F.regexp_replace(text, r"[^0-9]", ""))
     stop_hits = _lang_score(toks, "en")
     stop_ratio = stop_hits / F.size(toks).cast("double")
     keep = (
         (F.size(toks) >= 10)
-        & (punct / n_chars.cast("double") < 0.2)
-        & (digits / n_chars.cast("double") < 0.5)
+        & (punct / n_chars_d < 0.2)
+        & (digits / n_chars_d < 0.5)
     )
     return docs.select(
         F.col(id_col).alias("doc_id"),
         n_chars.alias("n_chars"),
         F.size(toks).alias("n_tokens"),
-        TH.quantized6(punct / n_chars.cast("double")).alias("punct_ratio"),
-        TH.quantized6(digits / n_chars.cast("double")).alias("digit_ratio"),
+        TH.quantized6(punct / n_chars_d).alias("punct_ratio"),
+        TH.quantized6(digits / n_chars_d).alias("digit_ratio"),
         TH.quantized6(stop_ratio).alias("stopword_ratio"),
         F.when(keep, F.lit("keep")).otherwise(F.lit("review")).alias("quality_route"),
     )
