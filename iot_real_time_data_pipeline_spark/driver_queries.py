@@ -146,15 +146,25 @@ def q_staging_from_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
             pass  # lost the publish race — the existing dir is equivalent
         finally:
             shutil.rmtree(scratch, ignore_errors=True)
-    scan = spark.read.parquet(lake_dir)
+    # Explicit schema: an EMPTY source (a date range with no events)
+    # produces a lake with no partition directories at all, and a bare
+    # read would fail UNABLE_TO_INFER_SCHEMA instead of returning the
+    # empty staging frame the caller expects.
+    from pyspark.sql.types import DateType, StringType, StructField, StructType
+
+    from .schemas import STAGING_COLUMNS
+
+    lake_schema = StructType(
+        [StructField(n, t) for n, t in STAGING_COLUMNS]
+        + [StructField("loc_part", StringType()), StructField("date", DateType())]
+    )
+    scan = spark.read.schema(lake_schema).parquet(lake_dir)
     pruned = scan.filter(
         F.col("validation_status").isin("VALID", "WARNING")
         & F.col("loc_part").isin(*LAKE_SLICE_LOCS)
         & (F.col("date") >= F.lit(LAKE_SLICE_DATE_FROM).cast("date"))
         & (F.col("date") < F.lit(LAKE_SLICE_DATE_TO).cast("date"))
     )
-    from .schemas import STAGING_COLUMNS
-
     return pruned.select(*[name for name, _ in STAGING_COLUMNS])
 
 

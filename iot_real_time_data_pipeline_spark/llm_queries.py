@@ -3616,7 +3616,7 @@ funnel AS (
   SELECT 2, 'near_dup_canonical', n FROM near
 )
 SELECT stage_ord, stage, n AS n_docs,
-       (n * CAST(1000000 AS BIGINT)) // (SELECT n FROM raw) AS retained_ppm
+       (n * CAST(1000000 AS BIGINT)) // nullif((SELECT n FROM raw), 0) AS retained_ppm
 FROM funnel"""
 
 

@@ -1245,9 +1245,11 @@ def dedup_funnel(
         "stage_ord",
         "stage",
         "n_docs",
-        F.expr("(n_docs * CAST(1000000 AS BIGINT)) div raw_docs").alias(
-            "retained_ppm"
-        ),
+        # nullif: an empty corpus (raw_docs = 0) reports NULL retention
+        # instead of an ANSI DIVIDE_BY_ZERO error.
+        F.expr(
+            "(n_docs * CAST(1000000 AS BIGINT)) div nullif(raw_docs, 0)"
+        ).alias("retained_ppm"),
     )
 
 

@@ -693,6 +693,26 @@ def assignment_centroids(embeddings: DataFrame, assignment: DataFrame) -> DataFr
     )
 
 
+
+def _ivf_index_schema(like: DataFrame):
+    """Explicit read schema for a persisted IVF index built from a
+    frame shaped like ``like`` — an index built from an EMPTY corpus
+    has no partition directories at all, and a bare parquet read would
+    fail UNABLE_TO_INFER_SCHEMA instead of returning an empty index."""
+    from pyspark.sql.types import (
+        ArrayType, IntegerType, LongType, StructField, StructType,
+    )
+
+    return StructType(
+        list(like.schema.fields)
+        + [
+            StructField("cc", ArrayType(LongType())),
+            StructField("cn2", LongType()),
+            StructField("bucket", IntegerType()),
+        ]
+    )
+
+
 def build_ivf_index(
     embeddings: DataFrame, path: str, bits: int = IVF_BITS, mode: str = "overwrite"
 ) -> None:
@@ -747,7 +767,11 @@ def ivf_index_topk(
     probe_buckets = sorted(
         {r.bucket for r in qb.select("bucket").distinct().collect()}
     )
-    idx = spark.read.parquet(path).filter(F.col("bucket").isin(probe_buckets))
+    idx = (
+        spark.read.schema(_ivf_index_schema(queries))
+        .parquet(path)
+        .filter(F.col("bucket").isin(probe_buckets))
+    )
     return _topk(_scored_pairs(qb, idx, join_on="bucket"), k)
 
 
@@ -801,7 +825,11 @@ def ivf_int8_rerank_topk(
     probe_buckets = sorted(
         {r.bucket for r in qb.select("bucket").distinct().collect()}
     )
-    idx = spark.read.parquet(path).filter(F.col("bucket").isin(probe_buckets))
+    idx = (
+        spark.read.schema(_ivf_index_schema(queries))
+        .parquet(path)
+        .filter(F.col("bucket").isin(probe_buckets))
+    )
 
     # Stage 1: integer scoring over the pruned index's CODE columns.
     q1 = qb.select(

@@ -171,3 +171,47 @@ def test_degenerate_iot_queries(spark, degenerate_dir):
         except Exception as exc:  # noqa: BLE001
             failures.append((name, str(exc).split("\n")[0][:160]))
     assert not failures, failures
+
+
+@pytest.fixture(scope="module")
+def empty_dir(spark, tmp_path_factory):
+    """All 10 tables with ZERO rows — the empty-date-partition case.
+    Every query must return an empty (or all-NULL-aggregate) result,
+    never UNABLE_TO_INFER_SCHEMA or DIVIDE_BY_ZERO."""
+    d = str(tmp_path_factory.mktemp("empty_sf"))
+    schemas = {
+        "documents": "doc_id long, text string, lang string, source string, n_chars long",
+        "embeddings": "vec_id long, embedding array<float>, label int",
+        "events": "event_id long, ts timestamp, user_id long, event_type string, "
+                  "value double, props string",
+        "region": "r_regionkey int, r_name string",
+        "nation": "n_nationkey int, n_name string, n_regionkey int",
+        "customer": "c_custkey long, c_name string, c_nationkey int, "
+                    "c_acctbal double, c_mktsegment string",
+        "supplier": "s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
+        "part": "p_partkey long, p_name string, p_brand string, p_type string, "
+                "p_size int, p_retailprice double",
+        "orders": "o_orderkey long, o_custkey long, o_orderstatus string, "
+                  "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+        "lineitem": "l_orderkey long, l_partkey long, l_suppkey long, "
+                    "l_linenumber int, l_quantity double, l_extendedprice double, "
+                    "l_discount double, l_tax double, l_returnflag string, "
+                    "l_linestatus string, l_shipdate timestamp",
+    }
+    for t, s in schemas.items():
+        spark.createDataFrame([], s).write.mode("overwrite").parquet(
+            os.path.join(d, f"{t}.parquet")
+        )
+    return d
+
+
+def test_empty_tables_every_query_executes(spark, empty_dir):
+    import __spark_entry__ as E
+
+    failures = []
+    for name, fn in E.queries().items():
+        try:
+            fn(spark, empty_dir).collect()
+        except Exception as exc:  # noqa: BLE001
+            failures.append((name, str(exc).split("\n")[0][:120]))
+    assert not failures, failures
