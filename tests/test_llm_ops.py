@@ -1897,7 +1897,12 @@ def test_pagerank_matches_python_integer_recurrence(spark, docs):
 def test_label_propagation_matches_python_recurrence(spark, docs):
     # independent reference: the same synchronous closed-neighborhood
     # most-frequent-label update (self-vote; ties -> smallest label)
-    # run in plain Python
+    # run in plain Python.
+    # clearCache first: in a long shared session (the full suite) the
+    # accumulated lazily-persisted frames from hundreds of earlier
+    # queries flaked this test once (r7 full-suite run); start from an
+    # empty SQL cache so the iterative rounds build their own state.
+    spark.catalog.clearCache()
     pairs = [
         (r.doc_a, r.doc_b)
         for r in DD.minhash_lsh_pairs(docs, threshold=0.8).collect()
@@ -1935,6 +1940,7 @@ def test_label_propagation_matches_python_recurrence(spark, docs):
 
 
 def test_label_propagation_construction_is_lazy(spark, docs):
+    spark.catalog.clearCache()  # same isolation rationale as above
     sc = spark.sparkContext
     sc.setJobGroup("lp-lazy-check", "label propagation construction")
     try:
