@@ -320,6 +320,7 @@ def main() -> None:
         "emb_silhouette",
         "docs_source_kl",
         "emb_ivf_probe_sweep",
+        "docs_dsir_resample",
     ]:
         fn = LQ.llm_queries()[name]
         timed_repeat(name, lambda fn=fn: fn(spark, sf_dir).collect())

@@ -462,6 +462,7 @@ def llm_queries() -> dict[str, QueryFn]:
         "emb_silhouette": q_silhouette,
         "docs_source_kl": q_source_kl,
         "emb_ivf_probe_sweep": q_ivf_probe_sweep,
+        "docs_dsir_resample": q_dsir_resample,
     }
 
 
@@ -2082,6 +2083,7 @@ def llm_oracle_sql() -> dict[str, str]:
         "emb_silhouette": _sql_silhouette(),
         "docs_source_kl": _sql_source_kl(),
         "emb_ivf_probe_sweep": _sql_ivf_probe_sweep(),
+        "docs_dsir_resample": _sql_dsir_resample(),
     }
 
 
@@ -3830,3 +3832,25 @@ LEFT JOIN approx ON approx.probe_radius = radii.probe_radius
                 AND approx.query_id = exact.query_id
                 AND approx.neighbor_id = exact.neighbor_id
 GROUP BY 1, 2"""
+
+
+def q_dsir_resample(spark, sf_dir):
+    return CUR.dsir_resample(_docs(spark, sf_dir))
+
+
+def _sql_dsir_resample() -> str:
+    ppm = CUR.DSIR_RESAMPLE_PPM
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+         CAST(round(dsir_logratio_q6 * 1e6) AS BIGINT) AS w_micro
+  FROM ({_sql_dsir_weights()}) dsw
+),
+k AS (
+  SELECT CAST((count(*) * {ppm}) // 1000000 AS BIGINT) AS k FROM w
+)
+SELECT doc_id, w_micro AS dsir_w_micro FROM (
+  SELECT doc_id, w_micro,
+         row_number() OVER (ORDER BY w_micro DESC, doc_id) AS rn
+  FROM w
+) CROSS JOIN k WHERE rn <= k"""

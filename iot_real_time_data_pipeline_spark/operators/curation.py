@@ -1133,3 +1133,89 @@ def dsir_weights(
         "dsir_logratio_q6",
         (F.col("dsir_logratio_q6") > 0).alias("dsir_selected"),
     )
+
+
+DSIR_RESAMPLE_PPM = 300_000  # keep the top 30% of docs by importance
+
+
+def dsir_resample(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    target_source: str = DSIR_TARGET_SOURCE,
+    keep_ppm: int = DSIR_RESAMPLE_PPM,
+) -> DataFrame:
+    """The RESAMPLE half of DSIR: keep exactly the top
+    ``keep_ppm``-fraction of documents by importance weight — i.e. the
+    exact ``ORDER BY weight DESC, doc_id LIMIT K`` set — computed
+    WITHOUT a global sort (the single-partition window that would
+    straggle at 10⁹ docs).
+
+    Scale shape (the histogram-CDF top-K pattern, same discipline as
+    ``ship_delay_percentiles``): weights land on the integer micro-nat
+    grid and bucket to MILLI-nats — a BOUNDED domain (smoothed log
+    ratios are bounded by ±ln(totals), a few tens of thousands of
+    buckets at most) — so the cumulative window runs over the tiny
+    bucket histogram, never the corpus. Docs strictly above the
+    boundary bucket are selected by a narrow filter; only the ONE
+    boundary bucket pays a per-doc (weight desc, doc_id) rank to fill
+    the remaining quota — group size = docs in a single milli-nat
+    bucket. Ties at the boundary break on smallest doc_id, matching
+    the naive global ordering (the DuckDB oracle IS that naive
+    ``ORDER BY … LIMIT K`` — same set by construction).
+
+    Returns the selected docs: ``(doc_id, dsir_w_micro)``.
+    """
+    w = dsir_weights(
+        docs, text_col, id_col, source_col, target_source
+    ).select(
+        "doc_id",
+        F.round(F.col("dsir_logratio_q6") * 1e6).cast("long").alias("w_micro"),
+    )
+    k_frame = w.agg(
+        F.expr(f"(count(*) * CAST({keep_ppm} AS BIGINT)) div 1000000").alias("k")
+    )
+    b = w.withColumn(
+        # floor division toward -inf for negative weights: Spark's
+        # `div` truncates toward zero, which would fold buckets -0.999
+        # and +0.999 together — use floor(x / 1000.0) on exact integers.
+        "bkt",
+        F.floor(F.col("w_micro") / F.lit(1000.0)).cast("long"),
+    ).persist()  # lazy: K-count, histogram, and both selection branches
+    #              all read the same weighted frame — one computation,
+    #              not four (module cache policy: no unpersist on exit)
+    hist = b.groupBy("bkt").agg(F.count("*").alias("n"))
+    w_cum = (
+        Window.orderBy(F.col("bkt").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("cum", F.sum("n").over(w_cum)).crossJoin(
+        F.broadcast(k_frame)
+    )
+    boundary = cum.filter(F.col("cum") >= F.col("k")).agg(
+        F.max("bkt").alias("bstar"),
+        # docs strictly above the boundary bucket = cum(bstar) − n(bstar)
+        F.max(F.struct(F.col("bkt"), (F.col("cum") - F.col("n")).alias("above")))[
+            "above"
+        ].alias("above"),
+        F.max("k").alias("k"),
+    )
+    sel_above = (
+        b.crossJoin(F.broadcast(boundary))
+        .filter(F.col("bkt") > F.col("bstar"))
+        .select("doc_id", "w_micro")
+    )
+    w_rank = Window.partitionBy("bkt").orderBy(
+        F.col("w_micro").desc(), F.col("doc_id")
+    )
+    sel_boundary = (
+        b.crossJoin(F.broadcast(boundary))
+        .filter(F.col("bkt") == F.col("bstar"))
+        .withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= F.col("k") - F.col("above"))
+        .select("doc_id", "w_micro")
+    )
+    return sel_above.unionByName(sel_boundary).select(
+        "doc_id", F.col("w_micro").alias("dsir_w_micro")
+    )

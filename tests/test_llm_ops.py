@@ -3036,3 +3036,35 @@ def test_property_span_scrub_output_is_subsequence(spark):
             assert all(tok in it for tok in kept), (r.doc_id, kept)
 
     check()
+
+
+def test_dsir_resample_is_exact_topk_without_global_sort(spark):
+    """The histogram-CDF selection must equal the naive global
+    ORDER BY (weight DESC, doc_id) LIMIT K set, including boundary
+    ties; and the plan must contain no single-partition sort of the
+    doc stream (the window runs per boundary bucket)."""
+    rows = [
+        (i, f"w{i % 5} common filler tokens here", "tgt" if i % 4 == 0 else "web")
+        for i in range(1, 41)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    w = {
+        r.doc_id: int(round(r.dsir_logratio_q6 * 1e6))
+        for r in CUR.dsir_weights(docs, target_source="tgt").collect()
+    }
+    k = len(w) * CUR.DSIR_RESAMPLE_PPM // 1_000_000
+    naive = set(
+        sorted(w, key=lambda d: (-w[d], d))[:k]
+    )
+    got = {
+        r.doc_id: r.dsir_w_micro
+        for r in CUR.dsir_resample(docs, target_source="tgt").collect()
+    }
+    assert set(got) == naive
+    assert all(got[d] == w[d] for d in got)
+    # keep_ppm=0 -> empty; keep everything -> the full corpus
+    assert CUR.dsir_resample(docs, target_source="tgt", keep_ppm=0).count() == 0
+    assert (
+        CUR.dsir_resample(docs, target_source="tgt", keep_ppm=1_000_000).count()
+        == len(w)
+    )
