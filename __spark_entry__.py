@@ -42,22 +42,25 @@ def entry(spark: SparkSession) -> DataFrame:
 # few rounds every registered query accumulates builder-independent
 # evidence without manual curation.
 DRIVER_SENTINELS = [
-    "validation_status_counts",    # iot validation engine
-    "fact",                        # iot star schema (exercises all dims)
-    "staging_from_lake",           # partitioned-lake round-trip
-    "d4_health_donut",             # dashboard + share-of-total window
-    "events_sessionize",           # clickstream family
-    "events_kmv_distinct",         # sketch family
-    "wh_q1_pricing_summary",       # warehouse family
-    "docs_minhash_lsh_pairs",      # docs dedup family
-    "emb_ivf_topk",                # embeddings/ANN family
-    "mm_wav_features",             # multimodal codec family
-    "docs_source_mix",             # pinned: only historical driver FAIL
-                                   # (r03, hash) — fixed in r04 but the
-                                   # never-seen-first rotation starved it
-                                   # of re-evidence; keep until a green
-                                   # driver row lands.
+    # Round-8 window budget: the driver records ~50 rows per round and
+    # exactly 50 queries have never had a driver row, plus the two
+    # HUGEINT-fix queries below need re-evidence — 52 candidates for a
+    # ~50-row window. The ten per-family sentinels (all green in r07)
+    # therefore sit out THIS round so the never-seen backlog drains in
+    # one pass; restore them once cumulative evidence reaches 220/220.
+    "docs_source_mix",             # pinned: failed r03/r07 driver hash —
+                                   # r07 root cause was an uncast DuckDB
+                                   # sum() (HUGEINT vs int64); oracle now
+                                   # casts. Keep until a green driver row.
+    "docs_source_lang_matrix",     # pinned: same HUGEINT root cause as
+                                   # docs_source_mix (failed r07); keep
+                                   # until a green driver row lands.
 ]
+
+# Families whose round-5/6/7 additions repeatedly landed at the END of
+# the evaluation window and got starved when runs were cut short.
+# Promoted to the front of the never-seen queue (VERDICT r7 item 5).
+_EARLY_PREFIXES = ("mm_",)
 
 
 def _driver_seen() -> set[str]:
@@ -81,7 +84,9 @@ def _driver_seen() -> set[str]:
 def _reorder(full: dict) -> dict:
     seen = _driver_seen()
     window = list(DRIVER_SENTINELS)
-    window += [k for k in full if k not in seen and k not in window]
+    never = [k for k in full if k not in seen and k not in window]
+    window += [k for k in never if k.startswith(_EARLY_PREFIXES)]
+    window += [k for k in never if not k.startswith(_EARLY_PREFIXES)]
     window += [k for k in full if k in seen and k not in window]
     head = {k: full[k] for k in window if k in full}
     head.update(full)  # dict update keeps head's insertion order

@@ -33,6 +33,26 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _current_round_tag() -> str:
+    """Round tag for the detail file: env override, else the highest
+    committed CORRECTNESS_r*.json + 1 (this bench run produces the NEXT
+    round's artifacts). No stale hard-coded default — that overwrote the
+    real BENCH_DETAIL_r06.json when round 7 ran."""
+    env = os.environ.get("SPARK_GRAFT_ROUND")
+    if env:
+        return env
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = []
+    for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", p)
+        if m:
+            rounds.append(int(m.group(1)))
+    return "{:02d}".format(max(rounds) + 1 if rounds else 1)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -429,9 +449,7 @@ def main() -> None:
         "storage_bytes_at_release": storage_bytes_at_release,
         "sf": sf,
     }
-    detail_name = "BENCH_DETAIL_r{}.json".format(
-        os.environ.get("SPARK_GRAFT_ROUND", "06")
-    )
+    detail_name = "BENCH_DETAIL_r{}.json".format(_current_round_tag())
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), detail_name)
     try:
         with open(detail_path, "w") as fh:

@@ -1379,7 +1379,7 @@ def _source_weight_ctes() -> str:
     toks = TH.sql_tokens("text")
     return f"""per_source AS (
   SELECT source, count(*) AS n_docs,
-         sum(len({toks})) AS n_tokens
+         CAST(sum(len({toks})) AS BIGINT) AS n_tokens
   FROM documents GROUP BY source
 ),
 tot AS (SELECT sum(n_tokens) AS total_tokens, count(*) AS n_sources FROM per_source),
@@ -1441,7 +1441,8 @@ def _sql_source_lang_matrix() -> str:
     toks = TH.sql_tokens("text")
     return f"""
 WITH cells AS (
-  SELECT source, lang, count(*) AS n_docs, sum(len({toks})) AS n_tokens
+  SELECT source, lang, count(*) AS n_docs,
+         CAST(sum(len({toks})) AS BIGINT) AS n_tokens
   FROM documents GROUP BY source, lang
 ),
 tot AS (SELECT sum(n_docs) AS total_docs, sum(n_tokens) AS total_tokens FROM cells)
@@ -3821,7 +3822,8 @@ approx AS (
     FROM scored JOIN radii ON scored.ham <= radii.probe_radius
   ) r WHERE rank <= {k}
 )
-SELECT radii.probe_radius, CAST(radii.n_buckets_probed AS BIGINT) AS n_buckets_probed,
+SELECT CAST(radii.probe_radius AS BIGINT) AS probe_radius,
+       CAST(radii.n_buckets_probed AS BIGINT) AS n_buckets_probed,
        CAST(count(*) AS BIGINT) AS n_exact_pairs,
        CAST(sum(CASE WHEN approx.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
        CAST((1000 * sum(CASE WHEN approx.neighbor_id IS NOT NULL THEN 1 ELSE 0 END))

@@ -1173,9 +1173,6 @@ def dsir_resample(
         "doc_id",
         F.round(F.col("dsir_logratio_q6") * 1e6).cast("long").alias("w_micro"),
     )
-    k_frame = w.agg(
-        F.expr(f"(count(*) * CAST({keep_ppm} AS BIGINT)) div 1000000").alias("k")
-    )
     b = w.withColumn(
         # floor division toward -inf for negative weights: Spark's
         # `div` truncates toward zero, which would fold buckets -0.999
@@ -1185,6 +1182,12 @@ def dsir_resample(
     ).persist()  # lazy: K-count, histogram, and both selection branches
     #              all read the same weighted frame — one computation,
     #              not four (module cache policy: no unpersist on exit)
+    # K derives from the PERSISTED frame, not the upstream `w` — an agg
+    # on `w` would sidestep the cache and recompute the whole DSIR
+    # gram/weight pipeline a second time.
+    k_frame = b.agg(
+        F.expr(f"(count(*) * CAST({keep_ppm} AS BIGINT)) div 1000000").alias("k")
+    )
     hist = b.groupBy("bkt").agg(F.count("*").alias("n"))
     w_cum = (
         Window.orderBy(F.col("bkt").desc())

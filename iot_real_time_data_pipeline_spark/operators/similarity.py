@@ -1926,13 +1926,23 @@ def silhouette_audit(embeddings: DataFrame, k: int = KMEANS_K) -> DataFrame:
     per_vec = scored.groupBy("vec_id").agg(
         F.array_sort(F.collect_list(F.struct("d2", "cluster"))).alias("arr")
     )
+    # try_element_at, not arr[1]: a one-vector corpus seeds a single
+    # centroid, so arr has one element and GetArrayItem(1) raises
+    # INVALID_ARRAY_INDEX under ANSI mode. NULL b2 drops the row below,
+    # mirroring the oracle's inner join on the rn=2 centroid.
     a2 = F.col("arr")[0]["d2"]
-    b2 = F.col("arr")[1]["d2"]
+    b2 = F.try_element_at(F.col("arr"), F.lit(2))["d2"]
     sil = F.when(
         b2 > 0, (F.sqrt(b2) - F.sqrt(a2)) / F.sqrt(b2)
     ).otherwise(F.lit(0.0))
     return (
-        per_vec.select(F.col("arr")[0]["cluster"].alias("cluster"), sil.alias("s"))
+        per_vec.select(
+            F.col("arr")[0]["cluster"].alias("cluster"),
+            b2.alias("b2"),
+            sil.alias("s"),
+        )
+        .filter(F.col("b2").isNotNull())
+        .drop("b2")
         .groupBy("cluster")
         .agg(
             F.count("*").cast("long").alias("n_vectors"),
@@ -2043,6 +2053,11 @@ def ivf_probe_sweep(
                 .cast("long")
                 .alias("n_hits"),
             )
+            # Degenerate corpus (no queries -> no exact pairs): the
+            # ungrouped agg still yields one row; the oracle's GROUP BY
+            # yields none. Drop it so shapes match and the recall
+            # division never sees a zero denominator under ANSI mode.
+            .filter(F.col("n_exact_pairs") > 0)
             .select(
                 F.lit(r).cast("long").alias("probe_radius"),
                 F.lit(sum(comb(bits, i) for i in range(r + 1)))

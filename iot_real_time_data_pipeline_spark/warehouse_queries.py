@@ -1222,7 +1222,14 @@ def q_q12_bucketed(spark, sf_dir):
     """
     from .functions.skew import read_bucketed, write_bucketed
 
-    tag = sf_dir.rstrip("/").rsplit("sf", 1)[-1].replace(".", "_")
+    # Tag by the FULL corpus path, not the post-'sf' suffix: distinct
+    # corpora whose dirs share a suffix ('degenerate_sf0' vs 'empty_sf0')
+    # must not reuse each other's session-cached bucketed tables.
+    import hashlib
+
+    tag = hashlib.sha1(
+        os.path.abspath(sf_dir).encode("utf-8")
+    ).hexdigest()[:12]
     li_tbl, o_tbl = f"wh_li_bkt_{tag}", f"wh_o_bkt_{tag}"
     for name, tbl in (("lineitem", li_tbl), ("orders", o_tbl)):
         # in-memory catalog: a fresh session re-writes; within a

@@ -54,6 +54,48 @@ def test_oracle_sql_parses_in_duckdb():
         con.execute(f"EXPLAIN {sql}")  # parse + bind, no execution
 
 
+def test_oracle_output_types_are_driver_stable():
+    """Type-lint over every oracle (VERDICT r7 item 2): the driver's
+    value-hash is TYPE-sensitive, so a DuckDB column that widens past
+    Spark's type system (sum(BIGINT) -> HUGEINT/int128, or DECIMAL)
+    hash-mismatches even when every value is bit-identical — exactly
+    the r07 docs_source_mix / docs_source_lang_matrix failure. The
+    local value-comparison gate is blind to it (Python ints compare
+    equal regardless of width), so this lint is the only local tripwire:
+    every oracle output column must bind to a type Spark can emit.
+    INTEGER/SMALLINT are fine — Spark has int32/int16 and the engines
+    agree wherever those appear (year(), nationkey, ...); the killers
+    are the types with NO Spark analog, led by sum(BIGINT)'s silent
+    HUGEINT widening."""
+    import re
+
+    import duckdb
+
+    # DuckDB types Spark's engine can never produce — any oracle column
+    # binding to one of these is a guaranteed driver hash mismatch.
+    denied = re.compile(
+        r"HUGEINT|UHUGEINT|UBIGINT|UINTEGER|USMALLINT|UTINYINT"
+        r"|DECIMAL|TIME\b|INTERVAL|BIT|UUID|ENUM",
+    )
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('/root/testdata/sf0.001/{t}.parquet')"
+        )
+    offenders = []
+    for name, sql in E.oracle_sql().items():
+        rel = con.sql(sql)  # bind only; .types needs no execution
+        for col, typ in zip(rel.columns, rel.types):
+            if denied.search(str(typ)):
+                offenders.append(f"{name}.{col}: {typ}")
+    assert not offenders, (
+        "oracle columns with driver-unstable types (cast them, e.g. "
+        f"CAST(sum(...) AS BIGINT)): {offenders}"
+    )
+
+
 def test_readme_query_count_matches_registry():
     """README's headline query count must equal len(queries()) — the
     r6 verdict caught three prose docs drifting from the registry;
