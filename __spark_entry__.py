@@ -47,7 +47,9 @@ DRIVER_SENTINELS = [
     # HUGEINT-fix queries below need re-evidence — 52 candidates for a
     # ~50-row window. The ten per-family sentinels (all green in r07)
     # therefore sit out THIS round so the never-seen backlog drains in
-    # one pass; restore them once cumulative evidence reaches 220/220.
+    # one pass; restore them once the pre-round-8 220 all have rows
+    # (round 8 adds docs_rrf_fusion and emb_cluster_coreset, which
+    # join the never-seen queue behind the backlog).
     "docs_source_mix",             # pinned: failed r03/r07 driver hash —
                                    # r07 root cause was an uncast DuckDB
                                    # sum() (HUGEINT vs int64); oracle now

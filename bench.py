@@ -341,6 +341,8 @@ def main() -> None:
         "docs_source_kl",
         "emb_ivf_probe_sweep",
         "docs_dsir_resample",
+        "docs_rrf_fusion",
+        "emb_cluster_coreset",
     ]:
         fn = LQ.llm_queries()[name]
         timed_repeat(name, lambda fn=fn: fn(spark, sf_dir).collect())

@@ -463,6 +463,8 @@ def llm_queries() -> dict[str, QueryFn]:
         "docs_source_kl": q_source_kl,
         "emb_ivf_probe_sweep": q_ivf_probe_sweep,
         "docs_dsir_resample": q_dsir_resample,
+        "docs_rrf_fusion": q_rrf_fusion,
+        "emb_cluster_coreset": q_cluster_coreset,
     }
 
 
@@ -2085,6 +2087,8 @@ def llm_oracle_sql() -> dict[str, str]:
         "docs_source_kl": _sql_source_kl(),
         "emb_ivf_probe_sweep": _sql_ivf_probe_sweep(),
         "docs_dsir_resample": _sql_dsir_resample(),
+        "docs_rrf_fusion": _sql_rrf_fusion(),
+        "emb_cluster_coreset": _sql_cluster_coreset(),
     }
 
 
@@ -3856,3 +3860,108 @@ SELECT doc_id, w_micro AS dsir_w_micro FROM (
          row_number() OVER (ORDER BY w_micro DESC, doc_id) AS rn
   FROM w
 ) CROSS JOIN k WHERE rn <= k"""
+
+
+# ---------------------------------------------------------------------------
+# Round-8 addition: RRF hybrid retrieval fusion
+# ---------------------------------------------------------------------------
+
+
+def q_rrf_fusion(spark, sf_dir):
+    from .operators import retrieval as RET
+
+    return RET.rrf_fusion(
+        _docs(spark, sf_dir), _emb(spark, sf_dir), _emb_queries(spark, sf_dir)
+    )
+
+
+def _sql_rrf_fusion() -> str:
+    from .operators import retrieval as RET
+
+    toks = TH.sql_tokens("text")
+    k, list_k = RET.RRF_TOPK, RET.RRF_LIST_K
+    rrf_k, scale, df_cap = RET.RRF_K, RET.RRF_SCALE, RET.RRF_DF_CAP
+    return f"""
+WITH {_EMB_CTE},
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % {QUERY_MOD} = 0),
+dscored AS (
+  SELECT qid AS query_id, e.vec_id AS doc_id, e.v AS cv, qv,
+         {_DOT} / nullif({_NORM_Q} * {_NORM_C}, 0.0) AS cosine
+  FROM e CROSS JOIN q
+  WHERE e.vec_id <> qid
+),
+dense AS (
+  SELECT query_id, doc_id, dense_rank FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, doc_id) AS dense_rank
+    FROM dscored
+  ) WHERE dense_rank <= {list_k}
+),
+posts AS (
+  SELECT doc_id, unnest(list_distinct({toks})) AS tok FROM documents
+),
+posts_nz AS (SELECT doc_id, tok FROM posts WHERE tok <> ''),
+tdf AS (SELECT tok, count(*) AS df FROM posts_nz GROUP BY tok),
+tw AS (
+  SELECT tok, CAST(1000000 // df AS BIGINT) AS w
+  FROM tdf WHERE df <= {df_cap}
+),
+wp AS (SELECT doc_id, posts_nz.tok, w FROM posts_nz JOIN tw USING (tok)),
+qp AS (SELECT doc_id AS query_id, tok, w FROM wp
+       WHERE doc_id % {QUERY_MOD} = 0),
+sparse AS (
+  SELECT query_id, doc_id, sparse_rank FROM (
+    SELECT qp.query_id, wp.doc_id,
+           row_number() OVER (PARTITION BY qp.query_id
+                              ORDER BY CAST(sum(wp.w) AS BIGINT) DESC,
+                                       wp.doc_id) AS sparse_rank
+    FROM wp JOIN qp USING (tok)
+    WHERE wp.doc_id <> qp.query_id
+    GROUP BY qp.query_id, wp.doc_id
+  ) WHERE sparse_rank <= {list_k}
+),
+fused AS (
+  SELECT coalesce(dense.query_id, sparse.query_id) AS query_id,
+         coalesce(dense.doc_id, sparse.doc_id) AS doc_id,
+         CAST(coalesce({scale} // ({rrf_k} + dense_rank), 0)
+              + coalesce({scale} // ({rrf_k} + sparse_rank), 0)
+              AS BIGINT) AS rrf_ppb,
+         CAST(coalesce(dense_rank, 0) AS BIGINT) AS dense_rank,
+         CAST(coalesce(sparse_rank, 0) AS BIGINT) AS sparse_rank
+  FROM dense
+  FULL OUTER JOIN sparse
+    ON dense.query_id = sparse.query_id AND dense.doc_id = sparse.doc_id
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, rrf_ppb,
+       dense_rank, sparse_rank
+FROM (
+  SELECT query_id, doc_id, rrf_ppb, dense_rank, sparse_rank,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY rrf_ppb DESC, doc_id) AS rank
+  FROM fused
+) WHERE rank <= {k}"""
+
+
+# ---------------------------------------------------------------------------
+# Round-8 addition: cluster-balanced coreset sampling
+# ---------------------------------------------------------------------------
+
+
+def q_cluster_coreset(spark, sf_dir):
+    return SIM.cluster_coreset(_emb(spark, sf_dir))
+
+
+def _sql_cluster_coreset() -> str:
+    quota = SIM.CORESET_QUOTA
+    pick_hash = TH.sql_token_hash("'cs:' || CAST(vec_id AS VARCHAR)")
+    return f"""
+WITH {_kmeans_ctes()},
+sel AS (
+  SELECT cluster, vec_id, {TH.sql_quantized6('d2')} AS dist2,
+         row_number() OVER (PARTITION BY cluster
+                            ORDER BY {pick_hash}, vec_id) AS pick_rank
+  FROM kassign
+)
+SELECT cluster, CAST(pick_rank AS BIGINT) AS pick_rank, vec_id, dist2
+FROM sel WHERE pick_rank <= {quota}"""

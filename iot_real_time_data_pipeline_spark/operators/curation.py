@@ -136,15 +136,17 @@ def pii_scrub(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     no_email = F.regexp_replace(text, EMAIL_PATTERN, "[EMAIL]")
     return docs.select(
         F.col(id_col).alias("doc_id"),
-        F.size(F.expr(f"regexp_extract_all({text_col}, '{EMAIL_PATTERN}', 0)")).alias(
-            "n_emails"
-        ),
+        F.size(F.expr(f"regexp_extract_all({text_col}, '{EMAIL_PATTERN}', 0)"))
+        .cast("long")
+        .alias("n_emails"),
         F.size(
             F.expr(
                 f"regexp_extract_all(regexp_replace({text_col}, "
                 f"'{EMAIL_PATTERN}', '[EMAIL]'), '{PHONE_PATTERN}', 0)"
             )
-        ).alias("n_phones"),
+        )
+        .cast("long")
+        .alias("n_phones"),
         F.regexp_replace(no_email, PHONE_PATTERN, "[PHONE]").alias("scrubbed_text"),
     )
 
@@ -511,7 +513,7 @@ def curation_pipeline(
     toks = TH.tokens(text)
     base = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.size(toks).alias("n_tokens"),
+        F.size(toks).cast("long").alias("n_tokens"),
         F.length(text).alias("n_chars"),
         F.length(F.regexp_replace(text, r"[^.,;:!?]", "")).alias("punct"),
         F.length(F.regexp_replace(text, r"[^0-9]", "")).alias("digits"),
@@ -661,7 +663,7 @@ def pareto_frontier(
     hits = F.size(F.filter(toks, lambda t: t.isin(*TA.STOPWORDS["en"])))
     base = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.size(toks).alias("n_tokens"),
+        F.size(toks).cast("long").alias("n_tokens"),
         (hits * 1000).alias("hits_x1000"),
     ).select(
         "doc_id",

@@ -740,7 +740,7 @@ def canonical_best(
         .select(
             "cluster_id",
             (-F.col("b.neg_id")).alias("best_doc_id"),
-            F.col("b.n_chars").alias("best_n_chars"),
+            F.col("b.n_chars").cast("long").alias("best_n_chars"),
             "n_members",
         )
     )

@@ -672,6 +672,49 @@ def kmeans_assign(
     )
 
 
+CORESET_QUOTA = 5
+
+
+def cluster_coreset(
+    embeddings: DataFrame, k: int = KMEANS_K, quota: int = CORESET_QUOTA
+) -> DataFrame:
+    """Diversity-preserving coreset: keep ``quota`` vectors from EACH
+    k-means cluster — the cluster-balanced sampling used for data
+    pruning (sample uniformly per region of embedding space instead of
+    per row, so dense regions don't drown sparse ones; the selection
+    rule behind cluster-stratified coresets in the data-pruning
+    literature, e.g. Sorscher et al. 2022's per-cluster draws).
+
+    The within-cluster draw is a salted deterministic hash of vec_id —
+    a fixed "random" permutation both engines replay bit-identically
+    (house discipline: no RNG, same reason the samplers in
+    ``curation`` hash instead of rand()).
+
+    Scale shape: assignment is the broadcast-centroid map-side argmin
+    from :func:`kmeans_assign` (shuffle carries n rows, no sort); the
+    quota pick is one rank window PARTITIONED BY cluster — group size
+    = n/k per task. At 10⁹ vectors push k up (more, smaller clusters)
+    or swap the window for the histogram-CDF boundary-bucket pattern
+    (``curation.dsir_resample``) on the hash; semantics are unchanged
+    because the hash IS the ordering.
+
+    Returns ``(cluster, pick_rank, vec_id, dist2)``.
+    """
+    from pyspark.sql import Window
+
+    assign = kmeans_assign(embeddings, k)
+    h = TH.token_hash(
+        F.concat(F.lit("cs:"), F.col("vec_id").cast("string"))
+    )
+    w = Window.partitionBy("cluster").orderBy(F.col("h"), F.col("vec_id"))
+    return (
+        assign.withColumn("h", h)
+        .withColumn("pick_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("pick_rank") <= quota)
+        .select("cluster", "pick_rank", "vec_id", "dist2")
+    )
+
+
 def assignment_centroids(embeddings: DataFrame, assignment: DataFrame) -> DataFrame:
     """Lloyd update step: mean vector per assigned cluster, re-packed as
     the ``(cluster, cv)`` frame :func:`kmeans_assign` accepts.

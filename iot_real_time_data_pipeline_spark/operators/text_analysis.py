@@ -56,9 +56,9 @@ def token_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     toks = TH.tokens(F.col(text_col))
     return docs.select(
         F.col(id_col).alias("doc_id"),
-        F.size(toks).alias("n_tokens"),
-        bpe_token_count(text_col).alias("n_tokens_bpe"),
-        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        bpe_token_count(text_col).cast("long").alias("n_tokens_bpe"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_unique_tokens"),
         TH.quantized6(
             F.size(F.array_distinct(toks)) / F.size(toks).cast("double")
         ).alias("type_token_ratio"),
@@ -126,8 +126,8 @@ def quality_scores(docs: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
     return docs.select(
         F.col(id_col).alias("doc_id"),
-        n_chars.alias("n_chars"),
-        F.size(toks).alias("n_tokens"),
+        n_chars.cast("long").alias("n_chars"),
+        F.size(toks).cast("long").alias("n_tokens"),
         TH.quantized6(punct / n_chars_d).alias("punct_ratio"),
         TH.quantized6(digits / n_chars_d).alias("digit_ratio"),
         TH.quantized6(stop_ratio).alias("stopword_ratio"),
@@ -189,7 +189,7 @@ def tfidf_top_terms(
         F.col("term").asc(),
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("doc_id", "term", "tf", "df", "tfidf", "rank")
     )
@@ -287,7 +287,7 @@ def bpe_merge_candidates(
     counts = pairs.groupBy("pair").agg(F.count("*").alias("n"))
     w = Window.orderBy(F.col("n").desc(), F.col("pair").asc())
     return (
-        counts.withColumn("rank", F.row_number().over(w))
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("pair", "n", "rank")
     )
@@ -317,7 +317,7 @@ def repetition_stats(
         "doc_id", TH.shingles(F.col("_t"), 3).alias("_g3")
     ).select(
         "doc_id",
-        F.size(F.col("_g3")).alias("n_3grams"),
+        F.size(F.col("_g3")).cast("long").alias("n_3grams"),
         F.size(F.array_distinct(F.col("_g3"))).alias("d3"),
     ).select(
         "doc_id",

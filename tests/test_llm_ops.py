@@ -1101,6 +1101,44 @@ def test_kmeans_assign_matches_numpy_argmin(spark):
     assert all(out[i] == expect[i] for i in range(40))
 
 
+def test_cluster_coreset_quota_and_determinism(spark):
+    """Exactly min(quota, cluster size) picks per cluster, the pick
+    set is a subset of the cluster's members, and the same call twice
+    returns the identical frame (hash draw, not RNG)."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(30, 4)).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]], 0) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+    assign = {r.vec_id: r.cluster for r in SIM.kmeans_assign(df, k=3).collect()}
+    picks = SIM.cluster_coreset(df, k=3, quota=4).collect()
+    by_cluster: dict[int, list] = {}
+    for r in picks:
+        by_cluster.setdefault(r.cluster, []).append(r)
+    from collections import Counter
+
+    sizes = Counter(assign.values())
+    for c, members in by_cluster.items():
+        assert len(members) == min(4, sizes[c])
+        assert {m.vec_id for m in members} <= {
+            v for v, cl in assign.items() if cl == c
+        }
+        assert sorted(m.pick_rank for m in members) == list(
+            range(1, len(members) + 1)
+        )
+    again = SIM.cluster_coreset(df, k=3, quota=4).collect()
+    assert sorted(map(tuple, picks)) == sorted(map(tuple, again))
+
+
+def test_cluster_coreset_quota_at_least_cluster_keeps_all(spark):
+    rows = [(i, [float(i), 0.0], 0) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = SIM.cluster_coreset(df, k=2, quota=100).collect()
+    assert len(out) == 6  # nothing dropped when quota covers everything
+
+
 def test_kmeans_iterates_with_label_centroids(spark):
     """assign -> recompute centroids on the assignment -> reassign:
     two well-separated blobs end in self-consistent clusters."""

@@ -1,0 +1,101 @@
+"""RRF hybrid retrieval fusion — controlled-input semantics tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from iot_real_time_data_pipeline_spark.operators import retrieval as RET
+
+
+@pytest.fixture
+def hybrid_corpus(spark):
+    """Doc 0 is the query (doc_id % query_mod == 0 with query_mod=10).
+
+    Text side: doc 11 shares BOTH rare tokens with the query, doc 12
+    shares one, doc 13 shares none. Vector side: doc 12 is the
+    query's nearest vector, doc 13 second, doc 11 far away — so the
+    lexical and dense rankings DISAGREE and fusion has to arbitrate.
+    """
+    docs = spark.createDataFrame(
+        [
+            (0, "zebra quokka common words here"),
+            (11, "zebra quokka other filler tokens"),
+            (12, "zebra common unrelated filler tokens"),
+            (13, "entirely disjoint vocabulary common"),
+        ],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (11, [0.0, 1.0, 0.0]),
+            (12, [0.9, 0.1, 0.0]),
+            (13, [0.5, 0.5, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    return docs, emb
+
+
+def test_sparse_topk_ranks_by_weighted_overlap(hybrid_corpus):
+    docs, _ = hybrid_corpus
+    rows = {
+        (r.query_id, r.doc_id): r.sparse_rank
+        for r in RET.sparse_topk(docs, query_mod=10).collect()
+    }
+    # inverse-df weights: zebra df=3 -> 333333, quokka df=2 -> 500000,
+    # common df=3 -> 333333. Overlaps: doc 11 = 833333, doc 12 =
+    # 666666, doc 13 = 333333 — rarity-weighted, not raw counts.
+    assert rows[(0, 11)] == 1
+    assert rows[(0, 12)] == 2
+    assert rows[(0, 13)] == 3
+
+
+def test_rrf_fuses_disagreeing_rankings(hybrid_corpus):
+    docs, emb = hybrid_corpus
+    queries = emb.filter(F.col("vec_id") % 10 == 0)
+    out = RET.rrf_fusion(docs, emb, queries, query_mod=10).collect()
+    by_doc = {r.doc_id: r for r in out}
+    # Dense ranking: 12, 13, 11. Sparse ranking: 11, 12, 13.
+    assert by_doc[12].dense_rank == 1 and by_doc[12].sparse_rank == 2
+    assert by_doc[11].dense_rank == 3 and by_doc[11].sparse_rank == 1
+    # RRF: doc 12 scores 1/61 + 1/62; doc 11 scores 1/63 + 1/61 —
+    # 12 wins (its worst rank is better than 11's worst rank).
+    assert by_doc[12].rank < by_doc[11].rank
+    # integer ppb grid, exact
+    assert by_doc[12].rrf_ppb == 10**9 // 61 + 10**9 // 62
+    # every fused score is the sum of its two reciprocal-rank parts
+    for r in out:
+        expect = (10**9 // (60 + r.dense_rank) if r.dense_rank else 0) + (
+            10**9 // (60 + r.sparse_rank) if r.sparse_rank else 0
+        )
+        assert r.rrf_ppb == expect
+
+
+def test_rrf_half_present_candidates_score_one_system(spark):
+    """A doc in only ONE list still fuses (full-outer semantics):
+    vector 21 has no text at all, text 22 has no vector."""
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (22, "alpha beta gamma")],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (21, [0.9, 0.1])],
+        "vec_id long, embedding array<float>",
+    )
+    queries = emb.filter(F.col("vec_id") % 10 == 0)
+    by_doc = {
+        r.doc_id: r
+        for r in RET.rrf_fusion(docs, emb, queries, query_mod=10).collect()
+    }
+    assert by_doc[21].sparse_rank == 0 and by_doc[21].dense_rank == 1
+    assert by_doc[22].dense_rank == 0 and by_doc[22].sparse_rank == 1
+    assert by_doc[21].rrf_ppb == 10**9 // 61
+    assert by_doc[22].rrf_ppb == 10**9 // 61
+
+
+def test_rrf_empty_inputs_yield_empty(spark):
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert RET.rrf_fusion(docs, emb, emb, query_mod=10).count() == 0
