@@ -343,6 +343,7 @@ def main() -> None:
         "docs_dsir_resample",
         "docs_rrf_fusion",
         "emb_cluster_coreset",
+        "docs_doremi_reweight",
     ]:
         fn = LQ.llm_queries()[name]
         timed_repeat(name, lambda fn=fn: fn(spark, sf_dir).collect())

@@ -465,6 +465,7 @@ def llm_queries() -> dict[str, QueryFn]:
         "docs_dsir_resample": q_dsir_resample,
         "docs_rrf_fusion": q_rrf_fusion,
         "emb_cluster_coreset": q_cluster_coreset,
+        "docs_doremi_reweight": q_doremi_reweight,
     }
 
 
@@ -2089,6 +2090,7 @@ def llm_oracle_sql() -> dict[str, str]:
         "docs_dsir_resample": _sql_dsir_resample(),
         "docs_rrf_fusion": _sql_rrf_fusion(),
         "emb_cluster_coreset": _sql_cluster_coreset(),
+        "docs_doremi_reweight": _sql_doremi_reweight(),
     }
 
 
@@ -3965,3 +3967,64 @@ sel AS (
 )
 SELECT cluster, CAST(pick_rank AS BIGINT) AS pick_rank, vec_id, dist2
 FROM sel WHERE pick_rank <= {quota}"""
+
+
+# ---------------------------------------------------------------------------
+# Round-8 addition: DoReMi-style domain reweighting step
+# ---------------------------------------------------------------------------
+
+
+def q_doremi_reweight(spark, sf_dir):
+    return CUR.doremi_reweight(_docs(spark, sf_dir))
+
+
+def _sql_doremi_reweight() -> str:
+    toks = TH.sql_tokens("text")
+    eta = CUR.DOREMI_ETA_MILLI / 1000.0
+    return f"""
+WITH term_rows AS (
+  SELECT source, unnest({toks}) AS term FROM documents
+),
+st AS (
+  SELECT source, term, count(*) AS cnt_st FROM term_rows GROUP BY source, term
+),
+ct AS (SELECT term, CAST(sum(cnt_st) AS BIGINT) AS cnt_t FROM st GROUP BY term),
+tot AS (SELECT CAST(sum(cnt_t) AS BIGINT) AS tot_c FROM ct),
+contrib AS (
+  SELECT source, cnt_st,
+         CAST(round(-ln(cnt_t / CAST(tot_c AS DOUBLE)) * 1e6) AS BIGINT)
+           * cnt_st AS nats_micro
+  FROM st JOIN ct USING (term) CROSS JOIN tot
+),
+per_source AS (
+  SELECT source, CAST(sum(cnt_st) AS BIGINT) AS n_tokens,
+         CAST(sum(nats_micro) AS BIGINT) AS nats_total
+  FROM contrib GROUP BY source
+),
+ps AS (
+  SELECT source, n_tokens,
+         CAST(nats_total // n_tokens AS BIGINT) AS loss_micro
+  FROM per_source
+),
+fl AS (
+  SELECT CAST(min(loss_micro) AS BIGINT) AS loss_floor,
+         CAST(sum(n_tokens) AS BIGINT) AS corpus_tokens
+  FROM ps
+),
+weighted AS (
+  SELECT source, n_tokens, loss_micro,
+         loss_micro - loss_floor AS excess_micro,
+         CAST(round(exp({eta} * least(loss_micro - loss_floor, 8000000) / 1e6)
+                    * 1e6) AS BIGINT) AS factor_micro,
+         CAST((n_tokens * 1000000) // corpus_tokens AS BIGINT)
+           AS base_share_ppm
+  FROM ps CROSS JOIN fl
+),
+w2 AS (
+  SELECT *, (base_share_ppm * factor_micro) // 1000 AS w FROM weighted
+),
+wt AS (SELECT CAST(sum(w) AS BIGINT) AS w_total FROM w2)
+SELECT source, n_tokens, loss_micro, excess_micro, factor_micro,
+       base_share_ppm,
+       CAST((w * 1000000) // w_total AS BIGINT) AS doremi_share_ppm
+FROM w2 CROSS JOIN wt"""

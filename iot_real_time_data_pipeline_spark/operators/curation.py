@@ -1224,3 +1224,120 @@ def dsir_resample(
     return sel_above.unionByName(sel_boundary).select(
         "doc_id", F.col("w_micro").alias("dsir_w_micro")
     )
+
+
+DOREMI_ETA_MILLI = 1000  # Group-DRO step size eta = 1.0
+
+
+def doremi_reweight(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    eta_milli: int = DOREMI_ETA_MILLI,
+) -> DataFrame:
+    """One DoReMi-style Group-DRO domain-reweighting step (Xie et al.
+    2023, "DoReMi: Optimizing Data Mixtures Speeds Up Language Model
+    Pretraining"): up-weight the domains the current blend models
+    WORST, ``w_i ∝ share_i · exp(η · excess_loss_i)``, then
+    renormalize — the mixture-optimization move between a proxy run's
+    losses and the next data mix.
+
+    Without a trained proxy model, the per-domain loss is the
+    corpus-unigram cross-entropy of the source — the average
+    ``-ln p_corpus(t)`` over the source's tokens, i.e. how surprising
+    the domain's text is under the blend's own unigram distribution
+    (the same blend-vs-source lens as :func:`text_analysis.source_kl`,
+    pointed at hardness instead of divergence). ``excess_i`` is the
+    gap to the easiest domain, so weights are scale-free.
+
+    Determinism discipline (house rules, all three applied): each
+    DISTINCT term's ``-ln p`` quantizes to integer micro-nats BEFORE
+    multiplying by its count (exact BIGINT accumulation, never a
+    double sum); the one genuinely transcendental step — ``exp`` of
+    the per-source excess — quantizes to the integer 1e-6 grid the
+    instant it is computed (the ``temperature_mix_plan`` pow
+    discipline); every share after that is multiply-then-integral-
+    divide ppm arithmetic.
+
+    Plan at 100 TB: one explode feeds a partial-agged
+    ``groupBy(source, term)`` (shuffle ∝ distinct pairs); everything
+    after runs on the |sources|-row frame with 1-row broadcast
+    scalars — no second corpus pass, no window over data.
+
+    Returns ``(source, n_tokens, loss_micro, excess_micro,
+    factor_micro, base_share_ppm, doremi_share_ppm)``.
+    """
+    term_rows = docs.select(
+        F.col(source_col).alias("source"),
+        F.explode(TH.tokens(F.col(text_col))).alias("term"),
+    )
+    st = term_rows.groupBy("source", "term").agg(F.count("*").alias("cnt_st"))
+    ct = st.groupBy("term").agg(F.sum("cnt_st").alias("cnt_t"))
+    tot_c = ct.agg(F.sum("cnt_t").alias("tot_c"))
+    # per (source, term): quantized -ln p_corpus(term) times the count —
+    # integer product of an integer micro-nat and a BIGINT count.
+    contrib = (
+        st.join(ct, "term")
+        .crossJoin(F.broadcast(tot_c))
+        .select(
+            "source",
+            "cnt_st",
+            (
+                F.round(-F.log(F.col("cnt_t") / F.col("tot_c")) * F.lit(1e6))
+                .cast("long")
+                * F.col("cnt_st")
+            ).alias("nats_micro"),
+        )
+    )
+    per_source = contrib.groupBy("source").agg(
+        F.sum("cnt_st").cast("long").alias("n_tokens"),
+        F.sum("nats_micro").cast("long").alias("nats_total"),
+    ).select(
+        "source",
+        "n_tokens",
+        F.expr("nats_total div n_tokens").alias("loss_micro"),
+    )
+    floor_and_total = per_source.agg(
+        F.min("loss_micro").alias("loss_floor"),
+        F.sum("n_tokens").alias("corpus_tokens"),
+    )
+    eta = eta_milli / 1000.0
+    weighted = (
+        per_source.crossJoin(F.broadcast(floor_and_total))
+        .withColumn("excess_micro", F.col("loss_micro") - F.col("loss_floor"))
+        .withColumn(
+            "factor_micro",
+            # exponent clip at 8 nats (practical DoReMi clips too): an
+            # unclipped pathological excess (one-source-per-token
+            # corpora) would push the ppm product past int64 and ANSI
+            # mode would raise instead of returning a mix.
+            F.round(
+                F.exp(
+                    F.lit(eta)
+                    * F.least(F.col("excess_micro"), F.lit(8_000_000))
+                    / F.lit(1e6)
+                )
+                * 1e6
+            ).cast("long"),
+        )
+        .withColumn(
+            "base_share_ppm",
+            F.expr("(n_tokens * CAST(1000000 AS BIGINT)) div corpus_tokens"),
+        )
+        # /1000 headroom: share(<=1e6) x factor(e^excess x 1e6) x the
+        # final x1e6 ppm step must stay under int64 — the milli grid
+        # keeps the product exact to ~excess 9 nats, far past real mixes.
+        .withColumn("w", F.expr("(base_share_ppm * factor_micro) div 1000"))
+    )
+    w_total = weighted.agg(F.sum("w").alias("w_total"))
+    return weighted.crossJoin(F.broadcast(w_total)).select(
+        "source",
+        "n_tokens",
+        "loss_micro",
+        "excess_micro",
+        "factor_micro",
+        "base_share_ppm",
+        F.expr("(w * CAST(1000000 AS BIGINT)) div w_total").alias(
+            "doremi_share_ppm"
+        ),
+    )

@@ -3106,3 +3106,86 @@ def test_dsir_resample_is_exact_topk_without_global_sort(spark):
         CUR.dsir_resample(docs, target_source="tgt", keep_ppm=1_000_000).count()
         == len(w)
     )
+
+
+def test_doremi_upweights_the_hardest_domain(spark):
+    """The source whose tokens are rarest under the corpus blend (the
+    highest cross-entropy domain) must gain share relative to its
+    token-proportional baseline; the easiest domain anchors at
+    factor_micro == 1e6 (excess 0 -> exp(0))."""
+    rows = (
+        # 'easy' dominates the blend -> its tokens are common -> low loss
+        [(i, "alpha beta gamma delta", "easy") for i in range(8)]
+        # 'hard' is mostly rare tokens -> high -ln p under the blend
+        + [(100 + i, f"rare{i}a rare{i}b alpha", "hard") for i in range(4)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.source: r for r in CUR.doremi_reweight(df).collect()}
+    assert out["easy"].excess_micro == 0
+    assert out["easy"].factor_micro == 10**6
+    assert out["hard"].excess_micro > 0
+    assert out["hard"].factor_micro > 10**6
+    # reweighting must move share TOWARD the hard domain
+    assert out["hard"].doremi_share_ppm > out["hard"].base_share_ppm
+    assert out["easy"].doremi_share_ppm < out["easy"].base_share_ppm
+
+
+def test_doremi_identical_sources_keep_proportional_shares(spark):
+    """Two sources with the same token distribution have zero excess
+    everywhere -> every factor is exactly 1e6 and the DoReMi share
+    equals the token share (the step is a no-op on a balanced mix)."""
+    rows = [(i, "tok1 tok2 tok3", "a") for i in range(6)] + [
+        (10 + i, "tok1 tok2 tok3", "b") for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.source: r for r in CUR.doremi_reweight(df).collect()}
+    for r in out.values():
+        assert r.excess_micro == 0 and r.factor_micro == 10**6
+    assert out["a"].doremi_share_ppm == out["a"].base_share_ppm
+    assert out["b"].doremi_share_ppm == out["b"].base_share_ppm
+    # 2/3 vs 1/3 of the tokens
+    assert out["a"].base_share_ppm == 666_666
+    assert out["b"].base_share_ppm == 333_333
+
+
+def test_doremi_matches_exact_python_recomputation(spark):
+    import math
+    from collections import Counter
+
+    rows = [
+        (0, "x x y", "s1"),
+        (1, "y z", "s1"),
+        (2, "z z z q", "s2"),
+        (3, "q q x", "s3"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.source: r for r in CUR.doremi_reweight(df).collect()}
+
+    toks = {sid: [] for sid in ["s1", "s2", "s3"]}
+    for _, text, s in rows:
+        toks[s] += text.split()
+    corpus = Counter(t for ts in toks.values() for t in ts)
+    tot_c = sum(corpus.values())
+    loss = {}
+    for s, ts in toks.items():
+        per_term = Counter(ts)
+        nats_total = sum(
+            round(-math.log(corpus[t] / tot_c) * 1e6) * c
+            for t, c in per_term.items()
+        )
+        loss[s] = nats_total // len(ts)
+    floor = min(loss.values())
+    corpus_tokens = sum(len(ts) for ts in toks.values())
+    w = {}
+    for s, ts in toks.items():
+        excess = loss[s] - floor
+        factor = round(math.exp(min(excess, 8_000_000) / 1e6) * 1e6)
+        base = (len(ts) * 1_000_000) // corpus_tokens
+        w[s] = (base * factor) // 1000
+        assert out[s].loss_micro == loss[s]
+        assert out[s].excess_micro == excess
+        assert out[s].factor_micro == factor
+        assert out[s].base_share_ppm == base
+    w_total = sum(w.values())
+    for s in toks:
+        assert out[s].doremi_share_ppm == (w[s] * 1_000_000) // w_total

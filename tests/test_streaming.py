@@ -862,3 +862,85 @@ def test_scd2_stream_matches_batch_rebuild(spark, tmp_path):
         ("view", 2, 0), ("click", 1, 0), ("view", 1, 1)]
     u20 = [t for t in got if t[0] == 20]
     assert u20 == [(20, 1, "click", base + 20, -1, 2, 1)]
+
+
+def test_windowed_distinct_hll_streaming_matches_batch_replay(spark, tmp_path):
+    """Streaming windowed HLL (T6 extension): distinct loc_ids per
+    event-time window via one mergeable 64-register aggregation, and
+    a batch replay of the identical rows reproduces the streaming
+    partials + estimate bit-for-bit (the sketch is algebraic, so
+    micro-batch boundaries cannot change the answer)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from iot_real_time_data_pipeline_spark.operators.pipeline import process_events
+    from iot_real_time_data_pipeline_spark.sources.events import (
+        read_raw_events_stream,
+    )
+    from iot_real_time_data_pipeline_spark.streaming.windows import (
+        windowed_distinct_hll,
+    )
+
+    src = tmp_path / "hll_src"
+    src.mkdir()
+    base = datetime.datetime(2024, 3, 1, 6, 0, 0)
+    lines = []
+    # window [06:00, 06:05): locs 1,2,3 (loc_1 twice); window
+    # [06:05, 06:10): locs 1,9
+    for i, (m, loc) in enumerate(
+        [(0, "loc_1"), (1, "loc_2"), (2, "loc_3"), (3, "loc_1"),
+         (6, "loc_1"), (7, "loc_9")]
+    ):
+        lines.append(
+            event_json(
+                event_id=f"evt_hll_{i}",
+                timestamp=(base + datetime.timedelta(minutes=m)).isoformat() + "Z",
+                loc_id=loc,
+            )
+        )
+    (src / "a.jsonl").write_text("\n".join(lines) + "\n")
+
+    stream = read_raw_events_stream(spark, str(src))
+    agg = windowed_distinct_hll(process_events(stream))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_hll")
+        .option("checkpointLocation", str(tmp_path / "ckpt_hll"))
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    live = {
+        r.window_start.minute: r
+        for r in spark.sql("select * from win_hll").collect()
+    }
+    assert set(live) == {0, 5}
+    # n=3 and n=2 distincts: linear counting is active (n << m), so the
+    # estimate is within a fraction of a unit of the truth
+    assert live[0].n_buckets_hit == 3
+    assert abs(live[0].hll_estimate - 3) < 0.2
+    assert live[5].n_buckets_hit == 2
+    assert abs(live[5].hll_estimate - 2) < 0.2
+
+    # batch replay: same (loc_id, event_ts) rows through the SAME
+    # operator as a plain frame (watermark is a no-op on batch)
+    rows = [
+        ("loc_1", base), ("loc_2", base + datetime.timedelta(minutes=1)),
+        ("loc_3", base + datetime.timedelta(minutes=2)),
+        ("loc_1", base + datetime.timedelta(minutes=3)),
+        ("loc_1", base + datetime.timedelta(minutes=6)),
+        ("loc_9", base + datetime.timedelta(minutes=7)),
+    ]
+    bdf = spark.createDataFrame(rows, "loc_id string, event_ts timestamp")
+    replay = {
+        r.window_start.minute: r
+        for r in windowed_distinct_hll(bdf).collect()
+    }
+    for minute in (0, 5):
+        a, b = live[minute], replay[minute]
+        assert (a.n_buckets_hit, a.sum_scaled, a.hll_raw_estimate,
+                a.hll_estimate) == (
+            b.n_buckets_hit, b.sum_scaled, b.hll_raw_estimate, b.hll_estimate
+        )
