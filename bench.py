@@ -344,6 +344,7 @@ def main() -> None:
         "docs_rrf_fusion",
         "emb_cluster_coreset",
         "docs_doremi_reweight",
+        "docs_pii_scan_v2",
     ]:
         fn = LQ.llm_queries()[name]
         timed_repeat(name, lambda fn=fn: fn(spark, sf_dir).collect())

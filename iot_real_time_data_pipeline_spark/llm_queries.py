@@ -466,6 +466,7 @@ def llm_queries() -> dict[str, QueryFn]:
         "docs_rrf_fusion": q_rrf_fusion,
         "emb_cluster_coreset": q_cluster_coreset,
         "docs_doremi_reweight": q_doremi_reweight,
+        "docs_pii_scan_v2": q_pii_scan_v2,
     }
 
 
@@ -2091,6 +2092,7 @@ def llm_oracle_sql() -> dict[str, str]:
         "docs_rrf_fusion": _sql_rrf_fusion(),
         "emb_cluster_coreset": _sql_cluster_coreset(),
         "docs_doremi_reweight": _sql_doremi_reweight(),
+        "docs_pii_scan_v2": _sql_pii_scan_v2(),
     }
 
 
@@ -4028,3 +4030,40 @@ SELECT source, n_tokens, loss_micro, excess_micro, factor_micro,
        base_share_ppm,
        CAST((w * 1000000) // w_total AS BIGINT) AS doremi_share_ppm
 FROM w2 CROSS JOIN wt"""
+
+
+# ---------------------------------------------------------------------------
+# Round-8 addition: checksum-validated PII scan (Luhn cards + IPv4)
+# ---------------------------------------------------------------------------
+
+
+def q_pii_scan_v2(spark, sf_dir):
+    return CUR.pii_scan_v2(_docs(spark, sf_dir))
+
+
+def _sql_pii_scan_v2() -> str:
+    e, p = CUR.EMAIL_PATTERN, CUR.PHONE_PATTERN
+    cc, ip = CUR.CC_CANDIDATE_PATTERN, CUR.IPV4_CANDIDATE_PATTERN
+    luhn_term = (
+        "(CASE WHEN i % 2 = 0 THEN 2 ELSE 1 END)"
+        " * CAST(substr(d, len(d) - i + 1, 1) AS INTEGER)"
+    )
+    return f"""
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '{e}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(
+      regexp_replace(text, '{e}', '[EMAIL]', 'g'), '{p}')) AS BIGINT)
+    AS n_phones,
+  CAST(len(list_filter(
+    list_transform(regexp_extract_all(text, '{cc}'),
+                   c -> regexp_replace(c, '[^0-9]', '', 'g')),
+    d -> len(d) BETWEEN 13 AND 19 AND
+         list_reduce(list_prepend(0, list_transform(range(1, len(d) + 1),
+           i -> {luhn_term} - 9 * (({luhn_term}) // 10))),
+           (a, x) -> a + x) % 10 = 0
+  )) AS BIGINT) AS n_cc_valid,
+  CAST(len(list_filter(regexp_extract_all(text, '{ip}', 0),
+    s -> len(list_filter(string_split_regex(s, '[.]'),
+                         o -> CAST(o AS INTEGER) > 255)) = 0
+  )) AS BIGINT) AS n_ipv4
+FROM documents"""

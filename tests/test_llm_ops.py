@@ -3189,3 +3189,54 @@ def test_doremi_matches_exact_python_recomputation(spark):
     w_total = sum(w.values())
     for s in toks:
         assert out[s].doremi_share_ppm == (w[s] * 1_000_000) // w_total
+
+
+def test_pii_scan_v2_luhn_separates_valid_from_typo_cards(spark):
+    rows = [
+        (1, "pay with 4111 1111 1111 1111 now"),   # Luhn-valid test PAN
+        (2, "fake 4111 1111 1111 1112 number"),    # same digits, bad check
+        (3, "short run 1234 5678 is no card"),     # < 13 digits
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in CUR.pii_scan_v2(df).collect()}
+    assert out[1].n_cc_valid == 1
+    assert out[2].n_cc_valid == 0
+    assert out[3].n_cc_valid == 0
+
+
+def test_pii_scan_v2_ipv4_validates_octets(spark):
+    rows = [
+        (1, "valid 192.168.0.1 and 8.8.8.8 here"),
+        (2, "out of range 999.1.1.1 and 256.0.0.1"),
+        (3, "versions 1.2.3.4.5 tail still matches a quad"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in CUR.pii_scan_v2(df).collect()}
+    assert out[1].n_ipv4 == 2
+    assert out[2].n_ipv4 == 0
+    # the greedy quad match inside a dotted version string is a known
+    # pattern-level false positive; the octet VALIDATION still applies
+    assert out[3].n_ipv4 == 1
+
+
+def test_pii_scan_v2_matches_python_luhn(spark):
+    import random
+
+    rng = random.Random(5)
+
+    def luhn_check(ds: str) -> bool:
+        total = 0
+        for i, ch in enumerate(reversed(ds), start=1):
+            x = int(ch) * (2 if i % 2 == 0 else 1)
+            total += x - 9 * (x // 10)
+        return total % 10 == 0
+
+    rows = []
+    expected = {}
+    for doc_id in range(20):
+        ds = "".join(str(rng.randrange(10)) for _ in range(16))
+        rows.append((doc_id, f"card {ds[:4]} {ds[4:8]} {ds[8:12]} {ds[12:]} end"))
+        expected[doc_id] = 1 if luhn_check(ds) else 0
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.n_cc_valid for r in CUR.pii_scan_v2(df).collect()}
+    assert out == expected
