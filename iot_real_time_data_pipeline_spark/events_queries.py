@@ -174,6 +174,7 @@ def events_queries() -> dict[str, QueryFn]:
         "events_conversion_latency": q_conversion_latency,
         "events_punch_card": q_punch_card,
         "events_ab_split_audit": q_ab_split_audit,
+        "events_range_join_counts": q_range_join_counts,
     }
 
 
@@ -1195,6 +1196,7 @@ def events_oracle_sql() -> dict[str, str]:
         "events_scd2_lookup": _SCD2_LOOKUP_SQL,
         "events_funnel_within": _funnel_within_sql(),
         "events_incremental_rollup": _ROLLUP_SQL,
+        "events_range_join_counts": _RANGE_JOIN_SQL,
     }
 
 
@@ -1483,3 +1485,31 @@ SELECT CAST(2 AS BIGINT), 'purchase', n2 FROM c"""
 
 def q_incremental_rollup(spark, sf_dir):
     return EA.incremental_rollup_merge(_events(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Round-8 addition: bucketed range join (point-in-interval without a
+# nested loop)
+# ---------------------------------------------------------------------------
+
+
+def q_range_join_counts(spark, sf_dir):
+    return EA.range_join_window_counts(_events(spark, sf_dir))
+
+
+_RANGE_JOIN_SQL = f"""
+WITH {_EV_CTE},
+days AS (SELECT DISTINCT ts_sec // 86400 AS interval_day FROM ev),
+win AS (
+  SELECT interval_day,
+         interval_day * 86400 + {EA.MAINT_START_OFFSET_S} AS w_start,
+         interval_day * 86400 + {EA.MAINT_START_OFFSET_S}
+           + {EA.MAINT_DURATION_S} AS w_end
+  FROM days
+)
+SELECT win.interval_day, w_start, w_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM ev JOIN win
+  ON ev.ts_sec >= win.w_start AND ev.ts_sec < win.w_end
+GROUP BY 1, 2, 3"""

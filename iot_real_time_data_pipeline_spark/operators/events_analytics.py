@@ -2094,3 +2094,91 @@ def incremental_rollup_merge(
         "sum_value_c",
         F.expr("(sum_value_c * 100) div n_events").alias("avg_value_cc"),
     )
+
+
+RANGE_GRAIN_SECONDS = 3600
+MAINT_START_OFFSET_S = 2 * 3600   # daily window opens 02:00
+MAINT_DURATION_S = 9000           # ... and runs 2.5 h
+
+
+def daily_windows(
+    events: DataFrame,
+    start_offset_s: int = MAINT_START_OFFSET_S,
+    duration_s: int = MAINT_DURATION_S,
+) -> DataFrame:
+    """One interval per calendar day PRESENT in the stream —
+    ``[day 02:00, day 04:30)`` by default. Derived from the data so
+    the oracle can derive the identical set; a production pipeline
+    would read its campaign/maintenance windows from a dim table of
+    exactly this shape: ``(interval_day, w_start, w_end)`` in epoch
+    seconds, half-open."""
+    return (
+        events.select(F.expr("ts_sec div 86400").alias("interval_day"))
+        .distinct()
+        .select(
+            "interval_day",
+            (F.col("interval_day") * 86400 + start_offset_s).alias("w_start"),
+            (F.col("interval_day") * 86400 + start_offset_s + duration_s).alias(
+                "w_end"
+            ),
+        )
+    )
+
+
+def range_join_bucketed(
+    events: DataFrame,
+    intervals: DataFrame,
+    grain_s: int = RANGE_GRAIN_SECONDS,
+) -> DataFrame:
+    """RANGE JOIN (event point-in-interval) as a grain-bucketed
+    EQUI-join — the custom operator Spark lacks natively: a naive
+    ``e.ts BETWEEN i.start AND i.end`` join has no equality predicate,
+    so Catalyst plans BroadcastNestedLoopJoin (or a cartesian),
+    O(|events| x |intervals|) — the classic scale-killer.
+
+    The bucketed expansion: each interval explodes to the coarse time
+    GRAINS it overlaps (``duration/grain + 1`` rows — bounded, tiny),
+    each event maps to its single grain, and the join becomes a hash
+    equi-join on the integer grain key with the exact range predicate
+    as a post-filter. Exact by construction: an event's grain matches
+    an interval iff the interval overlaps that grain, and each
+    (event, interval) pair meets at EXACTLY ONE exploded row (the
+    event's own grain), so no dedup is needed. Shuffle ∝ events +
+    exploded intervals; a 100 TB stream range-joins against a million
+    campaign windows without a nested loop. (Same trick databases
+    ship as "bucketed range join"; the streaming twin is
+    ``streaming/windows.correlate_streams``' watermarked interval
+    join.)
+
+    Inputs: events carrying ``ts_sec``; intervals
+    ``(interval_day, w_start, w_end)`` half-open epoch seconds.
+    Returns the matched rows tagged with their interval.
+    """
+    iexp = intervals.select(
+        "interval_day",
+        "w_start",
+        "w_end",
+        F.explode(
+            F.sequence(
+                F.expr(f"w_start div {grain_s}"),
+                F.expr(f"(w_end - 1) div {grain_s}"),
+            )
+        ).alias("grain"),
+    )
+    tagged = events.withColumn("grain", F.expr(f"ts_sec div {grain_s}"))
+    # No forced broadcast (the r6 de-hint rule): the interval side is
+    # usually dim-sized and AQE elects the broadcast at runtime, but a
+    # million-window campaign table must be allowed to shuffle.
+    return tagged.join(iexp, "grain").filter(
+        (F.col("ts_sec") >= F.col("w_start")) & (F.col("ts_sec") < F.col("w_end"))
+    )
+
+
+def range_join_window_counts(events: DataFrame) -> DataFrame:
+    """Per daily-window traffic via the bucketed range join:
+    ``(interval_day, w_start, w_end, n_events, n_users)``."""
+    matched = range_join_bucketed(events, daily_windows(events))
+    return matched.groupBy("interval_day", "w_start", "w_end").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )

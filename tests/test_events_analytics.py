@@ -1275,3 +1275,56 @@ def test_incremental_rollup_merge_equals_full_recompute(spark):
         for r in EA.incremental_rollup_merge(ev).collect()
     }
     assert inc == full and len(full) > 1
+
+
+def test_range_join_bucketed_boundaries_and_exactness(spark):
+    """Half-open [w_start, w_end) semantics at the exact boundaries,
+    grain-spanning intervals, and set-equality with the naive
+    nested-loop range join on the same rows."""
+    day = 19_000  # arbitrary epoch day
+    w_start = day * 86400 + EA.MAINT_START_OFFSET_S          # 02:00:00
+    w_end = w_start + EA.MAINT_DURATION_S                    # 04:30:00
+    rows = [
+        (1, 100, "click", w_start - 1),       # just before -> out
+        (2, 100, "click", w_start),           # inclusive start -> in
+        (3, 101, "click", w_start + 3600),    # second grain -> in
+        (4, 102, "click", w_end - 1),         # last second -> in
+        (5, 102, "click", w_end),             # exclusive end -> out
+        (6, 103, "click", (day + 40) * 86400 + 6 * 3600),  # 06:00, outside any window
+    ]
+    ev = spark.createDataFrame(
+        [(eid, u, t, s * 1_000_000_000) for eid, u, t, s in rows],
+        "event_id long, user_id long, event_type string, ts long",
+    )
+    ev = EA.with_ts_sec(ev)
+    matched = EA.range_join_bucketed(ev, EA.daily_windows(ev)).collect()
+    got = {r.event_id for r in matched}
+    assert got == {2, 3, 4}
+
+    # naive reference join over the same frames
+    win = EA.daily_windows(ev)
+    naive = (
+        ev.crossJoin(win.withColumnRenamed("interval_day", "d2"))
+        .filter((F.col("ts_sec") >= F.col("w_start")) & (F.col("ts_sec") < F.col("w_end")))
+        .select("event_id", "d2")
+        .collect()
+    )
+    assert {(r.event_id, r.d2) for r in naive} == {
+        (r.event_id, r.interval_day) for r in matched
+    }
+
+
+def test_range_join_plan_is_equi_join_not_nested_loop(spark):
+    rows = [(i, i % 5, "click", (19_000 * 86400 + 7200 + i * 60) * 1_000_000_000)
+            for i in range(50)]
+    ev = EA.with_ts_sec(
+        spark.createDataFrame(
+            rows, "event_id long, user_id long, event_type string, ts long"
+        )
+    )
+    plan = (
+        EA.range_join_bucketed(ev, EA.daily_windows(ev))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
