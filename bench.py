@@ -345,6 +345,7 @@ def main() -> None:
         "emb_cluster_coreset",
         "docs_doremi_reweight",
         "docs_pii_scan_v2",
+        "docs_vocab_novelty",
     ]:
         fn = LQ.llm_queries()[name]
         timed_repeat(name, lambda fn=fn: fn(spark, sf_dir).collect())

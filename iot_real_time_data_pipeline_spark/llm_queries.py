@@ -467,6 +467,7 @@ def llm_queries() -> dict[str, QueryFn]:
         "emb_cluster_coreset": q_cluster_coreset,
         "docs_doremi_reweight": q_doremi_reweight,
         "docs_pii_scan_v2": q_pii_scan_v2,
+        "docs_vocab_novelty": q_vocab_novelty,
     }
 
 
@@ -2093,6 +2094,7 @@ def llm_oracle_sql() -> dict[str, str]:
         "emb_cluster_coreset": _sql_cluster_coreset(),
         "docs_doremi_reweight": _sql_doremi_reweight(),
         "docs_pii_scan_v2": _sql_pii_scan_v2(),
+        "docs_vocab_novelty": _sql_vocab_novelty(),
     }
 
 
@@ -4067,3 +4069,53 @@ SELECT doc_id,
                          o -> CAST(o AS INTEGER) > 255)) = 0
   )) AS BIGINT) AS n_ipv4
 FROM documents"""
+
+
+# ---------------------------------------------------------------------------
+# Round-8 addition: per-source marginal vocabulary novelty
+# ---------------------------------------------------------------------------
+
+
+def q_vocab_novelty(spark, sf_dir):
+    return TA.vocab_novelty(_docs(spark, sf_dir))
+
+
+def _sql_vocab_novelty() -> str:
+    toks = TH.sql_tokens("text")
+    return f"""
+WITH term_rows AS (
+  SELECT source, unnest({toks}) AS term FROM documents
+),
+sizes AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_tokens
+  FROM term_rows GROUP BY source
+),
+ranks AS (
+  SELECT source, n_tokens,
+         CAST(row_number() OVER (ORDER BY n_tokens DESC, source) AS BIGINT)
+           AS src_rank
+  FROM sizes
+),
+st AS (SELECT DISTINCT source, term FROM term_rows),
+first AS (
+  SELECT term, min(src_rank) AS first_rank
+  FROM st JOIN ranks USING (source) GROUP BY term
+),
+novelty AS (
+  SELECT first_rank, CAST(count(*) AS BIGINT) AS n_new_terms
+  FROM first GROUP BY first_rank
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS vocab_total FROM first),
+cum AS (
+  SELECT src_rank, source, n_tokens,
+         CAST(coalesce(n_new_terms, 0) AS BIGINT) AS n_new_terms,
+         CAST(sum(coalesce(n_new_terms, 0)) OVER (
+           ORDER BY src_rank
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_terms
+  FROM ranks LEFT JOIN novelty ON ranks.src_rank = novelty.first_rank
+)
+SELECT src_rank, source, n_tokens, n_new_terms, cum_terms,
+       CAST((cum_terms * 1000000) // vocab_total AS BIGINT)
+         AS vocab_coverage_ppm
+FROM cum CROSS JOIN tot"""

@@ -1678,3 +1678,80 @@ def source_kl(
         F.first("tot_s").cast("long").alias("n_tokens"),
         F.sum("c_micro").cast("long").alias("kl_micro"),
     )
+
+
+def vocab_novelty(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Marginal vocabulary contribution per source under the greedy
+    largest-first ordering — the data-mixing diagnostic behind "what
+    does adding this source actually BUY": sources are ranked by token
+    count (descending, the order a curator adds them), every distinct
+    term is attributed to the FIRST source containing it, and each
+    source reports the new-term count plus the cumulative share of the
+    corpus vocabulary covered once it joins the mix. A source whose
+    n_new_terms is near zero is lexically redundant with the bigger
+    sources regardless of its size — prune or downweight it (the
+    greedy step of facility-location/coverage-based source selection).
+
+    Plan at 100 TB: one explode -> distinct (source, term) pairs
+    (shuffle ∝ pairs), a per-term MIN of the source rank (shuffle ∝
+    vocabulary, map-side partial agg), and every window runs on the
+    |sources|-row frame. Integer end-to-end.
+
+    Returns ``(src_rank, source, n_tokens, n_new_terms, cum_terms,
+    vocab_coverage_ppm)``.
+    """
+    from pyspark.sql import Window
+
+    term_rows = docs.select(
+        F.col(source_col).alias("source"),
+        F.explode(TH.tokens(F.col(text_col))).alias("term"),
+    )
+    sizes = term_rows.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_tokens")
+    )
+    w_rank = Window.orderBy(F.col("n_tokens").desc(), F.col("source"))
+    ranks = sizes.withColumn(
+        "src_rank", F.row_number().over(w_rank).cast("long")
+    )
+    st = term_rows.distinct()
+    first = (
+        st.join(F.broadcast(ranks.select("source", "src_rank")), "source")
+        .groupBy("term")
+        .agg(F.min("src_rank").alias("first_rank"))
+    )
+    novelty = first.groupBy("first_rank").agg(
+        F.count("*").cast("long").alias("n_new_terms")
+    )
+    total = first.agg(F.count("*").alias("vocab_total"))
+    w_cum = Window.orderBy("src_rank").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        ranks.join(
+            novelty, ranks.src_rank == novelty.first_rank, "left"
+        )
+        .select(
+            "src_rank",
+            "source",
+            "n_tokens",
+            F.coalesce(F.col("n_new_terms"), F.lit(0).cast("long")).alias(
+                "n_new_terms"
+            ),
+        )
+        .withColumn("cum_terms", F.sum("n_new_terms").over(w_cum).cast("long"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "src_rank",
+            "source",
+            "n_tokens",
+            "n_new_terms",
+            "cum_terms",
+            F.expr(
+                "(cum_terms * CAST(1000000 AS BIGINT)) div vocab_total"
+            ).alias("vocab_coverage_ppm"),
+        )
+    )

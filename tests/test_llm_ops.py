@@ -3240,3 +3240,31 @@ def test_pii_scan_v2_matches_python_luhn(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r.doc_id: r.n_cc_valid for r in CUR.pii_scan_v2(df).collect()}
     assert out == expected
+
+
+def test_vocab_novelty_attributes_terms_to_largest_first(spark):
+    """Largest source ranks 1 and owns shared vocabulary; a source
+    with zero exclusive terms reports n_new_terms == 0; coverage hits
+    exactly 1e6 ppm at the last rank."""
+    rows = (
+        [(i, "alpha beta gamma delta epsilon", "big") for i in range(4)]
+        + [(10, "alpha beta zeta", "mid")]          # zeta is new
+        + [(20, "alpha beta", "tiny")]              # nothing new
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.source: r for r in TA.vocab_novelty(df).collect()}
+    assert out["big"].src_rank == 1 and out["big"].n_new_terms == 5
+    assert out["mid"].n_new_terms == 1      # zeta only
+    assert out["tiny"].n_new_terms == 0     # fully redundant
+    assert out["tiny"].cum_terms == 6
+    assert out["tiny"].vocab_coverage_ppm == 1_000_000
+    # cumulative is monotone in rank order
+    ranks = sorted(out.values(), key=lambda r: r.src_rank)
+    assert all(a.cum_terms <= b.cum_terms for a, b in zip(ranks, ranks[1:]))
+
+
+def test_vocab_novelty_tie_breaks_rank_on_source_name(spark):
+    rows = [(1, "aa bb", "s2"), (2, "cc dd", "s1")]  # equal token counts
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.source: r.src_rank for r in TA.vocab_novelty(df).collect()}
+    assert out == {"s1": 1, "s2": 2}
