@@ -175,6 +175,7 @@ def events_queries() -> dict[str, QueryFn]:
         "events_punch_card": q_punch_card,
         "events_ab_split_audit": q_ab_split_audit,
         "events_range_join_counts": q_range_join_counts,
+        "events_ohlc_daily": q_ohlc_daily,
     }
 
 
@@ -1197,6 +1198,7 @@ def events_oracle_sql() -> dict[str, str]:
         "events_funnel_within": _funnel_within_sql(),
         "events_incremental_rollup": _ROLLUP_SQL,
         "events_range_join_counts": _RANGE_JOIN_SQL,
+        "events_ohlc_daily": _OHLC_SQL,
     }
 
 
@@ -1513,3 +1515,35 @@ SELECT win.interval_day, w_start, w_end,
 FROM ev JOIN win
   ON ev.ts_sec >= win.w_start AND ev.ts_sec < win.w_end
 GROUP BY 1, 2, 3"""
+
+
+def q_ohlc_daily(spark, sf_dir):
+    return EA.ohlc_daily(_events(spark, sf_dir))
+
+
+_OHLC_SQL = f"""
+WITH {_EV_CTE},
+cents AS (
+  SELECT event_type, (ts_sec // 86400) * 86400 AS day_start_sec,
+         ts_sec, event_id,
+         CAST(round(value * 100) AS BIGINT) AS v
+  FROM ev
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER wa AS rn_first,
+         row_number() OVER wd AS rn_last
+  FROM cents
+  WINDOW wa AS (PARTITION BY event_type, day_start_sec
+                ORDER BY ts_sec, event_id),
+         wd AS (PARTITION BY event_type, day_start_sec
+                ORDER BY ts_sec DESC, event_id DESC)
+)
+SELECT event_type, CAST(day_start_sec AS BIGINT) AS day_start_sec,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(max(CASE WHEN rn_first = 1 THEN v END) AS BIGINT) AS open_c,
+       CAST(max(v) AS BIGINT) AS high_c,
+       CAST(min(v) AS BIGINT) AS low_c,
+       CAST(max(CASE WHEN rn_last = 1 THEN v END) AS BIGINT) AS close_c
+FROM ranked
+GROUP BY 1, 2"""

@@ -2182,3 +2182,48 @@ def range_join_window_counts(events: DataFrame) -> DataFrame:
         F.count("*").cast("long").alias("n_events"),
         F.countDistinct("user_id").cast("long").alias("n_users"),
     )
+
+
+def ohlc_daily(events: DataFrame) -> DataFrame:
+    """Daily OHLC bars per event type over ``value`` — the candlestick
+    aggregate every timeseries store ships (open = first value of the
+    day, high/low = extremes, close = last), here as ONE map-side-
+    partial groupBy: open/close are ``min/max(struct(ts_sec, event_id,
+    value))`` picks — the struct ordering IS the (time, id) tie-break,
+    it partial-aggregates like any min/max, and no window or sort ever
+    touches the event volume. Values are integer cents (per-row
+    quantized before any comparison), so the bar is engine-exact.
+
+    Shuffle ∝ |types| x |days| — the rollup grid, not the stream.
+    Returns ``(event_type, day_start_sec, n_events, open_c, high_c,
+    low_c, close_c)``.
+    """
+    value_c = F.round(F.col("value") * 100).cast("long")
+    day = F.expr("(ts_sec div 86400) * 86400").cast("long")
+    tagged = events.select(
+        "event_type",
+        day.alias("day_start_sec"),
+        F.struct(F.col("ts_sec"), F.col("event_id"), value_c.alias("v")).alias(
+            "o"
+        ),
+        value_c.alias("v"),
+    )
+    return (
+        tagged.groupBy("event_type", "day_start_sec")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.min("o").alias("first_o"),
+            F.max("o").alias("last_o"),
+            F.max("v").alias("high_c"),
+            F.min("v").alias("low_c"),
+        )
+        .select(
+            "event_type",
+            "day_start_sec",
+            "n_events",
+            F.col("first_o.v").alias("open_c"),
+            "high_c",
+            "low_c",
+            F.col("last_o.v").alias("close_c"),
+        )
+    )

@@ -1328,3 +1328,41 @@ def test_range_join_plan_is_equi_join_not_nested_loop(spark):
     )
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ohlc_daily_picks_and_extremes(spark):
+    day = 19_100 * 86400
+    rows = [
+        # (event_id, ts offset, value) — deliberately out of order
+        (3, 300, 5.00),
+        (1, 10, 2.50),     # open (earliest)
+        (4, 400, 9.75),    # high
+        (2, 100, 1.25),    # low
+        (5, 86_399, 4.00), # close (latest second of the day)
+        (6, 86_400 + 50, 7.00),  # next day -> its own bar
+    ]
+    ev = EA.with_ts_sec(
+        spark.createDataFrame(
+            [(e, 1, "trade", (day + off) * 1_000_000_000, v) for e, off, v in rows],
+            "event_id long, user_id long, event_type string, ts long, value double",
+        )
+    )
+    bars = {r.day_start_sec: r for r in EA.ohlc_daily(ev).collect()}
+    b = bars[day]
+    assert (b.open_c, b.high_c, b.low_c, b.close_c) == (250, 975, 125, 400)
+    assert b.n_events == 5
+    assert bars[day + 86400].open_c == 700
+
+
+def test_ohlc_daily_tie_breaks_on_event_id(spark):
+    day = 19_100 * 86400
+    rows = [(2, day, 8.0), (1, day, 3.0), (9, day, 6.0), (8, day, 1.0)]
+    ev = EA.with_ts_sec(
+        spark.createDataFrame(
+            [(e, 1, "t", s * 1_000_000_000, v) for e, s, v in rows],
+            "event_id long, user_id long, event_type string, ts long, value double",
+        )
+    )
+    b = EA.ohlc_daily(ev).collect()[0]
+    # identical ts_sec everywhere: open = lowest event_id, close = highest
+    assert b.open_c == 300 and b.close_c == 600
