@@ -41,23 +41,36 @@ def entry(spark: SparkSession) -> DataFrame:
 # round's new CORRECTNESS file shrinks the never-seen set, so over a
 # few rounds every registered query accumulates builder-independent
 # evidence without manual curation.
-DRIVER_SENTINELS = [
-    # Round-8 window budget: the driver records ~50 rows per round and
-    # exactly 50 queries have never had a driver row, plus the two
-    # HUGEINT-fix queries below need re-evidence — 52 candidates for a
-    # ~50-row window. The ten per-family sentinels (all green in r07)
-    # therefore sit out THIS round so the never-seen backlog drains in
-    # one pass; restore them once the pre-round-8 220 all have rows
-    # (round 8 adds docs_rrf_fusion and emb_cluster_coreset, which
-    # join the never-seen queue behind the backlog).
-    "docs_source_mix",             # pinned: failed r03/r07 driver hash —
-                                   # r07 root cause was an uncast DuckDB
-                                   # sum() (HUGEINT vs int64); oracle now
-                                   # casts. Keep until a green driver row.
-    "docs_source_lang_matrix",     # pinned: same HUGEINT root cause as
-                                   # docs_source_mix (failed r07); keep
-                                   # until a green driver row lands.
+# Queries pinned to the FRONT of the window until their MOST RECENT
+# driver row is fully green — self-unpinning evidence for past driver
+# FAILs. Both entries failed the r07 hash on the uncast-DuckDB-sum
+# HUGEINT artifact (values bit-identical); round 8 cast the oracles.
+_PINNED_UNTIL_GREEN = [
+    "docs_source_mix",
+    "docs_source_lang_matrix",
 ]
+
+# Per-family canaries: one stable query per operator family, re-run
+# every round so a regression in an already-evidenced family still
+# surfaces in driver data. They YIELD their window slots while the
+# never-seen backlog is large (the round-8 situation: a 50-query
+# backlog in a ~50-row window) and return automatically as it drains.
+_FAMILY_SENTINELS = [
+    "validation_status_counts",    # iot validation engine
+    "fact",                        # iot star schema (exercises all dims)
+    "staging_from_lake",           # partitioned-lake round-trip
+    "d4_health_donut",             # dashboard + share-of-total window
+    "events_sessionize",           # clickstream family
+    "events_kmv_distinct",         # sketch family
+    "wh_q1_pricing_summary",       # warehouse family
+    "docs_minhash_lsh_pairs",      # docs dedup family
+    "emb_ivf_topk",                # embeddings/ANN family
+    "mm_wav_features",             # multimodal codec family
+]
+
+# Family sentinels re-enter when pinned + backlog leave this much room
+# in the ~50-row window.
+_SENTINEL_ROOM = 38
 
 # Families whose round-5/6/7 additions repeatedly landed at the END of
 # the evaluation window and got starved when runs were cut short.
@@ -65,16 +78,21 @@ DRIVER_SENTINELS = [
 _EARLY_PREFIXES = ("mm_",)
 
 
-def _driver_seen() -> set[str]:
-    """Query names with a row in any committed CORRECTNESS_r*.json —
-    i.e. queries that already have builder-independent evidence."""
+def _correctness_files() -> list[str]:
     import glob
-    import json
     import os
 
     here = os.path.dirname(os.path.abspath(__file__))
+    return sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json")))
+
+
+def _driver_seen() -> set[str]:
+    """Query names with a row in any committed CORRECTNESS_r*.json —
+    i.e. queries that already have builder-independent evidence."""
+    import json
+
     seen: set[str] = set()
-    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+    for path in _correctness_files():
         try:
             with open(path) as f:
                 seen.update(json.load(f).keys())
@@ -83,9 +101,40 @@ def _driver_seen() -> set[str]:
     return seen
 
 
+def _driver_latest_green() -> set[str]:
+    """Query names whose MOST RECENT driver row was fully green."""
+    import json
+
+    latest: dict[str, bool] = {}
+    for path in _correctness_files():  # sorted: later rounds overwrite
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            if isinstance(row, dict):
+                latest[name] = bool(
+                    row.get("rows_match")
+                    and row.get("schema_match")
+                    and row.get("hash_match")
+                    and row.get("err") is None
+                )
+    return {k for k, ok in latest.items() if ok}
+
+
+def _sentinels(full: dict) -> list[str]:
+    green = _driver_latest_green()
+    pinned = [k for k in _PINNED_UNTIL_GREEN if k in full and k not in green]
+    never = [k for k in full if k not in _driver_seen()]
+    if len(pinned) + len(never) <= _SENTINEL_ROOM:
+        return pinned + [k for k in _FAMILY_SENTINELS if k in full]
+    return pinned
+
+
 def _reorder(full: dict) -> dict:
     seen = _driver_seen()
-    window = list(DRIVER_SENTINELS)
+    window = _sentinels(full)
     never = [k for k in full if k not in seen and k not in window]
     window += [k for k in never if k.startswith(_EARLY_PREFIXES)]
     window += [k for k in never if not k.startswith(_EARLY_PREFIXES)]

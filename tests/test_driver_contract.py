@@ -28,16 +28,42 @@ def test_plan_audit_covers_every_registered_query():
 
 
 def test_driver_window_leads_with_unevidenced_queries():
-    """The self-rotating window: after the fixed sentinels, every query
-    that already has a driver CORRECTNESS row must sort BEHIND every
-    query that never had one."""
-    names = list(E.queries())
+    """The self-rotating window: after the (computed) sentinels, every
+    query that already has a driver CORRECTNESS row must sort BEHIND
+    every query that never had one."""
+    full = E.queries()
+    names = list(full)
     seen = E._driver_seen()
-    tail = names[len(E.DRIVER_SENTINELS):]
+    tail = names[len(E._sentinels(full)):]
     first_seen = next((i for i, n in enumerate(tail) if n in seen), len(tail))
     assert all(n in seen for n in tail[first_seen:]), (
         "an unevidenced query sorted behind an evidenced one"
     )
+
+
+def test_driver_sentinels_self_heal():
+    """Pinned queries unpin once their latest driver row is green, and
+    the family canaries yield while the never-seen backlog is large
+    (the r8 state) but return when it drains — simulated by treating
+    every query as seen-and-green except the pins."""
+    full = E.queries()
+    # Current committed state: the two r07 hash-fail pins are NOT
+    # latest-green, and the backlog is large -> pins only.
+    green = E._driver_latest_green()
+    assert "docs_source_mix" not in green
+    current = E._sentinels(full)
+    assert current[:2] == ["docs_source_mix", "docs_source_lang_matrix"]
+    assert "validation_status_counts" not in current  # canaries benched
+    # Drained-backlog behavior (monkeypatch-free simulation): with all
+    # queries seen, _sentinels must re-admit the family canaries.
+    orig_seen, orig_green = E._driver_seen, E._driver_latest_green
+    try:
+        E._driver_seen = lambda: set(full)
+        E._driver_latest_green = lambda: set(full)
+        healed = E._sentinels(full)
+        assert healed == [k for k in E._FAMILY_SENTINELS if k in full]
+    finally:
+        E._driver_seen, E._driver_latest_green = orig_seen, orig_green
 
 
 def test_oracle_sql_parses_in_duckdb():
