@@ -346,6 +346,7 @@ def main() -> None:
         "docs_doremi_reweight",
         "docs_pii_scan_v2",
         "docs_vocab_novelty",
+        "docs_weighted_sample_aes",
     ]:
         fn = LQ.llm_queries()[name]
         timed_repeat(name, lambda fn=fn: fn(spark, sf_dir).collect())

@@ -468,6 +468,7 @@ def llm_queries() -> dict[str, QueryFn]:
         "docs_doremi_reweight": q_doremi_reweight,
         "docs_pii_scan_v2": q_pii_scan_v2,
         "docs_vocab_novelty": q_vocab_novelty,
+        "docs_weighted_sample_aes": q_weighted_sample_aes,
     }
 
 
@@ -2095,6 +2096,7 @@ def llm_oracle_sql() -> dict[str, str]:
         "docs_doremi_reweight": _sql_doremi_reweight(),
         "docs_pii_scan_v2": _sql_pii_scan_v2(),
         "docs_vocab_novelty": _sql_vocab_novelty(),
+        "docs_weighted_sample_aes": _sql_weighted_sample_aes(),
     }
 
 
@@ -4119,3 +4121,29 @@ SELECT src_rank, source, n_tokens, n_new_terms, cum_terms,
        CAST((cum_terms * 1000000) // vocab_total AS BIGINT)
          AS vocab_coverage_ppm
 FROM cum CROSS JOIN tot"""
+
+
+# ---------------------------------------------------------------------------
+# Round-8 addition: Efraimidis-Spirakis exact-size weighted sample
+# ---------------------------------------------------------------------------
+
+
+def q_weighted_sample_aes(spark, sf_dir):
+    return CUR.weighted_sample_aes(_docs(spark, sf_dir))
+
+
+def _sql_weighted_sample_aes() -> str:
+    toks = TH.sql_tokens("text")
+    h = TH.sql_token_hash("'aes:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH keyed AS (
+  SELECT doc_id,
+         CAST(len({toks}) AS BIGINT) AS w_tokens,
+         CAST(round(ln(({h} + 1) / CAST({TH.HASH_P} AS DOUBLE))
+                    / CAST(len({toks}) AS DOUBLE) * 1e9) AS BIGINT)
+           AS key_nano
+  FROM documents
+  WHERE len({toks}) > 0
+)
+SELECT doc_id, w_tokens, key_nano
+FROM keyed ORDER BY key_nano DESC, doc_id LIMIT {CUR.AES_SAMPLE_K}"""

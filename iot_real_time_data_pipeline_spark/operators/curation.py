@@ -1423,3 +1423,51 @@ def pii_scan_v2(
         F.size(cc_valid).cast("long").alias("n_cc_valid"),
         F.size(ip_valid).cast("long").alias("n_ipv4"),
     )
+
+
+AES_SAMPLE_K = 100
+
+
+def weighted_sample_aes(
+    docs: DataFrame,
+    k: int = AES_SAMPLE_K,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT-size weighted sample without replacement via the
+    Efraimidis-Spirakis exponential-key scheme (Algorithm A-ES, IPL
+    2006): each doc draws ``u ∈ (0,1]`` and competes with key
+    ``u^(1/w)`` — the top-k keys are a weighted sample where inclusion
+    probability is proportional to weight, with NO sequential pass and
+    no replacement bookkeeping. The complement of the rate-based
+    :func:`length_weighted_sample`: that one preserves expected token
+    mass with a Bernoulli coin (size varies), this one hits an exact
+    document budget.
+
+    Determinism discipline: ``u`` is the salted md5 hash mapped to
+    (0,1], the ranking key is ``ln(u)/w`` (monotone in u^(1/w), no pow)
+    quantized to integer nano-nats the instant it is computed, and the
+    top-k is ``ORDER BY key DESC, doc_id LIMIT k`` — Spark's
+    distributed TakeOrdered, never a single-partition window; both
+    engines rank the same BIGINTs.
+
+    Weight = token count (the budget that matters for training mixes);
+    zero-token docs carry no weight and are excluded, mirroring A-ES's
+    w > 0 domain.
+
+    Returns ``(doc_id, w_tokens, key_nano)`` for the k winners.
+    """
+    h = TH.token_hash(F.concat(F.lit("aes:"), F.col(id_col).cast("string")))
+    u = (h + F.lit(1)).cast("double") / F.lit(float(TH.HASH_P))
+    w = F.size(TH.tokens(F.col(text_col))).cast("long")
+    keyed = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            w.alias("w_tokens"),
+            F.round(F.log(u) / w.cast("double") * F.lit(1e9))
+            .cast("long")
+            .alias("key_nano"),
+        )
+        .filter(F.col("w_tokens") > 0)
+    )
+    return keyed.orderBy(F.col("key_nano").desc(), F.col("doc_id")).limit(k)

@@ -3268,3 +3268,43 @@ def test_vocab_novelty_tie_breaks_rank_on_source_name(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string, source string")
     out = {r.source: r.src_rank for r in TA.vocab_novelty(df).collect()}
     assert out == {"s1": 1, "s2": 2}
+
+
+def test_weighted_sample_aes_exact_size_and_weight_bias(spark):
+    """Exactly k winners; heavier docs win far more often than light
+    ones (inclusion probability proportional to weight); zero-token
+    docs never selected; the draw replays identically."""
+    rows = []
+    for i in range(200):
+        # docs 0-99: 1 token; docs 100-199: 50 tokens
+        text = "tok" if i < 100 else " ".join(f"t{j}" for j in range(50))
+        rows.append((i, text))
+    rows.append((999, ""))  # zero-token doc
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = CUR.weighted_sample_aes(df, k=60).collect()
+    assert len(out) == 60
+    ids = [r.doc_id for r in out]
+    assert 999 not in ids
+    heavy = sum(1 for i in ids if i >= 100)
+    # E[heavy] = 60 * (100*50)/(100*50 + 100*1) ~ 58.8; a fair draw
+    # essentially never drops below 50 of 60.
+    assert heavy >= 50
+    again = [r.doc_id for r in CUR.weighted_sample_aes(df, k=60).collect()]
+    assert sorted(ids) == sorted(again)
+
+
+def test_weighted_sample_aes_matches_python_keys(spark):
+    import math
+
+    rows = [(i, " ".join(["w"] * (i + 1))) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.key_nano for r in CUR.weighted_sample_aes(df, k=10).collect()}
+
+    import hashlib
+
+    P = 2_147_483_647
+    for doc_id in range(10):
+        h = int(hashlib.md5(f"aes:{doc_id}".encode()).hexdigest()[:8], 16) % P
+        u = (h + 1) / P
+        w = doc_id + 1
+        assert out[doc_id] == round(math.log(u) / w * 1e9)
