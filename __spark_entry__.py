@@ -79,11 +79,22 @@ _EARLY_PREFIXES = ("mm_",)
 
 
 def _correctness_files() -> list[str]:
+    """Committed driver evidence, OLDEST ROUND FIRST. Sorted by the
+    parsed round number, not the filename — lexicographic order breaks
+    the 'later rounds overwrite' invariant at three digits
+    (CORRECTNESS_r100 < CORRECTNESS_r99 as strings)."""
     import glob
     import os
+    import re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    return sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json")))
+    paths = glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
+
+    def _round(p: str) -> int:
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", p)
+        return int(m.group(1)) if m else -1
+
+    return sorted(paths, key=_round)
 
 
 def _driver_seen() -> set[str]:
@@ -123,10 +134,12 @@ def _driver_latest_green() -> set[str]:
     return {k for k, ok in latest.items() if ok}
 
 
-def _sentinels(full: dict) -> list[str]:
+def _sentinels(full: dict, seen: set[str] | None = None) -> list[str]:
     green = _driver_latest_green()
+    if seen is None:  # hoisted: one evidence scan, not one per query
+        seen = _driver_seen()
     pinned = [k for k in _PINNED_UNTIL_GREEN if k in full and k not in green]
-    never = [k for k in full if k not in _driver_seen()]
+    never = [k for k in full if k not in seen]
     if len(pinned) + len(never) <= _SENTINEL_ROOM:
         return pinned + [k for k in _FAMILY_SENTINELS if k in full]
     return pinned
@@ -134,7 +147,7 @@ def _sentinels(full: dict) -> list[str]:
 
 def _reorder(full: dict) -> dict:
     seen = _driver_seen()
-    window = _sentinels(full)
+    window = _sentinels(full, seen)
     never = [k for k in full if k not in seen and k not in window]
     window += [k for k in never if k.startswith(_EARLY_PREFIXES)]
     window += [k for k in never if not k.startswith(_EARLY_PREFIXES)]

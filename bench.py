@@ -34,10 +34,16 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def _current_round_tag() -> str:
-    """Round tag for the detail file: env override, else the highest
-    committed CORRECTNESS_r*.json + 1 (this bench run produces the NEXT
-    round's artifacts). No stale hard-coded default — that overwrote the
-    real BENCH_DETAIL_r06.json when round 7 ran."""
+    """Round tag for the detail file: env override, else the CURRENT
+    evidence round — the highest committed CORRECTNESS_r*.json. The
+    driver drops CORRECTNESS_r{N}.json *before* it runs bench, so the
+    round-N bench detail is named r{N}. (The r8 "+1" variant mislabeled
+    the driver's round-8 bench as BENCH_DETAIL_r09 — renamed in-repo to
+    BENCH_DETAIL_r08_driver.json; see PERF.md. The r7 variant's stale
+    hard-coded default had the opposite bug and clobbered the real
+    BENCH_DETAIL_r06.json.) Builder-side ad-hoc runs should set
+    SPARK_GRAFT_ROUND (e.g. ``09_local``) so they never collide with a
+    driver artifact."""
     env = os.environ.get("SPARK_GRAFT_ROUND")
     if env:
         return env
@@ -50,7 +56,7 @@ def _current_round_tag() -> str:
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", p)
         if m:
             rounds.append(int(m.group(1)))
-    return "{:02d}".format(max(rounds) + 1 if rounds else 1)
+    return "{:02d}".format(max(rounds) if rounds else 1)
 
 
 def main() -> None:

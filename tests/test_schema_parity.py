@@ -12,9 +12,10 @@ the only local check that sees the engine side of the contract.
 
 from __future__ import annotations
 
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def test_every_oracle_twin_binds_identical_output_types(spark):

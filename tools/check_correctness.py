@@ -12,9 +12,12 @@ doubles). Usage::
 from __future__ import annotations
 
 import math
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+# Repo root derived from this file, not hard-coded: the tool must
+# import the sibling __spark_entry__ wherever the repo is cloned.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def canon(rows, cols):

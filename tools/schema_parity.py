@@ -23,9 +23,12 @@ Exit 0 = all queries with an oracle twin agree column-for-column.
 
 from __future__ import annotations
 
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+# Repo root derived from this file, not hard-coded: the tool must
+# import the sibling __spark_entry__ wherever the repo is cloned.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # Spark simpleString -> the DuckDB type the driver's Arrow transport
 # would carry for it. Anything outside this map is compared verbatim.
