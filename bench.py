@@ -124,6 +124,16 @@ def main() -> None:
         times[name] = round(time.perf_counter() - t0, 3)
         return out
 
+    def _storage_bytes() -> int:
+        infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        return int(sum(i.memSize() for i in infos))
+
+    # Root-cause instrumentation for the bench-context anomaly class
+    # (r7 wav, r8 jaccard sweep — in-session readings far above their
+    # isolated A/Bs): the storage memory held when each line item
+    # STARTS, so any recurrence names the exact cache state it rode.
+    storage_bytes_before: dict[str, int] = {}
+
     def timed_repeat(name: str, fn):
         """First run is the round-comparable number (same semantics as
         every earlier BENCH_r*); two more in-session repeats give a
@@ -133,6 +143,7 @@ def main() -> None:
         first run left (operator-internal persists): identical work,
         so the spread isolates *noise*, not data-dependent variance.
         """
+        storage_bytes_before[name] = _storage_bytes()
         runs = []
         for _ in range(REPEAT_RUNS):
             t0 = time.perf_counter()
@@ -206,6 +217,14 @@ def main() -> None:
         lambda: DQ.q_staging_from_lake(spark, sf_dir).collect(),
     )
 
+    # T2 exact-greedy throttle, batch replay form (round 9): the
+    # sequential per-key fold the stateful streaming op applies,
+    # JVM-side via aggregate().
+    timed_repeat(
+        "throttled_alerts_stateful_replay",
+        lambda: DQ.q_throttled_alerts_stateful_replay(spark, sf_dir).collect(),
+    )
+
     # --- dashboard queries over the cached star ---------------------------
     timed_repeat("d1_avg_temperature", lambda: D.avg_temperature(fact).collect())
     timed_repeat("d2_avg_humidity", lambda: D.avg_humidity(fact).collect())
@@ -239,7 +258,18 @@ def main() -> None:
     timed("load_corpus_tables", _load_corpus)
 
 
-    for name in [
+    # The LLM family is ~115 line items in one block: by round 8 its
+    # tail queries rode ~90 queries' worth of accumulated operator-
+    # internal persists, and twice in two rounds a tail query read
+    # 5-9x its isolated A/B (r7 mm_wav_decimate, r8
+    # docs_jaccard_threshold_sweep — both fine in a fresh JVM). Cap
+    # the accumulation: release ALL caches every LLM_RELEASE_BLOCK
+    # queries, then re-warm the two corpus-table persists UNTIMED
+    # (their load cost was already paid and reported once as
+    # load_corpus_tables; related operator pairs sit adjacently in the
+    # list, so intra-block cache reuse survives).
+    LLM_RELEASE_BLOCK = 25
+    for _i, name in enumerate([
         "docs_exact_dedup",
         "docs_shingle_jaccard_pairs",
         "docs_minhash_lsh_pairs",
@@ -353,7 +383,12 @@ def main() -> None:
         "docs_pii_scan_v2",
         "docs_vocab_novelty",
         "docs_weighted_sample_aes",
-    ]:
+        "emb_kmeans_lloyd2",
+        "emb_dim_stats",
+    ]):
+        if _i and _i % LLM_RELEASE_BLOCK == 0:
+            release_caches(f"llm_block_{_i}")
+            _load_corpus()
         fn = LQ.llm_queries()[name]
         timed_repeat(name, lambda fn=fn: fn(spark, sf_dir).collect())
 
@@ -458,7 +493,9 @@ def main() -> None:
         "family_subtotals": fam_first,
         "family_median_subtotals": fam_median,
         "cache_release_between_families": release_between_families,
+        "llm_release_block": LLM_RELEASE_BLOCK,
         "storage_bytes_at_release": storage_bytes_at_release,
+        "storage_bytes_before": storage_bytes_before,
         "sf": sf,
     }
     detail_name = "BENCH_DETAIL_r{}.json".format(_current_round_tag())

@@ -244,6 +244,22 @@ def q_throttled_alert_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_throttled_alerts_stateful_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """T2 (exact greedy form) — batch replay of the STATEFUL throttle
+    semantics (CRITICAL bypass refreshing last_sent; non-critical
+    suppressed within 5 minutes of the last send; greedy, not
+    window-aligned), per-key counters out. Driver-visible evidence for
+    the ``applyInPandasWithState`` path, which only runs in streaming
+    tests (VERDICT r8 item 7)."""
+    from .streaming.throttle import throttle_stateful_replay
+
+    return throttle_stateful_replay(
+        exploded_alerts(iot_processed(spark, sf_dir))
+    )
+
+
 def q_alert_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F13 — alert type -> recommended action lookup."""
     return (
@@ -387,6 +403,7 @@ def iot_queries() -> dict[str, QueryFn]:
         "alerts_by_type": q_alerts_by_type,
         "alert_actions": q_alert_actions,
         "throttled_alert_counts": q_throttled_alert_counts,
+        "throttled_alerts_stateful_replay": q_throttled_alerts_stateful_replay,
         "weather_enriched": q_weather_enriched,
         "d1_avg_temperature": q_d1,
         "d2_avg_humidity": q_d2,
@@ -480,6 +497,45 @@ def iot_oracle_sql() -> dict[str, str]:
                  WHERE rn = 1
                ) GROUP BY 1, 2""",
             alerts=True,
+        ),
+        # Greedy stateful throttle replayed as a recursive CTE: each
+        # iteration advances every key by one alert (rn -> rn+1),
+        # carrying last_sent — the sequential fold window functions
+        # cannot express. `ordered` is MATERIALIZED so the alerts
+        # pipeline runs once, not once per iteration. Epoch math in
+        # DOUBLE matches Spark's CAST(ts AS DOUBLE) bit-for-bit.
+        "throttled_alerts_stateful_replay": wp(
+            """, ordered AS MATERIALIZED (
+                 SELECT loc_id, alert_type, timestamp AS ts, priority,
+                        row_number() OVER (PARTITION BY loc_id, alert_type
+                          ORDER BY timestamp, event_id, priority) AS rn
+                 FROM alerts
+               ),
+               replay AS (
+                 SELECT loc_id, alert_type, rn, ts, priority,
+                        TRUE AS sent, epoch(ts) AS last_sent
+                 FROM ordered WHERE rn = 1
+                 UNION ALL
+                 SELECT o.loc_id, o.alert_type, o.rn, o.ts, o.priority,
+                        (o.priority = 'CRITICAL'
+                         OR epoch(o.ts) - r.last_sent >= 300.0) AS sent,
+                        CASE WHEN o.priority = 'CRITICAL'
+                                  OR epoch(o.ts) - r.last_sent >= 300.0
+                             THEN epoch(o.ts) ELSE r.last_sent END AS last_sent
+                 FROM ordered o JOIN replay r
+                   ON o.loc_id = r.loc_id AND o.alert_type = r.alert_type
+                  AND o.rn = r.rn + 1
+               )
+               SELECT loc_id, alert_type,
+                      CAST(count(*) FILTER (WHERE sent) AS BIGINT) AS n_sent,
+                      CAST(count(*) FILTER (WHERE sent AND priority = 'CRITICAL')
+                           AS BIGINT) AS n_critical_sent,
+                      CAST(count(*) FILTER (WHERE NOT sent) AS BIGINT)
+                        AS n_suppressed,
+                      max(ts) FILTER (WHERE sent) AS last_sent_at
+               FROM replay GROUP BY 1, 2""",
+            alerts=True,
+            recursive=True,
         ),
         # lookup temps are dyadic rationals, so avg-of-constant is exact.
         "weather_enriched": wp(

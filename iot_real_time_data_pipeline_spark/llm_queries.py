@@ -469,6 +469,8 @@ def llm_queries() -> dict[str, QueryFn]:
         "docs_pii_scan_v2": q_pii_scan_v2,
         "docs_vocab_novelty": q_vocab_novelty,
         "docs_weighted_sample_aes": q_weighted_sample_aes,
+        "emb_kmeans_lloyd2": q_kmeans_lloyd2,
+        "emb_dim_stats": q_dim_stats,
     }
 
 
@@ -2097,6 +2099,8 @@ def llm_oracle_sql() -> dict[str, str]:
         "docs_pii_scan_v2": _sql_pii_scan_v2(),
         "docs_vocab_novelty": _sql_vocab_novelty(),
         "docs_weighted_sample_aes": _sql_weighted_sample_aes(),
+        "emb_kmeans_lloyd2": _sql_kmeans_lloyd2(),
+        "emb_dim_stats": _sql_dim_stats(),
     }
 
 
@@ -4147,3 +4151,104 @@ WITH keyed AS (
 )
 SELECT doc_id, w_tokens, key_nano
 FROM keyed ORDER BY key_nano DESC, doc_id LIMIT {CUR.AES_SAMPLE_K}"""
+
+
+# ---------------------------------------------------------------------------
+# Round-9 additions: two-round Lloyd k-means, per-dimension embedding
+# stats
+# ---------------------------------------------------------------------------
+
+
+def q_kmeans_lloyd2(spark, sf_dir):
+    return SIM.kmeans_lloyd2(_emb(spark, sf_dir))
+
+
+def _sql_kmeans_lloyd2() -> str:
+    # Round-2 CTE chain on top of _kmeans_ctes(): integer-quantized
+    # centroid update (truncated division mirrors Spark's `div` —
+    # cohort_drift's pattern), then the same scored argmin.
+    d2 = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(range(1, len(v) + 1), "
+        "i -> (v[i] - cv[i]) * (v[i] - cv[i]))), (a, x) -> a + x)"
+    )
+    tdiv = "CASE WHEN sx < 0 THEN -((-sx) // n) ELSE sx // n END"
+    return f"""
+WITH {_kmeans_ctes()},
+xm AS (
+  SELECT k.cluster,
+         unnest(list_transform(range(1, len(e.v) + 1),
+                i -> {{'pos': i, 'xq': CAST(round(e.v[i] * 1e6) AS BIGINT)}}))
+           AS u
+  FROM kassign k JOIN e USING (vec_id)
+),
+cm AS (
+  SELECT cluster, u.pos AS pos,
+         CAST(sum(u.xq) AS BIGINT) AS sx, CAST(count(*) AS BIGINT) AS n
+  FROM xm GROUP BY 1, 2
+),
+cent2 AS (
+  SELECT cluster,
+         list(CAST(({tdiv}) AS DOUBLE) / 1e6 ORDER BY pos) AS cv
+  FROM cm GROUP BY cluster
+),
+kscored2 AS (
+  SELECT e.vec_id, cent2.cluster, {d2} AS d2 FROM e, cent2
+),
+kassign2 AS (
+  SELECT vec_id, cluster, d2 FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster)
+      AS rn
+    FROM kscored2
+  ) WHERE rn = 1
+),
+n1 AS (
+  SELECT cluster, CAST(count(*) AS BIGINT) AS n_round1
+  FROM kassign GROUP BY cluster
+),
+p2 AS (
+  SELECT a2.cluster,
+         CAST(count(*) AS BIGINT) AS n_round2,
+         CAST(sum(CASE WHEN a1.cluster <> a2.cluster THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_arrivals,
+         CAST(sum(CAST(round(
+             (CAST(round(a2.d2 * 1e6) AS BIGINT) / 1e6) * 1e6)
+           AS BIGINT)) AS BIGINT) AS inertia_r2_micro
+  FROM kassign2 a2 JOIN kassign a1 USING (vec_id)
+  GROUP BY a2.cluster
+)
+SELECT CAST(coalesce(n1.cluster, p2.cluster) AS BIGINT) AS cluster,
+       coalesce(n_round1, CAST(0 AS BIGINT)) AS n_round1,
+       coalesce(n_round2, CAST(0 AS BIGINT)) AS n_round2,
+       coalesce(n_arrivals, CAST(0 AS BIGINT)) AS n_arrivals,
+       coalesce(inertia_r2_micro, CAST(0 AS BIGINT)) AS inertia_r2_micro
+FROM n1 FULL OUTER JOIN p2 ON n1.cluster = p2.cluster"""
+
+
+def q_dim_stats(spark, sf_dir):
+    return SIM.dim_stats(_emb(spark, sf_dir))
+
+
+def _sql_dim_stats() -> str:
+    tdiv = "CASE WHEN sx < 0 THEN -((-sx) // n) ELSE sx // n END"
+    return f"""
+WITH x AS (
+  SELECT unnest(list_transform(range(1, len(embedding) + 1),
+         i -> {{'dim': CAST(i AS BIGINT),
+               'xq': CAST(round(CAST(embedding[i] AS DOUBLE) * 1e6)
+                          AS BIGINT),
+               'xq3': CAST(round(CAST(embedding[i] AS DOUBLE) * 1e3)
+                           AS BIGINT)}})) AS u
+  FROM embeddings
+),
+agg AS (
+  SELECT u.dim AS dim, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(u.xq) AS BIGINT) AS sx,
+         CAST(sum(u.xq3 * u.xq3) AS BIGINT) AS sxx3,
+         CAST(min(u.xq) AS BIGINT) AS min_micro,
+         CAST(max(u.xq) AS BIGINT) AS max_micro
+  FROM x GROUP BY 1
+)
+SELECT dim, n, CAST(({tdiv}) AS BIGINT) AS mean_micro,
+       sx AS sum_micro, sxx3 AS sumsq_milli2, min_micro, max_micro
+FROM agg"""

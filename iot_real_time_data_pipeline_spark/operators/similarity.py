@@ -736,6 +736,133 @@ def assignment_centroids(embeddings: DataFrame, assignment: DataFrame) -> DataFr
     )
 
 
+def kmeans_lloyd2(embeddings: DataFrame, k: int = KMEANS_K) -> DataFrame:
+    """TWO full Lloyd rounds — assign, recompute centroids, re-assign —
+    with a cross-engine-deterministic update step, reporting how the
+    clustering moved: per cluster, round-1/round-2 populations, how
+    many vectors ARRIVED in round 2, and the round-2 inertia.
+
+    :func:`assignment_centroids` (the production update step) averages
+    doubles, whose value depends on accumulation order — fine for
+    training, impossible to oracle. Here the update is the house
+    integer discipline (``cohort_drift``): components snap to the 1e-6
+    grid as BIGINTs, per-(cluster, dim) sums are exact, and the mean is
+    a truncated integer division — so both engines derive bit-identical
+    round-2 centroids and the re-assignment argmin agrees exactly.
+
+    Scale shape per round: one broadcast-centroid map-side argmin
+    (shuffle carries n rows — ``kmeans_assign``'s plan) plus one
+    partial-agged posexplode groupBy for the update (shuffle is one
+    partial sum per (cluster, dim, partition)). Iterating to
+    convergence is this body in a loop; two rounds is the smallest
+    instance that exercises assign AND update, which is what the
+    oracle contract needs to pin.
+
+    Returns ``(cluster, n_round1, n_round2, n_arrivals,
+    inertia_r2_micro)`` — all BIGINT (driver-stable).
+    """
+    a1 = kmeans_assign(embeddings, k)
+    vecs = embeddings.select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    expl = (
+        vecs.join(a1.select("vec_id", "cluster"), "vec_id")
+        .select("cluster", F.posexplode("v").alias("pos", "x"))
+        .withColumn("xq", F.round(F.col("x") * F.lit(1e6)).cast("long"))
+    )
+    per_dim = expl.groupBy("cluster", "pos").agg(
+        F.sum("xq").alias("sx"), F.count("*").alias("n")
+    )
+    # Truncated integer mean (Spark `div` truncates toward zero; the
+    # oracle mirrors it with an explicit CASE — cohort_drift's pattern).
+    mean_dbl = (
+        F.expr("sx div n").cast("double") / F.lit(1e6)
+    ).alias("m")
+    cent2 = (
+        per_dim.select("cluster", "pos", mean_dbl)
+        .groupBy("cluster")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("cv")
+        )
+    )
+    a2 = kmeans_assign(embeddings, k, centroids=cent2)
+    n1 = a1.groupBy("cluster").agg(F.count("*").alias("n_round1"))
+    j = a1.select("vec_id", F.col("cluster").alias("c1")).join(a2, "vec_id")
+    per2 = j.groupBy("cluster").agg(
+        F.count("*").alias("n_round2"),
+        F.sum(
+            F.when(F.col("c1") != F.col("cluster"), F.lit(1)).otherwise(0)
+        ).cast("long").alias("n_arrivals"),
+        # dist2 sits on the 1e-6 grid already; re-scaling to the integer
+        # grid makes the cross-row sum exact on both engines.
+        F.sum(F.round(F.col("dist2") * F.lit(1e6)).cast("long")).alias(
+            "inertia_r2_micro"
+        ),
+    )
+    zero = F.lit(0).cast("long")
+    return (
+        n1.join(per2, "cluster", "full_outer")
+        .select(
+            F.col("cluster").cast("long").alias("cluster"),
+            F.coalesce("n_round1", zero).alias("n_round1"),
+            F.coalesce("n_round2", zero).alias("n_round2"),
+            F.coalesce("n_arrivals", zero).alias("n_arrivals"),
+            F.coalesce("inertia_r2_micro", zero).alias("inertia_r2_micro"),
+        )
+    )
+
+
+def dim_stats(embeddings: DataFrame) -> DataFrame:
+    """Per-DIMENSION corpus statistics on the integer 1e-6 grid: the
+    anisotropy / dead-dimension audit run before trusting cosine
+    geometry (a dimension with near-zero variance contributes nothing
+    to similarity; one with an outsized mean makes cosine degenerate —
+    the "common direction" pathology of contextual encoders, Ethayarajh
+    2019). Downstream consumers: whitening decisions, PQ subspace
+    splits, and embedding-provider regression checks (a provider change
+    shows up here before recall audits catch it).
+
+    ALL-INTEGER output (micro-grid sums / extremes and a truncated-
+    division mean), so every row is exact on both engines. One
+    posexplode + one partial-agged groupBy — shuffle is a partial sum
+    per (dim, partition), independent of row count.
+
+    Returns ``(dim, n, mean_micro, sum_micro, sumsq_milli2, min_micro,
+    max_micro)``. Variance is ``(sumsq − sum²/n)/n`` downstream in
+    double — the sums themselves stay the exact, MERGEABLE quantities.
+    Two grids by overflow headroom: linear terms on the 1e-6 grid
+    (|Σx| < 1e6·n → int64-safe past 10¹² rows at |x| < 1), squares on
+    the 1e-3 grid (Σx² < 1e6·n — the micro square is 1e12 per element
+    and would cap n near 10⁷; milli keeps the same 10¹²-row headroom).
+    """
+    expl = embeddings.select(
+        F.posexplode(as_double(F.col("embedding"))).alias("pos", "x")
+    ).select(
+        (F.col("pos") + 1).cast("long").alias("dim"),
+        F.round(F.col("x") * F.lit(1e6)).cast("long").alias("xq"),
+        F.round(F.col("x") * F.lit(1e3)).cast("long").alias("xq3"),
+    )
+    agg = expl.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        F.sum("xq").alias("sx"),
+        F.sum(F.col("xq3") * F.col("xq3")).alias("sxx3"),
+        F.min("xq").alias("min_micro"),
+        F.max("xq").alias("max_micro"),
+    )
+    return agg.select(
+        "dim",
+        "n",
+        F.expr("sx div n").alias("mean_micro"),
+        F.col("sx").alias("sum_micro"),
+        F.col("sxx3").alias("sumsq_milli2"),
+        "min_micro",
+        "max_micro",
+    )
+
+
 
 def _ivf_index_schema(like: DataFrame):
     """Explicit read schema for a persisted IVF index built from a

@@ -281,11 +281,22 @@ alerts AS (
 )"""
 
 
-def with_prefix(body: str, star: bool = False, alerts: bool = False) -> str:
-    """``WITH <derivation CTEs> <body>`` — the standard oracle shape."""
+def with_prefix(
+    body: str,
+    star: bool = False,
+    alerts: bool = False,
+    recursive: bool = False,
+) -> str:
+    """``WITH <derivation CTEs> <body>`` — the standard oracle shape.
+
+    ``recursive=True`` emits ``WITH RECURSIVE``: SQL allows recursive
+    and plain CTEs to share one WITH clause, so a body that appends its
+    own recursive CTE (the greedy-throttle replay) just opts in here.
+    """
     ctes = [readings_cte(), validated_cte(), staging_cte()]
     if star:
         ctes.append(star_ctes())
     if alerts:
         ctes.append(alerts_cte())
-    return "WITH " + ",".join(ctes) + "\n" + body
+    kw = "WITH RECURSIVE " if recursive else "WITH "
+    return kw + ",".join(ctes) + "\n" + body

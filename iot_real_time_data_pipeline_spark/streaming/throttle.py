@@ -182,6 +182,96 @@ def throttle_alerts_stateful(
     )
 
 
+def throttle_stateful_replay(
+    exploded_alerts: DataFrame,
+    interval_seconds: float = ALERT_INTERVAL_SECONDS,
+) -> DataFrame:
+    """Batch REPLAY of the exact greedy stateful throttle (T2), per-key
+    counters out — the oracle-checkable twin of
+    ``throttle_alerts_stateful`` the same way the windowed-HLL batch
+    replay twins the streaming sketch.
+
+    Semantics replayed exactly (reference ``Lambda/lamda.py:246-283``
+    at its shipped CONSECUTIVE_RECORDS_THRESHOLD = 1, which makes the
+    consecutive counter vestigial): per (loc_id, alert_type) in
+    (timestamp, event_id) order, an alert SENDS iff it is CRITICAL
+    (bypass, refreshing last_sent) or no send happened in the last
+    ``interval_seconds``; otherwise it is SUPPRESSED. This greedy fold
+    is sequential per key — each decision depends on every prior send —
+    so no window function expresses it; instead each key's sequence is
+    folded JVM-side with the ``aggregate`` higher-order function (no
+    Python UDF, whole fold inside codegen).
+
+    Scale: state is one scalar accumulator per key, but ``collect_list``
+    materializes each key's replay sequence on one executor — bounded by
+    alerts-per-key *within the replay window*, the same bound the
+    streaming operator has per micro-batch. Replaying an unbounded
+    history would instead shard the fold by day and chain the carry-out
+    last_sent, exactly like the streaming op chains state across
+    batches; for the verification-replay use case (a backfill window)
+    the direct fold is the right shape.
+
+    Returns one row per key: n_sent, n_critical_sent, n_suppressed,
+    last_sent_at.
+    """
+    seq = exploded_alerts.groupBy("loc_id", "alert_type").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("timestamp").alias("ts"),
+                    F.col("event_id").alias("event_id"),
+                    F.col("priority").alias("priority"),
+                )
+            )
+        ).alias("seq")
+    )
+    # acc: (last send epoch-seconds | NULL, sent/critical/suppressed
+    # counters, last sent timestamp). Epoch math in DOUBLE on both
+    # engines (Spark CAST(ts AS DOUBLE) == DuckDB epoch(ts)), so the
+    # >= boundary resolves identically.
+    send_cond = (
+        "e.priority = 'CRITICAL' OR acc.last IS NULL "
+        f"OR CAST(e.ts AS DOUBLE) - acc.last >= {float(interval_seconds)!r}"
+    )
+    fold = F.expr(
+        f"""
+        aggregate(
+          seq,
+          struct(
+            CAST(NULL AS DOUBLE) AS last,
+            CAST(0 AS BIGINT) AS n_sent,
+            CAST(0 AS BIGINT) AS n_crit,
+            CAST(0 AS BIGINT) AS n_sup,
+            CAST(NULL AS TIMESTAMP) AS last_sent_at
+          ),
+          (acc, e) -> CASE WHEN {send_cond} THEN struct(
+              CAST(e.ts AS DOUBLE) AS last,
+              acc.n_sent + CAST(1 AS BIGINT) AS n_sent,
+              acc.n_crit + CAST(
+                CASE WHEN e.priority = 'CRITICAL' THEN 1 ELSE 0 END
+                AS BIGINT) AS n_crit,
+              acc.n_sup AS n_sup,
+              e.ts AS last_sent_at)
+            ELSE struct(
+              acc.last AS last,
+              acc.n_sent AS n_sent,
+              acc.n_crit AS n_crit,
+              acc.n_sup + CAST(1 AS BIGINT) AS n_sup,
+              acc.last_sent_at AS last_sent_at)
+          END
+        )
+        """
+    )
+    return seq.withColumn("acc", fold).select(
+        "loc_id",
+        "alert_type",
+        F.col("acc.n_sent").alias("n_sent"),
+        F.col("acc.n_crit").alias("n_critical_sent"),
+        F.col("acc.n_sup").alias("n_suppressed"),
+        F.col("acc.last_sent_at").alias("last_sent_at"),
+    )
+
+
 def throttle_batch_window(exploded_alerts: DataFrame) -> DataFrame:
     """Batch approximation: first alert per (key, 5-min tumbling window).
 

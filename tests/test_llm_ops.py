@@ -1166,6 +1166,58 @@ def test_kmeans_iterates_with_label_centroids(spark):
     assert blob_a_clusters != blob_b_clusters
 
 
+def test_kmeans_lloyd2_tracks_movement(spark):
+    """Two Lloyd rounds on a hand-built frame where round 2 MUST move
+    vectors: seeds 0/1 both sit in blob A, so round 1 lumps blob B
+    with seed 1; the quantized update drags centroid 1 toward B and
+    the near-A points defect back to cluster 0 in round 2."""
+    pts = {0: (0.0, 0.0), 1: (1.0, 1.0), 2: (2.0, 2.0),
+           3: (10.0, 10.0), 4: (11.0, 11.0)}
+    rows = [(i, [x, y], 0) for i, (x, y) in pts.items()]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {r.cluster: r for r in SIM.kmeans_lloyd2(df, k=2).collect()}
+    # round 1: c0={0}, c1={1,2,3,4}; c1 centroid -> (6,6);
+    # round 2: 1 and 2 are nearer (0,0) than (6,6) -> both defect.
+    assert (out[0].n_round1, out[0].n_round2, out[0].n_arrivals) == (1, 3, 2)
+    assert (out[1].n_round1, out[1].n_round2, out[1].n_arrivals) == (4, 2, 0)
+    # populations balance in both rounds
+    assert sum(r.n_round1 for r in out.values()) == len(pts)
+    assert sum(r.n_round2 for r in out.values()) == len(pts)
+    # round-2 inertia, exact on the micro grid, against the centroids
+    # REBUILT FROM ROUND-1 MEMBERSHIP: c0's update is mean({(0,0)}) =
+    # (0,0) -> 0+2+8 = 10; c1's is mean({1,2,3,4}) = (6,6), serving
+    # round-2 members (10,10),(11,11) -> 32+50 = 82.
+    assert out[0].inertia_r2_micro == 10_000_000
+    assert out[1].inertia_r2_micro == 82_000_000
+
+
+def test_kmeans_lloyd2_stable_when_seeds_split_blobs(spark):
+    """If the seeds already sit in different blobs, round 2 confirms
+    round 1: zero arrivals everywhere."""
+    rows = [(0, [0.0, 0.0], 0), (1, [10.0, 10.0], 0),
+            (2, [0.5, 0.5], 0), (3, [10.5, 10.5], 0)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = SIM.kmeans_lloyd2(df, k=2).collect()
+    assert {r.n_arrivals for r in out} == {0}
+    assert sorted((r.n_round1, r.n_round2) for r in out) == [(2, 2), (2, 2)]
+
+
+def test_dim_stats_exact_on_known_frame(spark):
+    """Hand-checkable per-dimension stats on the two grids."""
+    rows = [(0, [1.0, -0.5], 0), (1, [3.0, 0.25], 0)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {r.dim: r for r in SIM.dim_stats(df).collect()}
+    d1, d2 = out[1], out[2]
+    assert (d1.n, d1.sum_micro, d1.mean_micro) == (2, 4_000_000, 2_000_000)
+    assert (d1.min_micro, d1.max_micro) == (1_000_000, 3_000_000)
+    assert d1.sumsq_milli2 == 1000**2 + 3000**2
+    assert (d2.n, d2.sum_micro) == (2, -250_000)
+    # truncated division: -250000 div 2 = -125000 on both engines
+    assert d2.mean_micro == -125_000
+    assert (d2.min_micro, d2.max_micro) == (-500_000, 250_000)
+    assert d2.sumsq_milli2 == 500**2 + 250**2
+
+
 def test_sample_frames_fanout_and_empty_payload(spark):
     rows = [
         (1, "x" * 3000, "en"),   # 3000 bytes -> frames 0,1,2 -> sampled 0,2

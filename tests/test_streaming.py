@@ -82,6 +82,62 @@ def test_throttle_stateful_greedy(spark, tmp_path):
     assert sent == {"e1", "e3", "e4", "e5", "e6"}
 
 
+def test_throttle_stateful_replay_matches_greedy(spark):
+    """The batch REPLAY (driver-visible twin of the stateful op) folds
+    each key with the exact greedy semantics: same sends as
+    test_throttle_stateful_greedy on the same rows, counters out."""
+    from iot_real_time_data_pipeline_spark.streaming import (
+        throttle_stateful_replay,
+    )
+
+    df = spark.createDataFrame(ALERT_ROWS, ALERT_SCHEMA)
+    got = {
+        (r.loc_id, r.alert_type): (
+            r.n_sent, r.n_critical_sent, r.n_suppressed, r.last_sent_at
+        )
+        for r in throttle_stateful_replay(df).collect()
+    }
+    assert got == {
+        # e1 sent, e2 suppressed (60s), e3 sent (400s >= 300s)
+        ("loc_1", "High Temperature"): (2, 0, 1, ts(6, 40)),
+        # criticals bypass: both sent
+        ("loc_1", "Sensor Failure"): (2, 2, 0, ts(1)),
+        ("loc_2", "High Temperature"): (1, 0, 0, ts(1)),
+    }
+
+
+def test_throttle_stateful_replay_boundary_and_critical_refresh(spark):
+    """Two edges the counters must pin: (a) a gap of EXACTLY the
+    5-minute interval sends (>=, not >) and suppressed alerts do not
+    advance last_sent; (b) a CRITICAL bypass REFRESHES last_sent
+    (lamda.py:257-261), re-arming the suppression window."""
+    from iot_real_time_data_pipeline_spark.streaming import (
+        throttle_stateful_replay,
+    )
+
+    rows = [
+        # key A: t0 send; +299s suppressed; +300s (vs t0 — the
+        # suppressed alert left last_sent alone) boundary -> send
+        ("a1", "loc_1", ts(0, 0), "High Temperature", "HIGH", "d"),
+        ("a2", "loc_1", ts(4, 59), "High Temperature", "HIGH", "d"),
+        ("a3", "loc_1", ts(5, 0), "High Temperature", "HIGH", "d"),
+        # key B: t0 HIGH send; +100s CRITICAL send refreshes last_sent;
+        # +350s HIGH is 250s past the REFRESHED send -> suppressed
+        ("b1", "loc_2", ts(0, 0), "Low Water Level", "HIGH", "d"),
+        ("b2", "loc_2", ts(1, 40), "Low Water Level", "CRITICAL", "d"),
+        ("b3", "loc_2", ts(5, 50), "Low Water Level", "HIGH", "d"),
+    ]
+    df = spark.createDataFrame(rows, ALERT_SCHEMA)
+    got = {
+        (r.loc_id, r.alert_type): (r.n_sent, r.n_critical_sent, r.n_suppressed)
+        for r in throttle_stateful_replay(df).collect()
+    }
+    assert got == {
+        ("loc_1", "High Temperature"): (2, 0, 1),
+        ("loc_2", "Low Water Level"): (2, 1, 1),
+    }
+
+
 def test_throttle_stateful_consecutive_threshold_2(spark, tmp_path):
     """The counter path the reference ships disabled (threshold=1,
     lamda.py:21): at threshold 2 a first hit only arms the counter, the
