@@ -385,6 +385,7 @@ def main() -> None:
         "docs_weighted_sample_aes",
         "emb_kmeans_lloyd2",
         "emb_dim_stats",
+        "docs_pmi_collocations",
     ]):
         if _i and _i % LLM_RELEASE_BLOCK == 0:
             release_caches(f"llm_block_{_i}")

@@ -471,6 +471,7 @@ def llm_queries() -> dict[str, QueryFn]:
         "docs_weighted_sample_aes": q_weighted_sample_aes,
         "emb_kmeans_lloyd2": q_kmeans_lloyd2,
         "emb_dim_stats": q_dim_stats,
+        "docs_pmi_collocations": q_pmi_collocations,
     }
 
 
@@ -2101,6 +2102,7 @@ def llm_oracle_sql() -> dict[str, str]:
         "docs_weighted_sample_aes": _sql_weighted_sample_aes(),
         "emb_kmeans_lloyd2": _sql_kmeans_lloyd2(),
         "emb_dim_stats": _sql_dim_stats(),
+        "docs_pmi_collocations": _sql_pmi_collocations(),
     }
 
 
@@ -4252,3 +4254,35 @@ agg AS (
 SELECT dim, n, CAST(({tdiv}) AS BIGINT) AS mean_micro,
        sx AS sum_micro, sxx3 AS sumsq_milli2, min_micro, max_micro
 FROM agg"""
+
+
+def q_pmi_collocations(spark, sf_dir):
+    return TA.pmi_collocations(_docs(spark, sf_dir))
+
+
+def _sql_pmi_collocations() -> str:
+    return f"""
+WITH {_TOKS_CTE},
+pairs AS (
+  SELECT unnest(list_transform(range(1, len(t)),
+                i -> {{'w1': t[i], 'w2': t[i + 1]}})) AS u
+  FROM toks
+),
+pc AS (
+  SELECT u.w1 AS w1, u.w2 AS w2, CAST(count(*) AS BIGINT) AS n_pair
+  FROM pairs GROUP BY 1, 2 HAVING count(*) >= {TA.PMI_MIN_PAIR}
+),
+unig AS (SELECT unnest(t) AS term FROM toks),
+uc AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM unig GROUP BY 1),
+nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM unig),
+scored AS (
+  SELECT w1, w2, n_pair,
+         CAST(round((ln(CAST(n_pair AS DOUBLE)) + ln(CAST(n AS DOUBLE))
+                     - ln(CAST(a.c AS DOUBLE)) - ln(CAST(b.c AS DOUBLE)))
+                    * 1e6) AS BIGINT) AS pmi_micro
+  FROM pc JOIN uc a ON pc.w1 = a.term
+          JOIN uc b ON pc.w2 = b.term
+          CROSS JOIN nt
+)
+SELECT w1, w2, n_pair, pmi_micro
+FROM scored ORDER BY pmi_micro DESC, w1, w2 LIMIT {TA.PMI_TOP_K}"""

@@ -1755,3 +1755,82 @@ def vocab_novelty(
             ).alias("vocab_coverage_ppm"),
         )
     )
+
+
+PMI_MIN_PAIR = 5
+PMI_TOP_K = 50
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = PMI_MIN_PAIR,
+    top_k: int = PMI_TOP_K,
+) -> DataFrame:
+    """Top-k adjacent-bigram collocations by pointwise mutual
+    information — the phrase-vocabulary pass of word2vec-style
+    training prep (Mikolov et al. 2013 "Distributed Representations",
+    §4 phrase learning): pairs that co-occur far above chance
+    (``ln p(ab) − ln p(a) − ln p(b)``) become merge candidates.
+    Distinct from ``bigram_logprob``: that scores a language MODEL's
+    transition probabilities; PMI measures association strength
+    normalized by both unigrams.
+
+    Determinism: every count is an exact BIGINT; the score is computed
+    as ``ln(c_ab) + ln(N) − ln(c_a) − ln(c_b)`` — four ln calls over
+    doubles derived from the same integers, combined in one fixed
+    left-to-right order, identical across engines (the same ln parity
+    ``zipf_slope`` has held driver-green since r7) — then snapped to
+    the integer micro grid. The log-sum form also never materializes
+    ``c_ab·N``, which would overflow int64 on a 10¹²-token corpus.
+
+    Scale: pair derivation is a narrow map (no self-join — adjacent
+    pairs come from one pass over each token array); pair counts are
+    one shuffle with map-side partials; the ``min_count`` filter
+    shrinks the scored side before the two vocabulary joins (AQE
+    broadcasts the filtered side); N is a broadcast scalar rejoin and
+    the top-k is a TakeOrdered, not a global sort.
+    """
+    toks = docs.select(TH.tokens(F.col(text_col)).alias("t"))
+    pairs = (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1), "
+                    "i -> struct(element_at(t, i) AS w1, "
+                    "element_at(t, i + 1) AS w2))"
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+    )
+    pc = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count("*").alias("n_pair"))
+        .filter(F.col("n_pair") >= min_count)
+    )
+    uni = toks.select(F.explode("t").alias("term"))
+    uni_c = uni.groupBy("term").agg(F.count("*").alias("c"))
+    n_tot = uni.agg(F.count("*").alias("n"))
+    scored = (
+        pc.join(uni_c.selectExpr("term AS w1", "c AS c1"), "w1")
+        .join(uni_c.selectExpr("term AS w2", "c AS c2"), "w2")
+        .crossJoin(F.broadcast(n_tot))
+    )
+    pmi = (
+        F.log(F.col("n_pair").cast("double"))
+        + F.log(F.col("n").cast("double"))
+        - F.log(F.col("c1").cast("double"))
+        - F.log(F.col("c2").cast("double"))
+    )
+    return (
+        scored.select(
+            "w1",
+            "w2",
+            "n_pair",
+            F.round(pmi * F.lit(1e6)).cast("long").alias("pmi_micro"),
+        )
+        .orderBy(F.col("pmi_micro").desc(), "w1", "w2")
+        .limit(top_k)
+    )

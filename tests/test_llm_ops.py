@@ -1218,6 +1218,41 @@ def test_dim_stats_exact_on_known_frame(spark):
     assert d2.sumsq_milli2 == 500**2 + 250**2
 
 
+def test_pmi_collocations_hand_math(spark):
+    """PMI on a 1-doc corpus small enough to hand-derive: 'new york'
+    repeated. Pairs: (new,york)x3, (york,new)x2; unigrams 3+3, N=6.
+    PMI(new,york) = ln(3·6/(3·3)) = ln 2; PMI(york,new) = ln(4/3)."""
+    import math
+
+    rows = [(0, "new york new york new york", "en", "s", 26)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = TA.pmi_collocations(df, min_count=1, top_k=10).collect()
+    got = {(r.w1, r.w2): (r.n_pair, r.pmi_micro) for r in out}
+    assert got == {
+        ("new", "york"): (3, round(math.log(2.0) * 1e6)),
+        ("york", "new"): (2, round(math.log(4.0 / 3.0) * 1e6)),
+    }
+    # ordering: strongest association first
+    assert [(r.w1, r.w2) for r in out] == [("new", "york"), ("york", "new")]
+
+
+def test_pmi_collocations_min_count_and_short_docs(spark):
+    """min_count prunes rare pairs; 0/1-token docs contribute no pairs
+    but their unigrams still count toward N."""
+    rows = [
+        (0, "a b a b a b", "en", "s", 11),   # (a,b)x3 (b,a)x2
+        (1, "c", "en", "s", 1),              # no pairs, 1 unigram
+        (2, "", "en", "s", 0),               # split('') -> [''] unigram
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = TA.pmi_collocations(df, min_count=3, top_k=10).collect()
+    assert [(r.w1, r.w2, r.n_pair) for r in out] == [("a", "b", 3)]
+
+
 def test_sample_frames_fanout_and_empty_payload(spark):
     rows = [
         (1, "x" * 3000, "en"),   # 3000 bytes -> frames 0,1,2 -> sampled 0,2
