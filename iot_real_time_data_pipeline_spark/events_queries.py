@@ -176,6 +176,7 @@ def events_queries() -> dict[str, QueryFn]:
         "events_ab_split_audit": q_ab_split_audit,
         "events_range_join_counts": q_range_join_counts,
         "events_ohlc_daily": q_ohlc_daily,
+        "events_hist_quantile_audit": q_hist_quantile_audit,
     }
 
 
@@ -1199,6 +1200,7 @@ def events_oracle_sql() -> dict[str, str]:
         "events_incremental_rollup": _ROLLUP_SQL,
         "events_range_join_counts": _RANGE_JOIN_SQL,
         "events_ohlc_daily": _OHLC_SQL,
+        "events_hist_quantile_audit": _HIST_QUANTILE_SQL,
     }
 
 
@@ -1547,3 +1549,45 @@ SELECT event_type, CAST(day_start_sec AS BIGINT) AS day_start_sec,
        CAST(max(CASE WHEN rn_last = 1 THEN v END) AS BIGINT) AS close_c
 FROM ranked
 GROUP BY 1, 2"""
+
+
+def q_hist_quantile_audit(spark, sf_dir):
+    return SK.hist_quantile_audit(_events(spark, sf_dir))
+
+
+_HIST_QUANTILE_SQL = f"""
+WITH {_EV_CTE},
+vals AS (
+  SELECT event_id, value AS v FROM ev WHERE value IS NOT NULL
+),
+nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM vals),
+hist AS (
+  SELECT CAST(floor(v / CAST({SK.HIST_BIN_WIDTH!r} AS DOUBLE)) AS BIGINT) AS bin,
+         CAST(count(*) AS BIGINT) AS c
+  FROM vals GROUP BY 1
+),
+cum AS (
+  SELECT bin, CAST(sum(c) OVER (ORDER BY bin
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM hist
+),
+qrows AS (
+  SELECT u.q_pct AS q_pct, n, (u.q_pct * n + 99) // 100 AS k
+  FROM nt CROSS JOIN (
+    SELECT unnest([{', '.join('CAST(%d AS INT)' % q for q in SK.HIST_QUANTILES)}])
+      AS q_pct) u
+),
+approx AS (
+  SELECT q_pct, n, k,
+         -- bare 8.0 would parse as DECIMAL (texthash.sql_quantized6's
+         -- gotcha) and poison approx_upper/err_micro with Decimal types
+         (min(bin) + 1) * CAST({SK.HIST_BIN_WIDTH!r} AS DOUBLE) AS approx_upper
+  FROM qrows JOIN cum ON cum.cum >= qrows.k
+  GROUP BY 1, 2, 3
+),
+ranked AS (
+  SELECT v, row_number() OVER (ORDER BY v, event_id) AS rn FROM vals
+)
+SELECT q_pct, n, k, v AS exact_value, approx_upper,
+       CAST(round((approx_upper - v) * 1e6) AS BIGINT) AS err_micro
+FROM approx JOIN ranked ON ranked.rn = approx.k"""

@@ -426,3 +426,90 @@ def with_hll_estimate(per_group: DataFrame) -> DataFrame:
         .withColumn("hll_raw_estimate", raw.cast("long"))
         .withColumn("hll_estimate", corrected)
     )
+
+
+HIST_BIN_WIDTH = 8.0
+HIST_QUANTILES = (50, 90, 99)
+
+
+def hist_quantile_audit(
+    events: DataFrame,
+    value_col: str = "value",
+    bin_width: float = HIST_BIN_WIDTH,
+    quantiles: tuple = HIST_QUANTILES,
+) -> DataFrame:
+    """Histogram-CDF quantile estimation, audited against the exact
+    order statistic — the QUANTILE member of the sketch family next to
+    KMV/HLL/CMS (none of which answer "what's the p99").
+
+    Sketch side: ``bin = floor(value / bin_width)`` -> count per bin.
+    The state is one counter per occupied bin — fixed-size, algebraic
+    (bins merge by addition), so it partial-aggregates map-side and
+    the shuffle carries histogram-sized state, never row volume; this
+    is the estimator you actually run at 100 TB, and the same shape
+    ``curation.dsir_resample`` uses for its boundary buckets. The
+    estimate for quantile q is the upper edge of the first bin whose
+    cumulative count reaches ``k = ceil(q/100 * N)`` — error bounded
+    by bin_width by construction.
+
+    Exact side: the k-th smallest value via one global rank — the
+    audit's ground truth. At full scale you'd sample it or skip it;
+    it exists here to MEASURE the sketch's error the way
+    ``emb_recall_audit`` grounds IVF recall.
+
+    All selection arithmetic is integer (``ceil`` as ``(q*n + 99) div
+    100``); the reported values are raw data doubles and exact bin
+    edges, so every row is bit-identical across engines.
+
+    Returns ``(q_pct, n, k, exact_value, approx_upper, err_micro)``.
+    """
+    vals = events.filter(F.col(value_col).isNotNull()).select(
+        F.col("event_id"), F.col(value_col).alias("v")
+    )
+    n_tot = vals.agg(F.count("*").alias("n"))
+    hist = (
+        vals.select(
+            F.floor(F.col("v") / F.lit(float(bin_width))).cast("long").alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count("*").alias("c"))
+    )
+    cum = hist.withColumn(
+        "cum",
+        F.sum("c").over(
+            Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    qrows = n_tot.select(
+        F.explode(F.array(*[F.lit(int(q)) for q in quantiles])).alias("q_pct"),
+        "n",
+    ).withColumn("k", F.expr("(q_pct * n + 99) div 100"))
+    approx = (
+        qrows.join(F.broadcast(cum), F.col("cum") >= F.col("k"))
+        .groupBy("q_pct", "n", "k")
+        .agg(F.min("bin").alias("bin"))
+        .withColumn(
+            "approx_upper",
+            (F.col("bin") + 1).cast("double") * F.lit(float(bin_width)),
+        )
+        .drop("bin")
+    )
+    ranked = vals.select(
+        "v",
+        F.row_number()
+        .over(Window.orderBy("v", "event_id"))
+        .alias("rn"),
+    )
+    return (
+        approx.join(ranked, F.col("rn") == F.col("k"))
+        .select(
+            "q_pct",
+            "n",
+            "k",
+            F.col("v").alias("exact_value"),
+            "approx_upper",
+            F.round((F.col("approx_upper") - F.col("v")) * F.lit(1e6))
+            .cast("long")
+            .alias("err_micro"),
+        )
+    )

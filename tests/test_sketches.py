@@ -188,3 +188,28 @@ def test_hll_estimate_within_standard_error(spark):
     assert set(est) == set(truth)
     for t, n in truth.items():
         assert abs(est[t] - n) <= 3 * 0.13 * n + 2, (t, est[t], n)
+
+
+def test_hist_quantile_audit_hand_math(spark):
+    """Integers 1..100 at bin_width 8: every estimate is the first
+    bin-edge whose cumulative count reaches k = ceil(q·N/100), and the
+    error is bounded by one bin width."""
+    rows = [(i, float(i)) for i in range(1, 101)]
+    df = spark.createDataFrame(rows, "event_id long, value double")
+    out = {r.q_pct: r for r in SK.hist_quantile_audit(df).collect()}
+    # p50: cum(bin5)=47 < 50 <= cum(bin6)=55 -> upper 56, exact 50
+    assert (out[50].k, out[50].exact_value, out[50].approx_upper) == (50, 50.0, 56.0)
+    # p90: cum(bin10)=87 < 90 <= cum(bin11)=95 -> upper 96, exact 90
+    assert (out[90].k, out[90].exact_value, out[90].approx_upper) == (90, 90.0, 96.0)
+    # p99: cum(bin12)=100 >= 99 -> upper 104, exact 99
+    assert (out[99].k, out[99].exact_value, out[99].approx_upper) == (99, 99.0, 104.0)
+    for r in out.values():
+        assert 0 <= r.err_micro <= 8_000_000  # within one bin width
+        assert r.n == 100
+
+
+def test_hist_quantile_audit_ignores_nulls(spark):
+    rows = [(1, 10.0), (2, None), (3, 20.0), (4, 30.0)]
+    df = spark.createDataFrame(rows, "event_id long, value double")
+    out = {r.q_pct: r for r in SK.hist_quantile_audit(df).collect()}
+    assert out[50].n == 3 and out[50].k == 2 and out[50].exact_value == 20.0
