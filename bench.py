@@ -386,6 +386,7 @@ def main() -> None:
         "emb_kmeans_lloyd2",
         "emb_dim_stats",
         "docs_pmi_collocations",
+        "emb_power_iteration",
     ]):
         if _i and _i % LLM_RELEASE_BLOCK == 0:
             release_caches(f"llm_block_{_i}")

@@ -472,6 +472,7 @@ def llm_queries() -> dict[str, QueryFn]:
         "emb_kmeans_lloyd2": q_kmeans_lloyd2,
         "emb_dim_stats": q_dim_stats,
         "docs_pmi_collocations": q_pmi_collocations,
+        "emb_power_iteration": q_power_iteration,
     }
 
 
@@ -2103,6 +2104,7 @@ def llm_oracle_sql() -> dict[str, str]:
         "emb_kmeans_lloyd2": _sql_kmeans_lloyd2(),
         "emb_dim_stats": _sql_dim_stats(),
         "docs_pmi_collocations": _sql_pmi_collocations(),
+        "emb_power_iteration": _sql_power_iteration(),
     }
 
 
@@ -4286,3 +4288,53 @@ scored AS (
 )
 SELECT w1, w2, n_pair, pmi_micro
 FROM scored ORDER BY pmi_micro DESC, w1, w2 LIMIT {TA.PMI_TOP_K}"""
+
+
+def q_power_iteration(spark, sf_dir):
+    return SIM.power_iteration(_emb(spark, sf_dir))
+
+
+def _sql_power_iteration() -> str:
+    # Unrolled von Mises iterations over the integer gram CTE. The
+    # renormalizing division mirrors Spark's `div` (truncation toward
+    # zero) with the explicit CASE — DuckDB's `//` floors.
+    tdiv = (
+        "CASE WHEN u < 0 THEN -(((-u) * 1000) // m) "
+        "ELSE (u * 1000) // m END"
+    )
+    steps = []
+    prev = "v0"
+    for t in range(1, SIM.POWER_ITERS + 1):
+        steps.append(f"""
+u{t} AS (
+  SELECT g.i AS dim, CAST(sum(g.gram * {prev}.v) AS BIGINT) AS u
+  FROM gram g JOIN {prev} ON g.j = {prev}.dim GROUP BY 1
+),
+m{t} AS (
+  SELECT greatest(CAST(max(abs(u)) AS BIGINT), CAST(1 AS BIGINT)) AS m
+  FROM u{t}
+),
+v{t} AS (
+  SELECT dim, CAST(({tdiv}) AS BIGINT) AS v FROM u{t} CROSS JOIN m{t}
+)""")
+        prev = f"v{t}"
+    return f"""
+WITH q AS (
+  SELECT list_transform(embedding,
+         x -> CAST(round(CAST(x AS DOUBLE) * {SIM.GRAM_SCALE}) AS BIGINT)) AS qv
+  FROM embeddings
+),
+gram AS (
+  SELECT a.i AS i, b.j AS j, CAST(sum(qv[a.i] * qv[b.j]) AS BIGINT) AS gram
+  FROM q, range(1, {SIM.EMB_DIM} + 1) a(i), range(1, {SIM.EMB_DIM} + 1) b(j)
+  GROUP BY a.i, b.j
+),
+v0 AS (
+  SELECT unnest(range(1, {SIM.EMB_DIM} + 1)) AS dim, CAST(1000 AS BIGINT) AS v
+),{",".join(steps)},
+gv AS (
+  SELECT g.i AS dim, CAST(sum(g.gram * {prev}.v) AS BIGINT) AS gv
+  FROM gram g JOIN {prev} ON g.j = {prev}.dim GROUP BY 1
+)
+SELECT CAST({prev}.dim AS BIGINT) AS dim, {prev}.v AS v_milli, gv.gv AS gv
+FROM {prev} JOIN gv USING (dim)"""

@@ -815,6 +815,64 @@ def kmeans_lloyd2(embeddings: DataFrame, k: int = KMEANS_K) -> DataFrame:
     )
 
 
+POWER_ITERS = 3
+
+
+def power_iteration(embeddings: DataFrame, iters: int = POWER_ITERS) -> DataFrame:
+    """Dominant principal direction by POWER ITERATION over the
+    integer-exact Gram matrix — distributed PCA's first component,
+    end-to-end deterministic (von Mises iteration; the PCA warm-up
+    before whitening or low-rank probes).
+
+    Every quantity is an exact BIGINT: the Gram entries come from
+    :func:`gram_matrix` (milli-quantized coordinates, int64 Q.T@Q),
+    the start vector is the constant milli-unit vector, each matvec
+    ``u = G v`` is an integer join + groupBy-sum (order-free), and the
+    renormalization divides by the L-infinity norm with truncated
+    integer division — so both engines walk bit-identical iterates and
+    the sign/scale ambiguity of eigenvectors never arises.
+
+    Scale shape: the Gram build is the one data-sized pass (map-side
+    d² partials per Arrow batch); each of the ``iters`` matvecs then
+    touches only d² rows — a join against a d-row broadcast and one
+    partial-agged groupBy. At d = 4096 that's 16M-row matvecs,
+    comfortably distributed; n never re-enters.
+
+    Returns ``(dim, v_milli, gv)``: the converged direction on the
+    milli grid and its final unnormalized image ``(G v)`` — their
+    per-dim ratio is the Rayleigh eigenvalue estimate, left as exact
+    integers rather than one more division.
+    """
+    g = gram_matrix(embeddings)  # (i, j, gram), 1-based
+    spark = embeddings.sparkSession
+    v = spark.range(1, EMB_DIM + 1).select(
+        F.col("id").alias("dim"), F.lit(1000).cast("long").alias("v")
+    )
+
+    def _matvec(vec: DataFrame) -> DataFrame:
+        return (
+            g.join(F.broadcast(vec), g["j"] == vec["dim"])
+            .groupBy("i")
+            .agg(F.sum(F.col("gram") * F.col("v")).alias("u"))
+        )
+
+    for _ in range(iters):
+        u = _matvec(v)
+        # L-inf renormalization back to the milli grid; greatest(m, 1)
+        # keeps a degenerate all-zero corpus from dividing by zero.
+        m = u.agg(
+            F.greatest(F.max(F.abs(F.col("u"))), F.lit(1).cast("long")).alias("m")
+        )
+        v = u.crossJoin(F.broadcast(m)).select(
+            F.col("i").alias("dim"),
+            F.expr("(u * CAST(1000 AS BIGINT)) div m").alias("v"),
+        )
+    gv = _matvec(v)
+    return v.join(gv, v["dim"] == gv["i"]).select(
+        "dim", F.col("v").alias("v_milli"), F.col("u").alias("gv")
+    )
+
+
 def dim_stats(embeddings: DataFrame) -> DataFrame:
     """Per-DIMENSION corpus statistics on the integer 1e-6 grid: the
     anisotropy / dead-dimension audit run before trusting cosine

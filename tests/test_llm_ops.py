@@ -1202,6 +1202,36 @@ def test_kmeans_lloyd2_stable_when_seeds_split_blobs(spark):
     assert sorted((r.n_round1, r.n_round2) for r in out) == [(2, 2), (2, 2)]
 
 
+def test_power_iteration_tracks_numpy_eigvec(spark):
+    """Three integer power-iteration rounds on a corpus with a strong
+    rank-1 direction: the milli-grid iterate aligns with numpy's
+    dominant eigenvector of the SAME quantized Gram matrix, stays
+    L-inf normalized, and gv is the exact integer image G @ v."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    direction = rng.normal(size=64)
+    direction /= np.linalg.norm(direction)
+    coeffs = rng.normal(scale=1.0, size=(200, 1))
+    noise = rng.normal(scale=0.05, size=(200, 64))
+    X = (coeffs * direction + noise).astype("float32")
+    rows = [(i, [float(x) for x in X[i]], 0) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = sorted(SIM.power_iteration(df).collect(), key=lambda r: r.dim)
+    assert [r.dim for r in out] == list(range(1, 65))
+    v = np.array([r.v_milli for r in out], dtype=float)
+    Q = np.round(X.astype(np.float64) * 1000)
+    G = Q.T @ Q  # entries < 2^53: exact in float64
+    _, V = np.linalg.eigh(G)
+    top = V[:, -1]
+    cos = abs(v @ top) / (np.linalg.norm(v) * np.linalg.norm(top))
+    assert cos > 0.99
+    assert max(abs(r.v_milli) for r in out) == 1000
+    vint = [int(r.v_milli) for r in out]
+    for i, r in enumerate(out):
+        assert r.gv == sum(int(G[i, j]) * vint[j] for j in range(64))
+
+
 def test_dim_stats_exact_on_known_frame(spark):
     """Hand-checkable per-dimension stats on the two grids."""
     rows = [(0, [1.0, -0.5], 0), (1, [3.0, 0.25], 0)]
