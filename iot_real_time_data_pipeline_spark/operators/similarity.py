@@ -761,7 +761,12 @@ def kmeans_lloyd2(embeddings: DataFrame, k: int = KMEANS_K) -> DataFrame:
     Returns ``(cluster, n_round1, n_round2, n_arrivals,
     inertia_r2_micro)`` — all BIGINT (driver-stable).
     """
-    a1 = kmeans_assign(embeddings, k)
+    # Lazy persist: the round-1 assignment feeds the centroid update,
+    # the round-1 population count, AND the movement join — three
+    # references that would each re-run the corpus-wide argmin without
+    # the cache marker (n rows, built once at first action;
+    # release_session_caches() reclaims it).
+    a1 = kmeans_assign(embeddings, k).persist()
     vecs = embeddings.select(
         "vec_id", as_double(F.col("embedding")).alias("v")
     )
@@ -843,7 +848,14 @@ def power_iteration(embeddings: DataFrame, iters: int = POWER_ITERS) -> DataFram
     per-dim ratio is the Rayleigh eigenvalue estimate, left as exact
     integers rather than one more division.
     """
-    g = gram_matrix(embeddings)  # (i, j, gram), 1-based
+    # Lazy persist (labelprop's per-round pattern): the unrolled plan
+    # references the gram frame once per matvec, and without the cache
+    # marker each reference would re-run the full corpus pass — the
+    # plan audit showed 29 scans / 29 Arrow stages before this line.
+    # With it, the first action builds the d²-row InMemoryRelation once
+    # and every iteration reads memory. release_session_caches() (the
+    # bench's family-boundary hygiene) reclaims it.
+    g = gram_matrix(embeddings).persist()  # (i, j, gram), 1-based
     spark = embeddings.sparkSession
     v = spark.range(1, EMB_DIM + 1).select(
         F.col("id").alias("dim"), F.lit(1000).cast("long").alias("v")
