@@ -214,3 +214,94 @@ def windowed_distinct_hll(
         "hll_raw_estimate",
         "hll_estimate",
     )
+
+
+def windowed_hist_quantiles(
+    stream: DataFrame,
+    value_col: str,
+    ts_col: str = "event_ts",
+    window: str = "5 minutes",
+    bin_width: float = 8.0,
+    n_bins: int = 32,
+    quantiles: tuple = (50, 90, 99),
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming percentiles per event-time window via the fixed-bin
+    histogram CDF — ``sketches.hist_quantile_audit``'s estimator
+    recast as ONE stateful aggregation (the ``windowed_distinct_hll``
+    move): the ``n_bins`` bins are conditional-count aggregates inside
+    one ``groupBy(window)``, counts are algebraic so micro-batches
+    merge by addition, and per-window state is exactly one
+    ``n_bins``-int row. Exact streaming percentiles are the classic
+    unbounded-state trap (state = every value in the window); the
+    histogram is the honest answer at any volume, with error bounded
+    by ``bin_width``.
+
+    Bin index clamps into ``[0, n_bins-1]`` so outliers land in the
+    edge bins instead of growing state; a clamped top bin means the
+    true p99 exceeds the histogram range — size ``bin_width *
+    n_bins`` to the domain. Each requested percentile reports the
+    upper edge of the first bin whose cumulative count reaches
+    ``k = ceil(q*n/100)`` (NULL for an empty window).
+
+    Works identically on batch frames (the watermark is a no-op), so
+    a batch replay of the same rows reproduces the streaming output
+    bit-for-bit — the parity test pins it.
+
+    Returns ``(window_start, window_end, n, p{q}_upper ...)``.
+    """
+    src = stream
+    if stream.isStreaming:
+        src = stream.withWatermark(ts_col, watermark_delay)
+    w = float(bin_width)
+    b = F.least(
+        F.greatest(
+            F.floor(F.col(value_col) / F.lit(w)).cast("long"), F.lit(0).cast("long")
+        ),
+        F.lit(int(n_bins) - 1).cast("long"),
+    )
+    binned = src.select(F.col(ts_col).alias("_ts"), b.alias("_b"))
+    counts = binned.groupBy(F.window("_ts", window).alias("win")).agg(
+        *[
+            F.sum(F.when(F.col("_b") == j, 1).otherwise(0))
+            .cast("long")
+            .alias(f"c{j}")
+            for j in range(int(n_bins))
+        ]
+    )
+    arr = counts.select(
+        F.col("win.start").alias("window_start"),
+        F.col("win.end").alias("window_end"),
+        F.array(*[F.col(f"c{j}") for j in range(int(n_bins))]).alias("bins"),
+    ).withColumn(
+        "n",
+        F.expr("aggregate(bins, CAST(0 AS BIGINT), (a, c) -> a + c)"),
+    )
+    # Prefix sums without ANSI out-of-bounds risk: cum[i] = sum of the
+    # first i bins (O(n_bins^2) scalar ops per window row — trivial).
+    arr = arr.withColumn(
+        "cums",
+        F.expr(
+            "transform(sequence(1, size(bins)), i -> "
+            "aggregate(slice(bins, 1, i), CAST(0 AS BIGINT), (a, c) -> a + c))"
+        ),
+    )
+    out = arr
+    for q in quantiles:
+        out = out.withColumn(
+            f"p{q}_upper",
+            F.when(
+                F.col("n") > 0,
+                F.expr(
+                    f"array_position(transform(cums, c -> "
+                    f"c >= (({q} * n + 99) div 100)), true)"
+                ).cast("double")
+                * F.lit(w),
+            ),
+        )
+    return out.select(
+        "window_start",
+        "window_end",
+        "n",
+        *[f"p{q}_upper" for q in quantiles],
+    )

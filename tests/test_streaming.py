@@ -1000,3 +1000,71 @@ def test_windowed_distinct_hll_streaming_matches_batch_replay(spark, tmp_path):
                 a.hll_estimate) == (
             b.n_buckets_hit, b.sum_scaled, b.hll_raw_estimate, b.hll_estimate
         )
+
+
+def test_windowed_hist_quantiles_streaming_matches_batch_replay(spark, tmp_path):
+    """Streaming per-window percentiles via the fixed-bin histogram
+    CDF (one mergeable aggregation; counts are algebraic so
+    micro-batch boundaries cannot change the answer): a two-batch file
+    stream and a batch replay of the identical rows agree exactly,
+    and the estimates match hand-derived bin edges."""
+    import datetime
+    import json as _json
+
+    from iot_real_time_data_pipeline_spark.streaming.windows import (
+        windowed_hist_quantiles,
+    )
+
+    base = datetime.datetime(2024, 3, 1, 6, 0, 0)
+    # window [06:00,06:05): values 1..10 -> p50 at value 5 (bin 0 at
+    # width 8 covers 1..7 with count 7 >= k=5 -> upper 8.0), p90 at
+    # k=9 (cum bin1 = 10 -> upper 16.0); window [06:05,06:10):
+    # values 100, 300 (clamped into the top bin at n_bins=32 ->
+    # upper 32*8=256 for every quantile)
+    rows = [(float(v), base + datetime.timedelta(seconds=v)) for v in range(1, 11)]
+    rows += [(100.0, base + datetime.timedelta(minutes=6)),
+             (300.0, base + datetime.timedelta(minutes=7))]
+    src = tmp_path / "hq_src"
+    src.mkdir()
+    for i, chunk in enumerate((rows[:6], rows[6:])):  # two micro-batches
+        (src / f"b{i}.jsonl").write_text(
+            "\n".join(
+                _json.dumps({"value": v, "event_ts": ts.isoformat()})
+                for v, ts in chunk
+            )
+            + "\n"
+        )
+    stream = (
+        spark.readStream.schema("value double, event_ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    agg = windowed_hist_quantiles(stream, "value")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_hq")
+        .option("checkpointLocation", str(tmp_path / "ckpt_hq"))
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    live = {
+        r.window_start.minute: r for r in spark.sql("select * from win_hq").collect()
+    }
+    assert set(live) == {0, 5}
+    assert (live[0].n, live[0].p50_upper, live[0].p90_upper, live[0].p99_upper) == (
+        10, 8.0, 16.0, 16.0)
+    # 100/8=12 (in range), 300 clamps into bin 31 -> p90/p99 upper 256
+    assert (live[5].n, live[5].p50_upper, live[5].p99_upper) == (2, 104.0, 256.0)
+
+    # batch replay of the same rows through the SAME operator
+    bdf = spark.createDataFrame(rows, "value double, event_ts timestamp")
+    replay = {
+        r.window_start.minute: r
+        for r in windowed_hist_quantiles(bdf, "value").collect()
+    }
+    for minute in (0, 5):
+        a, b = live[minute], replay[minute]
+        assert (a.n, a.p50_upper, a.p90_upper, a.p99_upper) == (
+            b.n, b.p50_upper, b.p90_upper, b.p99_upper)
