@@ -387,6 +387,7 @@ def main() -> None:
         "emb_dim_stats",
         "docs_pmi_collocations",
         "emb_power_iteration",
+        "docs_mixture_apportion",
     ]):
         if _i and _i % LLM_RELEASE_BLOCK == 0:
             release_caches(f"llm_block_{_i}")

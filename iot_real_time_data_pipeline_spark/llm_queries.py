@@ -473,6 +473,7 @@ def llm_queries() -> dict[str, QueryFn]:
         "emb_dim_stats": q_dim_stats,
         "docs_pmi_collocations": q_pmi_collocations,
         "emb_power_iteration": q_power_iteration,
+        "docs_mixture_apportion": q_mixture_apportion,
     }
 
 
@@ -2105,6 +2106,7 @@ def llm_oracle_sql() -> dict[str, str]:
         "emb_dim_stats": _sql_dim_stats(),
         "docs_pmi_collocations": _sql_pmi_collocations(),
         "emb_power_iteration": _sql_power_iteration(),
+        "docs_mixture_apportion": _sql_mixture_apportion(),
     }
 
 
@@ -4338,3 +4340,38 @@ gv AS (
 )
 SELECT CAST({prev}.dim AS BIGINT) AS dim, {prev}.v AS v_milli, gv.gv AS gv
 FROM {prev} JOIN gv USING (dim)"""
+
+
+def q_mixture_apportion(spark, sf_dir):
+    return CUR.apportion_mixture(_docs(spark, sf_dir))
+
+
+def _sql_mixture_apportion() -> str:
+    k = CUR.APPORTION_BATCH_DOCS
+    tau = CUR.MIX_TEMPERATURE_MILLI / 1000.0
+    return f"""
+WITH d AS (
+  SELECT source, len({TH.sql_tokens('text')}) AS n_toks FROM documents
+),
+per_source AS (
+  SELECT source,
+         CAST(round(pow(CAST(sum(n_toks) AS DOUBLE), {tau}) * 1e6)
+              AS BIGINT) AS weight_micro
+  FROM d GROUP BY source
+),
+t AS (SELECT CAST(sum(weight_micro) AS BIGINT) AS w_total FROM per_source),
+scored AS (
+  SELECT source, weight_micro,
+         (CAST({k} AS BIGINT) * weight_micro) // w_total AS base_alloc,
+         (CAST({k} AS BIGINT) * weight_micro) % w_total AS remainder
+  FROM per_source CROSS JOIN t
+),
+bt AS (SELECT CAST(sum(base_alloc) AS BIGINT) AS base_total FROM scored),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY remainder DESC, source) AS rnk
+  FROM scored
+)
+SELECT source, weight_micro, base_alloc, remainder,
+       CAST(base_alloc + CASE WHEN rnk <= (CAST({k} AS BIGINT) - base_total)
+                              THEN 1 ELSE 0 END AS BIGINT) AS alloc
+FROM ranked CROSS JOIN bt"""

@@ -1471,3 +1471,74 @@ def weighted_sample_aes(
         .filter(F.col("w_tokens") > 0)
     )
     return keyed.orderBy(F.col("key_nano").desc(), F.col("doc_id")).limit(k)
+
+
+APPORTION_BATCH_DOCS = 100
+
+
+def apportion_mixture(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    batch_docs: int = APPORTION_BATCH_DOCS,
+    temperature_milli: int = MIX_TEMPERATURE_MILLI,
+) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of an integer batch
+    across the temperature mixture — the scheduling step between a
+    mixture WEIGHT vector (:func:`temperature_mix_plan`, DoReMi, ...)
+    and an actual training batch: every source gets
+    ``floor(batch * w_s / W)`` slots, and the ``batch − Σfloor``
+    leftover slots go to the largest fractional remainders (ties
+    broken by source name). The batch composition is therefore EXACT
+    and deterministic — per-row weighted sampling only converges to
+    the mixture in expectation, which a curriculum scheduler can't
+    accept for small per-step batches (house discipline: no RNG,
+    same reason the samplers hash instead of rand()).
+
+    All arithmetic is integer over the already-quantized
+    ``weight_micro`` values, so both engines agree bit-for-bit;
+    plan is the one token-count aggregate (shuffle ∝ sources), two
+    broadcast scalars and one |sources|-row rank window.
+
+    Returns ``(source, weight_micro, base_alloc, remainder, alloc)``
+    with ``Σ alloc == batch_docs`` exactly.
+    """
+    mix = temperature_mix_plan(
+        docs, text_col, source_col, temperature_milli=temperature_milli
+    )
+    w = mix.select("source", "weight_micro")
+    tot = w.agg(F.sum("weight_micro").cast("long").alias("w_total"))
+    k = int(batch_docs)
+    scored = w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "weight_micro",
+        F.expr(f"(CAST({k} AS BIGINT) * weight_micro) div w_total").alias(
+            "base_alloc"
+        ),
+        F.expr(f"(CAST({k} AS BIGINT) * weight_micro) % w_total").alias(
+            "remainder"
+        ),
+    )
+    # |sources|-row frame referenced twice (rank window + leftover-seat
+    # scalar); the lazy persist keeps the corpus-wide token aggregate
+    # from running once per reference.
+    scored = scored.persist()
+    base_tot = scored.agg(F.sum("base_alloc").cast("long").alias("base_total"))
+    ranked = scored.withColumn(
+        "rnk",
+        F.row_number().over(Window.orderBy(F.col("remainder").desc(), "source")),
+    )
+    return ranked.crossJoin(F.broadcast(base_tot)).select(
+        "source",
+        "weight_micro",
+        "base_alloc",
+        "remainder",
+        (
+            F.col("base_alloc")
+            + F.when(
+                F.col("rnk") <= (F.lit(k).cast("long") - F.col("base_total")), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("alloc"),
+    )

@@ -1202,6 +1202,35 @@ def test_kmeans_lloyd2_stable_when_seeds_split_blobs(spark):
     assert sorted((r.n_round1, r.n_round2) for r in out) == [(2, 2), (2, 2)]
 
 
+def test_apportion_mixture_hand_math_and_exact_total(spark):
+    """Hamilton apportionment at tau=1 on three equal 1-token sources:
+    100 seats -> 33/33/33 floor + one leftover to the alphabetically
+    first of the tied remainders; the batch total is EXACT."""
+    rows = [(i, "tok", "en", s, 3) for i, s in enumerate(["a", "b", "c"])]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {r.source: r for r in
+           CUR.apportion_mixture(df, temperature_milli=1000).collect()}
+    assert {s: r.base_alloc for s, r in out.items()} == {"a": 33, "b": 33, "c": 33}
+    assert {s: r.alloc for s, r in out.items()} == {"a": 34, "b": 33, "c": 33}
+    assert sum(r.alloc for r in out.values()) == CUR.APPORTION_BATCH_DOCS
+
+
+def test_apportion_mixture_total_is_exact_on_skewed_weights(spark):
+    """Skewed sources: every alloc is floor or floor+1 of its exact
+    share and the total still lands exactly on the batch size."""
+    texts = {"big": "w " * 400, "mid": "w " * 30, "tiny": "w"}
+    rows = [(i, t, "en", s, len(t)) for i, (s, t) in enumerate(texts.items())]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = CUR.apportion_mixture(df).collect()
+    assert sum(r.alloc for r in out) == CUR.APPORTION_BATCH_DOCS
+    for r in out:
+        assert r.alloc in (r.base_alloc, r.base_alloc + 1)
+
+
 def test_power_iteration_tracks_numpy_eigvec(spark):
     """Three integer power-iteration rounds on a corpus with a strong
     rank-1 direction: the milli-grid iterate aligns with numpy's
