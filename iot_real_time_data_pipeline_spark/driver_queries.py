@@ -32,6 +32,7 @@ from .operators import dashboard as D
 from .operators.pipeline import exploded_alerts, route
 from .functions.alerts import recommended_action
 from .functions import texthash as TH
+from .streaming.throttle import ALERT_INTERVAL_SECONDS as _ALERT_INTERVAL
 
 # P1 literal watermark — splits the events table's Jan-2024 range.
 INCREMENTAL_WATERMARK = "2024-01-15 00:00:00"
@@ -503,9 +504,12 @@ def iot_oracle_sql() -> dict[str, str]:
         # carrying last_sent — the sequential fold window functions
         # cannot express. `ordered` is MATERIALIZED so the alerts
         # pipeline runs once, not once per iteration. Epoch math in
-        # DOUBLE matches Spark's CAST(ts AS DOUBLE) bit-for-bit.
+        # DOUBLE matches Spark's CAST(ts AS DOUBLE) bit-for-bit. The
+        # interval is interpolated from the same constant the Spark
+        # twin reads (streaming.throttle.ALERT_INTERVAL_SECONDS), so
+        # the two sides cannot silently desynchronize.
         "throttled_alerts_stateful_replay": wp(
-            """, ordered AS MATERIALIZED (
+            f""", ordered AS MATERIALIZED (
                  SELECT loc_id, alert_type, timestamp AS ts, priority,
                         row_number() OVER (PARTITION BY loc_id, alert_type
                           ORDER BY timestamp, event_id, priority) AS rn
@@ -518,9 +522,11 @@ def iot_oracle_sql() -> dict[str, str]:
                  UNION ALL
                  SELECT o.loc_id, o.alert_type, o.rn, o.ts, o.priority,
                         (o.priority = 'CRITICAL'
-                         OR epoch(o.ts) - r.last_sent >= 300.0) AS sent,
+                         OR epoch(o.ts) - r.last_sent
+                            >= {float(_ALERT_INTERVAL)!r}) AS sent,
                         CASE WHEN o.priority = 'CRITICAL'
-                                  OR epoch(o.ts) - r.last_sent >= 300.0
+                                  OR epoch(o.ts) - r.last_sent
+                                     >= {float(_ALERT_INTERVAL)!r}
                              THEN epoch(o.ts) ELSE r.last_sent END AS last_sent
                  FROM ordered o JOIN replay r
                    ON o.loc_id = r.loc_id AND o.alert_type = r.alert_type

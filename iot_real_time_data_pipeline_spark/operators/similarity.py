@@ -829,59 +829,68 @@ def power_iteration(embeddings: DataFrame, iters: int = POWER_ITERS) -> DataFram
     end-to-end deterministic (von Mises iteration; the PCA warm-up
     before whitening or low-rank probes).
 
-    Every quantity is an exact BIGINT: the Gram entries come from
+    Every quantity is an exact integer: the Gram entries come from
     :func:`gram_matrix` (milli-quantized coordinates, int64 Q.T@Q),
     the start vector is the constant milli-unit vector, each matvec
-    ``u = G v`` is an integer join + groupBy-sum (order-free), and the
-    renormalization divides by the L-infinity norm with truncated
-    integer division — so both engines walk bit-identical iterates and
-    the sign/scale ambiguity of eigenvectors never arises.
+    ``u = G v`` is an integer sum, and the renormalization divides by
+    the L-infinity norm with truncation toward zero — so both engines
+    walk bit-identical iterates and the sign/scale ambiguity of
+    eigenvectors never arises.
 
-    Scale shape: the Gram build is the one data-sized pass (map-side
-    d² partials per Arrow batch); each of the ``iters`` matvecs then
-    touches only d² rows — a join against a d-row broadcast and one
-    partial-agged groupBy. At d = 4096 that's 16M-row matvecs,
-    comfortably distributed; n never re-enters.
+    Scale shape: the Gram build is the ONE data-sized pass (map-side
+    d² int64 partials per Arrow batch; n never re-enters). The d²-row
+    result is then collected once — a bounded, corpus-size-independent
+    32 KiB at d = 64 — and the ``iters`` matvecs fold driver-side in
+    arbitrary-precision Python ints (microseconds on a 64×64 matrix;
+    the same sanctioned constant-size step as :func:`pca_components`).
+    This replaces the previous unrolled-DataFrame formulation, whose
+    ~50 fixed-overhead micro-stages dominated wall time, and removes
+    its int64 hazard: ``u*1000`` could exceed 2^63 near
+    ``d · n · 1e9 · 1000`` (n ≈ 1.4e5 worst-case vectors at d = 64),
+    where Spark's non-ANSI arithmetic would wrap silently. Driver ints
+    never overflow; the remaining envelope is the int64 OUTPUT columns:
+    gram entries need ``n · (|x|·1000)² < 2^63`` (n ≲ 9.2e12 at
+    |x| ≤ 1) and ``gv = (G v)ᵢ`` needs ``d · max|gram| · 1000 < 2^63``
+    (n ≲ 1.4e8 at d = 64) — both checked exactly by the DuckDB oracle,
+    which errors rather than wraps. Beyond that, drop the final
+    pre-division scale or widen gv to DECIMAL. At d ≳ 2048 the d²
+    collect reaches ~10⁷ rows; re-distribute the matvec there.
 
     Returns ``(dim, v_milli, gv)``: the converged direction on the
     milli grid and its final unnormalized image ``(G v)`` — their
     per-dim ratio is the Rayleigh eigenvalue estimate, left as exact
     integers rather than one more division.
     """
-    # Lazy persist (labelprop's per-round pattern): the unrolled plan
-    # references the gram frame once per matvec, and without the cache
-    # marker each reference would re-run the full corpus pass — the
-    # plan audit showed 29 scans / 29 Arrow stages before this line.
-    # With it, the first action builds the d²-row InMemoryRelation once
-    # and every iteration reads memory. release_session_caches() (the
-    # bench's family-boundary hygiene) reclaims it.
-    g = gram_matrix(embeddings).persist()  # (i, j, gram), 1-based
     spark = embeddings.sparkSession
-    v = spark.range(1, EMB_DIM + 1).select(
-        F.col("id").alias("dim"), F.lit(1000).cast("long").alias("v")
-    )
+    d = EMB_DIM
+    schema = "dim long, v_milli long, gv long"
+    rows = gram_matrix(embeddings).collect()  # d² rows, constant-size
+    if not rows:
+        # Empty corpus: the oracle's gram CTE is empty too, so every
+        # iterate joins away to nothing — return the same empty frame.
+        return spark.createDataFrame([], schema)
+    G = [[0] * d for _ in range(d)]
+    for r in rows:
+        G[r.i - 1][r.j - 1] = r.gram
 
-    def _matvec(vec: DataFrame) -> DataFrame:
-        return (
-            g.join(F.broadcast(vec), g["j"] == vec["dim"])
-            .groupBy("i")
-            .agg(F.sum(F.col("gram") * F.col("v")).alias("u"))
-        )
+    def _matvec(vec):
+        return [sum(Gi[j] * vec[j] for j in range(d)) for Gi in G]
 
+    def _tdiv(a: int, b: int) -> int:
+        # Truncation toward zero, matching Spark's `div` / the oracle's
+        # sign-split CASE (Python's // floors).
+        return -((-a) // b) if a < 0 else a // b
+
+    v = [1000] * d
     for _ in range(iters):
         u = _matvec(v)
-        # L-inf renormalization back to the milli grid; greatest(m, 1)
+        # L-inf renormalization back to the milli grid; max(…, 1)
         # keeps a degenerate all-zero corpus from dividing by zero.
-        m = u.agg(
-            F.greatest(F.max(F.abs(F.col("u"))), F.lit(1).cast("long")).alias("m")
-        )
-        v = u.crossJoin(F.broadcast(m)).select(
-            F.col("i").alias("dim"),
-            F.expr("(u * CAST(1000 AS BIGINT)) div m").alias("v"),
-        )
+        m = max(max(abs(x) for x in u), 1)
+        v = [_tdiv(x * 1000, m) for x in u]
     gv = _matvec(v)
-    return v.join(gv, v["dim"] == gv["i"]).select(
-        "dim", F.col("v").alias("v_milli"), F.col("u").alias("gv")
+    return spark.createDataFrame(
+        [(i + 1, v[i], gv[i]) for i in range(d)], schema
     )
 
 
