@@ -1222,25 +1222,45 @@ def _cosine_pair_ctes() -> str:
     """CTE chain from embeddings through `scored` (LSH candidates with
     exact cosine) — shared by the pair and cluster oracles. Mirrors
     cosine_dup_pairs: banded random-hyperplane LSH candidates +
-    exact-cosine verify (same planes, same band keys)."""
+    exact-cosine verify (same planes, same band keys), INCLUDING the
+    round-10 auto-suffix scale knob: `nr` derives the shared suffix
+    width m from count(*) with the same exact-integer formula as
+    ``SIM.rh_suffix_bits`` (bit_length(v) = 1 + floor(log2 v); log2 of
+    a power of two is IEEE-exact, and non-integer values never sit on
+    the floor boundary), so both engines append the same m sign bits
+    from the same planes to every band key at every corpus size."""
     rows = SIM.rh_rows_for(COSINE_DUP_THRESHOLD)
     nbits = SIM.RH_BANDS * rows
+    cap = SIM.RH_MAX_BITS - nbits
     bit_exprs = ",\n         ".join(f"{_sql_rh_bit(i)} AS b{i}" for i in range(nbits))
+    suffix_exprs = ", ".join(_sql_rh_bit(nbits + s) for s in range(cap))
+    suffix = (
+        " || CASE WHEN m = 0 THEN '' "
+        "ELSE ':' || array_to_string(sbits[1:m], ':') END"
+    )
     band_keys = ", ".join(
-        "concat_ws(':', '{band}', {cols})".format(
+        "concat_ws(':', '{band}', {cols}){suffix}".format(
             band=band,
             cols=", ".join(f"b{band * rows + r}" for r in range(rows)),
+            suffix=suffix,
         )
         for band in range(SIM.RH_BANDS)
     )
     return f"""{_EMB_CTE},
+nr AS (
+  SELECT CASE WHEN count(*) <= {SIM.RH_CALIB_N} THEN 0
+              ELSE LEAST(1 + CAST(FLOOR(LOG2((count(*) - 1) // {SIM.RH_CALIB_N}))
+                         AS INT), {cap}) END AS m
+  FROM embeddings
+),
 sig AS (
   SELECT vec_id,
-         {bit_exprs}
+         {bit_exprs},
+         [{suffix_exprs}] AS sbits
   FROM e
 ),
 bands AS (
-  SELECT vec_id, unnest([{band_keys}]) AS band_key FROM sig
+  SELECT vec_id, unnest([{band_keys}]) AS band_key FROM sig CROSS JOIN nr
 ),
 cand AS (
   SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b

@@ -385,6 +385,9 @@ def simhash_fingerprints(
     return agg.select("doc_id", fingerprint.alias("simhash"))
 
 
+SIMHASH_REFINE_MIN_DOCS = 20_000
+
+
 def simhash_dup_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -392,6 +395,7 @@ def simhash_dup_pairs(
     max_hamming: int | None = None,
     bits: int = SIMHASH_BITS,
     bands: int = SIMHASH_BANDS,
+    refine: bool | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs via Hamming-banded candidates.
 
@@ -412,8 +416,28 @@ def simhash_dup_pairs(
     candidates at 32/8-bit vs 0.4%% at 64/16-bit (see PERF.md).
 
     Scale: fingerprints are one long per doc; the only join runs on a
-    small integer band key (band index * 2^band_bits + band value),
-    and verification is two integer ops per candidate.
+    small integer band key, and verification is two integer ops per
+    candidate. HOT-BUCKET refinement (round 10): one-level banding is
+    quadratic in band-bucket occupancy, and real corpora have hot
+    buckets — boilerplate/templated documents whose fingerprints
+    cluster (measured at the generated sf1.0: one 16-bit bucket held
+    3,061 of 50,000 docs → 20.3M candidates for 15,363 true pairs).
+    When ``max_hamming <= bands - 1`` the candidate key is therefore
+    REFINED with a second pigeonhole over the complement (Manku et
+    al.'s block-permutation idea, WWW'07): a pair within ``bands - 1``
+    Hamming agrees on some full band i, and its <= bands-1 remaining
+    mismatches all live in the other ``bits - band_bits`` bits — which,
+    split into ``bands`` equal sub-bands, must leave some sub-band j
+    clean too. Joining on (i, j, band_i value, sub_j value) is still
+    EXHAUSTIVE (same output, oracle untouched), but the key carries
+    band_bits + sub_bits of entropy, collapsing hot-bucket occupancy
+    by ~2^sub_bits at the cost of bands² exploded rows per doc
+    instead of bands. Refinement costs fixed overhead that only pays
+    off once buckets heat up, so ``refine=None`` decides from a
+    bounded corpus count: flat below SIMHASH_REFINE_MIN_DOCS (every
+    gated SF keeps its exact current plan), refined above. Measured
+    at the generated sf1.0: 36.8 s flat → 21.3 s refined, identical
+    15,363-pair output (PERF.md round-10 scaling study).
     """
     if bits % bands != 0:
         raise ValueError(f"bits={bits} not divisible by bands={bands}")
@@ -424,13 +448,45 @@ def simhash_dup_pairs(
     mask = (1 << band_bits) - 1
     # Arithmetic shiftright is safe even for negative 64-bit prints:
     # the AND mask strips the sign-extension bits.
-    band_keys = F.array(*[
-        (
-            F.lit(band << band_bits)
-            + F.shiftright(F.col("simhash"), band * band_bits).bitwiseAND(F.lit(mask))
-        ).cast("long")
+    band_vals = [
+        F.shiftright(F.col("simhash"), band * band_bits).bitwiseAND(F.lit(mask))
         for band in range(bands)
-    ])
+    ]
+    comp_bits = bits - band_bits
+    if refine is None:
+        # one column-pruned count — the established bounded-scalar
+        # pattern (cheap next to any candidate join)
+        refine = docs.count() >= SIMHASH_REFINE_MIN_DOCS
+    if refine and max_hamming <= bands - 1 and comp_bits % bands == 0:
+        # Two-level keys: (band i, sub-band j of i's complement).
+        sub_bits = comp_bits // bands
+        sub_mask = (1 << sub_bits) - 1
+        keys = []
+        for i in range(bands):
+            # the 48-bit complement of band i, other bands low-to-high
+            # (disjoint shifted spans, so + is bitwise-or)
+            comp = None
+            for t, k in enumerate(k for k in range(bands) if k != i):
+                term = F.shiftleft(band_vals[k], t * band_bits)
+                comp = term if comp is None else comp + term
+            for j in range(bands):
+                sub = F.shiftright(comp, j * sub_bits).bitwiseAND(F.lit(sub_mask))
+                tag = (i * bands + j) << (band_bits + sub_bits)
+                keys.append(
+                    (
+                        F.lit(tag)
+                        + F.shiftleft(band_vals[i], sub_bits)
+                        + sub
+                    ).cast("long")
+                )
+        band_keys = F.array(*keys)
+    else:
+        # Flat banding: callers asking for ham > bands-1 accept the
+        # documented recall loss; refinement would change it further.
+        band_keys = F.array(*[
+            (F.lit(band << band_bits) + band_vals[band]).cast("long")
+            for band in range(bands)
+        ])
     bands = fp.select("doc_id", F.explode(band_keys).alias("band_key"))
     x, y = bands.alias("x"), bands.alias("y")
     candidates = (

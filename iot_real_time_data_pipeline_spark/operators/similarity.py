@@ -50,12 +50,31 @@ RERANK_M = 16  # candidates per query surviving an int8 first pass
 # identical left-to-right fold over the identical double constants.
 EMB_DIM = 64
 RH_BANDS = 8
-RH_MAX_BITS = 48
+# Extended 48 -> 64 in round 10 for the shared-suffix scale knob; the
+# planes draw sequentially from the seeded rng, so the first 48 (and
+# every result that used them) are bit-identical to prior rounds.
+RH_MAX_BITS = 64
 _rh_rng = random.Random(20250813)
 RH_PLANES = [
     [_rh_rng.uniform(-1.0, 1.0) for _ in range(EMB_DIM)]
     for _ in range(RH_MAX_BITS)
 ]
+# Corpus size at which the shipped band geometry was calibrated: below
+# this, band keys are exactly the pre-round-10 ones (every gated SF);
+# above it, each data DOUBLING appends one shared suffix bit to every
+# band key, holding expected candidate volume LINEAR in n instead of
+# quadratic (random-pair collision prob halves per bit).
+RH_CALIB_N = 2000
+
+
+def rh_suffix_bits(n_vectors: int, rows: int, bands: int = RH_BANDS) -> int:
+    """Shared suffix bits for ``n_vectors``: ceil(log2(n / RH_CALIB_N))
+    via exact integer arithmetic (``bit_length`` — mirrored in the
+    DuckDB oracle as 1 + floor(log2)), capped by the plane budget."""
+    cap = max(0, RH_MAX_BITS - bands * rows)
+    if n_vectors <= RH_CALIB_N:
+        return 0
+    return min(((n_vectors - 1) // RH_CALIB_N).bit_length(), cap)
 
 
 def rh_rows_for(threshold: float) -> int:
@@ -366,7 +385,10 @@ def _verified_pairs(e: DataFrame, candidates: DataFrame, threshold: float) -> Da
 
 
 def rh_candidate_pairs(
-    embeddings: DataFrame, bands: int = RH_BANDS, rows: int = 2
+    embeddings: DataFrame,
+    bands: int = RH_BANDS,
+    rows: int = 2,
+    suffix_bits: int = 0,
 ) -> DataFrame:
     """LSH candidate pairs from banded random-hyperplane sign bits.
 
@@ -376,19 +398,34 @@ def rh_candidate_pairs(
     on band-bucket keys — O(candidates), never all-pairs — exactly the
     ``minhash_lsh_pairs`` plan shape with hyperplane signs instead of
     minhashes.
+
+    ``suffix_bits`` appends that many SHARED sign bits (the same
+    planes for every band) to every band key — the round-10 scale
+    knob: with fixed geometry, random-pair candidates grow as
+    n²·2^-rows (the sf1.0 scaling study measured alpha = 1.54, 119 s);
+    each suffix bit halves the random collision rate, so
+    ``rh_suffix_bits`` (one bit per data doubling past RH_CALIB_N)
+    holds candidate volume linear in n. Recall multiplies by p^suffix
+    with p = 1 - theta/pi — the standard LSH pruning/recall trade; at
+    production dedup thresholds (cos >= 0.85, p >= 0.93/bit) 8 suffix
+    bits still retain ~56 % per-band recall, while near-random
+    thresholds are intrinsically unprunable (see ``rh_rows_for``).
     """
-    assert bands * rows <= RH_MAX_BITS
+    assert bands * rows + suffix_bits <= RH_MAX_BITS
     v = as_double(F.col("embedding"))
+    nbits = bands * rows + suffix_bits
     bits = [
         (dot(v, F.array(*[F.lit(x) for x in RH_PLANES[i]])) > 0).cast("int").alias(f"b{i}")
-        for i in range(bands * rows)
+        for i in range(nbits)
     ]
     sig = embeddings.select(F.col("vec_id"), *bits)
+    suffix_cols = [F.col(f"b{bands * rows + s}") for s in range(suffix_bits)]
     band_keys = F.array(*[
         F.concat_ws(
             ":",
             F.lit(str(band)),
             *[F.col(f"b{band * rows + r}") for r in range(rows)],
+            *suffix_cols,
         )
         for band in range(bands)
     ])
@@ -414,6 +451,7 @@ def cosine_dup_pairs(
     threshold: float = 0.45,
     bands: int = RH_BANDS,
     rows: int | None = None,
+    suffix_bits: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs — the 100 TB scale path.
 
@@ -425,10 +463,20 @@ def cosine_dup_pairs(
     the random-pair cosine are intrinsically hard to prune (see
     ``rh_rows_for``); production embedding dedup at ~0.9 gets both
     recall and sharp pruning from the same machinery.
+
+    ``suffix_bits=None`` auto-sizes the round-10 scale knob from a
+    bounded corpus count (``rh_suffix_bits``): 0 below RH_CALIB_N —
+    every gated SF keeps its exact pre-round-10 candidate set — then
+    one shared bit per data doubling, keeping candidates linear in n
+    (the DuckDB oracle mirrors the same count-derived formula).
     """
     rows = rows if rows is not None else rh_rows_for(threshold)
+    if suffix_bits is None:
+        suffix_bits = rh_suffix_bits(embeddings.count(), rows, bands)
     e = embeddings.select(F.col("vec_id"), as_double(F.col("embedding")).alias("v"))
-    return _verified_pairs(e, rh_candidate_pairs(embeddings, bands, rows), threshold)
+    return _verified_pairs(
+        e, rh_candidate_pairs(embeddings, bands, rows, suffix_bits), threshold
+    )
 
 
 def emb_dup_clusters(
