@@ -245,6 +245,7 @@ def incremental_load(
     existing: dict[str, DataFrame] | None = None,
     dense_keys: bool = False,
     cache_handle_out: list[DataFrame] | None = None,
+    use_watermark: bool = True,
 ) -> dict[str, DataFrame]:
     """One incremental load cycle (SURVEY §3.3), batch or foreachBatch.
 
@@ -254,6 +255,18 @@ def incremental_load(
     fact join; here the returned dims are unioned with existing in-plan
     so the caller gets a consistent view without a write barrier.
 
+    ``use_watermark``: the T4 MAX(full_date) filter exists so the Glue
+    job's full-table re-SCANS of staging stay incremental
+    (s3-to-redshift.py:27-41) — it doubles as a LATE-DATA DROP. A
+    foreachBatch caller's input is already exactly the new deliveries
+    and its evt_id anti-join already guarantees exactly-once, so the
+    streaming loader passes ``use_watermark=False`` (round 10): a
+    late/out-of-order batch then loads instead of silently vanishing —
+    strictly better than composing the Glue semantics per micro-batch
+    (the 100-batch soak measured whole batches lost to watermark races
+    under out-of-order file arrival). The epoch-filter's incidental
+    NULL-timestamp rejection is kept explicitly.
+
     The filtered batch is persisted (it feeds 4 dim builds + the fact
     join). Long-running callers (foreachBatch loops) should pass
     ``cache_handle_out`` and ``unpersist()`` the appended handle after
@@ -261,7 +274,12 @@ def incremental_load(
     storage; one-shot callers can rely on LRU eviction.
     """
     existing = existing or {}
-    new_data = watermark_filter(staging_batch, existing.get("fact_sensor_readings"))
+    if use_watermark:
+        new_data = watermark_filter(
+            staging_batch, existing.get("fact_sensor_readings")
+        )
+    else:
+        new_data = staging_batch.filter(F.col("timestamp").isNotNull())
     # Reused 4x (dims) + 1x (fact) — cache instead of recomputing the
     # scan+filter five times (the reference recomputes, SURVEY §4).
     new_data = new_data.persist()

@@ -165,9 +165,13 @@ def foreach_batch_loader(warehouse_dir: str, jsonl_mirror: bool = False):
                 if (df := _read_or_none(spark, f"{warehouse_dir}/star/{name}")) is not None
             }
             handles: list[DataFrame] = []
+            # use_watermark=False: this batch is already exactly the
+            # new deliveries and the evt_id anti-join above guarantees
+            # exactly-once; the T4 watermark would silently drop late /
+            # out-of-order arrivals (see incremental_load's docstring).
             new_tables = incremental_load(
                 staging, existing=existing or None, dense_keys=False,
-                cache_handle_out=handles,
+                cache_handle_out=handles, use_watermark=False,
             )
             for name, df in new_tables.items():
                 _append_parquet(df, f"{warehouse_dir}/star/{name}")
