@@ -50,27 +50,42 @@ _PINNED_UNTIL_GREEN = [
     "docs_source_lang_matrix",
 ]
 
-# Per-family canaries: one stable query per operator family, re-run
-# every round so a regression in an already-evidenced family still
-# surfaces in driver data. They YIELD their window slots while the
-# never-seen backlog is large (the round-8 situation: a 50-query
-# backlog in a ~50-row window) and return automatically as it drains.
+# Per-family canaries: TWO stable queries per operator family (round
+# 10, VERDICT r9 item 7 — with the never-seen backlog at zero, the
+# sentinels are the round-over-round regression net, so one per family
+# was thin), re-run every round so a regression in an already-evidenced
+# family still surfaces in driver data. They YIELD their window slots
+# while the never-seen backlog is large (the round-8 situation: a
+# 50-query backlog in a ~50-row window) and return as it drains.
 _FAMILY_SENTINELS = [
     "validation_status_counts",    # iot validation engine
+    "staging",                     # iot pipeline projection contract
     "fact",                        # iot star schema (exercises all dims)
+    "watermark_max",               # incremental-load scalar
     "staging_from_lake",           # partitioned-lake round-trip
+    "route_counts",                # 3-way status router / lake layout
     "d4_health_donut",             # dashboard + share-of-total window
+    "d5_temp_humidity_by_hour",    # dashboard + dim_time join
+    "throttled_alerts_stateful_replay",  # stateful throttle, batch replay
     "events_sessionize",           # clickstream family
+    "events_funnel",               # clickstream ordered-step family
     "events_kmv_distinct",         # sketch family
-    "wh_q1_pricing_summary",       # warehouse family
+    "events_hll_distinct",         # sketch family (integer-exact HLL)
+    "wh_q1_pricing_summary",       # warehouse scan-agg
+    "wh_q9_product_profit",        # warehouse multi-join tree
     "docs_minhash_lsh_pairs",      # docs dedup family
+    "docs_dup_clusters",           # docs dedup (iterated components)
+    "docs_tfidf_top_terms",        # text-analysis family
+    "docs_mixture_apportion",      # curation/sampling family
     "emb_ivf_topk",                # embeddings/ANN family
+    "emb_kmeans_lloyd2",           # embeddings clustering family
     "mm_wav_features",             # multimodal codec family
+    "mm_bmp_features",             # multimodal image codec
 ]
 
 # Family sentinels re-enter when pinned + backlog leave this much room
-# in the ~50-row window.
-_SENTINEL_ROOM = 38
+# in the ~50-row window (window ≈ 50 minus the 24 sentinels).
+_SENTINEL_ROOM = 26
 
 # Families whose round-5/6/7 additions repeatedly landed at the END of
 # the evaluation window and got starved when runs were cut short.
@@ -134,6 +149,26 @@ def _driver_latest_green() -> set[str]:
     return {k for k, ok in latest.items() if ok}
 
 
+def _driver_last_round() -> dict[str, int]:
+    """Round number of each query's most recent driver evidence row —
+    the staleness signal for the rotation in :func:`_reorder`."""
+    import json
+    import re
+
+    last: dict[str, int] = {}
+    for path in _correctness_files():
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else -1
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name in rows:
+            last[name] = rnd
+    return last
+
+
 def _sentinels(full: dict, seen: set[str] | None = None) -> list[str]:
     green = _driver_latest_green()
     if seen is None:  # hoisted: one evidence scan, not one per query
@@ -151,7 +186,17 @@ def _reorder(full: dict) -> dict:
     never = [k for k in full if k not in seen and k not in window]
     window += [k for k in never if k.startswith(_EARLY_PREFIXES)]
     window += [k for k in never if not k.startswith(_EARLY_PREFIXES)]
-    window += [k for k in full if k in seen and k not in window]
+    # Already-evidenced tail, STALEST FIRST (round 10): with the
+    # never-seen backlog at zero, registry order would re-run the same
+    # ~26 non-sentinel queries every round; ordering by the round of
+    # each query's latest driver row makes the window cycle through the
+    # whole registry, refreshing every query's evidence over ~4 rounds.
+    last = _driver_last_round()
+    order = {k: i for i, k in enumerate(full)}
+    window += sorted(
+        (k for k in full if k in seen and k not in window),
+        key=lambda k: (last.get(k, -1), order[k]),
+    )
     head = {k: full[k] for k in window if k in full}
     head.update(full)  # dict update keeps head's insertion order
     return head
