@@ -297,6 +297,7 @@ def main() -> None:
         "docs_containment_pairs",
         "docs_simhash",
         "docs_simhash_dup_pairs",
+        "docs_simhash_dup_pairs_prod",
         "docs_decontaminate",
         "docs_decontaminated_corpus",
         "docs_dup_clusters",

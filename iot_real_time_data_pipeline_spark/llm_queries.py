@@ -79,6 +79,20 @@ def q_simhash_dup_pairs(spark, sf_dir):
     )
 
 
+def q_simhash_dup_pairs_prod(spark, sf_dir):
+    """The PRODUCTION 64-bit / 4x16-bit-band geometry (round 10): the
+    round-10 scaling study measured the 32-bit oracle-mirror variant
+    above at alpha 2.3-2.4 — with 8-bit bands (256 buckets) its
+    candidate set approaches all-pairs by construction (PERF.md round
+    4: 89 % of pairs are candidates at 32/8 vs 0.4 % at 64/16), so the
+    gate-geometry line item is NOT the scale path. This registers the
+    production default (md5-word votes, 2^16 buckets/band, hot-bucket
+    sub-band refinement past 20k docs) with its own full DuckDB oracle
+    — the 'no clean DuckDB integer form' note on the 32-bit mirror
+    predates the hex-cast idiom the multimodal oracle established."""
+    return DD.simhash_dup_pairs(_docs(spark, sf_dir))
+
+
 EVAL_MOD = 50  # doc_id % EVAL_MOD == 0 -> stand-in eval/benchmark set
 
 
@@ -362,6 +376,7 @@ def llm_queries() -> dict[str, QueryFn]:
         "docs_containment_pairs": q_containment,
         "docs_simhash": q_simhash,
         "docs_simhash_dup_pairs": q_simhash_dup_pairs,
+        "docs_simhash_dup_pairs_prod": q_simhash_dup_pairs_prod,
         "docs_decontaminate": q_decontaminate,
         "docs_decontaminated_corpus": q_decontaminated_corpus,
         "docs_dup_clusters": q_dup_clusters,
@@ -683,6 +698,73 @@ agg AS (
 fp AS (
   SELECT doc_id, {fp} AS simhash FROM agg
 )"""
+
+
+def _simhash64_fp_ctes() -> str:
+    """(doc_id, simhash) under the PRODUCTION 64-bit geometry: votes
+    from the two leading 32-bit words of md5(token) — md5 hex is
+    engine-identical for identical UTF-8 bytes, and the '0x'||substr
+    hex cast is the established idiom (multimodal oracle). Fingerprint
+    assembly is additive over disjoint bit values, with bit 63 as the
+    explicit two's-complement min-long term, matching Spark's
+    shiftleft(1L, 63) | ... byte for byte."""
+    votes = ",\n         ".join(
+        "sum(CASE WHEN ({w} >> {sh}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}".format(
+            w="w_hi" if j >= 32 else "w_lo", sh=j % 32, j=j
+        )
+        for j in range(64)
+    )
+    fp_terms = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN CAST({2**j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for j in range(63)
+    )
+    min_long = "CAST(-9223372036854775807 - 1 AS BIGINT)"
+    return f"""{_TOKS_CTE},
+tw AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(m, 1, 8)) AS BIGINT) AS w_hi,
+         CAST(('0x' || substr(m, 9, 8)) AS BIGINT) AS w_lo
+  FROM (SELECT doc_id, md5(unnest(t)) AS m FROM toks)
+),
+agg AS (
+  SELECT doc_id,
+         {votes}
+  FROM tw GROUP BY doc_id
+),
+fp AS (
+  SELECT doc_id,
+         {fp_terms}
+         + (CASE WHEN v63 > 0 THEN {min_long} ELSE CAST(0 AS BIGINT) END)
+           AS simhash
+  FROM agg
+)"""
+
+
+def _sql_simhash_dup_pairs_prod() -> str:
+    # Candidates are exhaustive for ham <= bands-1 under ANY of the
+    # engine's banding levels, so the oracle verifies the OUTPUT
+    # contract directly: flat 16-bit bands -> exact Hamming verify.
+    bb = DD.SIMHASH_BITS // DD.SIMHASH_BANDS
+    mask = (1 << bb) - 1
+    band_exprs = ", ".join(
+        f"({band << bb} + ((simhash >> {band * bb}) & {mask}))"
+        for band in range(DD.SIMHASH_BANDS)
+    )
+    return f"""
+WITH {_simhash64_fp_ctes()},
+bands AS (
+  SELECT doc_id, unnest([{band_exprs}]) AS band_key FROM fp
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN bands y ON x.band_key = y.band_key AND x.doc_id < y.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM cand
+JOIN fp a ON doc_a = a.doc_id
+JOIN fp b ON doc_b = b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {DD.SIMHASH_BANDS - 1}"""
 
 
 def _sql_simhash() -> str:
@@ -1182,14 +1264,35 @@ def _sql_bucket(col: str) -> str:
 
 
 def _sql_ivf_topk(k: int = 3) -> str:
-    masks = ", ".join(
-        f"xor(bucket, {m})"
-        for m in SIM.probe_masks(SIM.IVF_BITS, SIM.IVF_PROBE_RADIUS)
+    # Mirrors ivf_topk's round-10 auto-bits knob: `nb` derives the
+    # bucket width from count(*) with ivf_bits_for's exact integer
+    # formula, the bucket packs the first bn sign bits via a dynamic
+    # list fold, and the probe set enumerates ALL masks with
+    # bit_count <= radius below 2^bn — the same set Spark's
+    # probe_masks() explodes (order-free under the join).
+    bucket_fold = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(range(1, bn + 1), "
+        "i -> CASE WHEN v[i] > 0 THEN (CAST(1 AS BIGINT) << (i - 1)) "
+        "ELSE CAST(0 AS BIGINT) END)), (a, x) -> a + x)"
     )
     return f"""
 WITH {_EMB_CTE},
-eb AS (SELECT vec_id, v, {_sql_bucket('v')} AS bucket FROM e),
-q AS (SELECT vec_id AS qid, v AS qv, unnest([{masks}]) AS q_bucket FROM eb
+nb AS (
+  SELECT CASE WHEN count(*) <= {SIM.IVF_CALIB_N} THEN {SIM.IVF_BITS}
+              ELSE LEAST({SIM.IVF_BITS} + 1
+                         + CAST(FLOOR(LOG2((count(*) - 1) // {SIM.IVF_CALIB_N}))
+                                AS INT), {SIM.IVF_MAX_BITS}) END AS bn
+  FROM embeddings
+),
+eb AS (SELECT vec_id, v, {bucket_fold} AS bucket FROM e CROSS JOIN nb),
+masks AS (
+  SELECT m FROM (
+    SELECT unnest(range(0, (CAST(1 AS BIGINT) << (SELECT bn FROM nb)))) AS m
+  ) WHERE bit_count(m) <= {SIM.IVF_PROBE_RADIUS}
+),
+q AS (SELECT vec_id AS qid, v AS qv, xor(bucket, m) AS q_bucket
+      FROM eb CROSS JOIN masks
       WHERE vec_id % {QUERY_MOD} = 0),
 scored AS (
   SELECT qid AS query_id, eb.vec_id AS neighbor_id, eb.v AS cv, qv,
@@ -2013,6 +2116,7 @@ def llm_oracle_sql() -> dict[str, str]:
         "docs_containment_pairs": _sql_containment(),
         "docs_simhash": _sql_simhash(),
         "docs_simhash_dup_pairs": _sql_simhash_dup_pairs(),
+        "docs_simhash_dup_pairs_prod": _sql_simhash_dup_pairs_prod(),
         "docs_decontaminate": _sql_decontaminate(),
         "docs_decontaminated_corpus": _sql_decontaminated_corpus(),
         "docs_dup_clusters": _sql_dup_clusters(),

@@ -203,11 +203,31 @@ def probe_masks(bits: int, radius: int) -> list[int]:
     return masks
 
 
+IVF_CALIB_N = 2000   # corpus size the (IVF_BITS, radius) default targets
+IVF_MAX_BITS = 20    # bucket-id width cap (2^20 buckets)
+
+
+def ivf_bits_for(n_vectors: int, base: int = IVF_BITS) -> int:
+    """Bucket-bit count for a corpus of ``n_vectors``: the round-10
+    scale knob. With fixed bits, bucket size grows ∝ n and a probe
+    workload whose query set also grows with the corpus (the
+    registered % QUERY_MOD probes) costs ∝ n² — measured alpha 1.53
+    at the sf1->sf3 leg. One extra bit per data doubling past
+    IVF_CALIB_N holds bucket size (and so per-probe cost) constant.
+    Exact integer form (bit_length = 1 + floor(log2)), mirrored by the
+    DuckDB oracle from count(*). Recall at a fixed radius falls as
+    buckets shrink — ``probe_radius`` is the recall knob at scale,
+    measured by emb_ivf_probe_sweep / emb_recall_audit."""
+    if n_vectors <= IVF_CALIB_N:
+        return base
+    return min(base + ((n_vectors - 1) // IVF_CALIB_N).bit_length(), IVF_MAX_BITS)
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,
     k: int = 3,
-    bits: int = IVF_BITS,
+    bits: int | None = None,
     probe_radius: int = IVF_PROBE_RADIUS,
 ) -> DataFrame:
     """IVF-bucketed approximate top-k with multi-probe.
@@ -223,7 +243,14 @@ def ivf_topk(
     is never replicated. Each corpus vector lives in exactly one bucket
     and probe masks are distinct, so no (query, neighbor) pair is
     scored twice.
+
+    ``bits=None`` auto-sizes from a bounded corpus count
+    (:func:`ivf_bits_for`): IVF_BITS below IVF_CALIB_N — every gated
+    SF keeps its exact previous buckets — then one bit per doubling,
+    keeping bucket size flat as the corpus grows.
     """
+    if bits is None:
+        bits = ivf_bits_for(embeddings.count())
     eb = embeddings.withColumn("bucket", coarse_bucket(as_double(F.col("embedding")), bits))
     qb = queries.withColumn(
         "bucket",
