@@ -11,6 +11,11 @@ def spark():
     spark = (
         SparkSession.builder.master("local[4]")
         .appName("engine-tests")
+        # The suite shares ONE JVM across ~390 tests; at the 1g default
+        # the round-10 volume tests (100K-event fuzz, 100-batch soak)
+        # OOM'd the heap mid-suite and cascaded ConnectionRefused into
+        # every later test. 4g is still a fraction of the host.
+        .config("spark.driver.memory", "4g")
         .config("spark.sql.shuffle.partitions", "4")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.constraintPropagation.enabled", "false")
