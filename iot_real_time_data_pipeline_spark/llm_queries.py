@@ -1269,7 +1269,9 @@ def _sql_ivf_topk(k: int = 3) -> str:
     # formula, the bucket packs the first bn sign bits via a dynamic
     # list fold, and the probe set enumerates ALL masks with
     # bit_count <= radius below 2^bn — the same set Spark's
-    # probe_masks() explodes (order-free under the join).
+    # probe_masks() explodes (order-free under the join). The radius
+    # itself mirrors the round-11 ivf_probe_radius_for knob: one extra
+    # probe radius per two auto-bits (pure integer arithmetic).
     bucket_fold = (
         "list_reduce(list_prepend(CAST(0 AS BIGINT), "
         "list_transform(range(1, bn + 1), "
@@ -1290,6 +1292,7 @@ masks AS (
   SELECT m FROM (
     SELECT unnest(range(0, (CAST(1 AS BIGINT) << (SELECT bn FROM nb)))) AS m
   ) WHERE bit_count(m) <= {SIM.IVF_PROBE_RADIUS}
+                          + greatest(0, (SELECT bn FROM nb) - {SIM.IVF_BITS}) // 2
 ),
 q AS (SELECT vec_id AS qid, v AS qv, xor(bucket, m) AS q_bucket
       FROM eb CROSS JOIN masks

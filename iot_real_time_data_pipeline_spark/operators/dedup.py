@@ -453,11 +453,15 @@ def simhash_dup_pairs(
         for band in range(bands)
     ]
     comp_bits = bits - band_bits
+    # Structural applicability first: the gated 32-bit/8-band variant
+    # (28 % 8 != 0) can never refine, so it must not pay the count
+    # action deciding a knob it cannot use.
+    refinable = max_hamming <= bands - 1 and comp_bits % bands == 0
     if refine is None:
         # one column-pruned count — the established bounded-scalar
         # pattern (cheap next to any candidate join)
-        refine = docs.count() >= SIMHASH_REFINE_MIN_DOCS
-    if refine and max_hamming <= bands - 1 and comp_bits % bands == 0:
+        refine = refinable and docs.count() >= SIMHASH_REFINE_MIN_DOCS
+    if refine and refinable:
         # Two-level keys: (band i, sub-band j of i's complement).
         sub_bits = comp_bits // bands
         sub_mask = (1 << sub_bits) - 1

@@ -223,12 +223,28 @@ def ivf_bits_for(n_vectors: int, base: int = IVF_BITS) -> int:
     return min(base + ((n_vectors - 1) // IVF_CALIB_N).bit_length(), IVF_MAX_BITS)
 
 
+def ivf_probe_radius_for(bits: int, base: int = IVF_PROBE_RADIUS) -> int:
+    """Probe radius for a ``bits``-wide coarse quantizer: the round-11
+    recall knob paired with :func:`ivf_bits_for`. At a fixed radius,
+    recall falls as auto-bits grow (measured at the generated sf1.0:
+    radius-2 recall@3 0.767 at 5 bits -> 0.333 at 9 bits, recovering
+    to 0.833 at radius 4 — SCALE_IVF_r10.json). One extra radius per
+    TWO extra bits keeps the probed-bucket fraction bounded by the
+    calibrated 16/32 = 0.5 of the (5, 2) default: for bits = 5 + 2t
+    and radius = 2 + t the probe set is exactly half the buckets
+    (sum of C(2r+1, 0..r) = 2^(2r+1)/2), and even-bit steps probe
+    strictly less (e.g. C(8, 0..3) = 93/256 = 0.36). Pure integer
+    arithmetic, mirrored by the DuckDB oracle as
+    ``base + greatest(0, bn - IVF_BITS) // 2``."""
+    return base + max(0, bits - IVF_BITS) // 2
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,
     k: int = 3,
     bits: int | None = None,
-    probe_radius: int = IVF_PROBE_RADIUS,
+    probe_radius: int | None = None,
 ) -> DataFrame:
     """IVF-bucketed approximate top-k with multi-probe.
 
@@ -248,9 +264,15 @@ def ivf_topk(
     (:func:`ivf_bits_for`): IVF_BITS below IVF_CALIB_N — every gated
     SF keeps its exact previous buckets — then one bit per doubling,
     keeping bucket size flat as the corpus grows.
+    ``probe_radius=None`` then auto-scales the probe radius with the
+    resolved bits (:func:`ivf_probe_radius_for`) so recall survives
+    the bucket growth at a probed-bucket fraction that never exceeds
+    the calibrated (5, 2) default's 0.5.
     """
     if bits is None:
         bits = ivf_bits_for(embeddings.count())
+    if probe_radius is None:
+        probe_radius = ivf_probe_radius_for(bits)
     eb = embeddings.withColumn("bucket", coarse_bucket(as_double(F.col("embedding")), bits))
     qb = queries.withColumn(
         "bucket",
@@ -1750,8 +1772,8 @@ def ann_recall_audit(
     embeddings: DataFrame,
     queries: DataFrame,
     k: int = 3,
-    bits: int = IVF_BITS,
-    probe_radius: int = IVF_PROBE_RADIUS,
+    bits: int | None = None,
+    probe_radius: int | None = None,
 ) -> DataFrame:
     """Per-query recall@k of the IVF multi-probe index against the
     exact brute-force ranking — the measurement that decides whether an
@@ -1771,6 +1793,12 @@ def ann_recall_audit(
     sampled query panel — recall estimation needs hundreds of queries,
     not the full corpus — and the panel size bounds the brute-force
     cost.
+
+    ``bits``/``probe_radius`` default to None so the audited index is
+    the SAME auto-sized geometry ``ivf_topk`` deploys (and the DuckDB
+    oracle derives from count(*)) — an audit pinned to the 5-bit
+    calibration geometry would stop measuring the production index the
+    moment the auto-bits knob engages.
     """
     exact = cosine_topk(embeddings, queries, k).select("query_id", "neighbor_id")
     approx = (
