@@ -190,7 +190,13 @@ def main() -> None:
         to_staging(attach_validation_arrays(with_alerts(flagged))).count()
 
     timed("derive_staging_warm", _derive_warm)
-    DIAGNOSTIC_ITEMS = {"derive_staging_warm", "docs_bpe_train_batched4"}
+    DIAGNOSTIC_ITEMS = {
+        "derive_staging_warm", "docs_bpe_train_batched4",
+        # Isolated dup-graph re-measurements (see the iso_ block below):
+        # the work is already counted by the in-block line items.
+        "iso_docs_pagerank", "iso_docs_labelprop_communities",
+        "iso_docs_detector_agreement",
+    }
 
     # --- star build (once, cached) ----------------------------------------
     def _star():
@@ -428,6 +434,28 @@ def main() -> None:
         "docs_bpe_train_batched4",
         lambda: TA.bpe_train(_bpe_docs, batch_k=4).collect(),
     )
+
+    # Isolated dup-graph medians (round 11, VERDICT r10 item 4): three
+    # rounds of verdicts have re-adjudicated the same in-session
+    # scatter on the dup-graph items, whose in-block readings ride
+    # whatever cache state the ~115-item block accumulated by their
+    # list position. Re-establish the canonical warm context — fresh
+    # cache state, corpus tables + shared near-dup pairs frame primed
+    # untimed (both costs already paid and reported once above) — then
+    # 3-repeat each item. The `iso_*` medians in BENCH_DETAIL are the
+    # scatter-free reference numbers; they are DIAGNOSTIC_ITEMS
+    # (excluded from totals — the in-block line items already count
+    # this work once).
+    release_caches("before_iso_dupgraph")
+    _load_corpus()
+    _prime_pairs()
+    for _iso in (
+        "docs_pagerank",
+        "docs_labelprop_communities",
+        "docs_detector_agreement",
+    ):
+        _fn = LQ.llm_queries()[_iso]
+        timed_repeat(f"iso_{_iso}", lambda _fn=_fn: _fn(spark, sf_dir).collect())
 
     release_caches("after_llm")
 
