@@ -163,7 +163,12 @@ def throttle_alerts_stateful(
     A wall-compressed replay then evicts *later* relative to event
     time than live (only ever retaining suppression state longer,
     never dropping it early); use it only where no watermark can be
-    defined.
+    defined. Caveat (round-11 triage): with ProcessingTimeTimeout,
+    Spark keeps scheduling empty timeout-check micro-batches after the
+    source is exhausted, so an ``availableNow`` run with pending
+    wall-clock timeouts may not self-terminate until they fire — for
+    finite replays/backfills use the default event-time clock, or stop
+    the query explicitly once the sink converges.
     """
     if ttl_clock == "event":
         src = exploded_alerts.withWatermark("timestamp", watermark_delay)
