@@ -32,6 +32,7 @@ def main() -> int:
     sf_dir = sys.argv[2]
 
     from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
 
     from iot_real_time_data_pipeline_spark.operators import similarity as SIM
     from iot_real_time_data_pipeline_spark.operators.dedup import (
@@ -51,8 +52,46 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # The generated corpus is one parquet file -> one scan partition;
+    # under the exact path's crossJoin(broadcast(queries)) that means
+    # ONE task computing all n^2/2 cosines. Repartition the corpus side
+    # so the all-pairs baseline parallelizes across the local cores
+    # (pure measurement plumbing — pair sets are partitioning-invariant).
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(
+        int(cpus) * 4
+    )
     n = emb.count()
+
+    def planted_corpus():
+        """Corpus + perturbed clones of every 20th vector at exact
+        target cosines 0.86..0.98: the isotropic generated corpus has
+        ZERO true pairs at the production dedup threshold (measured),
+        so production-threshold recall needs planted ground truth.
+        v' = c*v + sqrt(1-c^2)*|v|*g_perp gives cos(v, v') = c exactly
+        (g orthogonalized against v), seeded -> reproducible."""
+        import numpy as np
+
+        rows = emb.select("vec_id", "embedding").collect()
+        rng = np.random.default_rng(20260816)
+        clones = []
+        for r in rows:
+            if r.vec_id % 20 != 0:
+                continue
+            v = np.asarray(r.embedding, dtype=np.float64)
+            c = 0.86 + 0.12 * rng.random()
+            g = rng.standard_normal(v.shape)
+            g -= (g @ v) / (v @ v) * v
+            g *= np.linalg.norm(v) / np.linalg.norm(g)
+            vp = c * v + np.sqrt(1.0 - c * c) * g
+            clones.append((1_000_000 + r.vec_id, [float(x) for x in vp]))
+        extra = spark.createDataFrame(
+            clones, "vec_id bigint, embedding array<double>"
+        )
+        base = emb.select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        )
+        return base.unionByName(extra).repartition(int(cpus) * 4)
     results: dict = {"sf_dir": sf_dir, "n_vectors": n, "thresholds": {}}
     for thr in THRESHOLDS:
         rows = SIM.rh_rows_for(thr)
@@ -93,6 +132,42 @@ def main() -> int:
             **variants,
         }
         print(f"thr={thr}: exact={len(exact)} " + json.dumps(variants), flush=True)
+
+    # --- production-threshold recall on planted ground truth ----------
+    pc = planted_corpus().persist()
+    np_ = pc.count()
+    thr = 0.85
+    exact = {
+        (r.vec_a, r.vec_b)
+        for r in SIM.cosine_dup_pairs_exact(pc, thr)
+        .select("vec_a", "vec_b")
+        .collect()
+    }
+    planted = {}
+    for label, sbits in (("auto", None), ("no_suffix", 0)):
+        lsh = {
+            (r.vec_a, r.vec_b)
+            for r in SIM.cosine_dup_pairs(pc, thr, suffix_bits=sbits)
+            .select("vec_a", "vec_b")
+            .collect()
+        }
+        release_session_caches(spark)
+        pc.persist()  # release clears it; re-pin for the next variant
+        assert lsh <= exact
+        planted[label] = {
+            "suffix_bits": SIM.rh_suffix_bits(np_, SIM.rh_rows_for(thr))
+            if sbits is None
+            else sbits,
+            "n_pairs": len(lsh),
+            "recall": round(len(lsh) / len(exact), 4) if exact else None,
+            "precision": 1.0,
+        }
+    results["planted_0.85"] = {
+        "n_vectors": np_,
+        "n_exact_pairs": len(exact),
+        **planted,
+    }
+    print(f"planted thr=0.85: exact={len(exact)} " + json.dumps(planted), flush=True)
 
     with open(out_path, "w") as fh:
         json.dump(results, fh, indent=1)
