@@ -1314,13 +1314,21 @@ FROM ranked WHERE rank <= {k}"""
 
 
 def _sql_rh_bit(i: int) -> str:
-    """Sign bit of dot(v, hyperplane_i): same left fold + same double
-    constants as the Spark side -> bit-identical."""
-    plane = ", ".join(repr(x) for x in SIM.RH_PLANES[i])
+    """Sign bit of dot(v, hyperplane_i): same double constants and the
+    same left-to-right accumulation order as the Spark side ->
+    bit-identical. Unrolled as a flat `+` chain (left-associative, so
+    (((v1*c1 + v2*c2) + ...) — exactly the fold's sequence after the
+    0.0 seed, which is exact) instead of a list_reduce lambda: DuckDB
+    interprets nested lambdas per element (~800 us per 64-dim fold,
+    measured at sf0.3), while a flat expression chain is vectorized —
+    the 112-plane sig CTE went from ~540 s to seconds at sf0.3."""
     return (
-        f"CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
-        f"list_transform(range(1, {SIM.EMB_DIM} + 1), i -> v[i] * ([{plane}])[i])), "
-        f"(a, x) -> a + x) > 0 THEN 1 ELSE 0 END"
+        "CASE WHEN ("
+        + " + ".join(
+            f"v[{d + 1}] * {SIM.RH_PLANES[i][d]!r}"
+            for d in range(SIM.EMB_DIM)
+        )
+        + ") > 0 THEN 1 ELSE 0 END"
     )
 
 
@@ -1329,26 +1337,39 @@ def _cosine_pair_ctes() -> str:
     exact cosine) — shared by the pair and cluster oracles. Mirrors
     cosine_dup_pairs: banded random-hyperplane LSH candidates +
     exact-cosine verify (same planes, same band keys), INCLUDING the
-    round-10 auto-suffix scale knob: `nr` derives the shared suffix
-    width m from count(*) with the same exact-integer formula as
+    auto-suffix scale knob: `nr` derives the per-band suffix width m
+    from count(*) with the same exact-integer formula as
     ``SIM.rh_suffix_bits`` (bit_length(v) = 1 + floor(log2 v); log2 of
     a power of two is IEEE-exact, and non-integer values never sit on
     the floor boundary), so both engines append the same m sign bits
-    from the same planes to every band key at every corpus size."""
+    from the same per-band planes to every band key at every corpus
+    size."""
     rows = SIM.rh_rows_for(COSINE_DUP_THRESHOLD)
     nbits = SIM.RH_BANDS * rows
-    cap = SIM.RH_MAX_BITS - nbits
+    # Round-11: per-band suffix planes (band i's pool starts at plane
+    # nbits + i*cap, fixed stride) — one sbN array per band, each band
+    # key appends ITS OWN first m suffix bits, mirroring
+    # rh_candidate_pairs exactly. Shared planes multiplied recall once
+    # by p^m; per-band planes keep band failures independent (measured
+    # 0.90 vs 0.56 at thr 0.85, LSH_RECALL_r11.json) at identical
+    # expected candidate volume.
+    cap = SIM.rh_suffix_cap(rows)
     bit_exprs = ",\n         ".join(f"{_sql_rh_bit(i)} AS b{i}" for i in range(nbits))
-    suffix_exprs = ", ".join(_sql_rh_bit(nbits + s) for s in range(cap))
-    suffix = (
-        " || CASE WHEN m = 0 THEN '' "
-        "ELSE ':' || array_to_string(sbits[1:m], ':') END"
+    suffix_arrays = ",\n         ".join(
+        "[{exprs}] AS sb{band}".format(
+            band=band,
+            exprs=", ".join(
+                _sql_rh_bit(nbits + band * cap + s) for s in range(cap)
+            ),
+        )
+        for band in range(SIM.RH_BANDS)
     )
     band_keys = ", ".join(
-        "concat_ws(':', '{band}', {cols}){suffix}".format(
+        "concat_ws(':', '{band}', {cols})"
+        " || CASE WHEN m = 0 THEN '' "
+        "ELSE ':' || array_to_string(sb{band}[1:m], ':') END".format(
             band=band,
             cols=", ".join(f"b{band * rows + r}" for r in range(rows)),
-            suffix=suffix,
         )
         for band in range(SIM.RH_BANDS)
     )
@@ -1362,10 +1383,15 @@ nr AS (
 sig AS (
   SELECT vec_id,
          {bit_exprs},
-         [{suffix_exprs}] AS sbits
+         {suffix_arrays}
   FROM e
 ),
-bands AS (
+bands AS MATERIALIZED (
+  -- MATERIALIZED: DuckDB inlines plain CTEs, so the self-join below
+  -- would otherwise re-evaluate every hyperplane fold on BOTH sides
+  -- (measured: the 2-query sf0.3 check went from >80 min/query to
+  -- seconds once the folds run exactly once per vector — the same
+  -- persist-before-self-join lesson as the Spark side's band frame).
   SELECT vec_id, unnest([{band_keys}]) AS band_key FROM sig CROSS JOIN nr
 ),
 cand AS (

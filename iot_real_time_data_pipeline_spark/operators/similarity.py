@@ -50,10 +50,12 @@ RERANK_M = 16  # candidates per query surviving an int8 first pass
 # identical left-to-right fold over the identical double constants.
 EMB_DIM = 64
 RH_BANDS = 8
-# Extended 48 -> 64 in round 10 for the shared-suffix scale knob; the
-# planes draw sequentially from the seeded rng, so the first 48 (and
-# every result that used them) are bit-identical to prior rounds.
-RH_MAX_BITS = 64
+# Extended 48 -> 64 in round 10 for the suffix scale knob, 64 -> 112
+# in round 11 for PER-BAND suffix planes (8 bands x up to 8 extra
+# planes past the deepest 48-bit banding). The planes draw
+# sequentially from the seeded rng, so the first 64 (and every result
+# that used them) are bit-identical to prior rounds.
+RH_MAX_BITS = 112
 _rh_rng = random.Random(20250813)
 RH_PLANES = [
     [_rh_rng.uniform(-1.0, 1.0) for _ in range(EMB_DIM)]
@@ -61,17 +63,34 @@ RH_PLANES = [
 ]
 # Corpus size at which the shipped band geometry was calibrated: below
 # this, band keys are exactly the pre-round-10 ones (every gated SF);
-# above it, each data DOUBLING appends one shared suffix bit to every
-# band key, holding expected candidate volume LINEAR in n instead of
-# quadratic (random-pair collision prob halves per bit).
+# above it, each data DOUBLING appends one per-band suffix bit to
+# every band key, holding expected candidate volume LINEAR in n
+# instead of quadratic (random-pair collision prob halves per bit).
 RH_CALIB_N = 2000
 
 
+def rh_suffix_cap(rows: int, bands: int = RH_BANDS) -> int:
+    """Per-band suffix plane budget: the planes past the band prefix,
+    split evenly across bands (band i's suffix pool starts at
+    ``bands*rows + i*cap`` — a FIXED stride, so growing m only appends
+    bits and never relocates an existing one)."""
+    return max(0, (RH_MAX_BITS - bands * rows) // bands)
+
+
 def rh_suffix_bits(n_vectors: int, rows: int, bands: int = RH_BANDS) -> int:
-    """Shared suffix bits for ``n_vectors``: ceil(log2(n / RH_CALIB_N))
-    via exact integer arithmetic (``bit_length`` — mirrored in the
-    DuckDB oracle as 1 + floor(log2)), capped by the plane budget."""
-    cap = max(0, RH_MAX_BITS - bands * rows)
+    """Per-band suffix bits for ``n_vectors``: ceil(log2(n /
+    RH_CALIB_N)) via exact integer arithmetic (``bit_length`` —
+    mirrored in the DuckDB oracle as 1 + floor(log2)), capped by the
+    per-band plane budget.
+
+    Round-11 change (measured, LSH_RECALL_r11.json): suffix planes are
+    per-BAND, not shared. A shared suffix multiplies recall ONCE by
+    p^m (0.564 measured at the production 0.85 threshold with m=4);
+    independent per-band suffixes keep band failures independent —
+    recall = 1-(1-p^(rows+m))^bands ≈ 0.90 at the same workload — at
+    the IDENTICAL expected candidate reduction (a random pair collides
+    in band i with probability p_rand^(rows+m) either way)."""
+    cap = rh_suffix_cap(rows, bands)
     if n_vectors <= RH_CALIB_N:
         return 0
     return min(((n_vectors - 1) // RH_CALIB_N).bit_length(), cap)
@@ -448,33 +467,46 @@ def rh_candidate_pairs(
     ``minhash_lsh_pairs`` plan shape with hyperplane signs instead of
     minhashes.
 
-    ``suffix_bits`` appends that many SHARED sign bits (the same
-    planes for every band) to every band key — the round-10 scale
-    knob: with fixed geometry, random-pair candidates grow as
+    ``suffix_bits`` appends that many PER-BAND sign bits (band i draws
+    from its own fixed pool of planes, starting at plane
+    ``bands*rows + i*rh_suffix_cap(rows)``) to each band key — the
+    round-10 scale knob, upgraded round 11 from shared to per-band
+    planes: with fixed geometry, random-pair candidates grow as
     n²·2^-rows (the sf1.0 scaling study measured alpha = 1.54, 119 s);
     each suffix bit halves the random collision rate, so
     ``rh_suffix_bits`` (one bit per data doubling past RH_CALIB_N)
-    holds candidate volume linear in n. Recall multiplies by p^suffix
-    with p = 1 - theta/pi — the standard LSH pruning/recall trade; at
-    production dedup thresholds (cos >= 0.85, p >= 0.93/bit) 8 suffix
-    bits still retain ~56 % per-band recall, while near-random
-    thresholds are intrinsically unprunable (see ``rh_rows_for``).
+    holds candidate volume linear in n. Per-band planes keep band
+    failures INDEPENDENT: recall = 1-(1-p^(rows+m))^bands instead of
+    the shared-suffix p^m·(1-(1-p^rows)^bands), measured 0.90 vs 0.56
+    at the production 0.85 threshold (LSH_RECALL_r11.json) at the
+    same expected candidate volume. Near-random thresholds remain
+    intrinsically hard to prune (see ``rh_rows_for``).
     """
-    assert bands * rows + suffix_bits <= RH_MAX_BITS
+    cap = rh_suffix_cap(rows, bands)
+    assert suffix_bits <= cap
     v = as_double(F.col("embedding"))
-    nbits = bands * rows + suffix_bits
+    nbits = bands * rows
+    plane_ids = list(range(nbits)) + [
+        nbits + band * cap + s
+        for band in range(bands)
+        for s in range(suffix_bits)
+    ]
     bits = [
-        (dot(v, F.array(*[F.lit(x) for x in RH_PLANES[i]])) > 0).cast("int").alias(f"b{i}")
-        for i in range(nbits)
+        (dot(v, F.array(*[F.lit(x) for x in RH_PLANES[i]])) > 0)
+        .cast("int")
+        .alias(f"b{i}")
+        for i in plane_ids
     ]
     sig = embeddings.select(F.col("vec_id"), *bits)
-    suffix_cols = [F.col(f"b{bands * rows + s}") for s in range(suffix_bits)]
     band_keys = F.array(*[
         F.concat_ws(
             ":",
             F.lit(str(band)),
             *[F.col(f"b{band * rows + r}") for r in range(rows)],
-            *suffix_cols,
+            *[
+                F.col(f"b{nbits + band * cap + s}")
+                for s in range(suffix_bits)
+            ],
         )
         for band in range(bands)
     ])
@@ -513,11 +545,12 @@ def cosine_dup_pairs(
     ``rh_rows_for``); production embedding dedup at ~0.9 gets both
     recall and sharp pruning from the same machinery.
 
-    ``suffix_bits=None`` auto-sizes the round-10 scale knob from a
-    bounded corpus count (``rh_suffix_bits``): 0 below RH_CALIB_N —
-    every gated SF keeps its exact pre-round-10 candidate set — then
-    one shared bit per data doubling, keeping candidates linear in n
-    (the DuckDB oracle mirrors the same count-derived formula).
+    ``suffix_bits=None`` auto-sizes the scale knob from a bounded
+    corpus count (``rh_suffix_bits``): 0 below RH_CALIB_N — every
+    gated SF keeps its exact pre-round-10 candidate set — then one
+    per-band bit per data doubling, keeping candidates linear in n
+    (the DuckDB oracle mirrors the same count-derived formula and the
+    same per-band plane pools).
     """
     rows = rows if rows is not None else rh_rows_for(threshold)
     if suffix_bits is None:
