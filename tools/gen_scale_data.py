@@ -113,7 +113,14 @@ def _pick(rng, choices, n, p=None):
     return np.array(choices, dtype=object)[rng.choice(len(choices), size=n, p=p)]
 
 
-def gen(sf: float, outdir: str) -> None:
+def gen(sf: float, outdir: str, tables: set | None = None) -> None:
+    """``tables=None`` generates the full ten-table schema. A subset
+    (e.g. {"events", "lineitem"}) skips the other tables' array builds
+    — per-table RNG streams (``_rng(sf, table_idx)``) make every table
+    byte-identical whether generated alone or with the rest. Needed at
+    sf10, where the full build is dominated by the unused documents
+    Python loop."""
+    want = (lambda t: tables is None or t in tables)
     os.makedirs(outdir, exist_ok=True)
     dom = _domains()
     n = {t: max(1, int(round(c * sf))) for t, c in ROWS.items()}
@@ -121,145 +128,153 @@ def gen(sf: float, outdir: str) -> None:
     n["documents"] = max(500, n["documents"])
     n["embeddings"] = max(500, n["embeddings"])
     n_users = max(1, int(round(EVENT_USERS_PER_SF * sf)))
+    nc, ns, np_, no = n["customer"], n["supplier"], n["part"], n["orders"]
 
     # region / nation: fixed-size dims, copied from the driver data.
     for t in ("region", "nation"):
-        _write(outdir, t, pq.read_table(f"{REF_SF01}/{t}.parquet"))
+        if want(t):
+            _write(outdir, t, pq.read_table(f"{REF_SF01}/{t}.parquet"))
 
     # customer ----------------------------------------------------------
     r = _rng(sf, 1)
-    nc = n["customer"]
-    _write(outdir, "customer", pa.table({
-        "c_custkey": pa.array(np.arange(nc), pa.int64()),
-        "c_name": pa.array([f"Customer#{i:09d}" for i in range(nc)]),
-        "c_nationkey": pa.array(r.integers(0, 25, nc).astype(np.int32), pa.int32()),
-        "c_acctbal": pa.array(np.round(r.uniform(-1000, 10000, nc), 2)),
-        "c_mktsegment": pa.array(_pick(r, dom["mktsegment"], nc).astype(str)),
-    }))
+    if want("customer"):
+        _write(outdir, "customer", pa.table({
+            "c_custkey": pa.array(np.arange(nc), pa.int64()),
+            "c_name": pa.array([f"Customer#{i:09d}" for i in range(nc)]),
+            "c_nationkey": pa.array(r.integers(0, 25, nc).astype(np.int32), pa.int32()),
+            "c_acctbal": pa.array(np.round(r.uniform(-1000, 10000, nc), 2)),
+            "c_mktsegment": pa.array(_pick(r, dom["mktsegment"], nc).astype(str)),
+        }))
 
     # supplier ----------------------------------------------------------
     r = _rng(sf, 2)
-    ns = n["supplier"]
-    _write(outdir, "supplier", pa.table({
-        "s_suppkey": pa.array(np.arange(ns), pa.int64()),
-        "s_name": pa.array([f"Supplier#{i:09d}" for i in range(ns)]),
-        "s_nationkey": pa.array(r.integers(0, 25, ns).astype(np.int32), pa.int32()),
-        "s_acctbal": pa.array(np.round(r.uniform(-1000, 10000, ns), 2)),
-    }))
+    if want("supplier"):
+        _write(outdir, "supplier", pa.table({
+            "s_suppkey": pa.array(np.arange(ns), pa.int64()),
+            "s_name": pa.array([f"Supplier#{i:09d}" for i in range(ns)]),
+            "s_nationkey": pa.array(r.integers(0, 25, ns).astype(np.int32), pa.int32()),
+            "s_acctbal": pa.array(np.round(r.uniform(-1000, 10000, ns), 2)),
+        }))
 
     # part ---------------------------------------------------------------
     r = _rng(sf, 3)
-    np_ = n["part"]
-    adj = _pick(r, dom["pname_adj"], np_)
-    noun = _pick(r, dom["pname_noun"], np_)
-    _write(outdir, "part", pa.table({
-        "p_partkey": pa.array(np.arange(np_), pa.int64()),
-        "p_name": pa.array([f"{a} {b}" for a, b in zip(adj, noun)]),
-        "p_brand": pa.array(_pick(r, dom["brand"], np_).astype(str)),
-        "p_type": pa.array(_pick(r, dom["ptype"], np_).astype(str)),
-        "p_size": pa.array(r.integers(1, 51, np_).astype(np.int32), pa.int32()),
-        "p_retailprice": pa.array(np.round(r.uniform(900, 1000, np_), 2)),
-    }))
+    if want("part"):
+        adj = _pick(r, dom["pname_adj"], np_)
+        noun = _pick(r, dom["pname_noun"], np_)
+        _write(outdir, "part", pa.table({
+            "p_partkey": pa.array(np.arange(np_), pa.int64()),
+            "p_name": pa.array([f"{a} {b}" for a, b in zip(adj, noun)]),
+            "p_brand": pa.array(_pick(r, dom["brand"], np_).astype(str)),
+            "p_type": pa.array(_pick(r, dom["ptype"], np_).astype(str)),
+            "p_size": pa.array(r.integers(1, 51, np_).astype(np.int32), pa.int32()),
+            "p_retailprice": pa.array(np.round(r.uniform(900, 1000, np_), 2)),
+        }))
 
     # orders --------------------------------------------------------------
+    # (lineitem derives shipdate from the order dates, so the orders
+    # arithmetic runs whenever either table is wanted)
     r = _rng(sf, 4)
-    no = n["orders"]
     d0 = np.datetime64("1995-01-01")
     odate_days = r.integers(0, 2404, no)  # .. 2001-08-01
     odate = d0 + odate_days.astype("timedelta64[D]")
-    _write(outdir, "orders", pa.table({
-        "o_orderkey": pa.array(np.arange(no), pa.int64()),
-        "o_custkey": pa.array(r.integers(0, nc, no), pa.int64()),
-        "o_orderstatus": pa.array(_pick(r, dom["ostatus"], no).astype(str)),
-        "o_totalprice": pa.array(np.round(r.uniform(1000, 500000, no), 2)),
-        "o_orderdate": pa.array(odate.astype("datetime64[us]"), pa.timestamp("us")),
-        "o_orderpriority": pa.array(_pick(r, dom["oprio"], no).astype(str)),
-    }))
+    if want("orders"):
+        _write(outdir, "orders", pa.table({
+            "o_orderkey": pa.array(np.arange(no), pa.int64()),
+            "o_custkey": pa.array(r.integers(0, nc, no), pa.int64()),
+            "o_orderstatus": pa.array(_pick(r, dom["ostatus"], no).astype(str)),
+            "o_totalprice": pa.array(np.round(r.uniform(1000, 500000, no), 2)),
+            "o_orderdate": pa.array(odate.astype("datetime64[us]"), pa.timestamp("us")),
+            "o_orderpriority": pa.array(_pick(r, dom["oprio"], no).astype(str)),
+        }))
 
     # lineitem -------------------------------------------------------------
     r = _rng(sf, 5)
-    lines = r.poisson(LINES_PER_ORDER, no)
-    okeys = np.repeat(np.arange(no), lines)
-    nl = okeys.size
-    linenum = (
-        np.arange(nl) - np.repeat(np.concatenate(([0], np.cumsum(lines)[:-1])), lines) + 1
-    )
-    qty = r.integers(1, 51, nl).astype(np.float64)
-    shipdate = (
-        d0
-        + np.repeat(odate_days, lines).astype("timedelta64[D]")
-        + r.integers(1, 96, nl).astype("timedelta64[D]")
-    )
-    _write(outdir, "lineitem", pa.table({
-        "l_orderkey": pa.array(okeys, pa.int64()),
-        "l_partkey": pa.array(r.integers(0, np_, nl), pa.int64()),
-        "l_suppkey": pa.array(r.integers(0, ns, nl), pa.int64()),
-        "l_linenumber": pa.array(linenum.astype(np.int32), pa.int32()),
-        "l_quantity": pa.array(qty),
-        "l_extendedprice": pa.array(np.round(qty * r.uniform(900, 2100, nl), 2)),
-        "l_discount": pa.array(np.round(r.uniform(0, 0.1, nl), 2)),
-        "l_tax": pa.array(np.round(r.uniform(0, 0.08, nl), 2)),
-        "l_returnflag": pa.array(_pick(r, dom["rflag"], nl).astype(str)),
-        "l_linestatus": pa.array(_pick(r, dom["lstatus"], nl).astype(str)),
-        "l_shipdate": pa.array(shipdate.astype("datetime64[us]"), pa.timestamp("us")),
-    }))
+    if want("lineitem"):
+        lines = r.poisson(LINES_PER_ORDER, no)
+        okeys = np.repeat(np.arange(no), lines)
+        nl = okeys.size
+        linenum = (
+            np.arange(nl) - np.repeat(np.concatenate(([0], np.cumsum(lines)[:-1])), lines) + 1
+        )
+        qty = r.integers(1, 51, nl).astype(np.float64)
+        shipdate = (
+            d0
+            + np.repeat(odate_days, lines).astype("timedelta64[D]")
+            + r.integers(1, 96, nl).astype("timedelta64[D]")
+        )
+        _write(outdir, "lineitem", pa.table({
+            "l_orderkey": pa.array(okeys, pa.int64()),
+            "l_partkey": pa.array(r.integers(0, np_, nl), pa.int64()),
+            "l_suppkey": pa.array(r.integers(0, ns, nl), pa.int64()),
+            "l_linenumber": pa.array(linenum.astype(np.int32), pa.int32()),
+            "l_quantity": pa.array(qty),
+            "l_extendedprice": pa.array(np.round(qty * r.uniform(900, 2100, nl), 2)),
+            "l_discount": pa.array(np.round(r.uniform(0, 0.1, nl), 2)),
+            "l_tax": pa.array(np.round(r.uniform(0, 0.08, nl), 2)),
+            "l_returnflag": pa.array(_pick(r, dom["rflag"], nl).astype(str)),
+            "l_linestatus": pa.array(_pick(r, dom["lstatus"], nl).astype(str)),
+            "l_shipdate": pa.array(shipdate.astype("datetime64[us]"), pa.timestamp("us")),
+        }))
 
     # events ----------------------------------------------------------------
     r = _rng(sf, 6)
-    ne = n["events"]
-    span_us = 30 * 86400 * _US
-    ts = np.sort(r.integers(0, span_us, ne)) + np.datetime64(
-        "2024-01-01T00:00:00", "us"
-    ).astype(np.int64)
-    k = r.integers(0, 100, ne)
-    _write(outdir, "events", pa.table({
-        "event_id": pa.array(np.arange(ne), pa.int64()),
-        "ts": pa.array(ts.astype("datetime64[us]"), pa.timestamp("us")),
-        "user_id": pa.array(r.integers(0, n_users, ne), pa.int64()),
-        "event_type": pa.array(_pick(r, dom["etype"], ne).astype(str)),
-        "value": pa.array(np.round(r.exponential(50.0, ne), 2)),
-        "props": pa.array([f'{{"k": {v}}}' for v in k]),
-    }))
+    if want("events"):
+        ne = n["events"]
+        span_us = 30 * 86400 * _US
+        ts = np.sort(r.integers(0, span_us, ne)) + np.datetime64(
+            "2024-01-01T00:00:00", "us"
+        ).astype(np.int64)
+        k = r.integers(0, 100, ne)
+        _write(outdir, "events", pa.table({
+            "event_id": pa.array(np.arange(ne), pa.int64()),
+            "ts": pa.array(ts.astype("datetime64[us]"), pa.timestamp("us")),
+            "user_id": pa.array(r.integers(0, n_users, ne), pa.int64()),
+            "event_type": pa.array(_pick(r, dom["etype"], ne).astype(str)),
+            "value": pa.array(np.round(r.exponential(50.0, ne), 2)),
+            "props": pa.array([f'{{"k": {v}}}' for v in k]),
+        }))
 
     # documents ---------------------------------------------------------------
     r = _rng(sf, 7)
-    nd = n["documents"]
-    langs = [l for l, _ in dom["lang"]]
-    counts = np.array([c for _, c in dom["lang"]], dtype=float)
-    vocab = list(dom["vocab"])
-    nw = r.integers(10, 101, nd)
-    word_idx = [r.integers(0, len(vocab), k) for k in nw]
-    texts: list[str] = []
-    kind = r.uniform(size=nd)
-    src_of = r.integers(0, np.maximum(np.arange(nd), 1))  # earlier doc to copy
-    for i in range(nd):
-        if i > 0 and kind[i] < DOC_EXACT_RATE:
-            texts.append(texts[src_of[i]])
-        elif i > 0 and kind[i] < DOC_EXACT_RATE + DOC_COPY_RATE:
-            words = texts[src_of[i]].split(" ")
-            words[r.integers(0, len(words))] = "dup"
-            texts.append(" ".join(words))
-        else:
-            texts.append(" ".join(vocab[j] for j in word_idx[i]))
-    _write(outdir, "documents", pa.table({
-        "doc_id": pa.array(np.arange(nd), pa.int64()),
-        "text": pa.array(texts),
-        "lang": pa.array(_pick(r, langs, nd, p=counts / counts.sum()).astype(str)),
-        "source": pa.array(_pick(r, dom["source"], nd).astype(str)),
-        "n_chars": pa.array(np.array([len(t) for t in texts]), pa.int64()),
-    }))
+    if want("documents"):
+        nd = n["documents"]
+        langs = [l for l, _ in dom["lang"]]
+        counts = np.array([c for _, c in dom["lang"]], dtype=float)
+        vocab = list(dom["vocab"])
+        nw = r.integers(10, 101, nd)
+        word_idx = [r.integers(0, len(vocab), k) for k in nw]
+        texts: list[str] = []
+        kind = r.uniform(size=nd)
+        src_of = r.integers(0, np.maximum(np.arange(nd), 1))  # earlier doc to copy
+        for i in range(nd):
+            if i > 0 and kind[i] < DOC_EXACT_RATE:
+                texts.append(texts[src_of[i]])
+            elif i > 0 and kind[i] < DOC_EXACT_RATE + DOC_COPY_RATE:
+                words = texts[src_of[i]].split(" ")
+                words[r.integers(0, len(words))] = "dup"
+                texts.append(" ".join(words))
+            else:
+                texts.append(" ".join(vocab[j] for j in word_idx[i]))
+        _write(outdir, "documents", pa.table({
+            "doc_id": pa.array(np.arange(nd), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(_pick(r, langs, nd, p=counts / counts.sum()).astype(str)),
+            "source": pa.array(_pick(r, dom["source"], nd).astype(str)),
+            "n_chars": pa.array(np.array([len(t) for t in texts]), pa.int64()),
+        }))
 
     # embeddings ------------------------------------------------------------
     r = _rng(sf, 8)
-    nv = n["embeddings"]
-    V = r.normal(size=(nv, EMB_DIM))
-    V /= np.linalg.norm(V, axis=1, keepdims=True)
-    V = V.astype(np.float32)
-    _write(outdir, "embeddings", pa.table({
-        "vec_id": pa.array(np.arange(nv), pa.int64()),
-        "embedding": pa.array(list(V), pa.list_(pa.float32())),
-        "label": pa.array(r.integers(0, 10, nv).astype(np.int32), pa.int32()),
-    }))
+    if want("embeddings"):
+        nv = n["embeddings"]
+        V = r.normal(size=(nv, EMB_DIM))
+        V /= np.linalg.norm(V, axis=1, keepdims=True)
+        V = V.astype(np.float32)
+        _write(outdir, "embeddings", pa.table({
+            "vec_id": pa.array(np.arange(nv), pa.int64()),
+            "embedding": pa.array(list(V), pa.list_(pa.float32())),
+            "label": pa.array(r.integers(0, 10, nv).astype(np.int32), pa.int32()),
+        }))
 
     with open(os.path.join(outdir, "GENERATED.json"), "w") as f:
         json.dump({"sf": sf, "seed_root": SEED_ROOT, "rows": n}, f)
@@ -268,4 +283,5 @@ def gen(sf: float, outdir: str) -> None:
 if __name__ == "__main__":
     sf = float(sys.argv[1])
     outdir = sys.argv[2] if len(sys.argv) > 2 else f"/root/repo/.scaledata/sf{sf}"
-    gen(sf, outdir)
+    only = os.environ.get("SPARK_GRAFT_GEN_TABLES")
+    gen(sf, outdir, set(only.split(",")) if only else None)
