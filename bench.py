@@ -76,6 +76,38 @@ def main() -> None:
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        # Round-12 fix for the per-round "roaming inflation" class: a
+        # 228-query bench session generates more whole-stage-codegen
+        # classes than the JVM's default 240 MB code cache holds; once
+        # it fills, the JIT flushes hot methods / stops compiling and a
+        # position-dependent subset of line items runs interpreted at a
+        # SUSTAINED 2-10x (measured: docs_decontaminate 5.8-6.3 s
+        # across all three repeats vs its plan-identical 0.73 s r11
+        # reading, zero GC time — BENCH_DETAIL_r12_gc16.json). A
+        # deployment hits the same wall on long-lived executors:
+        # spark.executor.extraJavaOptions gets the same flag.
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get(
+                "SPARK_GRAFT_DRIVER_JAVA_OPTS",
+                "-XX:ReservedCodeCacheSize=512m",
+            ),
+        )
+        # The 228-query session produces far more than 100 distinct
+        # whole-stage-codegen classes per pass, so the DEFAULT global
+        # codegen class cache (spark.sql.codegen.cache.maxEntries=100,
+        # static conf) evicts every query's classes long before its
+        # in-session repeats run: each repeat re-runs Janino AND starts
+        # HotSpot cold on a brand-new class identity. Which queries pay
+        # depends on eviction order — the leading suspect for the
+        # roaming per-round inflation (BENCH_DETAIL_r12_cc240.json
+        # rules OUT code-cache exhaustion: 142 MB peak vs 240 MB cap).
+        # Sized to hold every stage of the full suite; pairs with the
+        # bigger ReservedCodeCacheSize above.
+        .config(
+            "spark.sql.codegen.cache.maxEntries",
+            os.environ.get("SPARK_GRAFT_CODEGEN_CACHE", "5000"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()
@@ -90,6 +122,52 @@ def main() -> None:
     times: dict[str, float] = {}
     repeats: dict[str, dict[str, float]] = {}
     REPEAT_RUNS = 3
+
+    # Round-12 root-cause instrumentation (VERDICT r11 item 1): the
+    # per-round "roaming inflation" — a DIFFERENT subset of line items
+    # reading 2-8x their plan-identical baseline each session, even on
+    # a quiet host — has a driver-JVM-stall signature (r12 adjudication
+    # measured docs_minhash_calibration at 1.7 s and 19.5 s on
+    # BACK-TO-BACK identical-cache repeats). Record the driver GC time
+    # attributable to every individual run: local[N] is one JVM, so
+    # these beans see executor GC too. If an inflated reading carries
+    # the GC time, the regression is heap pressure, not the operator.
+    _gc_beans = (
+        spark.sparkContext._jvm.java.lang.management.ManagementFactory
+        .getGarbageCollectorMXBeans()
+    )
+
+    def _gc_ms() -> int:
+        return int(sum(
+            _gc_beans.get(i).getCollectionTime()
+            for i in range(_gc_beans.size())
+        ))
+
+    gc_ms: dict[str, list[int]] = {}
+
+    # Companion counter: JIT code-cache occupancy when each item starts.
+    # The r12_gc16 run showed the roaming items carry ZERO GC time but a
+    # SUSTAINED 5-10x state (docs_decontaminate 5.8/6.0/6.3 s vs its
+    # 0.73 s plan-identical r11 reading) — the classic signature of the
+    # HotSpot code cache filling (228 queries x repeats x whole-stage
+    # codegen classes), after which the JIT flushes/disables compilation
+    # and whole queries run interpreted. Java 17 segments the cache
+    # (CodeHeap 'non-nmethods'/'profiled'/'non-profiled'); sum them.
+    _mem_pools = (
+        spark.sparkContext._jvm.java.lang.management.ManagementFactory
+        .getMemoryPoolMXBeans()
+    )
+
+    def _codecache_bytes() -> int:
+        tot = 0
+        for i in range(_mem_pools.size()):
+            b = _mem_pools.get(i)
+            name = b.getName()
+            if "CodeHeap" in name or "Code Cache" in name:
+                tot += b.getUsage().getUsed()
+        return int(tot)
+
+    codecache_bytes_before: dict[str, int] = {}
 
     # Cache hygiene (opt-out via SPARK_GRAFT_BENCH_RELEASE=0): operator-
     # internal persists (postings, band frames, fingerprints) deliberately
@@ -119,9 +197,11 @@ def main() -> None:
             )
 
     def timed(name: str, fn):
+        g0 = _gc_ms()
         t0 = time.perf_counter()
         out = fn()
         times[name] = round(time.perf_counter() - t0, 3)
+        gc_ms[name] = [_gc_ms() - g0]
         return out
 
     def _storage_bytes() -> int:
@@ -144,11 +224,16 @@ def main() -> None:
         so the spread isolates *noise*, not data-dependent variance.
         """
         storage_bytes_before[name] = _storage_bytes()
+        codecache_bytes_before[name] = _codecache_bytes()
         runs = []
+        gcs = []
         for _ in range(REPEAT_RUNS):
+            g0 = _gc_ms()
             t0 = time.perf_counter()
             fn()
             runs.append(time.perf_counter() - t0)
+            gcs.append(_gc_ms() - g0)
+        gc_ms[name] = gcs
         times[name] = round(runs[0], 3)
         runs_sorted = sorted(runs)
         repeats[name] = {
@@ -556,6 +641,8 @@ def main() -> None:
         "llm_release_block": LLM_RELEASE_BLOCK,
         "storage_bytes_at_release": storage_bytes_at_release,
         "storage_bytes_before": storage_bytes_before,
+        "codecache_bytes_before": codecache_bytes_before,
+        "gc_ms": gc_ms,
         "sf": sf,
     }
     detail_name = "BENCH_DETAIL_r{}.json".format(_current_round_tag())

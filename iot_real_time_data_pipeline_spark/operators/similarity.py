@@ -93,6 +93,25 @@ def rh_suffix_bits(n_vectors: int, rows: int, bands: int = RH_BANDS) -> int:
     cap = rh_suffix_cap(rows, bands)
     if n_vectors <= RH_CALIB_N:
         return 0
+    if cap == 0:
+        # The per-band plane budget (RH_MAX_BITS - bands*rows)//bands
+        # shrinks as rows_per_band grows; at rows >= 14 with 8 bands it
+        # hits 0 and the scale knob silently disengages — candidate
+        # volume goes quadratic above RH_CALIB_N with no visible
+        # signal. Surface it loudly (VERDICT r11 watch item): a future
+        # rh_rows_for tier change must widen RH_MAX_BITS, not silently
+        # lose linearity.
+        import warnings
+
+        warnings.warn(
+            f"rh suffix-plane budget exhausted (rows={rows}, "
+            f"bands={bands}, RH_MAX_BITS={RH_MAX_BITS}): corpus of "
+            f"{n_vectors} > calib {RH_CALIB_N} gets NO suffix bits; "
+            "candidate volume grows quadratically. Raise RH_MAX_BITS.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        return 0
     return min(((n_vectors - 1) // RH_CALIB_N).bit_length(), cap)
 
 

@@ -99,3 +99,33 @@ def test_rrf_empty_inputs_yield_empty(spark):
     docs = spark.createDataFrame([], "doc_id long, text string")
     emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
     assert RET.rrf_fusion(docs, emb, emb, query_mod=10).count() == 0
+
+
+def test_rh_suffix_budget_exhaustion_warns():
+    """VERDICT r11 watch item: rh_suffix_cap = (112 - 8*rows)//8 hits 0
+    at rows >= 14 (8 bands), silently disabling the linear-candidates
+    scale knob. The guard must (a) warn loudly when a big corpus gets
+    no suffix bits, (b) stay silent on every shipped geometry."""
+    import warnings
+
+    from iot_real_time_data_pipeline_spark.operators import similarity as SIM
+
+    # Every shipped tier (rh_rows_for: 6 / 4 / 2) has budget left and
+    # must NOT warn, gated or engaged.
+    for thr in (0.85, 0.7, 0.45):
+        rows = SIM.rh_rows_for(thr)
+        assert SIM.rh_suffix_cap(rows) > 0
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            assert SIM.rh_suffix_bits(100, rows) == 0          # gated
+            assert SIM.rh_suffix_bits(1_000_000, rows) >= 1    # engaged
+
+    # A hypothetical deeper tier that exhausts the budget: gated corpus
+    # stays silent, engaged corpus warns.
+    deep = (SIM.RH_MAX_BITS // SIM.RH_BANDS)  # cap == 0 exactly
+    assert SIM.rh_suffix_cap(deep) == 0
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        assert SIM.rh_suffix_bits(SIM.RH_CALIB_N, deep) == 0
+    with pytest.warns(RuntimeWarning, match="suffix-plane budget exhausted"):
+        assert SIM.rh_suffix_bits(SIM.RH_CALIB_N + 1, deep) == 0

@@ -317,6 +317,13 @@ def test_throttle_event_time_ttl_evicts_replay_stably(spark, tmp_path):
         _time.sleep(2)
     if q3.isActive:
         q3.stop()
+    # Re-collect AFTER the query is fully stopped (ADVICE r11): the poll
+    # loop can break on `not q3.isActive` holding a snapshot taken just
+    # before the final micro-batch committed, which would flake the
+    # assert even though the sink ends up correct.
+    proc = {
+        r.event_id for r in spark.sql("select * from ttl_proc").collect()
+    }
     assert proc == {"f2", "e2"}
 
 

@@ -98,6 +98,13 @@ def test_throttle_skew_soak_state_bounded_and_replay_parity(spark, tmp_path):
         .option("maxFilesPerTrigger", 1)
         .json(str(src))
     )
+    # recentProgress retains only the last numRecentProgressUpdates
+    # entries (default 100) — fine at N_BATCHES=30, but raise it so a
+    # future scale-up of the soak can't silently undercount batches and
+    # fail the >= N_BATCHES assert below (ADVICE r11).
+    spark.conf.set(
+        "spark.sql.streaming.numRecentProgressUpdates", str(4 * N_BATCHES)
+    )
     t0 = time.perf_counter()
     q = (
         throttle_alerts_stateful(stream)
@@ -108,9 +115,14 @@ def test_throttle_skew_soak_state_bounded_and_replay_parity(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(900)
+    finished = q.awaitTermination(900)
     wall = time.perf_counter() - t0
-    assert not q.isActive
+    if q.isActive:
+        # Timeout: stop the query BEFORE asserting so a failure doesn't
+        # leak an active stateful stream + memory sink into the shared
+        # spark fixture for subsequent tests (ADVICE r11).
+        q.stop()
+    assert finished, f"skew soak did not drain within 900s (wall {wall:.0f}s)"
 
     # --- 1. state bounded by keys, not volume -------------------------
     distinct_keys = len({(r["loc_id"], r["alert_type"]) for r in rows})
