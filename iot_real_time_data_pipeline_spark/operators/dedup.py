@@ -49,9 +49,10 @@ from __future__ import annotations
 
 import logging
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions import planutil as PU
 from ..functions import texthash as TH
 
 logger = logging.getLogger(__name__)
@@ -843,21 +844,27 @@ def pagerank(
         "doc_a", "doc_b"
     )
     # Construction must stay action-free (plan audits, registry
-    # enumeration, schema inspection) — and under AQE even a LAZY
-    # ``localCheckpoint(eager=False)`` executes the plan's shuffle
-    # stages at construction time (Dataset→RDD conversion materializes
-    # adaptive query stages). So: lazy persist() on the edge list (the
-    # module's no-unpersist cache policy applies — see header), which
-    # makes every iteration read the LSH pair pipeline's output from
-    # cache after the first action computes it once. The iteration plan
-    # is a fixed-depth (``iters``, default 5) nested tree — bounded, so
-    # no lineage truncation is needed; the first action runs it all.
-    edges = pairs.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).unionByName(
-        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-    ).persist()
-    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg")).persist()
+    # enumeration, schema inspection), but each round's LOGICAL plan
+    # must also stay round-sized: the previous lazy-persist scheme kept
+    # execution incremental while the analyzed tree still inlined the
+    # full upstream pipeline once per round, and the driver spent more
+    # wall time re-analyzing/re-optimizing those nested trees than the
+    # executors spent computing them (r12 measurement: jobs summed to
+    # ~70% of wall on the first run and repeats got slower as the
+    # cached-plan matcher accumulated entries). lazy_local_checkpoint
+    # truncates each round to a LogicalRDD leaf with NO job at
+    # construction — see functions/planutil.py for the mechanism and
+    # the measured numbers.
+    edges = PU.lazy_local_checkpoint(
+        pairs.select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        ).unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+    )
+    deg = PU.lazy_local_checkpoint(
+        edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    )
     nodes = docs.select(F.col(id_col).alias("doc_id"))
     ranks = nodes.withColumn("rank_ppm", F.lit(PR_INIT_PPM).cast("long"))
     for _ in range(iters):
@@ -873,7 +880,7 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("c").alias("incoming"))
         )
-        ranks = (
+        ranks = PU.lazy_local_checkpoint(
             nodes.join(contribs, nodes["doc_id"] == contribs["dst"], "left")
             .select(
                 "doc_id",
@@ -883,13 +890,6 @@ def pagerank(
                 .cast("long")
                 .alias("rank_ppm"),
             )
-            # Lazy persist per round: at execution the CacheManager
-            # substitutes each prior round's InMemoryRelation into the
-            # next round's plan, so the optimizer/AQE work on
-            # iteration-sized trees instead of the fully inlined
-            # 5-round chain (measured 2x on the bench without this) —
-            # the lazy equivalent of the old eager localCheckpoint.
-            .persist()
         )
     return ranks
 
@@ -925,12 +925,26 @@ def label_propagation(
     engine-independent; the DuckDB twin UNROLLS the same rounds as
     chained CTEs.
 
-    Each round is one edge-join + one ``groupBy(dst, label)`` + one
-    per-node window — shuffle proportional to EDGES (the same shape as
-    ``pagerank``), never all-pairs, and a lazy ``persist()`` per round
-    keeps the optimizer working on iteration-sized plans instead of
-    the fully inlined chain (see pagerank's note). Construction stays
-    action-free.
+    Each round is one edge-join + two hash aggregations — shuffle
+    proportional to EDGES (the same shape as ``pagerank``), never
+    all-pairs. Three plan-shape choices, all r12-measured
+    (OPTIMIZATION_r12.md):
+
+    - The self-vote is folded into the edge list as SELF-LOOPS (one
+      ``(v, v)`` edge per node, added once before the loop) instead of
+      a per-round ``unionByName(labels)``: the vote multiset per node
+      is identical, but ``labels`` is referenced ONCE per round, so
+      the logical tree grows linearly with rounds instead of doubling
+      each round (the old plan was 4,506 formatted lines / 646
+      Exchanges; see plans/r12/).
+    - The per-node argmax is ``max(struct(c, -label))`` — a partially
+      aggregated hash agg (map-side combine, no sort) — instead of a
+      ``row_number`` window. Ties are impossible on (c, label) since
+      (doc_id, label) rows are unique, so "max count, then smallest
+      label" is exactly the old window's ``rn = 1`` row.
+    - Each round is lineage-truncated with a lazy localCheckpoint
+      (functions/planutil.py) so the driver analyzes round-sized
+      plans; construction stays action-free.
 
     Returns ``(doc_id, community, n_members)`` for every document —
     singletons form their own size-1 community.
@@ -938,34 +952,37 @@ def label_propagation(
     pairs = minhash_lsh_pairs(docs, text_col, id_col, threshold).select(
         "doc_a", "doc_b"
     )
-    edges = pairs.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).unionByName(
-        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-    ).persist()
+    nodes = docs.select(F.col(id_col).alias("doc_id"))
+    edges = PU.lazy_local_checkpoint(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .unionByName(  # self-loops carry the self-vote (see docstring)
+            nodes.select(
+                F.col("doc_id").alias("src"), F.col("doc_id").alias("dst")
+            )
+        )
+    )
     labels = docs.select(
         F.col(id_col).alias("doc_id"),
         F.col(id_col).cast("long").alias("label"),
-    )
-    rn_w = Window.partitionBy("doc_id").orderBy(
-        F.col("c").desc(), F.col("label").asc()
     )
     for _ in range(iters):
         votes = (
             edges.join(labels.withColumnRenamed("doc_id", "src"), "src")
             .select(F.col("dst").alias("doc_id"), "label")
-            .unionByName(labels)  # the self-vote
             .groupBy("doc_id", "label")
             .agg(F.count("*").alias("c"))
         )
-        labels = (
-            votes.withColumn("rn", F.row_number().over(rn_w))
-            .filter(F.col("rn") == 1)
-            .select("doc_id", F.col("label").cast("long").alias("label"))
-            # lazy persist per round: CacheManager substitutes each
-            # prior round's InMemoryRelation at execution (pagerank's
-            # plan-size lesson) while construction launches no jobs.
-            .persist()
+        labels = PU.lazy_local_checkpoint(
+            votes.groupBy("doc_id")
+            .agg(
+                F.max(
+                    F.struct(F.col("c"), (-F.col("label")).alias("neg"))
+                ).alias("m")
+            )
+            .select("doc_id", (-F.col("m.neg")).cast("long").alias("label"))
         )
     sizes = labels.groupBy("label").agg(F.count("*").alias("n_members"))
     return labels.join(sizes, "label").select(
@@ -1395,15 +1412,24 @@ def detector_agreement(
     Hamming radius — a different geometry — so both of its numbers are
     informative.
 
-    Plan: each detector's pair set (already candidate-bounded) joins
-    the truth set on the pair key; everything else is one-row scalar
-    aggregates broadcast together — the audit adds no shuffle beyond
-    the detectors themselves. Returns one row per detector:
-    ``(detector, n_flagged, n_true_pairs, n_overlap, precision_milli,
-    recall_milli)``.
+    Plan: the exact truth set is computed ONCE and persisted — it is
+    read by three plan branches (the truth count and each detector's
+    overlap join), and without the cache boundary every branch re-ran
+    the full postings self-join (r12 measurement: the un-persisted
+    form spent 30+ s across 48 jobs re-deriving it; see
+    OPTIMIZATION_r12.md). Each detector then computes ``n_flagged``
+    and ``n_overlap`` in ONE pass — a left join against the truth set
+    with a match marker, counted by one aggregate — instead of two
+    separate scalar-aggregate branches over the (expensive) flagged
+    set. Flagged and truth pair sets are unique on (doc_a, doc_b), so
+    the left join preserves row counts exactly. Returns one row per
+    detector: ``(detector, n_flagged, n_true_pairs, n_overlap,
+    precision_milli, recall_milli)``.
     """
-    exact = shingle_jaccard_pairs(docs, text_col, id_col, threshold).select(
-        "doc_a", "doc_b"
+    exact = (
+        shingle_jaccard_pairs(docs, text_col, id_col, threshold)
+        .select("doc_a", "doc_b")
+        .persist()
     )
     truth_n = exact.agg(F.count("*").cast("long").alias("n_true_pairs"))
     detectors = {
@@ -1422,13 +1448,17 @@ def detector_agreement(
     }
     rows = []
     for name, flagged in detectors.items():
-        n_flagged = flagged.agg(F.count("*").cast("long").alias("n_flagged"))
-        n_overlap = flagged.join(exact, ["doc_a", "doc_b"]).agg(
-            F.count("*").cast("long").alias("n_overlap")
+        counts = (
+            flagged.join(
+                exact.withColumn("_hit", F.lit(1)), ["doc_a", "doc_b"], "left"
+            )
+            .agg(
+                F.count("*").cast("long").alias("n_flagged"),
+                F.count("_hit").cast("long").alias("n_overlap"),
+            )
         )
         rows.append(
-            n_flagged.crossJoin(F.broadcast(truth_n))
-            .crossJoin(F.broadcast(n_overlap))
+            counts.crossJoin(F.broadcast(truth_n))
             .select(
                 F.lit(name).alias("detector"),
                 "n_flagged",
