@@ -108,6 +108,10 @@ def main() -> None:
             "spark.sql.codegen.cache.maxEntries",
             os.environ.get("SPARK_GRAFT_CODEGEN_CACHE", "5000"),
         )
+        # PySpark 4's per-API-call stack capture (error-context call
+        # sites) costs ~1 ms per DataFrame/Column call — material at
+        # this suite's expression density. Diagnostic only.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()

@@ -30,6 +30,23 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+# PySpark 4 captures a Python stack trace on EVERY DataFrame/Column API
+# call for error-message context (~1 ms each; errors/utils._with_origin).
+# At this engine's expression density that is ~1 s of driver time per
+# pipeline construction (r12 cProfile: 937 captures = 0.92 s in one
+# iot_staging build). The gate (`spark.python.sql.dataFrameDebugging
+# .enabled`) is a STATIC conf resolved once per process and cached in
+# pyspark.errors.utils._enable_debugging_cache, so a driver-owned plain
+# session cannot turn it off after the fact — pre-seed the cache at
+# engine import. Purely diagnostic (error call-site decoration only);
+# sessions built by session.py/bench.py also set the conf properly.
+try:  # tolerate future PySpark versions removing the cache attribute
+    from pyspark.errors import utils as _pyspark_err_utils
+
+    _pyspark_err_utils._enable_debugging_cache = False
+except Exception:  # pragma: no cover
+    pass
+
 from .functions.alerts import with_alerts
 from .functions.validation import attach_validation_arrays
 from .operators.pipeline import process_events, to_staging
@@ -55,6 +72,23 @@ MOD_HUMIDITY_SENTINEL = 37
 MOD_NITROGEN_NULL = 41
 
 
+# Plan memo for read_table: (sf_dir, name) -> (session, DataFrame).
+#
+# Every registered query calls read_table at construction, and each call
+# costs ~160-190 ms of driver time (r12 measurement, warm session):
+# ~94 ms for spark.read.parquet (file listing + footer schema read),
+# ~7 ms for the partition-count probe, plus py4j/wrapper overhead.
+# Across a full bench pass (~220 line items x 3 repeats, most touching
+# 1-3 tables) that is minutes of pure plan-construction time. The memo
+# returns the SAME immutable logical plan object for repeat calls in
+# the same session — no data is cached (every action still scans the
+# parquet), and Spark's CacheManager already treats equal plans as one,
+# so downstream persist/cache behavior is unchanged. Invalidation: the
+# entry is dropped whenever a different SparkSession arrives (compared
+# by identity), so tests that cycle sessions rebuild cleanly.
+_READ_TABLE_MEMO: dict[tuple[str, str], tuple[SparkSession, DataFrame]] = {}
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan with the nanos-timestamp compatibility knob.
 
@@ -65,6 +99,9 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     confs may not be present. Columns read as long-nanos are converted
     back by the caller (see ``iot_raw_events``).
     """
+    memo = _READ_TABLE_MEMO.get((sf_dir, name))
+    if memo is not None and memo[0] is spark:
+        return memo[1]
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # Datetime-part extraction (dim_time) must agree with the DuckDB
     # oracle, which sees naive (UTC-equivalent) timestamps — pin the
@@ -110,6 +147,7 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     parallelism = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < parallelism:
         df = df.repartition(parallelism)
+    _READ_TABLE_MEMO[(sf_dir, name)] = (spark, df)
     return df
 
 

@@ -633,12 +633,32 @@ def image_dup_pairs(docs_with_bmp: DataFrame) -> DataFrame:
     The decode runs once per image (the Arrow stage); banding,
     joining, and ``bit_count(xor)`` verification are pure JVM columnar
     ops — at 100 TB the pair detection never re-reads media bytes.
+    The fingerprint frame is persisted because THREE plan branches read
+    it (the band explode and both verification sides): without the
+    cache boundary each branch re-ran the synth+decode Python chain
+    (r12 measurement: 14.6 s first run / 4.4-5.2 s repeats with the
+    re-derivation vs one decode pass after the persist), and at scale
+    re-reading media bytes three times is exactly what this operator
+    exists to avoid. 4 small integers per image — GiB-scale at 100 TB.
     Returns ``(doc_a, doc_b, hamming)``.
     """
-    dh = image_dhash(docs_with_bmp).select("doc_id", "dhash")
+    dh = image_dhash(docs_with_bmp).select("doc_id", "dhash").persist()
     mask = (1 << DHASH_BAND_BITS) - 1
+    # The fingerprint rides WITH its band key through the self-join (8
+    # extra bytes per band row) so verification needs NO further joins
+    # back to the fingerprint table. The old shape (candidate pairs
+    # re-joined against two aliased fingerprint frames) read the
+    # decode subtree from FOUR plan branches, and under AQE all four
+    # leaf exchanges materialized concurrently — each re-running the
+    # synth+decode Python chain before the lazy cache had filled (r12
+    # measurement: four identical 4.2 s stage-jobs back to back). Two
+    # identical band subtrees remain, which exchange reuse collapses
+    # into one; dhash is a function of doc_id, so distinct on the
+    # 4-tuple equals distinct on the pair and the verified rows are
+    # identical.
     bands = dh.select(
         "doc_id",
+        F.col("dhash"),
         F.explode(
             F.array(*[
                 (
@@ -652,7 +672,7 @@ def image_dup_pairs(docs_with_bmp: DataFrame) -> DataFrame:
         ).alias("band_key"),
     )
     x, y = bands.alias("x"), bands.alias("y")
-    cand = (
+    return (
         x.join(
             y,
             (F.col("x.band_key") == F.col("y.band_key"))
@@ -661,14 +681,10 @@ def image_dup_pairs(docs_with_bmp: DataFrame) -> DataFrame:
         .select(
             F.col("x.doc_id").alias("doc_a"),
             F.col("y.doc_id").alias("doc_b"),
+            F.col("x.dhash").alias("ha"),
+            F.col("y.dhash").alias("hb"),
         )
         .distinct()
-    )
-    a = dh.select(F.col("doc_id").alias("doc_a"), F.col("dhash").alias("ha"))
-    b = dh.select(F.col("doc_id").alias("doc_b"), F.col("dhash").alias("hb"))
-    return (
-        cand.join(a, "doc_a")
-        .join(b, "doc_b")
         .withColumn(
             "hamming",
             F.expr("bit_count(ha ^ hb)").cast("int"),

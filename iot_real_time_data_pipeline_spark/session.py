@@ -40,6 +40,12 @@ def build_session(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # PySpark 4 captures a Python stack trace per DataFrame/Column
+        # API call for error context (~1 ms each); at this engine's
+        # expression density that is ~1 s per pipeline construction.
+        # Purely diagnostic — off for performance (read_table also sets
+        # it for driver-owned sessions).
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         # 10 MB default is conservative; dims here are tiny and the
         # documents/embeddings side tables comfortably broadcast.
