@@ -544,21 +544,38 @@ def connected_components(
     per-round joins proportional to *duplicates*, not corpus size —
     singletons join back in once at the end as their own cluster.
     """
-    # Persist the forward list and mirror it for the reverse direction:
-    # union(fwd(pairs), rev(pairs)) would evaluate the (expensive) pair
-    # pipeline TWICE before the persist boundary — measured as exactly
-    # 2x the pair query's cost inside the clusters bench items.
-    fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst")).persist()
-    rev = fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    edges = fwd.union(rev).persist()
+    # Both edge directions from ONE pass over the pair pipeline: the
+    # old shape (persist fwd, union fwd with its mirror) referenced the
+    # fwd frame twice, and under AQE both leaf exchanges materialized
+    # CONCURRENTLY — each computing the (expensive) pair pipeline
+    # before the lazy cache had filled (r12 measurement: two identical
+    # 1.8 s stage-jobs per clusters query). explode emits both
+    # directions from a single scan, so there is nothing to race.
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+                ),
+                F.struct(
+                    F.col(b_col).alias("src"), F.col(a_col).alias("dst")
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst").persist()
 
     # Both edge directions exist, so `src` alone covers every node of
-    # the pair graph.
-    labels = (
+    # the pair graph. Rounds use the LAZY localCheckpoint
+    # (functions/planutil.py): lineage still truncates to a LogicalRDD
+    # per round (bounded driver planning), but the materialize-and-
+    # checkpoint job and the changed-count job fuse into ONE action per
+    # round — the count reads through the checkpoint-marked RDD,
+    # storing its blocks as a side effect (half the per-round jobs of
+    # the old eager form).
+    labels = PU.lazy_local_checkpoint(
         edges.select(F.col("src").alias("_nid"))
         .distinct()
         .select("_nid", F.col("_nid").cast("long").alias("cluster_id"))
-        .localCheckpoint(eager=True)
     )
 
     changed = 0
@@ -568,7 +585,7 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
-        merged = (
+        merged = PU.lazy_local_checkpoint(
             labels.join(nbr_min, labels["_nid"] == nbr_min["src"], "left")
             .select(
                 labels["_nid"],
@@ -578,14 +595,12 @@ def connected_components(
                     F.coalesce(F.col("nbr_min"), labels["cluster_id"]),
                 ).alias("cluster_id"),
             )
-            .localCheckpoint(eager=True)
         )
         changed = merged.filter(F.col("cluster_id") < F.col("old_cluster")).count()
         labels = merged.select("_nid", "cluster_id")
         if changed == 0:
             break
     edges.unpersist()
-    fwd.unpersist()
     if changed != 0:
         # A silent partial fixpoint would split one component into
         # several internally inconsistent clusters (possible when the

@@ -68,6 +68,22 @@ RH_PLANES = [
 # instead of quadratic (random-pair collision prob halves per bit).
 RH_CALIB_N = 2000
 
+# Literal-array Column memo (r12): building a 64-double array literal
+# element-wise costs ~40 ms of py4j round-trips, and rh_candidate_pairs
+# needs 16-112 of them PER CALL (~0.8 s of pure construction time per
+# emb query). Column objects wrap session-independent JVM expression
+# trees, so one process-wide Column per plane is safe to reuse across
+# queries and sessions within the JVM. Keyed by (pool, index).
+_PLANE_COL_MEMO: dict[tuple[str, int], F.Column] = {}
+
+
+def _plane_lit(pool: str, planes, i: int) -> F.Column:
+    col = _PLANE_COL_MEMO.get((pool, i))
+    if col is None:
+        col = F.lit(list(planes[i]))
+        _PLANE_COL_MEMO[(pool, i)] = col
+    return col
+
 
 def rh_suffix_cap(rows: int, bands: int = RH_BANDS) -> int:
     """Per-band suffix plane budget: the planes past the band prefix,
@@ -511,7 +527,7 @@ def rh_candidate_pairs(
         for s in range(suffix_bits)
     ]
     bits = [
-        (dot(v, F.array(*[F.lit(x) for x in RH_PLANES[i]])) > 0)
+        (dot(v, _plane_lit("rh", RH_PLANES, i)) > 0)
         .cast("int")
         .alias(f"b{i}")
         for i in plane_ids
@@ -1550,8 +1566,8 @@ def rand_projection(embs: DataFrame) -> DataFrame:
     """
     v = as_double(F.col("embedding"))
     cols = [F.col("vec_id")]
-    for i, row in enumerate(RP_SIGNS):
-        plane = F.array(*[F.lit(s) for s in row])
+    for i in range(len(RP_SIGNS)):
+        plane = _plane_lit("rp", RP_SIGNS, i)
         cols.append(
             F.round(dot(v, plane) * F.lit(1e6)).cast("long").alias(f"p{i}_micro")
         )
@@ -1662,7 +1678,7 @@ def pca_project(embs: DataFrame, components: list[list[float]]) -> DataFrame:
     v = as_double(F.col("embedding"))
     cols = [F.col("vec_id")]
     for i, comp in enumerate(components):
-        plane = F.array(*[F.lit(float(x)) for x in comp])
+        plane = F.lit([float(x) for x in comp])
         cols.append(
             F.round(dot(v, plane) * F.lit(1e6)).cast("long").alias(f"c{i}_micro")
         )
