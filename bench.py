@@ -285,6 +285,13 @@ def main() -> None:
         # the work is already counted by the in-block line items.
         "iso_docs_pagerank", "iso_docs_labelprop_communities",
         "iso_docs_detector_agreement",
+        # Cold canaries (round 13, VERDICT r12 item 7): one events and
+        # one wh item re-run AFTER the family cache release, i.e. on an
+        # unpersisted scan — the pre-r12 per-item cost model — so future
+        # round-over-round family deltas stay interpretable against the
+        # warm-table accounting. Diagnostic: their work is already
+        # counted once by the in-family line items.
+        "events_sessionize_cold_canary", "wh_q1_pricing_summary_cold_canary",
     }
 
     # --- star build (once, cached) ----------------------------------------
@@ -567,6 +574,16 @@ def main() -> None:
 
     release_caches("after_events")
 
+    # Cold canary (diagnostic — see DIAGNOSTIC_ITEMS): the same
+    # sessionize query re-run with the family caches RELEASED, so every
+    # repeat pays the parquet scan + repartition the warm in-family
+    # items read from cache. Keeps the warm-table accounting auditable.
+    _ev_cold = EQ.events_queries()["events_sessionize"]
+    timed_repeat(
+        "events_sessionize_cold_canary",
+        lambda: _ev_cold(spark, sf_dir).collect(),
+    )
+
     # --- warehouse (TPC-H-shaped) analytics -------------------------------
     from iot_real_time_data_pipeline_spark import warehouse_queries as WQ
 
@@ -581,6 +598,13 @@ def main() -> None:
         timed_repeat(name, lambda fn=fn: fn(spark, sf_dir).collect())
 
     release_caches("after_wh")
+
+    # Cold canary for the wh family (diagnostic; see the events twin).
+    _wh_cold = WQ.warehouse_queries()["wh_q1_pricing_summary"]
+    timed_repeat(
+        "wh_q1_pricing_summary_cold_canary",
+        lambda: _wh_cold(spark, sf_dir).collect(),
+    )
 
     total = round(
         sum(v for k, v in times.items() if k not in DIAGNOSTIC_ITEMS), 3
@@ -626,6 +650,8 @@ def main() -> None:
     # So: print ONE COMPACT line — totals + per-family subtotals — and
     # write the complete per-query detail to a checked-in repo file.
     def _family(name: str) -> str:
+        if name.endswith("_cold_canary"):
+            return "cold_canary"  # diagnostic; keep out of events/wh
         if name in ("derive_staging", "build_star", "load_corpus_tables",
                     "derive_staging_warm", "load_events_tables",
                     "load_wh_tables"):
@@ -668,7 +694,11 @@ def main() -> None:
         "gc_ms": gc_ms,
         "sf": sf,
     }
-    detail_name = "BENCH_DETAIL_r{}.json".format(_current_round_tag())
+    # Core-count suffix (round 13, VERDICT r12 item 5): the driver runs
+    # the same round's bench at two core counts; without the suffix the
+    # 8-core detail file overwrote the 32-core one (r12's mm per-item
+    # detail was lost to exactly this).
+    detail_name = "BENCH_DETAIL_r{}_c{}.json".format(_current_round_tag(), cpus)
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), detail_name)
     try:
         with open(detail_path, "w") as fh:

@@ -292,8 +292,14 @@ def q_weather_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
                        for i, f in enumerate(WEATHER_FIELDS)])
         for loc, t in ENRICH_LOOKUP_TEMPS.items()
     ]
-    lookup = spark.createDataFrame(
-        rows, ["loc_id"] + list(WEATHER_FIELDS)
+    # Inline literals, not createDataFrame: the parallelized Python RDD
+    # behind a 2-row lookup spawns a python-worker wave on first scan
+    # (see functions/planutil.inline_rows).
+    from .functions.planutil import inline_rows
+
+    lookup = inline_rows(
+        spark, rows,
+        [("loc_id", "string")] + [(f, "double") for f in WEATHER_FIELDS],
     )
     enriched = enrich_weather(stripped, lookup)
     return enriched.groupBy("loc_id").agg(

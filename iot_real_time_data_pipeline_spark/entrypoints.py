@@ -26,6 +26,8 @@ so values are bit-identical and the unusual double-equality dim joins
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -40,10 +42,18 @@ from pyspark.sql import types as T
 # session cannot turn it off after the fact — pre-seed the cache at
 # engine import. Purely diagnostic (error call-site decoration only);
 # sessions built by session.py/bench.py also set the conf properly.
+# Guards (ADVICE r12): only poke when the attribute exists AND is still
+# unresolved (None) — a PySpark that renamed or already resolved it is
+# left alone — and honor an env escape hatch so call-site debugging can
+# be re-enabled without editing the module.
 try:  # tolerate future PySpark versions removing the cache attribute
     from pyspark.errors import utils as _pyspark_err_utils
 
-    _pyspark_err_utils._enable_debugging_cache = False
+    if (
+        getattr(_pyspark_err_utils, "_enable_debugging_cache", "absent") is None
+        and os.environ.get("SPARK_GRAFT_KEEP_DF_DEBUGGING") != "1"
+    ):
+        _pyspark_err_utils._enable_debugging_cache = False
 except Exception:  # pragma: no cover
     pass
 
@@ -86,7 +96,29 @@ MOD_NITROGEN_NULL = 41
 # so downstream persist/cache behavior is unchanged. Invalidation: the
 # entry is dropped whenever a different SparkSession arrives (compared
 # by identity), so tests that cycle sessions rebuild cleanly.
+#
+# Static-input assumption (ADVICE r12): the memo freezes the parquet
+# file listing at first call per (sf_dir, name, session). That is
+# correct here because sf_dir tables are immutable inputs (maintenance
+# ops write to their own lake dirs, never into sf_dir); a deployment
+# with mutable table dirs must drop the memo or key it by snapshot.
+# Dead-session hygiene: entries whose session has been stopped are
+# swept on every miss, so cycling sessions does not retain py4j refs
+# to dead DataFrames (bounded anyway — one entry per table name).
 _READ_TABLE_MEMO: dict[tuple[str, str], tuple[SparkSession, DataFrame]] = {}
+
+
+def _sweep_dead_sessions() -> None:
+    dead = []
+    for key, (sess, _) in _READ_TABLE_MEMO.items():
+        try:
+            stopped = sess._sc._jsc is None
+        except Exception:  # pragma: no cover - defensive
+            stopped = True
+        if stopped:
+            dead.append(key)
+    for key in dead:
+        del _READ_TABLE_MEMO[key]
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -102,6 +134,7 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     memo = _READ_TABLE_MEMO.get((sf_dir, name))
     if memo is not None and memo[0] is spark:
         return memo[1]
+    _sweep_dead_sessions()
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # Datetime-part extraction (dim_time) must agree with the DuckDB
     # oracle, which sees naive (UTC-equivalent) timestamps — pin the

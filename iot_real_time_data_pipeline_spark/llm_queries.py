@@ -3319,7 +3319,10 @@ WHERE (w_inter * 1000000) // (wa.wtot + wb.wtot - w_inter) >= {thr}"""
 
 
 def q_wav_features(spark, sf_dir):
-    return MM.wav_features(MM.with_wav_payload(_docs(spark, sf_dir)))
+    # Fused synth+decode: one Python eval node (see multimodal.py
+    # "Stage fusion") — identical rows, half the worker pool, payload
+    # bytes cross the Arrow boundary once instead of twice.
+    return MM.wav_features_from_ids(_docs(spark, sf_dir))
 
 
 def _sql_wav_features() -> str:
@@ -3350,7 +3353,7 @@ FROM s GROUP BY doc_id"""
 
 
 def q_wav_frame_energy(spark, sf_dir):
-    return MM.wav_frame_energy(MM.with_wav_payload(_docs(spark, sf_dir)))
+    return MM.wav_frame_energy_from_ids(_docs(spark, sf_dir))
 
 
 def _sql_wav_frame_energy() -> str:
@@ -3382,7 +3385,7 @@ def q_image_dup_stats(spark, sf_dir):
     # pair list is quadratic in duplicate-class sizes (the synthetic
     # ramp images are perceptually flat, so classes are large) and a
     # driver collect of it would be the anti-pattern this repo bans
-    pairs = MM.image_dup_pairs(MM.with_bmp_payload(_docs(spark, sf_dir)))
+    pairs = MM.image_dup_pairs_from_ids(_docs(spark, sf_dir))
     return pairs.groupBy(F.col("hamming").cast("long").alias("hamming")).agg(
         F.count("*").cast("long").alias("n_pairs"),
     )
@@ -3439,7 +3442,7 @@ GROUP BY 1"""
 
 
 def q_bmp_features(spark, sf_dir):
-    return MM.bmp_features(MM.with_bmp_payload(_docs(spark, sf_dir)))
+    return MM.bmp_features_from_ids(_docs(spark, sf_dir))
 
 
 def _sql_bmp_features() -> str:
@@ -3524,7 +3527,9 @@ GROUP BY e.query_id"""
 def q_bmp_resize_features(spark, sf_dir):
     # decode -> NN resample -> re-encode -> decode again: the feature
     # row attests every byte of both codec directions.
-    return MM.bmp_features(MM.bmp_resize(MM.with_bmp_payload(_docs(spark, sf_dir))))
+    # Fused into ONE Python eval node (was a 3-deep mapInPandas chain:
+    # 96 concurrent workers cold; see multimodal.py "Stage fusion").
+    return MM.bmp_resize_features_from_ids(_docs(spark, sf_dir))
 
 
 def _sql_bmp_resize_features() -> str:
@@ -3621,7 +3626,7 @@ FROM v"""
 def q_wav_decimate_features(spark, sf_dir):
     # decode -> decimate -> re-encode -> decode again; features attest
     # both codec directions, as with mm_bmp_resize_features.
-    return MM.wav_features(MM.wav_decimate(MM.with_wav_payload(_docs(spark, sf_dir))))
+    return MM.wav_decimate_features_from_ids(_docs(spark, sf_dir))
 
 
 def _sql_wav_decimate_features() -> str:

@@ -184,11 +184,17 @@ def _source_weights(
         F.count("*").alias("n_docs"),
         F.sum(F.size(TH.tokens(F.col(text_col)))).alias("n_tokens"),
     )
-    totals = per_source.agg(
-        F.sum("n_tokens").alias("total_tokens"),
-        F.count("*").alias("n_sources"),
-    )
-    return per_source.crossJoin(F.broadcast(totals))
+    # Corpus totals as an unpartitioned window over the per-source
+    # frame, not a crossJoin(broadcast(agg)) — same values, one plan
+    # branch instead of an aggregate chain + broadcast build per scalar
+    # (round 13; see doremi_reweight). |sources| is domain count, so
+    # the single-partition window is bounded at any corpus size.
+    from pyspark.sql import Window
+
+    _all = Window.partitionBy()
+    return per_source.withColumn(
+        "total_tokens", F.sum("n_tokens").over(_all)
+    ).withColumn("n_sources", F.count("*").over(_all))
 
 
 def source_mix(docs: DataFrame, text_col: str = "text", source_col: str = "source") -> DataFrame:
@@ -363,11 +369,14 @@ def source_lang_matrix(
         F.count("*").alias("n_docs"),
         F.sum(F.size(TH.tokens(F.col(text_col)))).alias("n_tokens"),
     )
-    totals = cells.agg(
-        F.sum("n_docs").alias("total_docs"),
-        F.sum("n_tokens").alias("total_tokens"),
-    )
-    return cells.crossJoin(F.broadcast(totals)).select(
+    # Unpartitioned-window scalars over the (source x lang) cell frame
+    # (bounded cardinality) — see _source_weights (round 13).
+    from pyspark.sql import Window
+
+    _all = Window.partitionBy()
+    return cells.withColumn(
+        "total_docs", F.sum("n_docs").over(_all)
+    ).withColumn("total_tokens", F.sum("n_tokens").over(_all)).select(
         "source",
         "lang",
         "n_docs",
@@ -821,12 +830,15 @@ def token_budget_plan(
             F.sum("n_toks").cast("long").alias("n_tokens"),
         )
     )
-    totals = per_source.agg(
-        F.sum("n_tokens").alias("corpus_tokens"),
-        F.count("*").alias("n_sources"),
-    )
+    from pyspark.sql import Window
+
+    _all = Window.partitionBy()
     return (
-        per_source.crossJoin(F.broadcast(totals))
+        per_source
+        # window scalars over the per-source frame (round 13; see
+        # _source_weights)
+        .withColumn("corpus_tokens", F.sum("n_tokens").over(_all))
+        .withColumn("n_sources", F.count("*").over(_all))
         .select(
             "source",
             "n_docs",
@@ -885,11 +897,12 @@ def temperature_mix_plan(
             .cast("long"),
         )
     )
-    totals = per_source.agg(
-        F.sum("weight_micro").alias("w_total"),
-        F.sum("n_tokens").alias("corpus_tokens"),
-    )
-    return per_source.crossJoin(F.broadcast(totals)).select(
+    from pyspark.sql import Window
+
+    _all = Window.partitionBy()
+    return per_source.withColumn(
+        "w_total", F.sum("weight_micro").over(_all)
+    ).withColumn("corpus_tokens", F.sum("n_tokens").over(_all)).select(
         "source",
         "n_docs",
         "n_tokens",
@@ -1105,10 +1118,12 @@ def dsir_weights(
         .alias("t_cnt"),
         F.count("*").alias("r_cnt"),
     )
-    totals = stats.agg(
-        F.sum("t_cnt").alias("t_tot"), F.sum("r_cnt").alias("r_tot")
-    )
-    ratio = stats.crossJoin(F.broadcast(totals)).select(
+    # Window scalars over the per-bucket frame (n_buckets is a config
+    # constant) — round 13, see _source_weights.
+    _all = Window.partitionBy()
+    ratio = stats.withColumn("t_tot", F.sum("t_cnt").over(_all)).withColumn(
+        "r_tot", F.sum("r_cnt").over(_all)
+    ).select(
         "bucket",
         (
             F.log(
@@ -1297,13 +1312,24 @@ def doremi_reweight(
         "n_tokens",
         F.expr("nats_total div n_tokens").alias("loss_micro"),
     )
-    floor_and_total = per_source.agg(
-        F.min("loss_micro").alias("loss_floor"),
-        F.sum("n_tokens").alias("corpus_tokens"),
-    )
+    # Source-level scalars as UNPARTITIONED WINDOWS (round 13): the old
+    # shape crossJoined two broadcast scalar aggregates (loss floor /
+    # token total, then the weight total), each adding an aggregate
+    # chain + broadcast-build job chain per scalar — 43 AQE stage-jobs
+    # for one query at sf0.1, most of its 3.8 s wall in stage/broadcast
+    # round-trips (guide §2.6/§5). A window over the per-source frame
+    # computes the same min/sum in place. The single-partition window
+    # is scale-honest HERE because |sources| is domain count (a few
+    # dozen rows at any corpus size); the corpus-level scalar (tot_c,
+    # over |terms| rows) deliberately stays a broadcast crossJoin.
+    from pyspark.sql import Window
+
+    _all = Window.partitionBy()
     eta = eta_milli / 1000.0
     weighted = (
-        per_source.crossJoin(F.broadcast(floor_and_total))
+        per_source
+        .withColumn("loss_floor", F.min("loss_micro").over(_all))
+        .withColumn("corpus_tokens", F.sum("n_tokens").over(_all))
         .withColumn("excess_micro", F.col("loss_micro") - F.col("loss_floor"))
         .withColumn(
             "factor_micro",
@@ -1329,8 +1355,7 @@ def doremi_reweight(
         # keeps the product exact to ~excess 9 nats, far past real mixes.
         .withColumn("w", F.expr("(base_share_ppm * factor_micro) div 1000"))
     )
-    w_total = weighted.agg(F.sum("w").alias("w_total"))
-    return weighted.crossJoin(F.broadcast(w_total)).select(
+    return weighted.withColumn("w_total", F.sum("w").over(_all)).select(
         "source",
         "n_tokens",
         "loss_micro",
@@ -1507,9 +1532,15 @@ def apportion_mixture(
         docs, text_col, source_col, temperature_milli=temperature_milli
     )
     w = mix.select("source", "weight_micro")
-    tot = w.agg(F.sum("weight_micro").cast("long").alias("w_total"))
     k = int(batch_docs)
-    scored = w.crossJoin(F.broadcast(tot)).select(
+    # Window scalars over the |sources| frame (round 13; see
+    # _source_weights): one plan branch per scalar instead of an
+    # aggregate chain + broadcast build each, and with every scalar
+    # in-frame the old two-reference persist is no longer needed.
+    _all = Window.partitionBy()
+    scored = w.withColumn(
+        "w_total", F.sum("weight_micro").over(_all).cast("long")
+    ).select(
         "source",
         "weight_micro",
         F.expr(f"(CAST({k} AS BIGINT) * weight_micro) div w_total").alias(
@@ -1519,16 +1550,13 @@ def apportion_mixture(
             "remainder"
         ),
     )
-    # |sources|-row frame referenced twice (rank window + leftover-seat
-    # scalar); the lazy persist keeps the corpus-wide token aggregate
-    # from running once per reference.
-    scored = scored.persist()
-    base_tot = scored.agg(F.sum("base_alloc").cast("long").alias("base_total"))
     ranked = scored.withColumn(
+        "base_total", F.sum("base_alloc").over(_all).cast("long")
+    ).withColumn(
         "rnk",
         F.row_number().over(Window.orderBy(F.col("remainder").desc(), "source")),
     )
-    return ranked.crossJoin(F.broadcast(base_tot)).select(
+    return ranked.select(
         "source",
         "weight_micro",
         "base_alloc",

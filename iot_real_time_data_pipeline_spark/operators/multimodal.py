@@ -15,6 +15,22 @@ Scale notes: mapInPandas streams Arrow batches per partition — no
 collect, no shuffle; partition sizing should target batches of
 10-100 MB of payload. Feature outputs are tiny relative to payloads, so
 the downstream shuffle (if any) moves features, not media.
+
+Stage fusion (round 13): the declared queries compose fixture synth →
+(transform) → decode, which as separate ``mapInPandas`` calls chains
+2-3 Python eval nodes in one stage. Each node runs its own Python
+worker per task (3 nodes x 32 tasks = 96 concurrent workers on a cold
+run — measured 3-9 s of pure spawn) and the PAYLOAD BYTES cross the
+JVM↔Arrow↔Python boundary once per node boundary (guide §4.1: you
+cannot remove the boundary's cost, but you control how often data
+crosses it). The ``*_from_ids`` entry points fuse the whole chain into
+ONE ``mapInPandas`` — same per-row functions applied per batch, so the
+output rows are bit-identical (every transform is row-wise; batch
+boundaries don't enter the arithmetic) — and the payload bytes never
+leave the Python worker between synth, transform, and decode. In
+production (payloads read from the lake, not synthesized) the same
+fusion applies to transform→decode chains: compose the ``_*_pdf``
+batch functions instead of chaining mapInPandas calls.
 """
 
 from __future__ import annotations
@@ -209,22 +225,45 @@ def synth_wav_bytes(item_id: int) -> bytes:
     return buf.getvalue()
 
 
+def _synth_wav_pdf(pdf: pd.DataFrame, id_col: str = "doc_id") -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "doc_id": pdf[id_col],
+            "wav": [synth_wav_bytes(int(i)) for i in pdf[id_col]],
+        }
+    )
+
+
 def with_wav_payload(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Attach a real WAV binary column (Arrow-batched synthesis — the
     fixture half; production reads media bytes from the lake)."""
 
     def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf[id_col],
-                    "wav": [synth_wav_bytes(int(i)) for i in pdf[id_col]],
-                }
-            )
+            yield _synth_wav_pdf(pdf, id_col)
 
     return docs.select(id_col).mapInPandas(
         _synth, schema="doc_id long, wav binary"
     )
+
+
+def _fused_map(
+    docs: DataFrame, id_col: str, stages: list, schema: str
+) -> DataFrame:
+    """ONE mapInPandas applying a chain of per-batch transforms (module
+    docstring, "Stage fusion"): payload bytes stay inside the Python
+    worker across the chain, and one Python eval node spawns one worker
+    pool instead of one per chained stage. Row-wise stages make the
+    result independent of batch boundaries, hence bit-identical to the
+    unfused composition."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for stage in stages:
+                pdf = stage(pdf)
+            yield pdf
+
+    return docs.select(id_col).mapInPandas(_run, schema=schema)
 
 
 WAV_FEATURE_SCHEMA = (
@@ -249,32 +288,46 @@ def wav_features(docs_with_wav: DataFrame) -> DataFrame:
     """
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import io
-        import struct
-        import wave
-
         for pdf in batches:
-            out = {k: [] for k in (
-                "doc_id", "n_samples", "sample_rate", "sum_sq",
-                "peak_abs", "n_zero_cross",
-            )}
-            for did, blob in zip(pdf["doc_id"], pdf["wav"]):
-                with wave.open(io.BytesIO(bytes(blob)), "rb") as w:
-                    n = w.getnframes()
-                    rate = w.getframerate()
-                    raw = w.readframes(n)
-                s = struct.unpack(f"<{n}h", raw)
-                out["doc_id"].append(int(did))
-                out["n_samples"].append(n)
-                out["sample_rate"].append(rate)
-                out["sum_sq"].append(sum(x * x for x in s))
-                out["peak_abs"].append(max(abs(x) for x in s))
-                out["n_zero_cross"].append(
-                    sum(1 for a, b in zip(s, s[1:]) if a * b < 0)
-                )
-            yield pd.DataFrame(out)
+            yield _wav_features_pdf(pdf)
 
     return docs_with_wav.mapInPandas(_decode, schema=WAV_FEATURE_SCHEMA)
+
+
+def _wav_features_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    import io
+    import struct
+    import wave
+
+    out = {k: [] for k in (
+        "doc_id", "n_samples", "sample_rate", "sum_sq",
+        "peak_abs", "n_zero_cross",
+    )}
+    for did, blob in zip(pdf["doc_id"], pdf["wav"]):
+        with wave.open(io.BytesIO(bytes(blob)), "rb") as w:
+            n = w.getnframes()
+            rate = w.getframerate()
+            raw = w.readframes(n)
+        s = struct.unpack(f"<{n}h", raw)
+        out["doc_id"].append(int(did))
+        out["n_samples"].append(n)
+        out["sample_rate"].append(rate)
+        out["sum_sq"].append(sum(x * x for x in s))
+        out["peak_abs"].append(max(abs(x) for x in s))
+        out["n_zero_cross"].append(
+            sum(1 for a, b in zip(s, s[1:]) if a * b < 0)
+        )
+    return pd.DataFrame(out)
+
+
+def wav_features_from_ids(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fused synth→decode (one Python eval node; see module docstring)."""
+    return _fused_map(
+        docs,
+        id_col,
+        [lambda pdf: _synth_wav_pdf(pdf, id_col), _wav_features_pdf],
+        WAV_FEATURE_SCHEMA,
+    )
 
 
 WAV_FRAME_LEN = 64        # samples per analysis frame (8 ms at 8 kHz)
@@ -308,32 +361,58 @@ def wav_frame_energy(
     """
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import io
-        import struct
-        import wave
-
         for pdf in batches:
-            out = {k: [] for k in (
-                "doc_id", "frame_idx", "frame_len", "sum_sq",
-                "peak_abs", "is_silent",
-            )}
-            for did, blob in zip(pdf["doc_id"], pdf["wav"]):
-                with wave.open(io.BytesIO(bytes(blob)), "rb") as w:
-                    n = w.getnframes()
-                    raw = w.readframes(n)
-                s = struct.unpack(f"<{n}h", raw)
-                for fi in range(0, n, frame_len):
-                    fr = s[fi : fi + frame_len]
-                    ssq = sum(x * x for x in fr)
-                    out["doc_id"].append(int(did))
-                    out["frame_idx"].append(fi // frame_len)
-                    out["frame_len"].append(len(fr))
-                    out["sum_sq"].append(ssq)
-                    out["peak_abs"].append(max(abs(x) for x in fr))
-                    out["is_silent"].append(ssq < silence_sq * len(fr))
-            yield pd.DataFrame(out)
+            yield _wav_frame_energy_pdf(pdf, frame_len, silence_sq)
 
     return docs_with_wav.mapInPandas(_decode, schema=WAV_FRAME_SCHEMA)
+
+
+def _wav_frame_energy_pdf(
+    pdf: pd.DataFrame,
+    frame_len: int = WAV_FRAME_LEN,
+    silence_sq: int = WAV_SILENCE_SQ,
+) -> pd.DataFrame:
+    import io
+    import struct
+    import wave
+
+    out = {k: [] for k in (
+        "doc_id", "frame_idx", "frame_len", "sum_sq",
+        "peak_abs", "is_silent",
+    )}
+    for did, blob in zip(pdf["doc_id"], pdf["wav"]):
+        with wave.open(io.BytesIO(bytes(blob)), "rb") as w:
+            n = w.getnframes()
+            raw = w.readframes(n)
+        s = struct.unpack(f"<{n}h", raw)
+        for fi in range(0, n, frame_len):
+            fr = s[fi : fi + frame_len]
+            ssq = sum(x * x for x in fr)
+            out["doc_id"].append(int(did))
+            out["frame_idx"].append(fi // frame_len)
+            out["frame_len"].append(len(fr))
+            out["sum_sq"].append(ssq)
+            out["peak_abs"].append(max(abs(x) for x in fr))
+            out["is_silent"].append(ssq < silence_sq * len(fr))
+    return pd.DataFrame(out)
+
+
+def wav_frame_energy_from_ids(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    frame_len: int = WAV_FRAME_LEN,
+    silence_sq: int = WAV_SILENCE_SQ,
+) -> DataFrame:
+    """Fused synth→frame-energy (one Python eval node)."""
+    return _fused_map(
+        docs,
+        id_col,
+        [
+            lambda pdf: _synth_wav_pdf(pdf, id_col),
+            lambda pdf: _wav_frame_energy_pdf(pdf, frame_len, silence_sq),
+        ],
+        WAV_FRAME_SCHEMA,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -380,15 +459,19 @@ def synth_bmp_bytes(item_id: int) -> bytes:
     return header + info + pixels
 
 
+def _synth_bmp_pdf(pdf: pd.DataFrame, id_col: str = "doc_id") -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "doc_id": pdf[id_col],
+            "bmp": [synth_bmp_bytes(int(i)) for i in pdf[id_col]],
+        }
+    )
+
+
 def with_bmp_payload(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf[id_col],
-                    "bmp": [synth_bmp_bytes(int(i)) for i in pdf[id_col]],
-                }
-            )
+            yield _synth_bmp_pdf(pdf, id_col)
 
     return docs.select(id_col).mapInPandas(
         _synth, schema="doc_id long, bmp binary"
@@ -415,41 +498,55 @@ def bmp_features(docs_with_bmp: DataFrame) -> DataFrame:
     """
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import struct
-
         for pdf in batches:
-            cols = {k: [] for k in (
-                "doc_id", "width", "height", "sum_b", "sum_g", "sum_r",
-                "pos_checksum",
-            )}
-            for did, blob in zip(pdf["doc_id"], pdf["bmp"]):
-                b = bytes(blob)
-                magic, _, _, _, off = struct.unpack_from("<2sIHHI", b, 0)
-                assert magic == b"BM"
-                _, w, h, _, bpp = struct.unpack_from("<IiiHH", b, 14)
-                assert bpp == 24
-                stride = (w * 3 + 3) // 4 * 4
-                sb = sg = sr = chk = 0
-                for y in range(h):
-                    # row y (top-down coords) lives at bottom-up slot
-                    base = off + (h - 1 - y) * stride
-                    for x in range(w):
-                        p = base + 3 * x
-                        blue, green, red = b[p], b[p + 1], b[p + 2]
-                        sb += blue
-                        sg += green
-                        sr += red
-                        chk += (x + w * y) * blue
-                cols["doc_id"].append(int(did))
-                cols["width"].append(w)
-                cols["height"].append(h)
-                cols["sum_b"].append(sb)
-                cols["sum_g"].append(sg)
-                cols["sum_r"].append(sr)
-                cols["pos_checksum"].append(chk)
-            yield pd.DataFrame(cols)
+            yield _bmp_features_pdf(pdf)
 
     return docs_with_bmp.mapInPandas(_decode, schema=BMP_FEATURE_SCHEMA)
+
+
+def _bmp_features_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    import struct
+
+    cols = {k: [] for k in (
+        "doc_id", "width", "height", "sum_b", "sum_g", "sum_r",
+        "pos_checksum",
+    )}
+    for did, blob in zip(pdf["doc_id"], pdf["bmp"]):
+        b = bytes(blob)
+        magic, _, _, _, off = struct.unpack_from("<2sIHHI", b, 0)
+        assert magic == b"BM"
+        _, w, h, _, bpp = struct.unpack_from("<IiiHH", b, 14)
+        assert bpp == 24
+        stride = (w * 3 + 3) // 4 * 4
+        sb = sg = sr = chk = 0
+        for y in range(h):
+            # row y (top-down coords) lives at bottom-up slot
+            base = off + (h - 1 - y) * stride
+            for x in range(w):
+                p = base + 3 * x
+                blue, green, red = b[p], b[p + 1], b[p + 2]
+                sb += blue
+                sg += green
+                sr += red
+                chk += (x + w * y) * blue
+        cols["doc_id"].append(int(did))
+        cols["width"].append(w)
+        cols["height"].append(h)
+        cols["sum_b"].append(sb)
+        cols["sum_g"].append(sg)
+        cols["sum_r"].append(sr)
+        cols["pos_checksum"].append(chk)
+    return pd.DataFrame(cols)
+
+
+def bmp_features_from_ids(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fused synth→decode (one Python eval node)."""
+    return _fused_map(
+        docs,
+        id_col,
+        [lambda pdf: _synth_bmp_pdf(pdf, id_col), _bmp_features_pdf],
+        BMP_FEATURE_SCHEMA,
+    )
 
 
 BMP_RESIZE_W = 4
@@ -477,42 +574,70 @@ def bmp_resize(
     """
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import struct
-
         for pdf in batches:
-            out_ids: list[int] = []
-            out_bmps: list[bytes] = []
-            for did, blob in zip(pdf["doc_id"], pdf["bmp"]):
-                b = bytes(blob)
-                magic, _, _, _, off = struct.unpack_from("<2sIHHI", b, 0)
-                assert magic == b"BM"
-                _, w, h, _, bpp = struct.unpack_from("<IiiHH", b, 14)
-                assert bpp == 24
-                stride = (w * 3 + 3) // 4 * 4
-                tstride = (tw * 3 + 3) // 4 * 4
-                rows = []
-                for ty in range(th - 1, -1, -1):  # bottom-up, per format
-                    sy = ty * h // th
-                    base = off + (h - 1 - sy) * stride
-                    row = bytearray()
-                    for tx in range(tw):
-                        p = base + 3 * (tx * w // tw)
-                        row.extend(b[p : p + 3])
-                    row.extend(b"\x00" * (tstride - tw * 3))
-                    rows.append(bytes(row))
-                pixels = b"".join(rows)
-                info = struct.pack(
-                    "<IiiHHIIiiII",
-                    40, tw, th, 1, 24, 0, len(pixels), 2835, 2835, 0, 0,
-                )
-                header = struct.pack(
-                    "<2sIHHI", b"BM", 14 + 40 + len(pixels), 0, 0, 14 + 40
-                )
-                out_ids.append(int(did))
-                out_bmps.append(header + info + pixels)
-            yield pd.DataFrame({"doc_id": out_ids, "bmp": out_bmps})
+            yield _bmp_resize_pdf(pdf, tw, th)
 
     return docs_with_bmp.mapInPandas(_resize, schema="doc_id long, bmp binary")
+
+
+def _bmp_resize_pdf(
+    pdf: pd.DataFrame, tw: int = BMP_RESIZE_W, th: int = BMP_RESIZE_H
+) -> pd.DataFrame:
+    import struct
+
+    out_ids: list[int] = []
+    out_bmps: list[bytes] = []
+    for did, blob in zip(pdf["doc_id"], pdf["bmp"]):
+        b = bytes(blob)
+        magic, _, _, _, off = struct.unpack_from("<2sIHHI", b, 0)
+        assert magic == b"BM"
+        _, w, h, _, bpp = struct.unpack_from("<IiiHH", b, 14)
+        assert bpp == 24
+        stride = (w * 3 + 3) // 4 * 4
+        tstride = (tw * 3 + 3) // 4 * 4
+        rows = []
+        for ty in range(th - 1, -1, -1):  # bottom-up, per format
+            sy = ty * h // th
+            base = off + (h - 1 - sy) * stride
+            row = bytearray()
+            for tx in range(tw):
+                p = base + 3 * (tx * w // tw)
+                row.extend(b[p : p + 3])
+            row.extend(b"\x00" * (tstride - tw * 3))
+            rows.append(bytes(row))
+        pixels = b"".join(rows)
+        info = struct.pack(
+            "<IiiHHIIiiII",
+            40, tw, th, 1, 24, 0, len(pixels), 2835, 2835, 0, 0,
+        )
+        header = struct.pack(
+            "<2sIHHI", b"BM", 14 + 40 + len(pixels), 0, 0, 14 + 40
+        )
+        out_ids.append(int(did))
+        out_bmps.append(header + info + pixels)
+    return pd.DataFrame({"doc_id": out_ids, "bmp": out_bmps})
+
+
+def bmp_resize_features_from_ids(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    tw: int = BMP_RESIZE_W,
+    th: int = BMP_RESIZE_H,
+) -> DataFrame:
+    """Fused synth→resize→decode: the 3-deep mapInPandas chain (96
+    concurrent workers cold, payload across the Arrow boundary 4x)
+    becomes one Python eval node with the bytes never leaving the
+    worker."""
+    return _fused_map(
+        docs,
+        id_col,
+        [
+            lambda pdf: _synth_bmp_pdf(pdf, id_col),
+            lambda pdf: _bmp_resize_pdf(pdf, tw, th),
+            _bmp_features_pdf,
+        ],
+        BMP_FEATURE_SCHEMA,
+    )
 
 
 WAV_DECIMATE_FACTOR = 4
@@ -536,31 +661,55 @@ def wav_decimate(
     """
 
     def _decimate(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import io
-        import struct
-        import wave
-
         for pdf in batches:
-            ids: list[int] = []
-            wavs: list[bytes] = []
-            for did, blob in zip(pdf["doc_id"], pdf["wav"]):
-                with wave.open(io.BytesIO(bytes(blob)), "rb") as r:
-                    n = r.getnframes()
-                    rate = r.getframerate()
-                    raw = r.readframes(n)
-                s = struct.unpack(f"<{n}h", raw)
-                kept = s[::factor]
-                buf = io.BytesIO()
-                with wave.open(buf, "wb") as w:
-                    w.setnchannels(1)
-                    w.setsampwidth(2)
-                    w.setframerate(rate // factor)
-                    w.writeframes(struct.pack(f"<{len(kept)}h", *kept))
-                ids.append(int(did))
-                wavs.append(buf.getvalue())
-            yield pd.DataFrame({"doc_id": ids, "wav": wavs})
+            yield _wav_decimate_pdf(pdf, factor)
 
     return docs_with_wav.mapInPandas(_decimate, schema="doc_id long, wav binary")
+
+
+def _wav_decimate_pdf(
+    pdf: pd.DataFrame, factor: int = WAV_DECIMATE_FACTOR
+) -> pd.DataFrame:
+    import io
+    import struct
+    import wave
+
+    ids: list[int] = []
+    wavs: list[bytes] = []
+    for did, blob in zip(pdf["doc_id"], pdf["wav"]):
+        with wave.open(io.BytesIO(bytes(blob)), "rb") as r:
+            n = r.getnframes()
+            rate = r.getframerate()
+            raw = r.readframes(n)
+        s = struct.unpack(f"<{n}h", raw)
+        kept = s[::factor]
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(rate // factor)
+            w.writeframes(struct.pack(f"<{len(kept)}h", *kept))
+        ids.append(int(did))
+        wavs.append(buf.getvalue())
+    return pd.DataFrame({"doc_id": ids, "wav": wavs})
+
+
+def wav_decimate_features_from_ids(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    factor: int = WAV_DECIMATE_FACTOR,
+) -> DataFrame:
+    """Fused synth→decimate→decode (see bmp_resize_features_from_ids)."""
+    return _fused_map(
+        docs,
+        id_col,
+        [
+            lambda pdf: _synth_wav_pdf(pdf, id_col),
+            lambda pdf: _wav_decimate_pdf(pdf, factor),
+            _wav_features_pdf,
+        ],
+        WAV_FEATURE_SCHEMA,
+    )
 
 
 DHASH_GRID = 8                         # luma grid: 8 rows x 8 cols
@@ -589,37 +738,51 @@ def image_dhash(docs_with_bmp: DataFrame) -> DataFrame:
     """
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import struct
-
-        g = DHASH_GRID
         for pdf in batches:
-            cols = {k: [] for k in ("doc_id", "width", "height", "dhash")}
-            for did, blob in zip(pdf["doc_id"], pdf["bmp"]):
-                b = bytes(blob)
-                magic, _, _, _, off = struct.unpack_from("<2sIHHI", b, 0)
-                assert magic == b"BM"
-                _, w, h, _, bpp = struct.unpack_from("<IiiHH", b, 14)
-                assert bpp == 24
-                stride = (w * 3 + 3) // 4 * 4
-
-                def luma(gx: int, gy: int) -> int:
-                    x, y = gx * w // g, gy * h // g
-                    p = off + (h - 1 - y) * stride + 3 * x
-                    return (b[p] + b[p + 1] + b[p + 2]) // 3
-
-                dh = 0
-                for gy in range(g):
-                    row = [luma(gx, gy) for gx in range(g)]
-                    for gx in range(g - 1):
-                        if row[gx + 1] > row[gx]:
-                            dh |= 1 << (gy * (g - 1) + gx)
-                cols["doc_id"].append(int(did))
-                cols["width"].append(w)
-                cols["height"].append(h)
-                cols["dhash"].append(dh)
-            yield pd.DataFrame(cols)
+            yield _image_dhash_pdf(pdf)
 
     return docs_with_bmp.mapInPandas(_decode, schema=DHASH_SCHEMA)
+
+
+def _image_dhash_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    import struct
+
+    g = DHASH_GRID
+    cols = {k: [] for k in ("doc_id", "width", "height", "dhash")}
+    for did, blob in zip(pdf["doc_id"], pdf["bmp"]):
+        b = bytes(blob)
+        magic, _, _, _, off = struct.unpack_from("<2sIHHI", b, 0)
+        assert magic == b"BM"
+        _, w, h, _, bpp = struct.unpack_from("<IiiHH", b, 14)
+        assert bpp == 24
+        stride = (w * 3 + 3) // 4 * 4
+
+        def luma(gx: int, gy: int) -> int:
+            x, y = gx * w // g, gy * h // g
+            p = off + (h - 1 - y) * stride + 3 * x
+            return (b[p] + b[p + 1] + b[p + 2]) // 3
+
+        dh = 0
+        for gy in range(g):
+            row = [luma(gx, gy) for gx in range(g)]
+            for gx in range(g - 1):
+                if row[gx + 1] > row[gx]:
+                    dh |= 1 << (gy * (g - 1) + gx)
+        cols["doc_id"].append(int(did))
+        cols["width"].append(w)
+        cols["height"].append(h)
+        cols["dhash"].append(dh)
+    return pd.DataFrame(cols)
+
+
+def image_dhash_from_ids(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fused synth→dhash (one Python eval node)."""
+    return _fused_map(
+        docs,
+        id_col,
+        [lambda pdf: _synth_bmp_pdf(pdf, id_col), _image_dhash_pdf],
+        DHASH_SCHEMA,
+    )
 
 
 def image_dup_pairs(docs_with_bmp: DataFrame) -> DataFrame:
@@ -642,7 +805,22 @@ def image_dup_pairs(docs_with_bmp: DataFrame) -> DataFrame:
     exists to avoid. 4 small integers per image — GiB-scale at 100 TB.
     Returns ``(doc_a, doc_b, hamming)``.
     """
-    dh = image_dhash(docs_with_bmp).select("doc_id", "dhash").persist()
+    return _dup_pairs_from_dhash(
+        image_dhash(docs_with_bmp).select("doc_id", "dhash")
+    )
+
+
+def image_dup_pairs_from_ids(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """:func:`image_dup_pairs` with the fused synth→dhash Python stage
+    (one eval node instead of two; identical pairs — dhash is a pure
+    function of doc_id here)."""
+    return _dup_pairs_from_dhash(
+        image_dhash_from_ids(docs, id_col).select("doc_id", "dhash")
+    )
+
+
+def _dup_pairs_from_dhash(dh: DataFrame) -> DataFrame:
+    dh = dh.persist()
     mask = (1 << DHASH_BAND_BITS) - 1
     # The fingerprint rides WITH its band key through the self-join (8
     # extra bytes per band row) so verification needs NO further joins

@@ -33,6 +33,7 @@ import random
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions import planutil as PU
 from ..functions import texthash as TH
 
 # IVF coarse-quantizer geometry: 2^IVF_BITS buckets, multi-probed out to
@@ -1054,8 +1055,13 @@ def power_iteration(embeddings: DataFrame, iters: int = POWER_ITERS) -> DataFram
         m = max(max(abs(x) for x in u), 1)
         v = [_tdiv(x * 1000, m) for x in u]
     gv = _matvec(v)
-    return spark.createDataFrame(
-        [(i + 1, v[i], gv[i]) for i in range(d)], schema
+    # Inline literals, not createDataFrame: a parallelized d-row Python
+    # RDD spawns a full python-worker wave to unpickle 64 rows (see
+    # planutil.inline_rows).
+    return PU.inline_rows(
+        spark,
+        [(i + 1, v[i], gv[i]) for i in range(d)],
+        [("dim", "long"), ("v_milli", "long"), ("gv", "long")],
     )
 
 
@@ -1514,7 +1520,26 @@ def semantic_dedup(
         "vec_id", "cluster"
     )
     vecs = embeddings.select("vec_id", as_double(F.col("embedding")).alias("v"))
-    a = vecs.join(assign, "vec_id").withColumn("n", norm(F.col("v")))
+    # Shared-subtree persist + pre-partition (round 13, VERDICT r12
+    # item 3): both sides of the per-cluster self-join read the SAME
+    # (vec_id, cluster, v, n) frame — un-persisted, the two join-leaf
+    # exchanges materialized concurrently under AQE and each re-ran the
+    # k-means scoring pass (the r12 "a/b stampede", ~1 s of the 3.9 s
+    # item). Persisting is lazy (construction stays action-free; the
+    # bench's family-boundary cache hygiene releases it). Partitioning
+    # BY THE JOIN KEY before the persist makes the cached layout the
+    # one the join needs, so BOTH exchanges disappear outright (guide
+    # §2.4 "two operations keyed the same way share one exchange"):
+    # the self-join runs zero-shuffle over the cached frame, and the
+    # single stage computes each cache partition once — no concurrent-
+    # leaf stampede left. At 100 TB the same layout argument holds:
+    # cluster is the only key this operator ever joins on.
+    a = (
+        vecs.join(assign, "vec_id")
+        .withColumn("n", norm(F.col("v")))
+        .repartition("cluster")
+        .persist()
+    )
     b = a.select(
         F.col("cluster").alias("cluster_b"),
         F.col("vec_id").alias("vec_b"),
@@ -2241,8 +2266,13 @@ def ivf_balance(embeddings: DataFrame, k: int = KMEANS_K) -> DataFrame:
     per = assigned.groupBy("cluster").agg(
         F.count("*").cast("long").alias("n_vectors")
     )
-    total = per.agg(F.sum("n_vectors").alias("total"))
-    return per.crossJoin(F.broadcast(total)).select(
+    # Window scalar over the k-row per-cluster frame (round 13): same
+    # value, one plan branch instead of an aggregate + broadcast chain.
+    from pyspark.sql import Window
+
+    return per.withColumn(
+        "total", F.sum("n_vectors").over(Window.partitionBy())
+    ).select(
         F.col("cluster").cast("long").alias("cluster"),
         "n_vectors",
         F.expr("(1000000 * n_vectors) div total").alias("share_ppm"),
@@ -2453,40 +2483,66 @@ def ivf_probe_sweep(
     )
     exact = cosine_topk(embeddings, queries, k).select("query_id", "neighbor_id")
 
-    out = None
-    for r in sorted(radii):
-        w = Window.partitionBy("query_id").orderBy(
-            F.col("cosine").desc(), F.col("neighbor_id")
+    # Single-pass sweep (round 13): the per-radius loop built one
+    # window + broadcast-join + scalar-aggregate branch chain PER
+    # RADIUS (|radii| unioned subtrees — 26 AQE stage-jobs at sf0.1,
+    # most of the item's 3-4 s wall in driver/stage round-trips, guide
+    # §2.6/§5). Radius r's candidate set is exactly the scored pairs
+    # with ham <= r, so exploding each scored pair to the radii that
+    # include it and ranking ONE window over (query_id, probe_radius)
+    # reproduces every branch's ranking bit-for-bit — row_number over
+    # the same (cosine DESC, neighbor_id) order within each radius
+    # partition — in one window shuffle, one join, one groupBy.
+    rs = sorted(radii)
+    radii_col = F.array(*[F.lit(int(r)).cast("long") for r in rs])
+    w = Window.partitionBy("query_id", "probe_radius").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    approx_all = (
+        scored.select(
+            "query_id",
+            "neighbor_id",
+            "cosine",
+            F.explode(
+                F.filter(radii_col, lambda r: r >= F.col("ham"))
+            ).alias("probe_radius"),
         )
-        approx = (
-            scored.filter(F.col("ham") <= r)
-            .withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("query_id", "neighbor_id")
-            .withColumn("hit", F.lit(1))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "probe_radius")
+        .withColumn("hit", F.lit(1))
+    )
+    exact_all = exact.select(
+        "query_id", "neighbor_id", F.explode(radii_col).alias("probe_radius")
+    )
+    buckets = F.lit(None).cast("long")
+    for r in rs:  # plan-time literal ladder: radius -> probe-mask count
+        buckets = F.when(
+            F.col("probe_radius") == r,
+            F.lit(sum(comb(bits, i) for i in range(r + 1))).cast("long"),
+        ).otherwise(buckets)
+    return (
+        exact_all.join(
+            F.broadcast(approx_all),
+            ["query_id", "neighbor_id", "probe_radius"],
+            "left",
         )
-        agg = (
-            exact.join(F.broadcast(approx), ["query_id", "neighbor_id"], "left")
-            .agg(
-                F.count("*").cast("long").alias("n_exact_pairs"),
-                F.sum(F.coalesce(F.col("hit"), F.lit(0)))
-                .cast("long")
-                .alias("n_hits"),
-            )
-            # Degenerate corpus (no queries -> no exact pairs): the
-            # ungrouped agg still yields one row; the oracle's GROUP BY
-            # yields none. Drop it so shapes match and the recall
-            # division never sees a zero denominator under ANSI mode.
-            .filter(F.col("n_exact_pairs") > 0)
-            .select(
-                F.lit(r).cast("long").alias("probe_radius"),
-                F.lit(sum(comb(bits, i) for i in range(r + 1)))
-                .cast("long")
-                .alias("n_buckets_probed"),
-                "n_exact_pairs",
-                "n_hits",
-                F.expr("(1000 * n_hits) div n_exact_pairs").alias("recall_milli"),
-            )
+        .groupBy("probe_radius")
+        .agg(
+            F.count("*").cast("long").alias("n_exact_pairs"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_hits"),
         )
-        out = agg if out is None else out.unionByName(agg)
-    return out
+        # Degenerate corpus (no queries -> no exact pairs): grouped agg
+        # over an empty frame yields no rows, matching the oracle's
+        # GROUP BY; the filter keeps the old guard's semantics.
+        .filter(F.col("n_exact_pairs") > 0)
+        .select(
+            F.col("probe_radius").cast("long").alias("probe_radius"),
+            buckets.alias("n_buckets_probed"),
+            "n_exact_pairs",
+            "n_hits",
+            F.expr("(1000 * n_hits) div n_exact_pairs").alias("recall_milli"),
+        )
+    )

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions import planutil as PU
 from ..functions import texthash as TH
 
 # Public stopword profiles (tiny on purpose: the operator's shape is the
@@ -781,8 +782,29 @@ def bpe_train(
     Returns ``(merge_rank, a, b, freq)`` — one row per learned merge.
     """
     merges, _ = _bpe_train_state(docs, n_merges, text_col, batch_k=batch_k)
-    return docs.sparkSession.createDataFrame(
-        merges, "merge_rank long, a string, b string, freq long"
+    return _merge_table(docs.sparkSession, merges)
+
+
+def _merge_table(spark, merges: list[tuple[int, str, str, int]]) -> DataFrame:
+    """The learned merge list as a DataFrame built from JVM literals.
+
+    ``createDataFrame(list)`` parallelizes the rows into a Python RDD,
+    and the first scan of that RDD spawns a FULL python-worker wave
+    just to unpickle 8 rows (round-13 profile: a 32-task, 1.6 s job on
+    a cold pool — the single most expensive job of the whole query).
+    An inline literal array keeps the tiny result JVM-local: no Python
+    stage, no workers, constant-folds to rows at plan time. Column
+    order and types match the old schema exactly.
+    """
+    if not merges:  # degenerate corpus: keep the typed empty frame
+        return spark.createDataFrame(
+            [], "merge_rank long, a string, b string, freq long"
+        )
+    return PU.inline_rows(
+        spark,
+        merges,
+        [("merge_rank", "long"), ("a", "string"), ("b", "string"),
+         ("freq", "long")],
     )
 
 
@@ -817,7 +839,20 @@ def _bpe_train_state(
             "syms"
         ),
     )
-    cur = vocab.localCheckpoint(eager=True)
+    # Lazy persist per round (round 13): the eager localCheckpoint ran
+    # ONE EXTRA JOB per merge round (materialize the checkpoint, then
+    # the pair-count collect) — 2x the fixed job-scheduling cost of a
+    # loop whose per-round data work is tiny. A lazy persist defers
+    # materialization into the SAME job as the round's collect, halving
+    # the job count, and — unlike lazy_local_checkpoint, whose AQE-off
+    # Dataset→RDD conversion bakes full-width shuffle partitions — it
+    # keeps AQE coalescing on the vocab-sized rounds (A/B-tested: the
+    # baked-RDD variant ran 32-task rounds where AQE runs 1-2 tasks).
+    # Plan growth stays LINEAR (not labelprop's 2^rounds): each round
+    # references the previous frame exactly once, so the r12 nested-
+    # plan pathology cannot arise here, and the CacheManager dedupes
+    # the identical plans across in-session repeats.
+    cur = vocab.persist()
     merges: list[tuple[int, str, str, int]] = []
     init = F.expr("cast(array() as array<string>)")
 
@@ -877,7 +912,7 @@ def _bpe_train_state(
         for a, b, freq in batch:
             col = F.aggregate(col, init, make_step(a, b, a + b))
             merges.append((len(merges), a, b, freq))
-        cur = cur.withColumn("syms", col).localCheckpoint(eager=True)
+        cur = cur.withColumn("syms", col).persist()
     return merges, cur
 
 

@@ -1019,13 +1019,17 @@ def abc_classification(lineitem: DataFrame) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.sum("rev_c").alias("revenue_c"))
     )
-    total = per_part.agg(F.sum("revenue_c").alias("total_c"))
     w = (
         Window.orderBy(F.col("revenue_c").desc(), F.col("l_partkey"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # The cumulative-share window already runs the per-part frame
+    # through one unpartitioned sort; the revenue total as a second
+    # window over the same partition is free (same exchange+sort) and
+    # drops the scalar aggregate + broadcast chain (round 13).
     shared = (
-        per_part.crossJoin(F.broadcast(total))
+        per_part
+        .withColumn("total_c", F.sum("revenue_c").over(Window.partitionBy()))
         .withColumn("cum_c", F.sum("revenue_c").over(w))
         .select(
             "l_partkey",
@@ -1069,8 +1073,13 @@ def customer_rfm(orders: DataFrame, bins: int = RFM_BINS) -> DataFrame:
         F.count("*").alias("frequency"),
         F.sum(cents(F.col("o_totalprice"))).alias("monetary_c"),
     )
-    max_sec = per_cust.agg(F.max("last_sec").alias("corpus_max_sec"))
-    base = per_cust.crossJoin(F.broadcast(max_sec)).select(
+    # Corpus max as a window over the per-customer frame: the three
+    # ntile windows below already run it through unpartitioned sorts,
+    # so this adds no scale cost and drops the scalar agg + broadcast
+    # chain (round 13).
+    base = per_cust.withColumn(
+        "corpus_max_sec", F.max("last_sec").over(Window.partitionBy())
+    ).select(
         "o_custkey",
         F.expr("(corpus_max_sec - last_sec) div 86400").alias("recency_days"),
         "frequency",
@@ -1463,6 +1472,13 @@ def market_basket(lineitem: DataFrame, part: DataFrame) -> DataFrame:
         )
         .select("l_orderkey", "p_brand")
         .distinct()
+        # Persist (round 13): four plan branches read the distinct
+        # (order, brand) frame (order count, per-brand counts, both
+        # self-join sides); the lazy cache computes the lineitem⋈part
+        # join + distinct once instead of per branch. Narrow rows
+        # (key + bounded brand), released by the bench's family-
+        # boundary cache hygiene.
+        .persist()
     )
     n_orders = ob.select("l_orderkey").distinct().agg(
         F.count("*").cast("long").alias("n_orders")
@@ -1746,14 +1762,23 @@ def bloom_prejoin_audit(
     n_true_match, n_false_positive)`` — the numbers that justify (or
     veto) enabling the pre-filter for a given key distribution.
     """
+    # Persists (round 13): keys feeds the bit build, the truth join and
+    # the scalar count (3 branches); bits feeds the probe join and the
+    # scalar count; fact_keys feeds the probes and the row total. Un-
+    # persisted, every branch re-ran its filter/distinct/groupBy
+    # pipeline. All three frames are the audit's own bounded state
+    # (distinct keys / ≤m bits); released by the bench's family-
+    # boundary cache hygiene.
     keys = (
         orders.filter(F.col("o_orderpriority") == "1-URGENT")
         .select(F.col("o_orderkey").alias("key"))
         .distinct()
+        .persist()
     )
     bits = (
         keys.select(F.explode(_bloom_positions(F.col("key"), k, m)).alias("bit"))
         .distinct()
+        .persist()
     )
     # Probe DISTINCT fact keys (a key's bloom outcome is a pure
     # function of the key), carrying each key's row multiplicity —
@@ -1761,6 +1786,7 @@ def bloom_prejoin_audit(
     fact_keys = (
         lineitem.groupBy(F.col("l_orderkey").alias("fkey"))
         .agg(F.count("*").alias("n_rows"))
+        .persist()
     )
     probes = fact_keys.select(
         "fkey",
@@ -1990,10 +2016,15 @@ def join_size_audit(
     Returns one row ``(fact_rows, dim_rows, n_fact_keys, n_dim_keys,
     max_fact_key_rows, fact_skew_ppm, join_rows, strategy)``.
     """
+    # Persists (round 13): fc feeds the fact stats AND the join-size
+    # estimate; dc feeds the dim stats and the estimate — without the
+    # cache each branch re-ran its full-table groupBy.
     fc = fact.groupBy(F.col(fact_key).alias("k")).agg(
         F.count("*").alias("cf")
-    )
-    dc = dim.groupBy(F.col(dim_key).alias("k")).agg(F.count("*").alias("cd"))
+    ).persist()
+    dc = dim.groupBy(F.col(dim_key).alias("k")).agg(
+        F.count("*").alias("cd")
+    ).persist()
     fstats = fc.agg(
         F.sum("cf").cast("long").alias("fact_rows"),
         F.count("*").cast("long").alias("n_fact_keys"),

@@ -42,6 +42,7 @@ ALERT_EXPECTATIONS = {
 
 
 @pytest.mark.slow
+@pytest.mark.soak
 def test_label_parity_100k_sweep(spark):
     events = generate_events(n=N_EVENTS, seed=SEED)
     labels = spark.createDataFrame(

@@ -2787,7 +2787,55 @@ def test_wav_decimate_roundtrip_real_riff_and_exact_samples(spark):
         assert list(got) == expect
 
 
-def test_label_diversity_matches_numpy_pairwise_mean(spark):
+def test_fused_mm_stages_match_unfused_composition(spark):
+    """Round-13 stage fusion (multimodal.py "Stage fusion"): every
+    ``*_from_ids`` fused single-Python-stage entry point must return
+    exactly the rows of the unfused mapInPandas chain it replaces, and
+    its plan must carry exactly ONE Python eval node."""
+    docs = spark.createDataFrame(
+        [(i, "x") for i in (0, 1, 7, 33, 63, 100)], "doc_id long, text string"
+    )
+
+    cases = [
+        (
+            MM.wav_features_from_ids(docs),
+            MM.wav_features(MM.with_wav_payload(docs)),
+        ),
+        (
+            MM.wav_frame_energy_from_ids(docs),
+            MM.wav_frame_energy(MM.with_wav_payload(docs)),
+        ),
+        (
+            MM.wav_decimate_features_from_ids(docs),
+            MM.wav_features(MM.wav_decimate(MM.with_wav_payload(docs))),
+        ),
+        (
+            MM.bmp_features_from_ids(docs),
+            MM.bmp_features(MM.with_bmp_payload(docs)),
+        ),
+        (
+            MM.bmp_resize_features_from_ids(docs),
+            MM.bmp_features(MM.bmp_resize(MM.with_bmp_payload(docs))),
+        ),
+        (
+            MM.image_dhash_from_ids(docs),
+            MM.image_dhash(MM.with_bmp_payload(docs)),
+        ),
+        (
+            MM.image_dup_pairs_from_ids(docs),
+            MM.image_dup_pairs(MM.with_bmp_payload(docs)),
+        ),
+    ]
+    for fused, unfused in cases:
+        assert fused.columns == unfused.columns
+        assert sorted(map(tuple, fused.collect())) == sorted(
+            map(tuple, unfused.collect())
+        )
+    # one Python eval node in the fused feature plans (the fusion's
+    # whole point: one worker pool, one Arrow boundary crossing)
+    plan = MM.bmp_resize_features_from_ids(docs)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert plan.count("MapInPandas") == 1
     """The algebraic (||Σu||² − n)/(n(n−1)) identity must equal the
     brute-force mean pairwise cosine to quantization precision."""
     import itertools

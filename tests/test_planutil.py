@@ -52,6 +52,62 @@ def test_lazy_local_checkpoint_identical_results(spark):
     assert got == expect
 
 
+def test_lazy_local_checkpoint_rejects_explicit_broadcast_hint(spark):
+    """An explicit broadcast() hint survives the autoBroadcast=-1 flip
+    and would submit a collect job at construction — the guard must
+    fail loudly instead (ADVICE r12 / round-13 hardening)."""
+    a = spark.range(100).withColumnRenamed("id", "k")
+    b = spark.range(10).withColumnRenamed("id", "k")
+    with pytest.raises(RuntimeError, match="broadcast hint"):
+        PU.lazy_local_checkpoint(a.join(F.broadcast(b), "k"))
+    # confs restored even on the error path
+    assert spark.conf.get(PU.AQE_KEY) == "true"
+
+
+def test_lazy_local_checkpoint_tolerates_persisted_broadcast_subtree(spark):
+    """A persisted subtree whose CACHED physical plan embeds a
+    BroadcastExchange (planned earlier under normal confs) must NOT
+    trip the hint guard: the cached plan only executes at action time,
+    so the construction stays action-free."""
+    a = spark.range(200).withColumnRenamed("id", "k")
+    b = spark.range(20).withColumnRenamed("id", "k").persist()
+    b.count()
+    try:
+        ck = PU.lazy_local_checkpoint(a.join(b, "k"))
+        assert ck.count() == 20
+    finally:
+        b.unpersist()
+
+
+def test_lazy_local_checkpoint_reliable_path(spark, tmp_path):
+    """reliable=True (or the session conf) routes through reliable
+    checkpoint(): same lazy contract, same results, durable blocks."""
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    agg = (
+        spark.range(1_000)
+        .withColumn("g", F.col("id") % 7)
+        .groupBy("g")
+        .agg(F.sum("id").alias("s"))
+    )
+    expect = sorted(map(tuple, agg.collect()))
+    sc = spark.sparkContext
+    sc.setJobGroup("planutil-reliable", "reliable lazy ckpt")
+    try:
+        ck = PU.lazy_local_checkpoint(agg, reliable=True)
+        jobs = sc.statusTracker().getJobIdsForGroup("planutil-reliable")
+        assert list(jobs) == [], "reliable lazy checkpoint ran a job at construction"
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert sorted(map(tuple, ck.collect())) == expect
+    # conf-driven variant
+    spark.conf.set(PU.RELIABLE_KEY, "true")
+    try:
+        ck2 = PU.lazy_local_checkpoint(agg)
+        assert sorted(map(tuple, ck2.collect())) == expect
+    finally:
+        spark.conf.unset(PU.RELIABLE_KEY)
+
+
 def test_read_table_memo_same_session_same_plan(spark):
     """Repeat calls in one session return the SAME plan object (the
     construction-cost memo); a different (sf_dir, name) key misses."""

@@ -65,6 +65,7 @@ def _read(spark, path):
 
 
 @pytest.mark.slow
+@pytest.mark.soak
 def test_soak_100_batches_matches_single_batch_load(spark, tmp_path):
     files, replayed = _batches()
 

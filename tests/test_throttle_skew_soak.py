@@ -80,6 +80,7 @@ def _iso(epoch: float) -> str:
 
 
 @pytest.mark.slow
+@pytest.mark.soak
 def test_throttle_skew_soak_state_bounded_and_replay_parity(spark, tmp_path):
     import time
 
