@@ -470,6 +470,11 @@ def _verified_pairs(e: DataFrame, candidates: DataFrame, threshold: float) -> Da
     Norms come precomputed per vector (see ``_scored_pairs`` — same
     bits as the oracle's per-pair form, 3x fewer interpreted folds).
     """
+    # Round-13 A/B: persisting this two-reader frame was MEASURED WORSE
+    # (repeats 3.9/4.2 -> 4.3/4.0, first run 6.0 -> 8.6 s, jobs 9 -> 11:
+    # the cache build adds a stage-job and both broadcast builds then
+    # race the un-materialized cache). The duplicate norm fold is
+    # cheaper than the cache boundary here — left un-persisted.
     en = e.withColumn("nrm", norm(F.col("v")))
     da = en.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("qe"),
                    F.col("nrm").alias("qn"))
