@@ -1555,7 +1555,11 @@ def audience_overlap(events: DataFrame) -> DataFrame:
     Returns ``(type_a, type_b, n_users_a, n_users_b, n_common,
     jaccard_ppm)`` with integer-ppm Jaccard (floor).
     """
-    tu = events.select("event_type", "user_id").distinct()
+    # Persist (round 13): the distinct (type, user) frame feeds the
+    # per-type totals AND both self-join sides; un-persisted, each
+    # branch re-ran the corpus distinct (11 AQE stage-jobs for one
+    # item). Narrow two-column frame, ≤|types| rows per user.
+    tu = events.select("event_type", "user_id").distinct().persist()
     totals = tu.groupBy("event_type").agg(
         F.count("*").cast("long").alias("n_users")
     )

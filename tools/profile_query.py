@@ -77,7 +77,16 @@ def main() -> None:
             out[j.jobId()] = j
         return out
 
-    qdict = LQ.llm_queries()
+    # Round 13: cover the events/warehouse registries too (their items
+    # read the same warm base tables the bench persists above).
+    from iot_real_time_data_pipeline_spark import events_queries as EQ
+    from iot_real_time_data_pipeline_spark import warehouse_queries as WQ
+
+    for t in ("events", "lineitem", "orders", "customer", "part",
+              "supplier", "nation", "region"):
+        read_table(spark, sf_dir, t).persist().count()
+    qdict = {**LQ.llm_queries(), **EQ.events_queries(),
+             **WQ.warehouse_queries()}
     for name in names:
         fn = qdict[name]
         before = set(jobs_snapshot())
